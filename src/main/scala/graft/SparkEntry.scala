@@ -1,13 +1,379 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact._
+import graft.operators.{Cleaning, Relational, StarSchema, Transforms}
+import graft.sources.Tables
+
+/**
+ * Driver contract: one `queries` entry per implemented operator from
+ * SURVEY.md §2, with a DuckDB-equivalent `oracleSql` for every
+ * SQL-expressible one. See SURVEY.md §7 for the build plan.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String): Tables = Tables(s, dir)
+
+  /** Flagship: star join + aggregate (SURVEY §2.1 #22) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q22StarJoinAgg(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- §2.1
+
+  /** #1 group-by aggregate (profiling / value_counts; notebook cell 5). */
+  private def q01GroupAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).lineitem
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_price"),
+        decAvg(col("l_discount")).as("avg_disc"),
+        cnt.as("n"))
+
+  /** #2 right-merge + keep-first dedup (reference dag.py:48-49). */
+  private def q02MergeRightDedup(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val partSide = tt.part.select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    Relational.mergeRightDedup(
+      partSide, Seq("p_brand"), tt.lineitem, "l_partkey",
+      firstBy = Seq(col("l_orderkey"), col("l_linenumber")), broadcastLeft = true)
+      .select("l_orderkey", "l_partkey", "p_brand", "l_quantity")
+  }
+
+  /** #3 projection + predicate with parquet pushdown (dag.py:52,198). */
+  private def q03ProjectFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).lineitem
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+
+  /** #4 median imputation of invalid values (dag.py:79-81,122-127). */
+  private def q04ImputeMedian(s: SparkSession, dir: String): DataFrame =
+    Cleaning.imputeWithMedian(t(s, dir).customer, "c_acctbal", col("c_acctbal") >= 0)
+      .select(col("c_custkey"), col("c_acctbal").as("acctbal_imputed"))
+
+  /** #5 sentinel fill for missing/zero values (dag.py:84-90). */
+  private def q05FillSentinel(s: SparkSession, dir: String): DataFrame =
+    Cleaning.fillSentinel(t(s, dir).lineitem, "l_discount", -1.0,
+        valid = Some(col("l_discount") =!= 0.0))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_discount").as("discount_s"))
+
+  /** #6 categorical whitelist validation (dag.py:92-103). */
+  private def q06DomainValidation(s: SparkSession, dir: String): DataFrame =
+    Cleaning.domainValidate(t(s, dir).orders, "o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM"), "OTHER")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(cnt.as("n"))
+
+  /** #7 cross-column invariant filter (dag.py:116-119). */
+  private def q07InvariantFilter(s: SparkSession, dir: String): DataFrame =
+    Cleaning.invariantFilter(t(s, dir).lineitem, col("l_discount") <= col("l_tax"))
+      .groupBy("l_returnflag")
+      .agg(cnt.as("n"))
+
+  /** #8 date-part derivation (dag.py:156-162). */
+  private def q08DateParts(s: SparkSession, dir: String): DataFrame =
+    Transforms.dateParts(t(s, dir).orders, "o_orderdate")
+      .groupBy("ano", "trimestre", "mes")
+      .agg(
+        cnt.as("n"),
+        decSum(col("o_totalprice")).as("sum_price"),
+        sum(when(col("dia_util"), 1L).otherwise(0L)).as("workdays"))
+
+  /** #9 hour-of-day phase bucketing (dag.py:106-113). */
+  private def q09PhaseBucketing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).events
+      .select(Transforms.phaseOfDay(hour(col("ts"))).as("fase_dia"))
+      .groupBy("fase_dia")
+      .agg(cnt.as("n"))
+
+  private val holidayDates: Seq[String] =
+    (1995 to 2001).flatMap(y => Seq(f"$y%04d-01-01", f"$y%04d-12-25"))
+
+  /** #10 calendar-lookup flag via broadcast join (dag.py:161). */
+  private def q10HolidayFlag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cal = holidayDates.toDF("d").select(to_date(col("d")).as("d"))
+    Transforms.flagFromCalendar(t(s, dir).orders, "o_orderdate", cal, "d", "feriado")
+      .groupBy(col("feriado"), year(col("o_orderdate")).as("ano"))
+      .agg(cnt.as("n"))
+  }
+
+  /** #11 dictionary value remap (dag.py:165). */
+  private def q11ValueMap(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).orders
+      .select(Transforms.valueMap(col("o_orderstatus"),
+        Map("O" -> "Open", "F" -> "Finished", "P" -> "Pending"),
+        Some(lit("Unknown"))).as("status"))
+      .groupBy("status")
+      .agg(cnt.as("n"))
+
+  /** #12 multi-valued string → boolean flag columns (dag.py:167-181). */
+  private def q12MultiflagSplit(s: SparkSession, dir: String): DataFrame = {
+    val flags = Seq("rod", "ring", "widget", "blue")
+    val flagged = Transforms.multiFlagSplit(t(s, dir).part, "p_name", flags)
+    val aggs = flags.map(f => sum(col(f).cast("long")).as(s"n_$f"))
+    flagged.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** #13 split/concat/substring string derivations (dag.py:184-191). */
+  private def q13StringOps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).part.select(
+      col("p_partkey"),
+      Transforms.splitHead(col("p_name"), " ").as("name_head"),
+      Transforms.afterFirst(col("p_name"), " ").as("name_tail"),
+      Transforms.concatColumns("#", col("p_brand"), col("p_type")).as("brand_type"))
+
+  /** #14 union of homogeneous slices (dag.py:208). */
+  private def q14UnionSlices(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir).orders
+    val slices = Seq(1995, 1996).map(y => o.filter(year(col("o_orderdate")) === y))
+    Relational.unionSlices(slices)
+      .groupBy(year(col("o_orderdate")).as("ano"))
+      .agg(cnt.as("n"), decSum(col("o_totalprice")).as("sum_price"))
+  }
+
+  /** #15 dimension build: distinct + hash surrogate key (dag.py:220-237). */
+  private def q15DimBuild(s: SparkSession, dir: String): DataFrame =
+    StarSchema.dimWithHashKey(t(s, dir).orders,
+      Seq("o_orderpriority", "o_orderstatus"), "id_dim")
+
+  /** #16 fact build: source ⋈ broadcast dims → surrogate FKs (dag.py:241-259). */
+  private def q16FactBuild(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val src = tt.orders.join(tt.customer.select("c_custkey", "c_mktsegment"),
+      col("o_custkey") === col("c_custkey"))
+    val dimP = StarSchema.dimWithHashKey(tt.orders, Seq("o_orderpriority"), "id_priority")
+    val dimS = StarSchema.dimWithHashKey(tt.customer, Seq("c_mktsegment"), "id_segment")
+    StarSchema.buildFact(src,
+        Seq((dimP, Seq("o_orderpriority"), "id_priority"),
+            (dimS, Seq("c_mktsegment"), "id_segment")),
+        measures = Seq("o_totalprice"))
+      .groupBy("id_priority", "id_segment")
+      .agg(cnt.as("n"), decSum(col("o_totalprice")).as("sum_price"))
+  }
+
+  /** #17 subset-dedup of the fact on its FK tuple (dag.py:263). */
+  private def q17FactDedup(s: SparkSession, dir: String): DataFrame =
+    Relational.keepFirst(t(s, dir).orders,
+        keys = Seq(col("o_orderpriority"), col("o_orderstatus")),
+        order = Seq(col("o_orderkey")))
+      .select("o_orderpriority", "o_orderstatus", "o_orderkey")
+
+  /** #18 deterministic top-k (notebook top-N counts). */
+  private def q18TopK(s: SparkSession, dir: String): DataFrame =
+    Relational.topK(t(s, dir).orders, 10, col("o_totalprice").desc, col("o_orderkey").asc)
+      .select("o_orderkey", "o_totalprice")
+
+  /** #19 window functions: rank / lag / running aggregate. */
+  private def q19WindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, dir).events
+      .filter(col("user_id") < 20)
+      .select(
+        col("user_id"), col("event_id"),
+        row_number().over(w).as("seq"),
+        lag("value", 1).over(w).as("prev_value"),
+        sum(col("value").cast("decimal(18,4)")).over(w).cast("double").as("running_value"))
+  }
+
+  /** #20 wide pivot via conditional aggregation (1 shuffle). */
+  private def q20Pivot(s: SparkSession, dir: String): DataFrame =
+    Relational.pivotConditional(
+      t(s, dir).events.withColumn("day", to_date(col("ts"))),
+      groupCols = Seq("day"), pivotCol = "event_type",
+      values = Seq("click", "view", "purchase", "signup", "error"),
+      measure = lit(1L))
+
+  /** #21 anti join: FK-orphan detection (dag.py FK integrity). */
+  private def q21AntiSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    Relational.antiJoin(tt.customer, tt.orders, col("c_custkey") === col("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(cnt.as("n"))
+  }
+
+  /** #22 flagship star join + aggregate (dag.py:241-259 + notebook). */
+  private def q22StarJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val revenue = col("l_extendedprice").cast("decimal(18,4)") *
+      (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))
+    tt.lineitem
+      .join(tt.orders.filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(tt.customer.select("c_custkey", "c_nationkey"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir).nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir).region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(revenue).cast("double").as("revenue"), cnt.as("n"))
+  }
+
+  /** #23 event-time bucket aggregate (batch twin of the streaming path). */
+  private def q23TimeBucketAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).events
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(cnt.as("n"), decSum(col("value")).as("sum_value"))
+
+  /** #24 semi-structured JSON field extraction. */
+  private def q24JsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).events
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("k")
+      .agg(cnt.as("n"))
+
+  // ------------------------------------------------------------ registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_group_agg"         -> (q01GroupAgg _),
+    "q02_merge_right_dedup" -> (q02MergeRightDedup _),
+    "q03_project_filter"    -> (q03ProjectFilter _),
+    "q04_impute_median"     -> (q04ImputeMedian _),
+    "q05_fill_sentinel"     -> (q05FillSentinel _),
+    "q06_domain_validation" -> (q06DomainValidation _),
+    "q07_invariant_filter"  -> (q07InvariantFilter _),
+    "q08_dateparts"         -> (q08DateParts _),
+    "q09_phase_bucketing"   -> (q09PhaseBucketing _),
+    "q10_holiday_flag"      -> (q10HolidayFlag _),
+    "q11_value_map"         -> (q11ValueMap _),
+    "q12_multiflag_split"   -> (q12MultiflagSplit _),
+    "q13_string_ops"        -> (q13StringOps _),
+    "q14_union_slices"      -> (q14UnionSlices _),
+    "q15_dim_build"         -> (q15DimBuild _),
+    "q16_fact_build"        -> (q16FactBuild _),
+    "q17_fact_dedup"        -> (q17FactDedup _),
+    "q18_topk"              -> (q18TopK _),
+    "q19_window_funcs"      -> (q19WindowFuncs _),
+    "q20_pivot"             -> (q20Pivot _),
+    "q21_anti_semi_join"    -> (q21AntiSemiJoin _),
+    "q22_star_join_agg"     -> (q22StarJoinAgg _),
+    "q23_time_bucket_agg"   -> (q23TimeBucketAgg _),
+    "q24_json_extract"      -> (q24JsonExtract _),
+  )
+
+  private val monthCaseSql: String =
+    "CASE month(o_orderdate) WHEN 1 THEN 'Janeiro' WHEN 2 THEN 'Fevereiro' WHEN 3 THEN 'Março'" +
+      " WHEN 4 THEN 'Abril' WHEN 5 THEN 'Maio' WHEN 6 THEN 'Junho' WHEN 7 THEN 'Julho'" +
+      " WHEN 8 THEN 'Agosto' WHEN 9 THEN 'Setembro' WHEN 10 THEN 'Outubro'" +
+      " WHEN 11 THEN 'Novembro' ELSE 'Dezembro' END"
+
+  private val holidayInListSql: String =
+    holidayDates.map(d => s"DATE '$d'").mkString("(", ", ", ")")
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_group_agg" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price, " +
+        "CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc, " +
+        "COUNT(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+    "q02_merge_right_dedup" ->
+      ("SELECT l_orderkey, l_partkey, p_brand, l_quantity FROM (" +
+        "SELECT l.l_orderkey, l.l_partkey, p.p_brand, l.l_quantity, " +
+        "ROW_NUMBER() OVER (PARTITION BY l.l_partkey ORDER BY l.l_orderkey, l.l_linenumber) AS rn " +
+        "FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey) WHERE rn = 1"),
+    "q03_project_filter" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1998-01-01'"),
+    "q04_impute_median" ->
+      ("SELECT c_custkey, CASE WHEN c_acctbal >= 0 THEN c_acctbal ELSE " +
+        "(SELECT CAST(median(c_acctbal) AS DOUBLE) FROM customer WHERE c_acctbal >= 0) END " +
+        "AS acctbal_imputed FROM customer"),
+    "q05_fill_sentinel" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        "CASE WHEN l_discount <> 0.0 THEN l_discount ELSE -1.0 END AS discount_s FROM lineitem"),
+    "q06_domain_validation" ->
+      ("SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM') " +
+        "THEN o_orderpriority ELSE 'OTHER' END AS priority, COUNT(*) AS n " +
+        "FROM orders GROUP BY 1"),
+    "q07_invariant_filter" ->
+      "SELECT l_returnflag, COUNT(*) AS n FROM lineitem WHERE l_discount <= l_tax GROUP BY 1",
+    "q08_dateparts" ->
+      (s"SELECT year(o_orderdate) AS ano, quarter(o_orderdate) AS trimestre, $monthCaseSql AS mes, " +
+        "COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price, " +
+        "CAST(SUM(CASE WHEN isodow(o_orderdate) < 6 THEN 1 ELSE 0 END) AS BIGINT) AS workdays " +
+        "FROM orders GROUP BY 1, 2, 3"),
+    "q09_phase_bucketing" ->
+      ("SELECT CASE WHEN hour(ts) >= 5 AND hour(ts) < 7 THEN 'Amanhecer' " +
+        "WHEN hour(ts) >= 7 AND hour(ts) < 12 THEN 'Dia' " +
+        "WHEN hour(ts) >= 12 AND hour(ts) < 18 THEN 'Tarde' " +
+        "WHEN hour(ts) >= 18 AND hour(ts) < 24 THEN 'Noite' " +
+        "ELSE 'Madrugada' END AS fase_dia, COUNT(*) AS n FROM events GROUP BY 1"),
+    "q10_holiday_flag" ->
+      (s"SELECT CAST(o_orderdate AS DATE) IN $holidayInListSql AS feriado, " +
+        "year(o_orderdate) AS ano, COUNT(*) AS n FROM orders GROUP BY 1, 2"),
+    "q11_value_map" ->
+      ("SELECT CASE WHEN o_orderstatus = 'O' THEN 'Open' WHEN o_orderstatus = 'F' THEN 'Finished' " +
+        "WHEN o_orderstatus = 'P' THEN 'Pending' ELSE 'Unknown' END AS status, COUNT(*) AS n " +
+        "FROM orders GROUP BY 1"),
+    "q12_multiflag_split" ->
+      ("SELECT CAST(SUM(CASE WHEN p_name LIKE '%rod%' THEN 1 ELSE 0 END) AS BIGINT) AS n_rod, " +
+        "CAST(SUM(CASE WHEN p_name LIKE '%ring%' THEN 1 ELSE 0 END) AS BIGINT) AS n_ring, " +
+        "CAST(SUM(CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END) AS BIGINT) AS n_widget, " +
+        "CAST(SUM(CASE WHEN p_name LIKE '%blue%' THEN 1 ELSE 0 END) AS BIGINT) AS n_blue FROM part"),
+    "q13_string_ops" ->
+      ("SELECT p_partkey, split_part(p_name, ' ', 1) AS name_head, " +
+        "CASE WHEN strpos(p_name, ' ') > 0 THEN substr(p_name, strpos(p_name, ' ') + 1) ELSE '' END AS name_tail, " +
+        "concat_ws('#', p_brand, p_type) AS brand_type FROM part"),
+    "q14_union_slices" ->
+      ("SELECT year(o_orderdate) AS ano, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price FROM (" +
+        "SELECT * FROM orders WHERE year(o_orderdate) = 1995 " +
+        "UNION ALL SELECT * FROM orders WHERE year(o_orderdate) = 1996) GROUP BY 1"),
+    "q15_dim_build" ->
+      ("SELECT o_orderpriority, o_orderstatus, " +
+        "md5(o_orderpriority || chr(1) || o_orderstatus) AS id_dim " +
+        "FROM (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders)"),
+    "q16_fact_build" ->
+      ("SELECT md5(o_orderpriority) AS id_priority, md5(c_mktsegment) AS id_segment, " +
+        "COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2"),
+    "q17_fact_dedup" ->
+      ("SELECT o_orderpriority, o_orderstatus, o_orderkey FROM (" +
+        "SELECT o_orderpriority, o_orderstatus, o_orderkey, " +
+        "ROW_NUMBER() OVER (PARTITION BY o_orderpriority, o_orderstatus ORDER BY o_orderkey) AS rn " +
+        "FROM orders) WHERE rn = 1"),
+    "q18_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q19_window_funcs" ->
+      ("SELECT user_id, event_id, " +
+        "ROW_NUMBER() OVER w AS seq, " +
+        "LAG(value, 1) OVER w AS prev_value, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_value " +
+        "FROM events WHERE user_id < 20 " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
+    "q20_pivot" ->
+      ("SELECT CAST(ts AS DATE) AS day, " +
+        "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click, " +
+        "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view, " +
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase, " +
+        "CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup, " +
+        "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error " +
+        "FROM events GROUP BY 1"),
+    "q21_anti_semi_join" ->
+      ("SELECT c_mktsegment, COUNT(*) AS n FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY 1"),
+    "q22_star_join_agg" ->
+      ("SELECT r_name, n_name, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+        "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue, " +
+        "COUNT(*) AS n " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' " +
+        "GROUP BY 1, 2"),
+    "q23_time_bucket_agg" ->
+      ("SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value FROM events GROUP BY 1"),
+    "q24_json_extract" ->
+      ("SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, COUNT(*) AS n " +
+        "FROM events GROUP BY 1"),
+  )
 }

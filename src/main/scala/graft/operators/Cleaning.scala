@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Data-cleaning operators: the Spark-first re-expression of the reference's
+ * `limpeza` stage (reference dag.py:60-129).
+ *
+ * All operators are pure `DataFrame => DataFrame` plan builders — no
+ * driver-side row iteration (the reference's `df.apply(..., axis=1)` and
+ * `iterrows` loops become Catalyst expressions that run codegen'd inside
+ * whole-stage codegen, distributed over every partition).
+ */
+object Cleaning {
+
+  /**
+   * Replace values failing `valid` (including nulls) with the median of the
+   * valid values (reference dag.py:79-81 and 122-127: zero/null
+   * `ano_fabricacao_veiculo`, `pessoas`, `veiculos` → median).
+   *
+   * Scale posture: the median is a single scalar computed by one exact
+   * `median` aggregation, attached back via a broadcast cross-join of a
+   * 1-row frame — no driver collect in the plan, no re-computation per row.
+   * For 100 TB columns where an exact median's full sort is too expensive,
+   * pass `approx = true` to use `percentile_approx` (t-digest, one pass,
+   * mergeable across partitions).
+   */
+  def imputeWithMedian(df: DataFrame, column: String, valid: Column, approx: Boolean = false): DataFrame = {
+    val medExpr = if (approx) percentile_approx(col(column), lit(0.5), lit(10000)) else median(col(column))
+    val med = df.filter(valid).agg(medExpr.cast("double").as("__graft_med"))
+    df.crossJoin(broadcast(med))
+      .withColumn(column, when(valid, col(column)).otherwise(col("__graft_med")))
+      .drop("__graft_med")
+  }
+
+  /**
+   * Fill nulls (or values failing `valid`) with a constant sentinel
+   * (reference dag.py:84-90: null `br`/`km` → -1, other nulls →
+   * 'não informado').
+   */
+  def fillSentinel(df: DataFrame, column: String, sentinel: Any, valid: Option[Column] = None): DataFrame = {
+    val ok = valid.getOrElse(col(column).isNotNull)
+    df.withColumn(column, when(ok, col(column)).otherwise(lit(sentinel)))
+  }
+
+  /**
+   * Whitelist validation of a categorical column: values outside `allowed`
+   * (and nulls) become `fallback` (reference dag.py:92-103 validates 7
+   * categorical columns against expected value sets).
+   *
+   * `isin` over a literal set stays inside codegen (a hash-set probe per
+   * row); no shuffle, no UDF.
+   */
+  def domainValidate(df: DataFrame, column: String, allowed: Seq[String], fallback: String): DataFrame =
+    df.withColumn(column,
+      when(col(column).isin(allowed: _*), col(column)).otherwise(lit(fallback)))
+
+  /**
+   * Keep only rows satisfying a cross-column invariant (reference
+   * dag.py:116-119: drop rows where `mortos > pessoas` or
+   * `feridos > pessoas`). A plain predicate — Catalyst pushes it as far
+   * down as semantics allow.
+   */
+  def invariantFilter(df: DataFrame, invariants: Column*): DataFrame =
+    invariants.foldLeft(df)((d, inv) => d.filter(inv))
+
+  /**
+   * Single-domain assertion used by the reference's date validation
+   * (reference dag.py:69-75: all rows must share one year). Returns the
+   * distinct count frame; callers assert `count == 1`.
+   */
+  def distinctValues(df: DataFrame, column: String): DataFrame =
+    df.select(col(column)).distinct()
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational operators: joins, dedup, union, top-k, pivot, windows —
+ * the Spark-first re-expression of the reference's `merge_dados` /
+ * `unir_dados` stages (reference dag.py:44-57, 205-213) and its
+ * notebook-style analysis queries.
+ */
+object Relational {
+
+  /**
+   * The reference's merge: right-join a column subset of `left` into
+   * `right` on `key`, then keep-first dedup on the key (reference
+   * dag.py:48-49). pandas' `keep='first'` depends on physical row order;
+   * a distributed engine has none, so "first" is made explicit and
+   * deterministic via `orderBy` — semantics the oracle can reproduce.
+   *
+   * Scale posture: when the left (column-subset) side is small it is
+   * broadcast; otherwise Catalyst plans a shuffle hash / sort-merge join
+   * on the key, and the dedup window reuses that same hash partitioning
+   * (no second shuffle).
+   */
+  def mergeRightDedup(
+      left: DataFrame, leftCols: Seq[String],
+      right: DataFrame, key: String,
+      firstBy: Seq[Column],
+      broadcastLeft: Boolean = false): DataFrame = {
+    val l = left.select((key +: leftCols.filterNot(_ == key)).map(col): _*)
+    val joined = right.join(if (broadcastLeft) broadcast(l) else l, Seq(key), "left")
+    keepFirst(joined, Seq(col(key)), firstBy)
+  }
+
+  /**
+   * Deterministic keep-first dedup: one row per `keys`, choosing the first
+   * under `order` (reference dag.py:49,263 `drop_duplicates(keep='first')`).
+   * Window `row_number` shuffles once on `keys`; with AQE, skewed keys are
+   * split at runtime.
+   */
+  def keepFirst(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame =
+    df.withColumn("__graft_rn", row_number().over(Window.partitionBy(keys: _*).orderBy(order: _*)))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+
+  /** Union of homogeneous slices by column name (reference dag.py:208 concat). */
+  def unionSlices(slices: Seq[DataFrame]): DataFrame =
+    slices.reduce(_.unionByName(_))
+
+  /**
+   * Deterministic top-k by measure with a tie-break key. Spark plans this
+   * as TakeOrderedAndProject: per-partition heaps + a k-row merge on the
+   * driver — no global sort of 100 TB.
+   */
+  def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /**
+   * Wide pivot via conditional aggregation: one shuffle, fixed output
+   * schema (the `groupBy().pivot()` API needs either a values list or an
+   * extra distinct job; conditional agg is the plan we want at scale).
+   */
+  def pivotConditional(df: DataFrame, groupCols: Seq[String], pivotCol: String,
+                       values: Seq[String], measure: Column): DataFrame = {
+    val aggs = values.map(v =>
+      sum(when(col(pivotCol) === v, measure).otherwise(lit(0))).as(v))
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Existence joins for FK-integrity checks (orphans / members). */
+  def antiJoin(df: DataFrame, other: DataFrame, joinExprs: Column): DataFrame =
+    df.join(other, joinExprs, "left_anti")
+
+  def semiJoin(df: DataFrame, other: DataFrame, joinExprs: Column): DataFrame =
+    df.join(other, joinExprs, "left_semi")
+}

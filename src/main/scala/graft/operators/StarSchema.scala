@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Star-schema construction: the Spark-first re-expression of the
+ * reference's `criar_dimensões` stage (reference dag.py:216-287), which
+ * builds 5 dimensions via `drop_duplicates` + positional surrogate keys
+ * and a fact table via 5 pandas merges.
+ */
+object StarSchema {
+
+  /**
+   * Dimension via distinct natural-key tuples + a *hash* surrogate key
+   * (md5 of the natural key). This is the 100 TB path: fully distributed,
+   * no global sort, no driver state, and the key is stable across reruns
+   * and incremental loads (the reference's positional `index + 1` key is
+   * neither stable nor computable without a single-node sort).
+   */
+  def dimWithHashKey(df: DataFrame, naturalKey: Seq[String], idCol: String): DataFrame =
+    df.select(naturalKey.map(col): _*).distinct()
+      .withColumn(idCol, md5(concat_ws("\u0001", naturalKey.map(c => col(c).cast("string")): _*)))
+
+  /**
+   * Dimension with a dense sequential surrogate key ordered by the natural
+   * key — byte-compatible with the reference's `index + 1` keys once order
+   * is pinned. Uses an un-partitioned window, which Spark executes on a
+   * single partition: correct and acceptable for genuinely small
+   * dimensions (the reference's dims are ≤ thousands of rows); use
+   * [[dimWithHashKey]] for high-cardinality dims.
+   */
+  def dimWithDenseKey(df: DataFrame, naturalKey: Seq[String], idCol: String): DataFrame =
+    df.select(naturalKey.map(col): _*).distinct()
+      .withColumn(idCol, row_number().over(Window.orderBy(naturalKey.map(col): _*)))
+
+  /**
+   * Fact construction: left-join each dimension back on its natural key to
+   * attach surrogate FKs, then project measures + FKs (reference
+   * dag.py:241-261). Dimensions are broadcast — the fact side of a star
+   * join must never shuffle.
+   */
+  def buildFact(
+      source: DataFrame,
+      dims: Seq[(DataFrame, Seq[String], String)], // (dim, naturalKey, idCol)
+      measures: Seq[String]): DataFrame = {
+    val withKeys = dims.foldLeft(source) { case (acc, (dim, nk, idCol)) =>
+      acc.join(broadcast(dim.select((nk :+ idCol).map(col): _*)), nk, "left")
+    }
+    withKeys.select((dims.map(_._3) ++ measures).map(col): _*)
+  }
+}

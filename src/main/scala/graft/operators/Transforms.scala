@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Column-derivation operators: the Spark-first re-expression of the
+ * reference's `transformar_dados` stage (reference dag.py:132-202).
+ *
+ * The reference derives columns with pandas `.apply(..., axis=1)` lambdas
+ * and an `iterrows` loop over the whole frame (dag.py:170-178) — O(rows)
+ * Python-interpreter work on one core. Every derivation below is a
+ * Catalyst `Column` expression: codegen'd, vectorizable, and valid on a
+ * 1000-executor cluster without change.
+ */
+object Transforms {
+
+  /** Month-number → localized month name (reference dag.py:140-157 dict map). */
+  def monthName(month: Column): Column = {
+    val names = Seq("Janeiro", "Fevereiro", "Março", "Abril", "Maio", "Junho",
+      "Julho", "Agosto", "Setembro", "Outubro", "Novembro", "Dezembro")
+    names.zipWithIndex.foldLeft(lit(null: String)) { case (acc, (name, i)) =>
+      when(month === (i + 1), lit(name)).otherwise(acc)
+    }
+  }
+
+  /**
+   * Derive the reference's time-dimension columns from a timestamp
+   * (reference dag.py:156-162: dia, mes, ano, hora, trimestre, dia_util).
+   */
+  def dateParts(df: DataFrame, ts: String): DataFrame =
+    df.withColumn("dia", dayofmonth(col(ts)))
+      .withColumn("mes", monthName(month(col(ts))))
+      .withColumn("ano", year(col(ts)))
+      .withColumn("hora", hour(col(ts)))
+      .withColumn("trimestre", quarter(col(ts)))
+      // dayofweek: 1=Sunday..7=Saturday; the reference flags sáb/dom as non-working.
+      .withColumn("dia_util", !dayofweek(col(ts)).isin(1, 7))
+
+  /**
+   * Hour-of-day → phase-of-day buckets (reference dag.py:106-113:
+   * Amanhecer/Dia/Tarde/Noite/Madrugada via a per-row Python lambda).
+   */
+  def phaseOfDay(hora: Column): Column =
+    when(hora >= 5 && hora < 7, "Amanhecer")
+      .when(hora >= 7 && hora < 12, "Dia")
+      .when(hora >= 12 && hora < 18, "Tarde")
+      .when(hora >= 18 && hora < 24, "Noite")
+      .otherwise("Madrugada")
+
+  /**
+   * Calendar-lookup flag (reference dag.py:161: `data in holidays.Brazil()`
+   * — a per-row Python library call). Spark-first: the calendar is a tiny
+   * dimension table, broadcast and hash-joined; the 100 TB fact side never
+   * shuffles.
+   */
+  def flagFromCalendar(df: DataFrame, dateCol: String, calendar: DataFrame,
+                       calendarDateCol: String, flagName: String): DataFrame = {
+    val cal = calendar.select(col(calendarDateCol).as("__graft_cal_date")).distinct()
+      .withColumn("__graft_hit", lit(true))
+    df.join(broadcast(cal), to_date(col(dateCol)) === col("__graft_cal_date"), "left")
+      .withColumn(flagName, coalesce(col("__graft_hit"), lit(false)))
+      .drop("__graft_cal_date", "__graft_hit")
+  }
+
+  /** Literal dictionary remap (reference dag.py:165: uso_solo Não/Sim → Rural/Urbano). */
+  def valueMap(column: Column, mapping: Map[String, String], default: Option[Column] = None): Column =
+    mapping.foldLeft(default.getOrElse(column)) { case (acc, (from, to)) =>
+      when(column === from, lit(to)).otherwise(acc)
+    }
+
+  /**
+   * Multi-valued delimited string → N boolean flag columns (reference
+   * dag.py:167-181 builds 12 road-layout flags with a driver-side
+   * `iterrows` loop). Spark-first: one `contains` predicate per flag —
+   * zero shuffles, zero explodes, stays in whole-stage codegen.
+   */
+  def multiFlagSplit(df: DataFrame, column: String, flags: Seq[String]): DataFrame =
+    flags.foldLeft(df)((d, f) => d.withColumn(f, col(column).contains(f)))
+
+  /**
+   * String recombination ops mirroring reference dag.py:184-191
+   * (lat/long concat; marca → brand + model split).
+   */
+  def concatColumns(sep: String, cols: Column*): Column = concat_ws(sep, cols: _*)
+
+  /** First `/`-style segment (reference's `marca.str.split('/').str[0]`). */
+  def splitHead(column: Column, sep: String): Column = substring_index(column, sep, 1)
+
+  /** Remainder after the first occurrence of `sep` (empty when absent). */
+  def afterFirst(column: Column, sep: String): Column =
+    when(instr(column, sep) > 0,
+      column.substr(instr(column, sep) + lit(sep.length), length(column)))
+      .otherwise(lit(""))
+}

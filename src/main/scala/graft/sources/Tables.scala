@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Typed table catalog over a scale-factor directory of parquet files.
+ *
+ * Mirrors the reference's ingest stage (reference dag.py:23-57 stages CSVs
+ * to a local dir) re-expressed as columnar parquet scans: projection and
+ * predicates are pushed into the scan by Catalyst, so at 100 TB an operator
+ * that needs 2 columns reads 2 column chunks, not the whole table.
+ */
+final case class Tables(spark: SparkSession, dir: String) {
+  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  /**
+   * The events table carries nanosecond parquet timestamps, which Spark's
+   * vectorized reader rejects. Read them as raw int64 nanos
+   * (`nanosAsLong`) and truncate to a proper microsecond TimestampType —
+   * the same ns→µs truncation DuckDB and Arrow apply.
+   */
+  private def withNanoTimestamp(name: String, tsCols: String*): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = table(name)
+    tsCols.foldLeft(df) { (d, c) =>
+      d.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+        case _ => d
+      }
+    }
+  }
+
+  def region: DataFrame    = table("region")
+  def nation: DataFrame    = table("nation")
+  def customer: DataFrame  = table("customer")
+  def supplier: DataFrame  = table("supplier")
+  def part: DataFrame      = table("part")
+  def orders: DataFrame    = table("orders")
+  def lineitem: DataFrame  = table("lineitem")
+  def events: DataFrame    = withNanoTimestamp("events", "ts")
+  def documents: DataFrame = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+}
+
+/**
+ * File-format adapters matching the reference's ingest options
+ * (reference dag.py:47 reads `;`-delimited latin1 CSV).
+ */
+object Sources {
+  /** CSV reader with the reference's dialect knobs (sep/encoding/header). */
+  def csv(
+      spark: SparkSession,
+      path: String,
+      sep: String = ",",
+      encoding: String = "UTF-8",
+      header: Boolean = true,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+      .option("sep", sep)
+      .option("encoding", encoding)
+      .option("header", header.toString)
+    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+  }
+
+  /** JSON-lines reader (schema-on-read for semi-structured columns). */
+  def jsonLines(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).json(path)
+  }
+
+  /**
+   * JDBC sink configuration for the reference's warehouse load stage
+   * (reference dag.py:290-445 row-wise INSERTs into Postgres). Spark-first
+   * equivalent: a single distributed `write.jdbc` with batched inserts —
+   * no driver-side row loop. The container has no database, so this
+   * builds the configured writer; callers invoke `.save()` in production.
+   */
+  def jdbcWriter(
+      df: DataFrame,
+      url: String,
+      tableName: String,
+      user: String,
+      password: String,
+      batchSize: Int = 10000) =
+    df.write
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", tableName)
+      .option("user", user)
+      .option("password", password)
+      .option("batchsize", batchSize.toString)
+      .option("isolationLevel", "READ_COMMITTED")
+      .mode("append")
+}

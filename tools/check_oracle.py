@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB over the sf parquet tables and diff against the Verify parquet dumps
+(sorted by column name, then row-wise). Usage:
+    python3 tools/check_oracle.py <sfdir> <verify_out_dir>
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(p)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = []
+for name, sql in sorted(oracle.items()):
+    qdir = f"{outdir}/{name}"
+    if not os.path.isdir(qdir):
+        print(f"MISS  {name}: no spark output"); fails.append(name); continue
+    try:
+        got = pd.read_parquet(qdir)
+        want = con.sql(sql).df()
+    except Exception as e:
+        print(f"ERR   {name}: {e}"); fails.append(name); continue
+    gc, wc = sorted(got.columns), sorted(want.columns)
+    if gc != wc:
+        print(f"SCHEMA {name}: spark={gc} duck={wc}"); fails.append(name); continue
+    g = got[gc].sort_values(gc).reset_index(drop=True)
+    w = want[wc].sort_values(wc).reset_index(drop=True)
+    if len(g) != len(w):
+        print(f"ROWS  {name}: spark={len(g)} duck={len(w)}"); fails.append(name); continue
+    ok = True
+    for c in gc:
+        gv, wv = g[c], w[c]
+        try:
+            if pd.api.types.is_float_dtype(gv) or pd.api.types.is_float_dtype(wv):
+                eq = ((gv.astype(float) == wv.astype(float)) |
+                      (gv.isna() & wv.isna()))
+            else:
+                eq = (gv.astype(str) == wv.astype(str))
+        except Exception as e:
+            print(f"CMPERR {name}.{c}: {e}"); ok = False; break
+        if not eq.all():
+            bad = (~eq).idxmax()
+            print(f"VAL   {name}.{c}: row {bad}: spark={gv[bad]!r} duck={wv[bad]!r} "
+                  f"({(~eq).sum()}/{len(eq)} differ)")
+            ok = False
+    if ok:
+        print(f"OK    {name} ({len(g)} rows)")
+    else:
+        fails.append(name)
+
+print(f"\n{len(oracle)-len(fails)}/{len(oracle)} OK" + (f"; FAILING: {fails}" if fails else ""))
+sys.exit(1 if fails else 0)

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Exact._
-import graft.operators.{Cleaning, Relational, StarSchema, Transforms}
+import graft.functions.TextFns
+import graft.operators.{Cleaning, Dedup, Multimodal, Relational, Similarity, StarSchema, Transforms}
 import graft.sources.Tables
 
 /**
@@ -226,6 +227,84 @@ object SparkEntry {
       .groupBy("k")
       .agg(cnt.as("n"))
 
+  // ---------------------------------------------------------------- §2.2
+
+  /** #25 exact dedup: identical texts collapse to min-id keeper groups. */
+  private def q25DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(t(s, dir).documents, "text", "doc_id")
+      .select(col("text"), col("keeper"), col("n"))
+
+  private val enStop = Seq("the", "a", "of", "and", "is")
+
+  /** #26 text statistics: token count, stopword hits, quality score. */
+  private def q26TextStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    t(s, dir).documents.select(
+      col("doc_id"),
+      TextFns.tokenCount(col("text")).as("n_tokens"),
+      TextFns.stopwordHits(toks, enStop).as("n_stop"),
+      TextFns.qualityScore(
+        TextFns.tokenCount(col("text")),
+        TextFns.stopwordHits(toks, enStop),
+        col("n_chars")).as("quality"))
+  }
+
+  /** #27 n-gram/stopword language-ID heuristic. */
+  private def q27LangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).documents
+      .select(TextFns.langId(TextFns.tokens(col("text"))).as("lang_guess"))
+      .groupBy("lang_guess")
+      .agg(cnt.as("n"))
+
+  /** #28 document fingerprint: md5 of normalized text. */
+  private def q28Fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).documents
+      .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+
+  /** #29 MinHash+LSH near-dup pairs, exact-Jaccard verified at 0.8. */
+  private def q29MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(
+      t(s, dir).documents, "doc_id",
+      TextFns.wordShingles(TextFns.tokens(col("text")), 3),
+      threshold = 0.8)
+
+  /** #30 SimHash near-dup pairs (64-bit, Hamming ≤ 3, chunk-blocked). */
+  private def q30Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(t(s, dir).documents, "doc_id",
+      TextFns.tokens(col("text")), maxHamming = 3)
+
+  /** #31 char-3-gram Jaccard over deterministic adjacent-id pairs (SQL-checkable). */
+  private def q31NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir).documents
+    val a = d.select(col("doc_id").as("id_a"), TextFns.charGrams(col("text"), 3).as("g_a"))
+    val b = d.select(col("doc_id").as("id_b"), TextFns.charGrams(col("text"), 3).as("g_b"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), col("id_b"), TextFns.jaccard(col("g_a"), col("g_b")).as("jaccard"))
+  }
+
+  /** #32 exact cosine top-k neighbors via the codegen expression. */
+  private def q32AnnBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir).embeddings
+    Similarity.bruteForceTopK(s, e, e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+  }
+
+  /** #33 LSH-bucketed approximate top-k (scale path; bits sized to corpus). */
+  private def q33AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir).embeddings
+    Similarity.lshTopK(s, e, e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5, bits = 6)
+  }
+
+  /** #34 embedding-cosine near-dup pairs within LSH buckets. */
+  private def q34EmbeddingDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDups(s, t(s, dir).embeddings, "vec_id", "embedding",
+      threshold = 0.3, bits = 6)
+
+  /** #35 multimodal: binary payload plumbing + per-partition decode stage. */
+  private def q35MultimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val payloads = Multimodal.attachPayload(t(s, dir).documents, "text", "doc_id")
+    Multimodal.decodeFeatures(s, payloads, "payload", "doc_id").toDF()
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -253,6 +332,17 @@ object SparkEntry {
     "q22_star_join_agg"     -> (q22StarJoinAgg _),
     "q23_time_bucket_agg"   -> (q23TimeBucketAgg _),
     "q24_json_extract"      -> (q24JsonExtract _),
+    "q25_dedup_exact"       -> (q25DedupExact _),
+    "q26_text_stats"        -> (q26TextStats _),
+    "q27_lang_id"           -> (q27LangId _),
+    "q28_fingerprint"       -> (q28Fingerprint _),
+    "q29_minhash_lsh"       -> (q29MinhashLsh _),
+    "q30_simhash"           -> (q30Simhash _),
+    "q31_ngram_jaccard"     -> (q31NgramJaccard _),
+    "q32_ann_bruteforce"    -> (q32AnnBruteforce _),
+    "q33_ann_lsh"           -> (q33AnnLsh _),
+    "q34_embedding_dedup"   -> (q34EmbeddingDedup _),
+    "q35_multimodal_meta"   -> (q35MultimodalMeta _),
   )
 
   private val monthCaseSql: String =
@@ -263,6 +353,9 @@ object SparkEntry {
 
   private val holidayInListSql: String =
     holidayDates.map(d => s"DATE '$d'").mkString("(", ", ", ")")
+
+  private val enStopSql: String =
+    enStop.map(w => s"'$w'").mkString("(", ",", ")")
 
   def oracleSql: Map[String, String] = Map(
     "q01_group_agg" ->
@@ -375,5 +468,44 @@ object SparkEntry {
     "q24_json_extract" ->
       ("SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, COUNT(*) AS n " +
         "FROM events GROUP BY 1"),
+    "q25_dedup_exact" ->
+      "SELECT text, MIN(doc_id) AS keeper, COUNT(*) AS n FROM documents GROUP BY text",
+    "q26_text_stats" ->
+      ("WITH s AS (SELECT doc_id, n_chars, " +
+        "len(string_split(text, ' ')) AS n_tokens, " +
+        s"len(list_filter(string_split(text, ' '), t -> t IN $enStopSql)) AS n_stop " +
+        "FROM documents) " +
+        "SELECT doc_id, n_tokens, n_stop, " +
+        "0.5::DOUBLE * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) " +
+        "+ 0.3::DOUBLE * (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1)) " +
+        "+ 0.2::DOUBLE * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS quality FROM s"),
+    "q27_lang_id" ->
+      ("WITH h AS (SELECT " +
+        s"len(list_filter(string_split(text, ' '), t -> t IN $enStopSql)) AS en, " +
+        "len(list_filter(string_split(text, ' '), t -> t IN ('el','la','de','los','es'))) AS es, " +
+        "len(list_filter(string_split(text, ' '), t -> t IN ('o','os','um','uma','não'))) AS pt " +
+        "FROM documents) " +
+        "SELECT CASE WHEN en >= es AND en >= pt AND en > 0 THEN 'en' " +
+        "WHEN es >= pt AND es > 0 THEN 'es' WHEN pt > 0 THEN 'pt' ELSE 'und' END AS lang_guess, " +
+        "COUNT(*) AS n FROM h GROUP BY 1"),
+    "q28_fingerprint" ->
+      ("SELECT doc_id, md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp " +
+        "FROM documents"),
+    "q31_ngram_jaccard" ->
+      ("WITH g AS (SELECT doc_id, list_distinct(list_transform(" +
+        "range(1, greatest(length(text) - 2, 1) + 1), i -> substr(text, i, 3))) AS gr " +
+        "FROM documents) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(a.gr, b.gr))) AS jaccard " +
+        "FROM g a JOIN g b ON b.doc_id = a.doc_id + 1"),
+    "q32_ann_bruteforce" ->
+      ("SELECT query_id, rank, neighbor_id FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, " +
+        "c.vec_id) AS rank " +
+        "FROM embeddings c JOIN embeddings q ON q.vec_id < 8 AND c.vec_id <> q.vec_id) " +
+        "WHERE rank <= 5"),
   )
 }

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text feature columns (SURVEY §2.2): all built from codegen'd native
+ * string/array functions — no UDFs — so they run inside whole-stage
+ * codegen over 100 TB of documents.
+ */
+object TextFns {
+
+  /** Whitespace tokenization (documents are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Count of tokens found in a stopword list (language-ID signal). */
+  def stopwordHits(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*)))
+
+  /**
+   * Distinct word k-shingles; documents shorter than k tokens collapse to
+   * a single whole-text shingle (so every doc has a non-empty set).
+   */
+  def wordShingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      array_distinct(transform(sequence(lit(0), size(toks) - k),
+        i => array_join(slice(toks, i + lit(1), lit(k)), " "))))
+      .otherwise(array(array_join(toks, " ")))
+
+  /** Distinct character k-grams of the raw text. */
+  def charGrams(text: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => text.substr(i, lit(k))))
+
+  /** Jaccard similarity of two pre-distinct sets: |∩| / |∪| (exact ints → exact double). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /**
+   * Heuristic quality score in [0,1]: length saturation + stopword density
+   * + char-length saturation, mirroring the usual pretraining-corpus
+   * quality gates. Fixed evaluation order keeps doubles bit-stable across
+   * engines.
+   */
+  def qualityScore(nTokens: Column, nStop: Column, nChars: Column): Column =
+    lit(0.5) * least(nTokens.cast("double") / 100.0, lit(1.0)) +
+      lit(0.3) * (nStop.cast("double") / greatest(nTokens, lit(1))) +
+      lit(0.2) * least(nChars.cast("double") / 500.0, lit(1.0))
+
+  /** n-gram-heuristic language ID over stopword families. */
+  def langId(toks: Column): Column = {
+    val en = stopwordHits(toks, Seq("the", "a", "of", "and", "is"))
+    val es = stopwordHits(toks, Seq("el", "la", "de", "los", "es"))
+    val pt = stopwordHits(toks, Seq("o", "os", "um", "uma", "não"))
+    when(en >= es && en >= pt && en > 0, "en")
+      .when(es >= pt && es > 0, "es")
+      .when(pt > 0, "pt")
+      .otherwise("und")
+  }
+
+  /**
+   * Document fingerprint: md5 of whitespace-normalized lowercased text.
+   * md5 (not xxhash) so fingerprints are engine-portable.
+   */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), " +", " "))
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/**
+ * Deduplication operators for large-scale corpus curation (SURVEY §2.2
+ * #25, #29-31): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+ *
+ * Scale design: nothing here is O(n²) over the corpus. Signatures are
+ * computed per-row with higher-order array expressions (no shuffle, no
+ * explode of shingles across rows); candidate pairs only materialize
+ * inside LSH band buckets, so the self-join shuffles on (band, bucket)
+ * and compares only probable near-duplicates.
+ */
+object Dedup {
+
+  /** Exact dedup: groups identical values of `on`, electing min(`id`) as keeper. */
+  def exactGroups(df: DataFrame, on: String, id: String): DataFrame =
+    df.groupBy(col(on))
+      .agg(min(col(id)).as("keeper"), count(lit(1)).as("n"))
+
+  /**
+   * MinHash signature: `numHashes` independent permutations approximated
+   * by seeded xxhash64; sig[h] = min over shingles of hash(shingle, h).
+   * Pure per-row expression — computed map-side, embarrassingly parallel.
+   */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      h => array_min(transform(shingles, sh => xxhash64(sh, h))))
+
+  /**
+   * LSH banding: split the signature into `bands` bands of `rowsPerBand`
+   * and hash each band to a bucket id. Docs sharing any (band, bucket)
+   * are candidates. With s = Jaccard similarity, P[candidate] =
+   * 1-(1-s^r)^b — b=20, r=6 gives miss < 1e-6 at s ≥ 0.9 while keeping
+   * the false-candidate rate at background similarity (< 0.3) ≈ 1%.
+   */
+  def lshBandBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(
+        b.as("band"),
+        xxhash64(slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)), b).as("bucket")))
+
+  /**
+   * Candidate pairs from MinHash LSH. The self-join key is (band, bucket)
+   * — i.e. the shuffle is over bucketed signatures, never all-pairs. Band
+   * index participates in the key, which also salts the shuffle: one hot
+   * bucket in band 3 doesn't skew the whole join.
+   */
+  def minhashCandidates(
+      df: DataFrame, id: String, shingles: Column,
+      numHashes: Int = 120, bands: Int = 20): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val sig = minhashSignature(shingles, numHashes)
+    val banded = df
+      .select(col(id).as("__gid"), explode(lshBandBuckets(sig, bands, rowsPerBand)).as("bb"))
+      .select(col("__gid"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.__gid") < col("b.__gid"))
+      .select(col("a.__gid").as("id_a"), col("b.__gid").as("id_b"))
+      .distinct()
+  }
+
+  /**
+   * Verify candidate pairs with exact Jaccard over `setOf(id)` sets,
+   * keeping pairs ≥ threshold. Joining sets back by id is two hash joins
+   * against the (small) candidate set — broadcastable.
+   */
+  def jaccardVerify(
+      candidates: DataFrame, source: DataFrame, id: String, setCol: Column,
+      threshold: Double, simName: String = "jaccard"): DataFrame = {
+    val sets = source.select(col(id).as("__gid"), setCol.as("__gset"))
+    candidates
+      .join(sets.as("sa"), col("id_a") === col("sa.__gid"))
+      .withColumnRenamed("__gset", "__gset_a").drop("__gid")
+      .join(sets.as("sb"), col("id_b") === col("sb.__gid"))
+      .withColumn(simName, TextFns.jaccard(col("__gset_a"), col("__gset")))
+      .filter(col(simName) >= threshold)
+      .select(col("id_a"), col("id_b"), col(simName))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard verify. */
+  def minhashNearDups(
+      df: DataFrame, id: String, setCol: Column,
+      threshold: Double, numHashes: Int = 120, bands: Int = 20): DataFrame = {
+    val withSet = df.withColumn("__gset_src", setCol)
+    val cands = minhashCandidates(withSet, id, col("__gset_src"), numHashes, bands)
+    jaccardVerify(cands, withSet, id, col("__gset_src"), threshold)
+  }
+
+  /**
+   * 64-bit SimHash: each token votes ±1 per bit of its hash; the sign of
+   * the vote sum becomes the bit. `tokenHashes` must be an
+   * Array[Long] column (hash each token once, then fold bits). The 64
+   * per-bit folds are built as static expressions with fixed shifts.
+   */
+  def simhash64(tokenHashes: Column): Column =
+    (0 until 64).map { i =>
+      val vote = aggregate(tokenHashes, lit(0L), (a, h) =>
+        a + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0L, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /**
+   * SimHash near-dup pairs: block on 16-bit chunks of the simhash (two
+   * docs within Hamming distance ≤ 3 of a 64-bit hash must agree exactly
+   * on at least one of the 4 chunks — pigeonhole), then verify Hamming ≤
+   * maxHamming. Same banded-join scale shape as MinHash LSH.
+   */
+  def simhashNearDups(df: DataFrame, id: String, toks: Column, maxHamming: Int = 3): DataFrame = {
+    val hashed = df
+      .select(col(id).as("__gid"), transform(toks, t => xxhash64(t)).as("__ghashes"))
+      .select(col("__gid"), simhash64(col("__ghashes")).as("__gsim"))
+    val chunked = hashed.select(col("__gid"), col("__gsim"),
+        explode(expr("transform(sequence(0, 3), j -> struct(j AS chunk, shiftright(__gsim, j * 16) & 65535L AS val))")).as("cb"))
+      .select(col("__gid"), col("__gsim"), col("cb.chunk").as("chunk"), col("cb.val").as("val"))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.val") === col("b.val") &&
+          col("a.__gid") < col("b.__gid"))
+      .select(col("a.__gid").as("id_a"), col("b.__gid").as("id_b"),
+        expr("bit_count(a.__gsim ^ b.__gsim)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

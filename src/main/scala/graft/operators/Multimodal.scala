@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal column plumbing (SURVEY §2.2 #35): image/audio/video payloads
+ * ride through the engine as opaque `binary` columns with a typed metadata
+ * struct. All Spark-side mechanics — schema, partition-sized batching,
+ * feature extraction shape — are real; only the codec itself is a stub
+ * (the container ships no image/audio libraries), kept behind
+ * [[Multimodal.decoder]] so a production build swaps in a real decoder
+ * without touching the pipeline.
+ */
+object Multimodal {
+
+  /** Typed media row: what a decode stage consumes. */
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+
+  /** Typed features: what a decode stage produces. */
+  final case class MediaFeatures(
+      doc_id: Long, bytes: Long, width: Int, height: Int, brightness: Double)
+
+  /**
+   * Attach a binary payload + typed metadata to each document. In
+   * production the payload comes from the source (e.g. a parquet binary
+   * column of JPEG bytes); here the UTF-8 bytes of `text` stand in — the
+   * engine treats them as opaque either way.
+   */
+  def attachPayload(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.withColumn("payload", col(textCol).cast("binary"))
+      .withColumn("media_meta", struct(
+        length(col("payload")).cast("long").as("bytes"),
+        lit("application/octet-stream").as("content_type"),
+        md5(col("payload")).as("checksum")))
+
+  /**
+   * The decode stub: deterministic fake features derived from the payload
+   * bytes. Swap for a real codec (`javax.imageio`, ffmpeg bindings, ...)
+   * in production — the signature is the contract.
+   */
+  var decoder: MediaRow => MediaFeatures = { row =>
+    val bytes = row.payload
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+    MediaFeatures(
+      doc_id = row.doc_id,
+      bytes = bytes.length.toLong,
+      width = 64 + (math.abs(bytes.length * 2654435761L) % 1024).toInt,
+      height = 64 + (math.abs(bytes.length * 40503L) % 768).toInt,
+      brightness = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length)
+  }
+
+  /**
+   * Decode stage: per-partition batch iteration (`mapPartitions`), the
+   * correct shape for codec work — the decoder amortizes setup once per
+   * partition and streams rows without collecting. This is the one place
+   * graft drops below the DataFrame API, as SURVEY §4 allows for genuine
+   * per-partition imperative logic.
+   */
+  def decodeFeatures(spark: SparkSession, docs: DataFrame, textCol: String, idCol: String): Dataset[MediaFeatures] = {
+    val media = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("binary").as("payload"))
+      .as(Encoders.product[MediaRow])
+    media.mapPartitions { rows =>
+      // per-partition decoder setup would happen here
+      val decode = decoder
+      rows.map(decode)
+    }(Encoders.product[MediaFeatures])
+  }
+}

@@ -1,0 +1,106 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSessionExtensions
+
+/**
+ * Native Catalyst expression: cosine similarity of two float vectors,
+ * accumulated in double precision.
+ *
+ * This is the hot path of similarity search (SURVEY §2.2 #32-34): a Scala
+ * UDF here would box every element and break whole-stage codegen; this
+ * expression generates a tight primitive loop inline in the generated
+ * stage, reading directly from Tungsten's UnsafeArrayData.
+ */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // `ExpectsInputTypes`/`AbstractDataType` are private[sql] in Spark 4's
+  // Scala API, so the input contract is a manual check instead.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two ARRAY<FLOAT> arguments, got ${l.sql} and ${r.sql}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      // widen each element to double BEFORE multiplying: matches engines
+      // (DuckDB, NumPy) that cast float->double per element, so verifier
+      // ranks agree bit-for-bit.
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $x.getFloat($i);
+         |  double $yi = (double) $y.getFloat($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |}
+         |${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0 :
+         |  $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session registration for graft's native expressions. */
+object GraftFunctions {
+  val cosineName = "graft_cosine"
+
+  private def cosineBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 2, s"$cosineName expects 2 arguments")
+    CosineSimilarity(children.head, children(1))
+  }
+
+  private def cosineInfo = new ExpressionInfo(
+    classOf[CosineSimilarity].getName, cosineName)
+
+  /** Idempotent per-session registration (programmatic path). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(cosineName), cosineInfo, cosineBuilder _)
+}
+
+/**
+ * `spark.sql.extensions=graft.plans.GraftExtensions` — config-driven
+ * injection for sessions graft code doesn't construct.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.cosineName),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, GraftFunctions.cosineName),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+}

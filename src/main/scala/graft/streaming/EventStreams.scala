@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming operators over the events schema (SURVEY §2.3).
+ *
+ * The reference pipeline is batch (monthly Airflow DAG); a Spark-native
+ * engine gets the streaming twin for free by re-declaring the same
+ * transforms over an unbounded source: watermarks bound state, windowed
+ * aggregates replace groupBy, and `flatMapGroupsWithState` covers custom
+ * session state. `Bench`/`Verify` exercise the batch twins
+ * (q09/q20/q23); these entry points are spec-tested with a memory sink.
+ */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class SessionSummary(user_id: Long, n_events: Int, total_value: Double)
+
+  /** File-based streaming source with the events schema (parquet dir). */
+  def readEventStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .parquet(path)
+
+  /**
+   * Tumbling-window counts/sums per event type with a watermark: state for
+   * a window is dropped once the watermark passes it, so long-running
+   * streams hold bounded state. Batch twin: SparkEntry q23.
+   */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
+
+  /**
+   * Custom-state sessionization via flatMapGroupsWithState with a
+   * processing-time timeout: emits a summary when a user goes quiet.
+   * This is the (c)-tier extension point of SURVEY §4 — state Spark's
+   * built-in windows can't express.
+   */
+  def sessionize(events: Dataset[Event], timeoutMs: Long = 30000L): Dataset[SessionSummary] = {
+    val byUser = events.groupByKey(_.user_id)(Encoders.scalaLong)
+    byUser.flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(
+      (userId: Long, rows: Iterator[Event], state: GroupState[SessionSummary]) => {
+        if (state.hasTimedOut) {
+          val out = state.getOption.iterator
+          state.remove()
+          out
+        } else {
+          val batch = rows.toSeq
+          val prev = state.getOption.getOrElse(SessionSummary(userId, 0, 0.0))
+          val next = SessionSummary(
+            userId,
+            prev.n_events + batch.size,
+            prev.total_value + batch.map(_.value).sum)
+          state.update(next)
+          state.setTimeoutDuration(timeoutMs)
+          Iterator.empty
+        }
+      })(Encoders.product[SessionSummary], Encoders.product[SessionSummary])
+  }
+}

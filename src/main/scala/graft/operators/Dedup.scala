@@ -49,15 +49,37 @@ object Dedup {
    * — i.e. the shuffle is over bucketed signatures, never all-pairs. Band
    * index participates in the key, which also salts the shuffle: one hot
    * bucket in band 3 doesn't skew the whole join.
+   *
+   * Execution shape (the 100 TB path): shingles are exploded ONCE, each
+   * (doc, shingle) row computes its `numHashes` hashes, and the signature
+   * is a map-side partial `min` aggregation — only `numHashes` longs per
+   * doc cross the shuffle. The naive alternative (signature as one nested
+   * higher-order expression feeding the band expressions) re-evaluates
+   * the shingle subtree per hash per band — measured 100×+ slower at
+   * sf0.1. Band buckets then hash bound attributes (cheap field reads),
+   * and the self-join's two identical shuffle subplans collapse into one
+   * via Spark's ReuseExchange.
    */
   def minhashCandidates(
       df: DataFrame, id: String, shingles: Column,
       numHashes: Int = 120, bands: Int = 20): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    val sig = minhashSignature(shingles, numHashes)
-    val banded = df
-      .select(col(id).as("__gid"), explode(lshBandBuckets(sig, bands, rowsPerBand)).as("bb"))
+    // Each shingle string is hashed ONCE; the `numHashes` "permutations"
+    // re-hash that 8-byte long, not the string — the classic universal-
+    // hashing trick, ~an order of magnitude less hash work per shingle.
+    val exploded = df
+      .select(col(id).as("__gid"), explode(shingles).as("__gshingle"))
+      .select(col("__gid"), xxhash64(col("__gshingle")).as("__gbase"))
+    val minAggs = (0 until numHashes).map(h =>
+      min(xxhash64(col("__gbase"), lit(h))).as(s"__gh$h"))
+    val sig = exploded.groupBy("__gid").agg(minAggs.head, minAggs.tail: _*)
+    val bucketCols = (0 until bands).map { b =>
+      val bandHashes = (b * rowsPerBand until (b + 1) * rowsPerBand).map(h => col(s"__gh$h"))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: bandHashes: _*).as("bucket"))
+    }
+    val banded = sig
+      .select(col("__gid"), explode(array(bucketCols: _*)).as("bb"))
       .select(col("__gid"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     banded.as("a")
       .join(banded.as("b"),
@@ -114,9 +136,18 @@ object Dedup {
    * maxHamming. Same banded-join scale shape as MinHash LSH.
    */
   def simhashNearDups(df: DataFrame, id: String, toks: Column, maxHamming: Int = 3): DataFrame = {
-    val hashed = df
-      .select(col(id).as("__gid"), transform(toks, t => xxhash64(t)).as("__ghashes"))
-      .select(col("__gid"), simhash64(col("__ghashes")).as("__gsim"))
+    // Same explode→partial-agg shape as MinHash: each (doc, token) row
+    // hashes once, the 64 bit-votes are map-side SUM partials, and only
+    // 64 longs per doc cross the shuffle.
+    val exploded = df
+      .select(col(id).as("__gid"), explode(toks).as("__gtok"))
+      .select(col("__gid"), xxhash64(col("__gtok")).as("__gh"))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(col("__gh"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"__gv$i"))
+    val hashed = exploded.groupBy("__gid").agg(votes.head, votes.tail: _*)
+      .select(col("__gid"),
+        (0 until 64).map(i => when(col(s"__gv$i") > 0L, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("__gsim"))
     val chunked = hashed.select(col("__gid"), col("__gsim"),
         explode(expr("transform(sequence(0, 3), j -> struct(j AS chunk, shiftright(__gsim, j * 16) & 65535L AS val))")).as("cb"))
       .select(col("__gid"), col("__gsim"), col("cb.chunk").as("chunk"), col("cb.val").as("val"))

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Cleaning
+
+class CleaningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, -1.0), (5L, 0.0),
+  ).toDF("id", "v")
+
+  test("imputeWithMedian replaces invalid values with the valid median") {
+    val out = Cleaning.imputeWithMedian(df, "v", col("v") > 0)
+      .orderBy("id").select("v").as[Double].collect().toSeq
+    assert(out == Seq(10.0, 20.0, 30.0, 20.0, 20.0))
+  }
+
+  test("imputeWithMedian approx path produces a valid scalar too") {
+    val out = Cleaning.imputeWithMedian(df, "v", col("v") > 0, approx = true)
+      .filter(col("id") >= 4).select("v").as[Double].collect().toSet
+    assert(out.subsetOf(Set(10.0, 20.0, 30.0)))
+  }
+
+  test("fillSentinel fills nulls by default and custom-invalid when given") {
+    val withNull = Seq((1L, Some(5.0)), (2L, None)).toDF("id", "v")
+    val filled = Cleaning.fillSentinel(withNull, "v", -1.0)
+      .orderBy("id").select("v").as[Double].collect().toSeq
+    assert(filled == Seq(5.0, -1.0))
+  }
+
+  test("domainValidate maps out-of-domain and null to fallback") {
+    val d = Seq(Some("a"), Some("zz"), None).toDF("c")
+    val out = Cleaning.domainValidate(d, "c", Seq("a", "b"), "other")
+      .select("c").as[String].collect().toSeq
+    assert(out.sorted == Seq("a", "other", "other"))
+  }
+
+  test("invariantFilter applies every invariant") {
+    val d = Seq((1, 2), (3, 2), (2, 2)).toDF("x", "y")
+    assert(Cleaning.invariantFilter(d, col("x") <= col("y"), col("x") > 1).count() == 1)
+  }
+}

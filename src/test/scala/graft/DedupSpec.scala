@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 0
+    (2L, "completely different words about spark catalyst tungsten codegen shuffles"),
+    (3L, "the quick brown fox jumps over the lazy dog again and again today"),   // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exactGroups elects the min id per identical text") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id")
+      .filter(col("n") > 1).collect()
+    assert(g.length == 1)
+    assert(g.head.getAs[Long]("keeper") == 0L)
+    assert(g.head.getAs[Long]("n") == 2L)
+  }
+
+  test("minhash LSH finds near-dups and skips unrelated docs") {
+    val pairs = Dedup.minhashNearDups(
+        docs, "doc_id", TextFns.wordShingles(TextFns.tokens(col("text")), 3),
+        threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L))) // exact dup always found
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 3L))) // near-dups
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated never pairs
+  }
+
+  test("minhash signature length and determinism") {
+    val sig = docs.select(
+      Dedup.minhashSignature(TextFns.wordShingles(TextFns.tokens(col("text")), 2), 24).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sig.forall(_.length == 24))
+    assert(sig(0) == sig(3)) // identical text -> identical signature
+  }
+
+  test("simhash near-dups: identical docs at hamming 0, unrelated docs excluded") {
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", TextFns.tokens(col("text")), maxHamming = 3)
+      .collect().map(r =>
+        (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Number]("hamming").intValue))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 0))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhash64 is order-insensitive over token multisets") {
+    val h = Seq("a b c d e f", "f e d c b a").toDF("text")
+      .select(Dedup.simhash64(transform(TextFns.tokens(col("text")), t => xxhash64(t))).as("h"))
+      .collect().map(_.getLong(0))
+    assert(h(0) == h(1))
+  }
+}

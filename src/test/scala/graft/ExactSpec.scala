@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.Exact
+
+class ExactSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decSum is partition-order independent (the reason it exists)") {
+    val vals = Seq.tabulate(1000)(i => (i % 7) * 0.123 + 0.001)
+    val r1 = vals.toDF("v").repartition(1).agg(Exact.decSum(col("v"))).head.getDouble(0)
+    val r8 = vals.toDF("v").repartition(8).agg(Exact.decSum(col("v"))).head.getDouble(0)
+    assert(r1 == r8) // bit-identical, not approximately equal
+  }
+
+  test("decAvg divides the exact sum by the row count") {
+    val r = Seq(1.0, 2.0, 4.0).toDF("v")
+      .agg(Exact.decAvg(col("v")).as("a")).head.getDouble(0)
+    assert(r == (1.0 + 2.0 + 4.0) / 3)
+  }
+
+  test("decSum matches BigDecimal arithmetic on scalacheck-generated inputs") {
+    val gen = Gen.listOfN(50, Gen.chooseNum(-1000.0, 1000.0))
+    for (seed <- 1L to 5L) {
+      val xs = gen.apply(Gen.Parameters.default, Seed(seed)).get
+      val got = xs.toDF("v").agg(Exact.decSum(col("v"))).head.getDouble(0)
+      val want = xs.map(x => BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      assert(got == want, s"seed=$seed")
+    }
+  }
+}

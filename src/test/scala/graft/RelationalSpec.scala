@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keepFirst keeps exactly one deterministic row per key") {
+    val d = Seq((1, "b", 20), (1, "a", 10), (2, "c", 5)).toDF("k", "ord", "v")
+    val out = Relational.keepFirst(d, Seq(col("k")), Seq(col("ord")))
+      .orderBy("k").select("ord").as[String].collect().toSeq
+    assert(out == Seq("a", "c"))
+  }
+
+  test("mergeRightDedup joins the left subset and dedups on the key") {
+    val left = Seq((1, "dim1"), (2, "dim2")).toDF("k", "attr")
+    val right = Seq((1, 100), (1, 200), (3, 300)).toDF("k", "m")
+    val out = Relational.mergeRightDedup(left, Seq("attr"), right, "k",
+        firstBy = Seq(col("m")), broadcastLeft = true)
+      .orderBy("k").collect()
+    assert(out.length == 2) // keys 1 and 3
+    assert(out(0).getAs[Int]("m") == 100) // keep-first under m order
+    assert(out(1).isNullAt(out(1).fieldIndex("attr"))) // left join: unmatched key 3
+  }
+
+  test("topK is deterministic under ties via the tie-break column") {
+    val d = Seq((1, 10), (2, 10), (3, 5)).toDF("id", "v")
+    val out = Relational.topK(d, 2, col("v").desc, col("id").asc)
+      .select("id").as[Int].collect().toSeq
+    assert(out == Seq(1, 2))
+  }
+
+  test("pivotConditional produces one row per group with fixed columns") {
+    val d = Seq(("g1", "x"), ("g1", "x"), ("g1", "y"), ("g2", "z")).toDF("g", "p")
+    val out = Relational.pivotConditional(d, Seq("g"), "p", Seq("x", "y"), lit(1L))
+      .orderBy("g").collect()
+    assert(out.map(_.getAs[Long]("x")).toSeq == Seq(2L, 0L))
+    assert(out.map(_.getAs[Long]("y")).toSeq == Seq(1L, 0L))
+  }
+
+  test("anti and semi joins partition rows by existence") {
+    val a = Seq(1, 2, 3).toDF("k")
+    val b = Seq(2, 3, 4).toDF("k2")
+    assert(Relational.antiJoin(a, b, col("k") === col("k2")).as[Int].collect().toSeq == Seq(1))
+    assert(Relational.semiJoin(a, b, col("k") === col("k2")).as[Int].collect().sorted.toSeq == Seq(2, 3))
+  }
+
+  test("unionSlices unions by name") {
+    val s1 = Seq((1, "a")).toDF("x", "y")
+    val s2 = Seq(("b", 2)).toDF("y", "x")
+    assert(Relational.unionSlices(Seq(s1, s2)).count() == 2)
+  }
+}

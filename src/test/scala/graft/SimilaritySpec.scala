@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.plans.GraftFunctions
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cosineOf(a: Seq[Float], b: Seq[Float]): Double =
+    Seq((a, b)).toDF("x", "y")
+      .select(Similarity.cosine(spark, col("x"), col("y")).as("c"))
+      .collect().head.getDouble(0)
+
+  test("cosine expression: orthogonal, identical, opposite, zero vectors") {
+    assert(cosineOf(Seq(1f, 0f), Seq(0f, 1f)) == 0.0)
+    assert(math.abs(cosineOf(Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)) - 1.0) < 1e-12)
+    assert(math.abs(cosineOf(Seq(1f, 0f), Seq(-1f, 0f)) + 1.0) < 1e-12)
+    assert(cosineOf(Seq(0f, 0f), Seq(1f, 1f)) == 0.0) // zero-norm guard
+  }
+
+  test("cosine matches a reference double computation") {
+    val a = Seq(0.1f, -0.4f, 2.5f, 0.9f)
+    val b = Seq(1.3f, 0.2f, -0.7f, 0.5f)
+    def d(v: Seq[Float]) = v.map(_.toDouble)
+    val (da, db) = (d(a), d(b))
+    val want = da.zip(db).map { case (x, y) => x * y }.sum /
+      (math.sqrt(da.map(x => x * x).sum) * math.sqrt(db.map(x => x * x).sum))
+    assert(cosineOf(a, b) == want)
+  }
+
+  test("cosine is registered as a SQL function") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      s"SELECT ${GraftFunctions.cosineName}(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c")
+      .collect().head.getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK returns exact neighbors in similarity order") {
+    val corpus = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f)), (3L, Seq(-1f, 0f)),
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 0L)
+    val got = Similarity.bruteForceTopK(spark, corpus, queries, "vec_id", "embedding", k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L)) // 1 is closest, then orthogonal 2, never -1 direction 3
+  }
+
+  test("lshTopK respects bucket boundaries and never pairs a query with itself") {
+    val e = sources.Tables(spark, sf0001).embeddings
+    val res = Similarity.lshTopK(spark, e, e.filter(col("vec_id") < 4), "vec_id", "embedding", 3, bits = 4)
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(r => r.getAs[Long]("query_id") == r.getAs[Long]("neighbor_id")))
+  }
+
+  test("embeddingNearDups only emits pairs above threshold with id_a < id_b") {
+    val e = sources.Tables(spark, sf0001).embeddings
+    val rows = Similarity.embeddingNearDups(spark, e, "vec_id", "embedding", 0.2, bits = 4).collect()
+    assert(rows.forall(_.getAs[Double]("cosine") >= 0.2))
+    assert(rows.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedAgg groups events into tumbling windows per type") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
+      Event(2L, ts("2024-01-01 10:45:00"), 1L, "click", 2.0),
+      Event(3L, ts("2024-01-01 11:05:00"), 2L, "view", 5.0))
+    val q = EventStreams.windowedAgg(mem.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("wa").outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("wa")
+      .select("bucket", "event_type", "n", "sum_value").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(rows == Set(
+      ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
+  }
+
+  test("sessionize accumulates per-user state and emits on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.5),
+      Event(2L, ts("2024-01-01 10:00:10"), 7L, "view", 2.5))
+    val q = EventStreams.sessionize(mem.toDS(), timeoutMs = 200L)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    // NOTE: processAllAvailable() livelocks once processing-time-timeout
+    // state exists (the engine keeps scheduling timeout batches), so this
+    // test polls progress + sink instead.
+    def pollUntil(cond: => Boolean, what: String): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (!cond && System.currentTimeMillis < deadline) Thread.sleep(100)
+      assert(cond, s"timed out waiting for $what")
+    }
+    try {
+      pollUntil(q.recentProgress.map(_.numInputRows).sum >= 2, "batch 0")
+      // state exists but hasn't timed out yet
+      assert(spark.table("sess").isEmpty)
+      Thread.sleep(400)
+      mem.addData(Event(3L, ts("2024-01-01 10:10:00"), 8L, "click", 0.0))
+      pollUntil(!spark.table("sess").isEmpty, "user-7 timeout summary")
+      val out = spark.table("sess").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      assert(out.toSeq == Seq((7L, 2, 4.0)))
+    } finally q.stop()
+  }
+}

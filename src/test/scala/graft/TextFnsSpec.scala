@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+class TextFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("r")).collect().head.getAs[T]("r")
+
+  private def oneSeq(c: org.apache.spark.sql.Column, text: String): Seq[String] =
+    Seq(text).toDF("t").select(c.as("r")).collect().head.getSeq[String](0).toSeq
+
+  test("tokenCount counts whitespace tokens") {
+    assert(one[Int](TextFns.tokenCount(col("t")), "a b c") == 3)
+    assert(one[Int](TextFns.tokenCount(col("t")), "solo") == 1)
+  }
+
+  test("wordShingles emits distinct k-grams; short docs collapse to whole text") {
+    val sh = oneSeq(TextFns.wordShingles(TextFns.tokens(col("t")), 2), "a b c a b")
+    assert(sh.toSet == Set("a b", "b c", "c a"))
+    val short = oneSeq(TextFns.wordShingles(TextFns.tokens(col("t")), 3), "x y")
+    assert(short == Seq("x y"))
+  }
+
+  test("charGrams covers the string") {
+    val g = oneSeq(TextFns.charGrams(col("t"), 3), "abcd")
+    assert(g == Seq("abc", "bcd"))
+  }
+
+  test("jaccard is |intersect|/|union|") {
+    val j = Seq((Seq("a", "b", "c"), Seq("b", "c", "d")))
+      .toDF("x", "y").select(TextFns.jaccard(col("x"), col("y")).as("j"))
+      .collect().head.getDouble(0)
+    assert(j == 0.5)
+  }
+
+  test("langId picks the dominant stopword family") {
+    assert(one[String](TextFns.langId(TextFns.tokens(col("t"))), "the cat is here") == "en")
+    assert(one[String](TextFns.langId(TextFns.tokens(col("t"))), "el perro de la casa") == "es")
+    assert(one[String](TextFns.langId(TextFns.tokens(col("t"))), "um gato não") == "pt")
+    assert(one[String](TextFns.langId(TextFns.tokens(col("t"))), "qwerty zzz") == "und")
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val fp1 = one[String](TextFns.fingerprint(col("t")), "  Hello   World ")
+    val fp2 = one[String](TextFns.fingerprint(col("t")), "hello world")
+    assert(fp1 == fp2)
+  }
+
+  test("qualityScore stays in [0,1] and saturates") {
+    val q = Seq((200, 0, 1000)).toDF("nt", "ns", "nc")
+      .select(TextFns.qualityScore(col("nt"), col("ns"), col("nc")).as("q"))
+      .collect().head.getDouble(0)
+    assert(q == 0.7) // 0.5*1 + 0.3*0 + 0.2*1
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Transforms
+
+class TransformsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dateParts derives the reference's time-dimension columns") {
+    val d = Seq(Timestamp.valueOf("2020-08-15 13:45:00")).toDF("ts") // a Saturday
+    val row = Transforms.dateParts(d, "ts").collect().head
+    assert(row.getAs[Int]("dia") == 15)
+    assert(row.getAs[String]("mes") == "Agosto")
+    assert(row.getAs[Int]("ano") == 2020)
+    assert(row.getAs[Int]("hora") == 13)
+    assert(row.getAs[Int]("trimestre") == 3)
+    assert(!row.getAs[Boolean]("dia_util"))
+  }
+
+  test("phaseOfDay buckets every hour") {
+    val out = (0 to 23).toDF("h")
+      .select(col("h"), Transforms.phaseOfDay(col("h")).as("p"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(5) == "Amanhecer" && out(6) == "Amanhecer")
+    assert(out(7) == "Dia" && out(11) == "Dia")
+    assert(out(12) == "Tarde" && out(17) == "Tarde")
+    assert(out(18) == "Noite" && out(23) == "Noite")
+    assert(out(0) == "Madrugada" && out(4) == "Madrugada")
+  }
+
+  test("flagFromCalendar marks exactly the calendar dates") {
+    val df = Seq(Timestamp.valueOf("2020-01-01 08:00:00"),
+      Timestamp.valueOf("2020-01-02 08:00:00")).toDF("ts")
+    val cal = Seq("2020-01-01").toDF("d").select(to_date(col("d")).as("d"))
+    val out = Transforms.flagFromCalendar(df, "ts", cal, "d", "holiday")
+      .orderBy("ts").select("holiday").as[Boolean].collect().toSeq
+    assert(out == Seq(true, false))
+  }
+
+  test("valueMap remaps listed values and defaults the rest") {
+    val out = Seq("Sim", "Não", "??").toDF("c")
+      .select(Transforms.valueMap(col("c"), Map("Sim" -> "Urbano", "Não" -> "Rural"),
+        Some(lit("desconhecido"))).as("m"))
+      .as[String].collect().toSeq
+    assert(out == Seq("Urbano", "Rural", "desconhecido"))
+  }
+
+  test("multiFlagSplit sets one boolean per flag without exploding") {
+    val row = Transforms.multiFlagSplit(Seq("Curva;Reta").toDF("c"), "c", Seq("Curva", "Reta", "Ponte"))
+      .collect().head
+    assert(row.getAs[Boolean]("Curva") && row.getAs[Boolean]("Reta") && !row.getAs[Boolean]("Ponte"))
+  }
+
+  test("string ops: splitHead / afterFirst / concatColumns") {
+    val d = Seq(("I/FORD KA", "-12.5", "-41.2")).toDF("marca", "lat", "lon")
+    val row = d.select(
+      Transforms.splitHead(col("marca"), "/").as("brand"),
+      Transforms.afterFirst(col("marca"), "/").as("model"),
+      Transforms.concatColumns(",", col("lat"), col("lon")).as("lat_log"),
+      Transforms.afterFirst(col("lat"), "/").as("empty")).collect().head
+    assert(row.getString(0) == "I")
+    assert(row.getString(1) == "FORD KA")
+    assert(row.getString(2) == "-12.5,-41.2")
+    assert(row.getString(3) == "")
+  }
+
+  test("monthName covers all 12 months") {
+    val out = (1 to 12).toDF("m").select(Transforms.monthName(col("m")).as("n"))
+      .as[String].collect().toSeq
+    assert(out == Seq("Janeiro", "Fevereiro", "Março", "Abril", "Maio", "Junho",
+      "Julho", "Agosto", "Setembro", "Outubro", "Novembro", "Dezembro"))
+  }
+}

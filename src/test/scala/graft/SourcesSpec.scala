@@ -32,6 +32,37 @@ class SourcesSpec extends SparkSpec {
     assert(hours > 1) // nanos were converted, not left as raw longs
   }
 
+  test("partitioned parquet round-trips with partition pruning") {
+    val dir = Files.createTempDirectory("graft_pq").resolve("t").toString
+    val df = Seq((1, "a", 2020), (2, "b", 2020), (3, "c", 2021)).toDF("id", "v", "year")
+    df.write.partitionBy("year").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3)
+    val pruned = back.filter(col("year") === 2021)
+    assert(pruned.count() == 1)
+    // partition pruning: only the year=2021 directory is scanned
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!scan.contains("year=2020") || scan.contains("PartitionFilters"))
+  }
+
+  test("csv write round-trips with the reference dialect") {
+    val dir = Files.createTempDirectory("graft_csvw").resolve("out").toString
+    Seq((1, "x;y"), (2, "plain")).toDF("id", "v")
+      .write.option("sep", ";").option("header", "true").csv(dir)
+    val back = Sources.csv(spark, dir, sep = ";")
+    assert(back.count() == 2)
+    assert(back.filter(col("v") === "x;y").count() == 1) // quoting survived the ';' payload
+  }
+
+  test("jsonLines reads semi-structured records") {
+    val dir = Files.createTempDirectory("graft_json")
+    Files.write(dir.resolve("d.json"),
+      "{\"k\": 1, \"tags\": [\"a\", \"b\"]}\n{\"k\": 2, \"tags\": []}\n".getBytes("UTF-8"))
+    val df = Sources.jsonLines(spark, dir.toString)
+    assert(df.columns.sorted.toSeq == Seq("k", "tags"))
+    assert(df.agg(sum(size(col("tags")))).head.getLong(0) == 2L)
+  }
+
   test("jdbc writer builds a batched append configuration without a live DB") {
     val w = Sources.jdbcWriter(Seq((1, "a")).toDF("id", "v"),
       "jdbc:postgresql://example/db", "t", "u", "p")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Exact._
 import graft.functions.TextFns
-import graft.operators.{Cleaning, Dedup, Multimodal, Relational, Similarity, StarSchema, Transforms}
+import graft.operators.{Cleaning, Dedup, Events, Multimodal, Relational, Similarity, StarSchema, Transforms}
 import graft.sources.Tables
 
 /**
@@ -305,6 +305,34 @@ object SparkEntry {
     Multimodal.decodeFeatures(s, payloads, "payload", "doc_id").toDF()
   }
 
+  // ------------------------------------------- §2.4 analytics extensions
+
+  /** #36 hierarchical subtotals in one shuffle (ROLLUP grouping sets). */
+  private def q36RollupAgg(s: SparkSession, dir: String): DataFrame =
+    Relational.rollupAgg(t(s, dir).orders,
+      Seq("o_orderpriority", "o_orderstatus"),
+      Seq(cnt.as("n"), decSum(col("o_totalprice")).as("sum_price")))
+
+  /** #37 gap-based batch sessionization (1-hour gap). */
+  private def q37SessionizeBatch(s: SparkSession, dir: String): DataFrame =
+    Events.sessionSummaries(t(s, dir).events, "user_id", "ts", gapUs = 3600L * 1000000L)
+
+  /** #38 as-of join: latest click at-or-before each purchase, per user. */
+  private def q38AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir).events
+    Events.asofJoin(
+        e.filter(col("event_type") === "purchase")
+          .select("user_id", "event_id", "ts"),
+        e.filter(col("event_type") === "click"),
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        valueCols = Seq("ts" -> "last_click_ts"))
+      .select("user_id", "event_id", "ts", "last_click_ts")
+  }
+
+  /** #39 distinct cardinality (exact; the library's scale path is HLL++). */
+  private def q39DistinctCount(s: SparkSession, dir: String): DataFrame =
+    Relational.distinctCount(t(s, dir).lineitem, "l_partkey")
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -343,6 +371,10 @@ object SparkEntry {
     "q33_ann_lsh"           -> (q33AnnLsh _),
     "q34_embedding_dedup"   -> (q34EmbeddingDedup _),
     "q35_multimodal_meta"   -> (q35MultimodalMeta _),
+    "q36_rollup_agg"        -> (q36RollupAgg _),
+    "q37_sessionize_batch"  -> (q37SessionizeBatch _),
+    "q38_asof_join"         -> (q38AsofJoin _),
+    "q39_distinct_count"    -> (q39DistinctCount _),
   )
 
   private val monthCaseSql: String =
@@ -507,5 +539,24 @@ object SparkEntry {
         "c.vec_id) AS rank " +
         "FROM embeddings c JOIN embeddings q ON q.vec_id < 8 AND c.vec_id <> q.vec_id) " +
         "WHERE rank <= 5"),
+    "q36_rollup_agg" ->
+      ("SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price " +
+        "FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"),
+    "q37_sessionize_batch" ->
+      ("WITH x AS (SELECT user_id, ts, CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) " +
+        "OVER (PARTITION BY user_id ORDER BY ts) > 3600000000 THEN 1 ELSE 0 END AS ns " +
+        "FROM events), " +
+        "y AS (SELECT user_id, ts, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts " +
+        "ROWS UNBOUNDED PRECEDING) AS session_idx FROM x) " +
+        "SELECT user_id, session_idx, COUNT(*) AS n_events, " +
+        "MIN(ts) AS start_ts, MAX(ts) AS end_ts FROM y GROUP BY 1, 2"),
+    "q38_asof_join" ->
+      ("SELECT p.user_id, p.event_id, p.ts, c.ts AS last_click_ts " +
+        "FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p " +
+        "ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND p.ts >= c.ts"),
+    "q39_distinct_count" ->
+      "SELECT COUNT(DISTINCT l_partkey) AS n_distinct FROM lineitem",
   )
 }

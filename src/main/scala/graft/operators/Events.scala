@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-sequence operators: batch sessionization and as-of joins —
+ * the batch twins of [[graft.streaming.EventStreams]], and the
+ * time-series operators a training-data/event pipeline needs that the
+ * reference's pandas stage could only do with per-group Python loops.
+ */
+object Events {
+
+  /**
+   * Gap-based sessionization: a new session starts when the gap to the
+   * previous event of the same `user` exceeds `gapUs` microseconds.
+   * Returns per-event rows with a dense per-user `session_idx`.
+   *
+   * One shuffle (by `user`); both windows share that partitioning, so
+   * Catalyst plans a single exchange + sort. No state, no driver loops —
+   * this is the batch twin of `EventStreams.sessionize`.
+   */
+  def sessionize(df: DataFrame, user: String, ts: String, gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(user).orderBy(ts)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gap = unix_micros(col(ts)) - lag(unix_micros(col(ts)), 1).over(w)
+    df.withColumn("__graft_new", when(gap > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("__graft_new")).over(run))
+      .drop("__graft_new")
+  }
+
+  /** Session summaries: one row per (user, session). */
+  def sessionSummaries(df: DataFrame, user: String, ts: String, gapUs: Long): DataFrame =
+    sessionize(df, user, ts, gapUs)
+      .groupBy(col(user), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(ts)).as("start_ts"),
+        max(col(ts)).as("end_ts"))
+
+  /**
+   * As-of join: for each left row, attach `valueCols` from the latest
+   * right row with the same `keys` and right.ts <= left.ts (DuckDB/kdb
+   * ASOF semantics, inclusive).
+   *
+   * Spark-first shape: instead of a range join (O(n·m) without a
+   * specialized operator), both sides are unioned, tagged, and swept by
+   * one window partitioned on `keys` — a single shuffle of left+right,
+   * then `last(..., ignoreNulls)` carries the most recent right values
+   * forward. At equal timestamps the right row sorts first (tag order),
+   * giving the inclusive `<=` match.
+   */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      valueCols: Seq[(String, String)]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__graft_ts", col(leftTs))
+      .withColumn("__graft_tag", lit(1))
+    val r0 = right.select(
+      (keys.map(col) :+ col(rightTs).as("__graft_ts")) ++
+        valueCols.map { case (from, to) => col(from).as(s"__graft_v_$to") }: _*)
+      .withColumn("__graft_tag", lit(0))
+    val lAligned = valueCols.foldLeft(l) { case (d, (_, to)) =>
+      d.withColumn(s"__graft_v_$to", lit(null))
+    }
+    val unioned = lAligned.select(
+        (keys.map(col) :+ col("__graft_ts") :+ col("__graft_tag")) ++
+          leftCols.filterNot(keys.contains).map(col) ++
+          valueCols.map { case (_, to) => col(s"__graft_v_$to") }: _*)
+      .unionByName(r0
+        .withColumns(leftCols.filterNot(keys.contains).map(c => c -> lit(null)).toMap))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__graft_ts"), col("__graft_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(unioned) { case (d, (_, to)) =>
+      d.withColumn(to, last(col(s"__graft_v_$to"), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("__graft_tag") === 1)
+      .select(leftCols.map(col) ++ valueCols.map { case (_, to) => col(to) }: _*)
+  }
+}

@@ -69,6 +69,23 @@ object Relational {
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /**
+   * Hierarchical subtotals via ROLLUP: one shuffle produces every
+   * grouping-set level (the notebook's repeated per-level `value_counts`
+   * passes collapse into a single aggregation).
+   */
+  def rollupAgg(df: DataFrame, groupCols: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.rollup(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+
+  /**
+   * Distinct cardinality: exact (two-phase partial distinct) or HLL++
+   * sketch (`rsd` relative error) — the sketch is the 100 TB default:
+   * fixed-size mergeable state instead of shuffling every distinct value.
+   */
+  def distinctCount(df: DataFrame, column: String, approx: Boolean = false, rsd: Double = 0.05): DataFrame =
+    if (approx) df.agg(approx_count_distinct(col(column), rsd).as("n_distinct"))
+    else df.agg(countDistinct(col(column)).as("n_distinct"))
+
   /** Existence joins for FK-integrity checks (orphans / members). */
   def antiJoin(df: DataFrame, other: DataFrame, joinExprs: Column): DataFrame =
     df.join(other, joinExprs, "left_anti")

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Events
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val ev = Seq(
+    (7L, ts("2024-01-01 10:00:00"), 1L),
+    (7L, ts("2024-01-01 10:20:00"), 2L),
+    (7L, ts("2024-01-01 12:00:00"), 3L), // > 1h gap -> new session
+    (8L, ts("2024-01-01 09:00:00"), 4L),
+  ).toDF("user_id", "ts", "event_id")
+
+  test("sessionize splits on gaps > gapUs, per user") {
+    val out = Events.sessionize(ev, "user_id", "ts", 3600L * 1000000L)
+      .orderBy("event_id").select("session_idx").as[Long].collect().toSeq
+    assert(out == Seq(0L, 0L, 1L, 0L))
+  }
+
+  test("sessionSummaries aggregates bounds and counts per session") {
+    val out = Events.sessionSummaries(ev, "user_id", "ts", 3600L * 1000000L)
+      .orderBy("user_id", "session_idx").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx"),
+        r.getAs[Long]("n_events"), r.getAs[Timestamp]("start_ts")))
+    assert(out.toSeq == Seq(
+      (7L, 0L, 2L, ts("2024-01-01 10:00:00")),
+      (7L, 1L, 1L, ts("2024-01-01 12:00:00")),
+      (8L, 0L, 1L, ts("2024-01-01 09:00:00"))))
+  }
+
+  test("asofJoin attaches the latest right row at-or-before each left ts") {
+    val purchases = Seq(
+      (1L, 100L, ts("2024-01-01 10:30:00")),
+      (1L, 101L, ts("2024-01-01 09:00:00")), // before any click -> null
+      (2L, 102L, ts("2024-01-01 10:00:00")), // exactly at click -> inclusive match
+    ).toDF("user_id", "event_id", "ts")
+    val clicks = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:15:00")),
+      (2L, ts("2024-01-01 10:00:00")),
+    ).toDF("user_id", "ts")
+    val out = Events.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+        Seq("ts" -> "last_click_ts"))
+      .orderBy("event_id").collect()
+      .map(r => Option(r.getAs[Timestamp]("last_click_ts")))
+    assert(out.toSeq == Seq(
+      Some(ts("2024-01-01 10:15:00")), None, Some(ts("2024-01-01 10:00:00"))))
+  }
+
+  test("rollupAgg emits all grouping-set levels") {
+    import graft.operators.Relational
+    val d = Seq(("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0)).toDF("g1", "g2", "v")
+    val out = Relational.rollupAgg(d, Seq("g1", "g2"), Seq(sum("v").as("s")))
+    assert(out.count() == 6) // 3 leaves + 2 g1-subtotals + 1 grand total
+    assert(out.filter(col("g1").isNull && col("g2").isNull)
+      .head.getAs[Double]("s") == 7.0)
+  }
+
+  test("distinctCount: approx HLL++ lands within rsd of exact") {
+    import graft.operators.Relational
+    val li = sources.Tables(spark, sf0001).lineitem
+    val exact = Relational.distinctCount(li, "l_partkey").head.getLong(0)
+    val approx = Relational.distinctCount(li, "l_partkey", approx = true, rsd = 0.05)
+      .head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.15)
+  }
+}

@@ -86,6 +86,34 @@ object Relational {
     if (approx) df.agg(approx_count_distinct(col(column), rsd).as("n_distinct"))
     else df.agg(countDistinct(col(column)).as("n_distinct"))
 
+  /**
+   * Skew-resistant two-phase aggregation: rows are first aggregated on
+   * (keys, salt) — spreading one hot key over `saltBuckets` reducers —
+   * then the partials are combined on the true keys. The salt is a
+   * deterministic hash of the whole row's aggregated columns, so results
+   * are stable. Use when one key holds a disproportionate share of a
+   * 100 TB table and even map-side partial aggregation leaves a hot
+   * reducer; for joins, AQE's skew-join splitting covers the same risk.
+   *
+   * `partials` maps each output column to (phase-1 agg of the input,
+   * phase-2 agg of the partial) — e.g. `("n", count(lit(1)), sum)` for a
+   * count, `("s", sum(c), sum)` for a sum.
+   */
+  def saltedAgg(
+      df: DataFrame, keys: Seq[String], saltBuckets: Int,
+      partials: Seq[(String, Column, Column => Column)]): DataFrame = {
+    val salted = df.withColumn("__graft_salt",
+      pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets)))
+    val phase1 = salted
+      .groupBy((keys :+ "__graft_salt").map(col): _*)
+      .agg(partials.head._2.as(s"__graft_p_${partials.head._1}"),
+        partials.tail.map { case (n, agg, _) => agg.as(s"__graft_p_$n") }: _*)
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(partials.head._3(col(s"__graft_p_${partials.head._1}")).as(partials.head._1),
+        partials.tail.map { case (n, _, fin) => fin(col(s"__graft_p_$n")).as(n) }: _*)
+  }
+
   /** Existence joins for FK-integrity checks (orphans / members). */
   def antiJoin(df: DataFrame, other: DataFrame, joinExprs: Column): DataFrame =
     df.join(other, joinExprs, "left_anti")

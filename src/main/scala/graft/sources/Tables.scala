@@ -72,6 +72,24 @@ object Sources {
   }
 
   /**
+   * Bucketed table write: pre-partitions (and optionally sorts) the data
+   * by the join/aggregation key at write time, so later equi-joins and
+   * group-bys between tables bucketed on the same key run with ZERO
+   * shuffle — the 100 TB answer to a fact table that is joined on the
+   * same key every day. Bucketed tables require the session catalog
+   * (`saveAsTable`), not a bare path.
+   */
+  def writeBucketed(
+      df: DataFrame, tableName: String,
+      bucketCols: Seq[String], numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(tableName)
+  }
+
+  /**
    * JDBC sink configuration for the reference's warehouse load stage
    * (reference dag.py:290-445 row-wise INSERTs into Postgres). Spark-first
    * equivalent: a single distributed `write.jdbc` with batched inserts —

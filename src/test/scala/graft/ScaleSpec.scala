@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+import graft.sources.Sources
+
+/** Plan-shape assertions for the 100 TB posture (SURVEY §5). */
+class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  test("saltedAgg matches the direct aggregation exactly") {
+    // skewed data: key "hot" holds 90% of rows
+    val d = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k${i % 7}", i.toDouble))
+      .toDF("k", "v")
+    val direct = d.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(18,4)")).cast("double").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = Relational.saltedAgg(d, Seq("k"), saltBuckets = 8,
+        Seq(("n", count(lit(1)), sum(_)),
+          ("s", sum(col("v").cast("decimal(18,4)")), (c: org.apache.spark.sql.Column) =>
+            sum(c).cast("double"))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == direct)
+  }
+
+  test("bucketed tables join with zero shuffle") {
+    val t = sources.Tables(spark, sf0001)
+    for (tbl <- Seq("b_orders", "b_lineitem")) {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new java.io.File(s"spark-warehouse/$tbl")
+      if (loc.isDirectory) {
+        loc.listFiles().foreach(_.delete()); loc.delete()
+      }
+    }
+    Sources.writeBucketed(t.orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+      "b_orders", Seq("o_orderkey"), 4)
+    Sources.writeBucketed(t.lineitem.select("l_orderkey", "l_quantity"),
+      "b_lineitem", Seq("l_orderkey"), 4)
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey").agg(sum("l_quantity").as("q"))
+    // AQE off for a deterministic final plan shape in the assertion
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = joined.queryExecution.executedPlan
+      joined.write.format("noop").mode("overwrite").save()
+      val shufflesBeforeAgg = collect(plan) { case s: ShuffleExchangeLike => s }
+      // the join itself must not shuffle; only the final groupBy(o_custkey) may
+      assert(shufflesBeforeAgg.size <= 1,
+        s"expected bucketed join to avoid shuffling, got:\n$plan")
+      assert(joined.count() == t.orders.select("o_custkey").distinct().count())
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("star join broadcasts every dimension (fact side never shuffles)") {
+    val q = SparkEntry.queries("q22_star_join_agg")(spark, sf0001)
+    q.write.format("noop").mode("overwrite").save()
+    val plan = q.queryExecution.executedPlan
+    val shuffles = collect(plan) { case s: ShuffleExchangeLike => s }
+    // one exchange for the final aggregation; all joins broadcast
+    assert(shuffles.size <= 1, s"star join should shuffle once at most:\n$plan")
+  }
+
+  test("projection+filter queries push predicates into the parquet scan") {
+    val q = SparkEntry.queries("q03_project_filter")(spark, sf0001)
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$scan")
+    assert(!scan.contains("l_comment"), "unused columns must be pruned from ReadSchema")
+  }
+}

@@ -333,6 +333,11 @@ object SparkEntry {
   private def q39DistinctCount(s: SparkSession, dir: String): DataFrame =
     Relational.distinctCount(t(s, dir).lineitem, "l_partkey")
 
+  /** #40 grouped exact quantiles (approx t-digest is the library's scale path). */
+  private def q40Quantiles(s: SparkSession, dir: String): DataFrame =
+    Relational.quantileAgg(t(s, dir).lineitem, Seq("l_returnflag"), "l_extendedprice",
+      Seq("p50" -> 0.5, "p90" -> 0.9))
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -375,6 +380,7 @@ object SparkEntry {
     "q37_sessionize_batch"  -> (q37SessionizeBatch _),
     "q38_asof_join"         -> (q38AsofJoin _),
     "q39_distinct_count"    -> (q39DistinctCount _),
+    "q40_quantiles"         -> (q40Quantiles _),
   )
 
   private val monthCaseSql: String =
@@ -558,5 +564,8 @@ object SparkEntry {
         "ON p.user_id = c.user_id AND p.ts >= c.ts"),
     "q39_distinct_count" ->
       "SELECT COUNT(DISTINCT l_partkey) AS n_distinct FROM lineitem",
+    "q40_quantiles" ->
+      ("SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50, " +
+        "quantile_cont(l_extendedprice, 0.9) AS p90 FROM lineitem GROUP BY 1"),
   )
 }

@@ -114,6 +114,22 @@ object Relational {
         partials.tail.map { case (n, _, fin) => fin(col(s"__graft_p_$n")).as(n) }: _*)
   }
 
+  /**
+   * Grouped quantiles: exact linear-interpolated percentiles (matches
+   * DuckDB `quantile_cont` bit-for-bit), or the t-digest
+   * `approx_percentile` sketch — the 100 TB default, since an exact
+   * per-group percentile must gather every value of the group.
+   */
+  def quantileAgg(
+      df: DataFrame, keys: Seq[String], valueCol: String,
+      ps: Seq[(String, Double)], approx: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    val aggs = ps.map { case (name, p) =>
+      (if (approx) percentile_approx(col(valueCol), lit(p), lit(accuracy))
+       else expr(s"percentile($valueCol, $p)")).as(name)
+    }
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Existence joins for FK-integrity checks (orphans / members). */
   def antiJoin(df: DataFrame, other: DataFrame, joinExprs: Column): DataFrame =
     df.join(other, joinExprs, "left_anti")

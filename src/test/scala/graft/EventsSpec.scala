@@ -63,6 +63,18 @@ class EventsSpec extends SparkSpec {
       .head.getAs[Double]("s") == 7.0)
   }
 
+  test("quantileAgg: approx t-digest tracks the exact interpolated percentile") {
+    import graft.operators.Relational
+    val li = sources.Tables(spark, sf0001).lineitem
+    val exact = Relational.quantileAgg(li, Seq("l_returnflag"), "l_extendedprice",
+      Seq("p50" -> 0.5)).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = Relational.quantileAgg(li, Seq("l_returnflag"), "l_extendedprice",
+      Seq("p50" -> 0.5), approx = true).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (k, v) =>
+      assert(math.abs(approx(k) - v) / v < 0.05, s"group $k: exact=$v approx=${approx(k)}")
+    }
+  }
+
   test("distinctCount: approx HLL++ lands within rsd of exact") {
     import graft.operators.Relational
     val li = sources.Tables(spark, sf0001).lineitem

@@ -43,6 +43,26 @@ object EventStreams {
       .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
 
   /**
+   * Stream-static enrichment: join the unbounded stream against a static
+   * dimension. The dim is broadcast per micro-batch — the streaming side
+   * never shuffles, mirroring the batch star-join posture.
+   */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, eventKey: String,
+                    dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
+  /**
+   * Streaming exact dedup with bounded state: duplicates of `keys` are
+   * dropped while their event time is within the watermark, after which
+   * state is evicted — the unbounded-stream twin of batch
+   * `Dedup.exactGroups`.
+   */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String, watermark: String,
+                           keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /**
    * Custom-state sessionization via flatMapGroupsWithState with a
    * processing-time timeout: emits a summary when a user goes quiet.
    * This is the (c)-tier extension point of SURVEY §4 — state Spark's

@@ -38,6 +38,35 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r - 1.0) < 1e-12)
   }
 
+  test("cosine propagates null inputs and rejects wrong types at analysis") {
+    val withNull = Seq((Some(Seq(1f, 0f)), Option.empty[Seq[Float]]))
+      .toDF("x", "y")
+      .select(Similarity.cosine(spark, col("x"), col("y")).as("c"))
+      .collect().head
+    assert(withNull.isNullAt(0))
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("a", "b")).toDF("x", "y")
+        .select(Similarity.cosine(spark, col("x"), col("y"))).collect()
+    }
+    assert(err.getMessage.contains("ARRAY<FLOAT>"))
+  }
+
+  test("cosine properties on scalacheck vectors: symmetry, bounds, self-similarity") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(16, Gen.chooseNum(-10f, 10f))
+    for (seed <- 1L to 8L) {
+      val a = gen.apply(Gen.Parameters.default, Seed(seed)).get
+      val b = gen.apply(Gen.Parameters.default, Seed(seed + 100)).get
+      val ab = cosineOf(a, b)
+      val ba = cosineOf(b, a)
+      assert(ab == ba, s"symmetry seed=$seed")
+      assert(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9, s"bounds seed=$seed")
+      if (a.exists(_ != 0f))
+        assert(math.abs(cosineOf(a, a) - 1.0) < 1e-9, s"self seed=$seed")
+    }
+  }
+
   test("bruteForceTopK returns exact neighbors in similarity order") {
     val corpus = Seq(
       (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f)), (3L, Seq(-1f, 0f)),

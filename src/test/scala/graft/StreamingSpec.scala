@@ -32,6 +32,39 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
   }
 
+  test("stream-static enrichment joins each micro-batch against the dim") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      Event(2L, ts("2024-01-01 10:01:00"), 2L, "view", 2.0))
+    val dim = Seq((1L, "gold"), (3L, "silver")).toDF("d_user", "tier")
+    val q = EventStreams.enrichWithDim(mem.toDF(), dim, "user_id", "d_user")
+      .select("event_id", "tier")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("enriched").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(rows == Set((1L, Some("gold")), (2L, None)))
+  }
+
+  test("dedupWithinWatermark drops in-watermark duplicate keys") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      Event(1L, ts("2024-01-01 10:00:30"), 1L, "click", 1.5), // dup event_id
+      Event(2L, ts("2024-01-01 10:01:00"), 2L, "view", 2.0))
+    val q = EventStreams.dedupWithinWatermark(mem.toDF(), "ts", "10 minutes", Seq("event_id"))
+      .select("event_id")
+      .writeStream.format("memory").queryName("deduped").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.table("deduped").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L))
+  }
+
   test("sessionize accumulates per-user state and emits on timeout") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

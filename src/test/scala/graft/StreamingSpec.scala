@@ -65,6 +65,25 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L))
   }
 
+  test("file source end-to-end: readEventStream -> windowedAgg over real parquet") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    // stage a small slice of the real events table as the stream input
+    graft.sources.Tables(spark, sf0001).events
+      .filter(col("user_id") < 5)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = EventStreams.windowedAgg(
+        EventStreams.readEventStream(spark, dir), "1 day", "2 days")
+      .writeStream.format("memory").queryName("filewa").outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("filewa")
+      .agg(sum("n")).head.getLong(0)
+    val batch = graft.sources.Tables(spark, sf0001).events.filter(col("user_id") < 5).count()
+    assert(streamed == batch) // every event lands in exactly one window
+  }
+
   test("sessionize accumulates per-user state and emits on timeout") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

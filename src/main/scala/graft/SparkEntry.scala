@@ -338,6 +338,23 @@ object SparkEntry {
     Relational.quantileAgg(t(s, dir).lineitem, Seq("l_returnflag"), "l_extendedprice",
       Seq("p50" -> 0.5, "p90" -> 0.9))
 
+  /** #41 exact distributed statistics: correlation + stddev per group. */
+  private def q41CorrStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        decCorr(col("l_discount"), col("l_tax")).as("corr_disc_tax"),
+        decStddevPop(col("l_discount")).as("std_disc"),
+        cnt.as("n"))
+
+  /** #42 regex group extraction (brand number from 'Brand#N'). */
+  private def q42RegexExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).part
+      .select(Transforms.regexExtract(col("p_brand"), "#([0-9]+)", 1)
+        .cast("int").as("brand_num"))
+      .groupBy("brand_num")
+      .agg(cnt.as("n"))
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -381,6 +398,8 @@ object SparkEntry {
     "q38_asof_join"         -> (q38AsofJoin _),
     "q39_distinct_count"    -> (q39DistinctCount _),
     "q40_quantiles"         -> (q40Quantiles _),
+    "q41_corr_stats"        -> (q41CorrStats _),
+    "q42_regex_extract"     -> (q42RegexExtract _),
   )
 
   private val monthCaseSql: String =
@@ -567,5 +586,20 @@ object SparkEntry {
     "q40_quantiles" ->
       ("SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50, " +
         "quantile_cont(l_extendedprice, 0.9) AS p90 FROM lineitem GROUP BY 1"),
+    "q41_corr_stats" ->
+      ("SELECT l_returnflag, " +
+        "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) " +
+        "AS corr_disc_tax, " +
+        "sqrt(n * sxx - sx * sx) / n AS std_disc, CAST(n AS BIGINT) AS n FROM (" +
+        "SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n, " +
+        "CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sx, " +
+        "CAST(SUM(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) AS sy, " +
+        "CAST(SUM(CAST(l_discount AS DECIMAL(22,4)) * CAST(l_tax AS DECIMAL(22,4))) AS DOUBLE) AS sxy, " +
+        "CAST(SUM(CAST(l_discount AS DECIMAL(22,4)) * CAST(l_discount AS DECIMAL(22,4))) AS DOUBLE) AS sxx, " +
+        "CAST(SUM(CAST(l_tax AS DECIMAL(22,4)) * CAST(l_tax AS DECIMAL(22,4))) AS DOUBLE) AS syy " +
+        "FROM lineitem GROUP BY 1)"),
+    "q42_regex_extract" ->
+      ("SELECT CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS INT) AS brand_num, " +
+        "COUNT(*) AS n FROM part GROUP BY 1"),
   )
 }

@@ -24,4 +24,37 @@ object Exact {
 
   /** Row count as BIGINT (matches DuckDB's COUNT(*)). */
   def cnt: Column = count(lit(1))
+
+  private def dec(c: Column, scale: Int) = c.cast(s"decimal(18,$scale)")
+
+  /**
+   * Order-independent Pearson correlation: every moment (Σx, Σy, Σxy,
+   * Σx², Σy²) is an exact decimal sum, and only the final closed-form
+   * combination runs in double — so the result is bit-stable across
+   * partitionings AND reproducible by any engine that writes the same
+   * closed form over the same exact sums (unlike `corr`, whose streaming
+   * merge formula is engine-specific).
+   *
+   * Caveat: the final decimal→double casts are only engine-identical
+   * while each sum stays below 2^53 scaled units — beyond that the cast
+   * itself rounds, and engines may round differently. Pick `scale` (and
+   * input magnitudes) accordingly.
+   */
+  def decCorr(x: Column, y: Column, scale: Int = 4): Column = {
+    val n = count(lit(1)).cast("double")
+    val sx = sum(dec(x, scale)).cast("double")
+    val sy = sum(dec(y, scale)).cast("double")
+    val sxy = sum(dec(x, scale) * dec(y, scale)).cast("double")
+    val sxx = sum(dec(x, scale) * dec(x, scale)).cast("double")
+    val syy = sum(dec(y, scale) * dec(y, scale)).cast("double")
+    (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+  }
+
+  /** Order-independent population standard deviation (same construction). */
+  def decStddevPop(x: Column, scale: Int = 4): Column = {
+    val n = count(lit(1)).cast("double")
+    val sx = sum(dec(x, scale)).cast("double")
+    val sxx = sum(dec(x, scale) * dec(x, scale)).cast("double")
+    sqrt(n * sxx - sx * sx) / n
+  }
 }

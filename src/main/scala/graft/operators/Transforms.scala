@@ -84,6 +84,10 @@ object Transforms {
    */
   def concatColumns(sep: String, cols: Column*): Column = concat_ws(sep, cols: _*)
 
+  /** Regex group extraction (codegen'd; empty match → null after cast). */
+  def regexExtract(column: Column, pattern: String, group: Int): Column =
+    regexp_extract(column, pattern, group)
+
   /** First `/`-style segment (reference's `marca.str.split('/').str[0]`). */
   def splitHead(column: Column, sep: String): Column = substring_index(column, sep, 1)
 

@@ -22,6 +22,25 @@ class ExactSpec extends SparkSpec {
     assert(r == (1.0 + 2.0 + 4.0) / 3)
   }
 
+  test("decCorr matches a reference Pearson computation and is partition-stable") {
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+    val ys = Seq(2.0, 4.1, 5.9, 8.2, 9.8)
+    def ref: Double = {
+      val n = xs.size.toDouble
+      val sx = xs.sum; val sy = ys.sum
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum; val syy = ys.map(b => b * b).sum
+      (n * sxy - sx * sy) / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    val df = xs.zip(ys).toDF("x", "y")
+    val r1 = df.repartition(1).agg(Exact.decCorr(col("x"), col("y"))).head.getDouble(0)
+    val r4 = df.repartition(4).agg(Exact.decCorr(col("x"), col("y"))).head.getDouble(0)
+    assert(r1 == r4)
+    assert(math.abs(r1 - ref) < 1e-12)
+    val sd = df.agg(Exact.decStddevPop(col("x"))).head.getDouble(0)
+    assert(math.abs(sd - math.sqrt(2.0)) < 1e-12) // pop stddev of 1..5
+  }
+
   test("decSum matches BigDecimal arithmetic on scalacheck-generated inputs") {
     val gen = Gen.listOfN(50, Gen.chooseNum(-1000.0, 1000.0))
     for (seed <- 1L to 5L) {

@@ -338,6 +338,13 @@ object SparkEntry {
     Relational.quantileAgg(t(s, dir).lineitem, Seq("l_returnflag"), "l_extendedprice",
       Seq("p50" -> 0.5, "p90" -> 0.9))
 
+  /** #43 IVF approximate top-k: coarse k-means cells, nprobe probing. */
+  private def q43AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir).embeddings
+    Similarity.ivfTopK(s, e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4)
+  }
+
   /** #41 exact distributed statistics: correlation + stddev per group. */
   private def q41CorrStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir).lineitem
@@ -400,6 +407,7 @@ object SparkEntry {
     "q40_quantiles"         -> (q40Quantiles _),
     "q41_corr_stats"        -> (q41CorrStats _),
     "q42_regex_extract"     -> (q42RegexExtract _),
+    "q43_ann_ivf"           -> (q43AnnIvf _),
   )
 
   private val monthCaseSql: String =

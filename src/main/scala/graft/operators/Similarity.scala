@@ -84,6 +84,98 @@ object Similarity {
   }
 
   /**
+   * Deterministic k-means centroids (Lloyd's) over an embedding column,
+   * entirely in DataFrame ops: initialization takes the `k` lowest-id
+   * vectors (deterministic, no RNG), each iteration assigns rows to the
+   * nearest centroid (argmax cosine against a broadcast k-row table) and
+   * recomputes per-cluster means via posexplode + per-dimension avg.
+   * Two shuffles per iteration (assign is shuffle-free; the mean is a
+   * map-side partial agg), so iterations scale to any corpus size.
+   */
+  def kmeansCentroids(
+      spark: SparkSession, df: DataFrame, id: String, vec: String,
+      k: Int, iterations: Int = 3): Seq[(Int, Seq[Float])] = {
+    var centroids: Seq[(Int, Seq[Float])] = df.orderBy(col(id)).limit(k)
+      .select(col(vec)).collect()
+      .map(_.getSeq[Float](0).toSeq).zipWithIndex.map(_.swap).toSeq
+    for (_ <- 0 until iterations) {
+      centroids = assignToCentroids(spark, df, vec, centroids)
+        .select(col("cluster_id"), posexplode(col(vec)).as(Seq("__gpos", "__gval")))
+        .groupBy("cluster_id", "__gpos")
+        .agg(avg(col("__gval")).as("__gmean"))          // map-side partials; k·dim rows out
+        .groupBy("cluster_id")
+        .agg(array_sort(collect_list(struct(col("__gpos"), col("__gmean")))).as("__gpairs"))
+        .select(col("cluster_id"),
+          expr("transform(__gpairs, p -> CAST(p.__gmean AS FLOAT))").as("centroid"))
+        .collect()                                       // k tiny rows, like agg-to-literal medians
+        .map(r => r.getAs[Number]("cluster_id").intValue -> r.getSeq[Float](1).toSeq).toSeq
+        .sortBy(_._1)
+    }
+    centroids
+  }
+
+  /**
+   * Nearest-centroid assignment with ZERO shuffle: the k centroids ride
+   * into the plan as a literal array and each row computes its argmax
+   * cosine inside one codegen'd `aggregate` — no join, no row explosion.
+   */
+  def assignToCentroids(
+      spark: SparkSession, df: DataFrame, vec: String,
+      centroids: Seq[(Int, Seq[Float])]): DataFrame = {
+    GraftFunctions.register(spark)
+    val centLit = array(centroids.map { case (cid, v) =>
+      struct(lit(cid).as("cid"),
+        array(v.map(x => lit(x)): _*).as("centroid"))
+    }: _*)
+    val best = aggregate(
+      centLit,
+      struct(lit(-2.0d).as("sim"), lit(-1).as("cid")),
+      (acc, c) => {
+        val sim = call_function(GraftFunctions.cosineName, col(vec), c.getField("centroid"))
+        when(sim > acc.getField("sim"),
+          struct(sim.as("sim"), c.getField("cid").as("cid"))).otherwise(acc)
+      })
+    df.withColumn("cluster_id", best.getField("cid"))
+  }
+
+  /**
+   * IVF approximate top-k: the corpus is coarsely quantized once into
+   * `nlist` centroid cells (in production the assignment is persisted as
+   * a bucketed table); each query probes only its `nprobe` nearest cells,
+   * so probe cost is ~|corpus|·nprobe/nlist instead of |corpus|. The
+   * centroid table is tiny and broadcast everywhere — the corpus never
+   * shuffles for a search.
+   */
+  def ivfTopK(
+      spark: SparkSession,
+      corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iterations: Int = 3): DataFrame = {
+    val centroids = kmeansCentroids(spark, corpus, id, vec, nlist, iterations)
+    val cells = assignToCentroids(spark, corpus, vec, centroids)
+    val centroidRows = centroids.map { case (cid, v) => (cid, v) }
+    import spark.implicits._
+    val centroidDf = centroidRows.toDF("cluster_id", "centroid")
+      .withColumn("centroid", col("centroid").cast("array<float>"))
+    val probes = queries
+      .select(col(id).as("query_id"), col(vec).as("__qvec"))
+      .join(broadcast(centroidDf))
+      .withColumn("__gcsim", cosine(spark, col("__qvec"), col("centroid")))
+      .withColumn("__grk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__gcsim").desc, col("cluster_id").asc)))
+      .filter(col("__grk") <= nprobe)
+      .select(col("query_id"), col("__qvec"), col("cluster_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("__gsim").desc, col(id).asc)
+    cells
+      .join(broadcast(probes), Seq("cluster_id"))
+      .filter(col(id) =!= col("query_id"))
+      .withColumn("__gsim", cosine(spark, col(vec), col("__qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(id).as("neighbor_id"))
+  }
+
+  /**
    * Embedding near-duplicate pairs: LSH-bucket self-join → cosine ≥
    * threshold. The all-pairs comparison only happens within buckets.
    */

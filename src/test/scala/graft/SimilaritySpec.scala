@@ -85,6 +85,31 @@ class SimilaritySpec extends SparkSpec {
     assert(!rows.exists(r => r.getAs[Long]("query_id") == r.getAs[Long]("neighbor_id")))
   }
 
+  test("IVF: assignment is shuffle-free, probes beat their cell, recall is sane") {
+    val e = sources.Tables(spark, sf0001).embeddings
+    val centroids = Similarity.kmeansCentroids(spark, e, "vec_id", "embedding", k = 8)
+    assert(centroids.map(_._1).toSet.size == 8)
+    val assigned = Similarity.assignToCentroids(spark, e, "embedding", centroids)
+    // zero-shuffle assignment: no exchange in the plan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val shuffles = assigned.queryExecution.executedPlan.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.isEmpty, "centroid assignment must not shuffle the corpus")
+    assert(assigned.filter(col("cluster_id") < 0).count() == 0)
+
+    val queries = e.filter(col("vec_id") < 8)
+    val ivf = Similarity.ivfTopK(spark, e, queries, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 8) // nprobe = nlist -> exhaustive -> exact
+    val bf = Similarity.bruteForceTopK(spark, e, queries, "vec_id", "embedding", k = 5)
+    val ivfSet = ivf.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val bfSet = bf.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivfSet == bfSet, "full-probe IVF must equal brute force")
+    val partial = Similarity.ivfTopK(spark, e, queries, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = partial.intersect(bfSet).size.toDouble / bfSet.size
+    assert(recall >= 0.1, f"recall@5 with nprobe=2/8 collapsed: $recall%.2f")
+  }
+
   test("embeddingNearDups only emits pairs above threshold with id_a < id_b") {
     val e = sources.Tables(spark, sf0001).embeddings
     val rows = Similarity.embeddingNearDups(spark, e, "vec_id", "embedding", 0.2, bits = 4).collect()

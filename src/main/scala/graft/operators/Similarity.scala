@@ -18,10 +18,8 @@ import graft.plans.GraftFunctions
 object Similarity {
 
   /** Cosine via the native codegen expression (registers it on first use). */
-  def cosine(spark: SparkSession, a: Column, b: Column): Column = {
-    GraftFunctions.register(spark)
-    call_function(GraftFunctions.cosineName, a, b)
-  }
+  def cosine(spark: SparkSession, a: Column, b: Column): Column =
+    graft.functions.Vectors.cosine(spark, a, b)
 
   /**
    * Exact top-k neighbors for each query vector. `queries` must be small

@@ -32,23 +32,17 @@ object Dedup {
       h => array_min(transform(shingles, sh => xxhash64(sh, h))))
 
   /**
-   * LSH banding: split the signature into `bands` bands of `rowsPerBand`
-   * and hash each band to a bucket id. Docs sharing any (band, bucket)
-   * are candidates. With s = Jaccard similarity, P[candidate] =
-   * 1-(1-s^r)^b — b=20, r=6 gives miss < 1e-6 at s ≥ 0.9 while keeping
-   * the false-candidate rate at background similarity (< 0.3) ≈ 1%.
-   */
-  def lshBandBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(
-        b.as("band"),
-        xxhash64(slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)), b).as("bucket")))
-
-  /**
-   * Candidate pairs from MinHash LSH. The self-join key is (band, bucket)
-   * — i.e. the shuffle is over bucketed signatures, never all-pairs. Band
-   * index participates in the key, which also salts the shuffle: one hot
-   * bucket in band 3 doesn't skew the whole join.
+   * Candidate pairs from MinHash LSH banding: the signature splits into
+   * `bands` bands of `numHashes/bands` rows, each band hashing to a
+   * bucket; docs sharing any (band, bucket) are candidates. With
+   * s = Jaccard similarity, P[candidate] = 1-(1-s^r)^b — b=20, r=6 gives
+   * miss < 1e-6 at s ≥ 0.9 while keeping the false-candidate rate at
+   * background similarity (< 0.3) ≈ 1%.
+   *
+   * The self-join key is (band, bucket) — i.e. the shuffle is over
+   * bucketed signatures, never all-pairs. Band index participates in the
+   * key, which also salts the shuffle: one hot bucket in band 3 doesn't
+   * skew the whole join.
    *
    * Execution shape (the 100 TB path): shingles are exploded ONCE, each
    * (doc, shingle) row computes its `numHashes` hashes, and the signature

@@ -69,4 +69,39 @@ object Multimodal {
       rows.map(decode)
     }(Encoders.product[MediaFeatures])
   }
+
+  /**
+   * Resize stage: pure metadata arithmetic over decoded features — fits
+   * the longest edge to `maxEdge` preserving aspect ratio. In production
+   * the pixel resample runs in the same mapPartitions as the decoder;
+   * the bookkeeping here (and its schema) is the real contract.
+   */
+  def resizeMeta(features: DataFrame, maxEdge: Int): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    val scale = when(longest > maxEdge, lit(maxEdge).cast("double") / longest)
+      .otherwise(lit(1.0))
+    features
+      .withColumn("out_width", floor(col("width") * scale).cast("int"))
+      .withColumn("out_height", floor(col("height") * scale).cast("int"))
+      .withColumn("resized", scale < 1.0)
+  }
+
+  /**
+   * Frame-sampling stage for video-like payloads: every `stride`-th
+   * fixed-size chunk of the binary becomes a (frame_idx, frame) row —
+   * the explode keeps sampling distributed and shuffle-free. With a real
+   * container format the chunker is the codec's keyframe index; the
+   * deterministic byte chunker stands in for it.
+   */
+  def sampleFrames(media: DataFrame, idCol: String, payloadCol: String,
+                   frameBytes: Int, stride: Int): DataFrame = {
+    val nFrames = floor(length(col(payloadCol)) / frameBytes).cast("int")
+    media.select(
+        col(idCol),
+        posexplode(transform(
+          sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride)),
+          i => substring(col(payloadCol), i * frameBytes + 1, lit(frameBytes))))
+          .as(Seq("frame_idx", "frame")))
+      .filter(length(col("frame")) === frameBytes)
+  }
 }

@@ -69,6 +69,24 @@ class SourcesSpec extends SparkSpec {
     assert(w != null) // construction is the contract; .save() needs a DB
   }
 
+  test("multimodal resize fits the longest edge and preserves aspect") {
+    val feats = Seq((1L, 2048, 1024), (2L, 100, 50)).toDF("doc_id", "width", "height")
+    val out = Multimodal.resizeMeta(feats, maxEdge = 512).orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("out_width") == 512 && out(0).getAs[Int]("out_height") == 256)
+    assert(out(0).getAs[Boolean]("resized"))
+    assert(out(1).getAs[Int]("out_width") == 100 && !out(1).getAs[Boolean]("resized"))
+  }
+
+  test("multimodal frame sampling emits every stride-th fixed-size chunk") {
+    val media = Seq((1L, Array.tabulate[Byte](100)(_.toByte))).toDF("doc_id", "payload")
+    val frames = Multimodal.sampleFrames(media, "doc_id", "payload",
+        frameBytes = 10, stride = 3)
+      .orderBy("frame_idx").collect()
+    assert(frames.length == 4) // chunks 0,3,6,9 of the 10 full chunks
+    assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 10))
+    assert(frames.head.getAs[Array[Byte]]("frame").head == 0.toByte)
+  }
+
   test("multimodal decode keeps ids, is deterministic, and sizes match payloads") {
     val docs = Tables(spark, sf0001).documents.limit(50)
     val payloads = Multimodal.attachPayload(docs, "text", "doc_id")

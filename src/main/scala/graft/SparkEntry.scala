@@ -266,7 +266,7 @@ object SparkEntry {
     Dedup.minhashNearDups(
       t(s, dir).documents, "doc_id",
       TextFns.wordShingles(TextFns.tokens(col("text")), 3),
-      threshold = 0.8)
+      threshold = 0.8, cacheSets = true)
 
   /** #30 SimHash near-dup pairs (64-bit, Hamming ≤ 3, chunk-blocked). */
   private def q30Simhash(s: SparkSession, dir: String): DataFrame =
@@ -338,6 +338,14 @@ object SparkEntry {
     Relational.quantileAgg(t(s, dir).lineitem, Seq("l_returnflag"), "l_extendedprice",
       Seq("p50" -> 0.5, "p90" -> 0.9))
 
+  /** #44 null/missing-value profile in one aggregation (notebook isnull().sum()). */
+  private def q44NullProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir).lineitem
+      .withColumn("discount_n", nullif(col("l_discount"), lit(0.0)))
+      .withColumn("tax_n", nullif(col("l_tax"), lit(0.0)))
+    Cleaning.profileNulls(li, Seq("l_quantity", "discount_n", "tax_n"))
+  }
+
   /** #43 IVF approximate top-k: coarse k-means cells, nprobe probing. */
   private def q43AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir).embeddings
@@ -408,6 +416,7 @@ object SparkEntry {
     "q41_corr_stats"        -> (q41CorrStats _),
     "q42_regex_extract"     -> (q42RegexExtract _),
     "q43_ann_ivf"           -> (q43AnnIvf _),
+    "q44_null_profile"      -> (q44NullProfile _),
   )
 
   private val monthCaseSql: String =
@@ -609,5 +618,11 @@ object SparkEntry {
     "q42_regex_extract" ->
       ("SELECT CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS INT) AS brand_num, " +
         "COUNT(*) AS n FROM part GROUP BY 1"),
+    "q44_null_profile" ->
+      ("SELECT COUNT(*) AS n_rows, " +
+        "SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nulls_l_quantity, " +
+        "SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS nulls_discount_n, " +
+        "SUM(CASE WHEN NULLIF(l_tax, 0.0) IS NULL THEN 1 ELSE 0 END) AS nulls_tax_n " +
+        "FROM lineitem"),
   )
 }

@@ -72,4 +72,16 @@ object Cleaning {
    */
   def distinctValues(df: DataFrame, column: String): DataFrame =
     df.select(col(column)).distinct()
+
+  /**
+   * Null profile: one pass over the table computing the row count and a
+   * null count per listed column (the reference notebook's
+   * `df.isnull().sum()` profiling cell) — a single aggregation, however
+   * many columns, with map-side partials.
+   */
+  def profileNulls(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val aggs = columns.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+    df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
 }

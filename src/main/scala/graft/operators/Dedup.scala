@@ -101,11 +101,21 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col(simName))
   }
 
-  /** Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard verify. */
+  /**
+   * Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard
+   * verify. The shingle-set frame is referenced by three plan branches
+   * (signature explode + both verify joins); `cacheSets` persists it so
+   * the sets are computed once instead of three times — at corpus scale
+   * that is two saved scans-with-shingling for |corpus| × set-size of
+   * (spillable) cache.
+   */
   def minhashNearDups(
       df: DataFrame, id: String, setCol: Column,
-      threshold: Double, numHashes: Int = 120, bands: Int = 20): DataFrame = {
-    val withSet = df.withColumn("__gset_src", setCol)
+      threshold: Double, numHashes: Int = 120, bands: Int = 20,
+      cacheSets: Boolean = false): DataFrame = {
+    var withSet = df.withColumn("__gset_src", setCol)
+    if (cacheSets)
+      withSet = withSet.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = minhashCandidates(withSet, id, col("__gset_src"), numHashes, bands)
     jaccardVerify(cands, withSet, id, col("__gset_src"), threshold)
   }

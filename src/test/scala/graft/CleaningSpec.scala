@@ -41,4 +41,18 @@ class CleaningSpec extends SparkSpec {
     val d = Seq((1, 2), (3, 2), (2, 2)).toDF("x", "y")
     assert(Cleaning.invariantFilter(d, col("x") <= col("y"), col("x") > 1).count() == 1)
   }
+
+  test("distinctValues returns the value domain for single-domain assertions") {
+    val d = Seq(2020, 2020, 2020).toDF("ano")
+    assert(Cleaning.distinctValues(d, "ano").count() == 1)
+  }
+
+  test("profileNulls counts rows and per-column nulls in one aggregation") {
+    val d = Seq((Some(1), Some("a")), (None, Some("b")), (Some(3), None))
+      .toDF("x", "y")
+    val r = Cleaning.profileNulls(d, Seq("x", "y")).collect().head
+    assert(r.getAs[Long]("n_rows") == 3L)
+    assert(r.getAs[Long]("nulls_x") == 1L)
+    assert(r.getAs[Long]("nulls_y") == 1L)
+  }
 }

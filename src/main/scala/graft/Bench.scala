@@ -29,7 +29,9 @@ object Bench {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
+        // fatal JVM errors (OOM etc.) must abort — timings after one
+        // would be garbage measured in a corrupted JVM
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }

@@ -266,7 +266,7 @@ object SparkEntry {
     Dedup.minhashNearDups(
       t(s, dir).documents, "doc_id",
       TextFns.wordShingles(TextFns.tokens(col("text")), 3),
-      threshold = 0.8, cacheSets = true)
+      threshold = 0.8)
 
   /** #30 SimHash near-dup pairs (64-bit, Hamming ≤ 3, chunk-blocked). */
   private def q30Simhash(s: SparkSession, dir: String): DataFrame =

@@ -104,16 +104,20 @@ object Dedup {
   /**
    * Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard
    * verify. The shingle-set frame is referenced by three plan branches
-   * (signature explode + both verify joins); `cacheSets` persists it so
-   * the sets are computed once instead of three times — at corpus scale
-   * that is two saved scans-with-shingling for |corpus| × set-size of
-   * (spillable) cache.
+   * (signature explode + both verify joins); `cacheSets` persists it —
+   * projected down to (id, set) only — so the sets are computed once
+   * instead of three times: at corpus scale that is two saved
+   * scans-with-shingling for |corpus| × set-size of spillable cache.
+   * The cache is NOT unpersisted here (the returned frame still reads
+   * it); callers own the lifetime — unpersist via
+   * `spark.catalog.clearCache()` or keep the default `false` when the
+   * query runs once.
    */
   def minhashNearDups(
       df: DataFrame, id: String, setCol: Column,
       threshold: Double, numHashes: Int = 120, bands: Int = 20,
       cacheSets: Boolean = false): DataFrame = {
-    var withSet = df.withColumn("__gset_src", setCol)
+    var withSet = df.select(col(id), setCol.as("__gset_src"))
     if (cacheSets)
       withSet = withSet.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = minhashCandidates(withSet, id, col("__gset_src"), numHashes, bands)
@@ -161,7 +165,10 @@ object Dedup {
           col("a.__gid") < col("b.__gid"))
       .select(col("a.__gid").as("id_a"), col("b.__gid").as("id_b"),
         expr("bit_count(a.__gsim ^ b.__gsim)").as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is deterministic per pair, and
+      // most chunk collisions are far pairs — dropping them first keeps
+      // the dedup shuffle to true near-dups only
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

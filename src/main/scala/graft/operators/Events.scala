@@ -55,30 +55,36 @@ object Events {
       keys: Seq[String], leftTs: String, rightTs: String,
       valueCols: Seq[(String, String)]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // All right-side values travel in ONE struct, so the window's
+    // last(ignoreNulls) picks the whole latest right row atomically —
+    // carrying columns independently could stitch fields from different
+    // right rows whenever the true latest match holds a null.
     val l = left
       .withColumn("__graft_ts", col(leftTs))
       .withColumn("__graft_tag", lit(1))
+      .withColumn("__graft_vals",
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          valueCols.map { case (from, to) =>
+            org.apache.spark.sql.types.StructField(to,
+              right.schema(from).dataType)
+          })))
     val r0 = right.select(
-      (keys.map(col) :+ col(rightTs).as("__graft_ts")) ++
-        valueCols.map { case (from, to) => col(from).as(s"__graft_v_$to") }: _*)
+        (keys.map(col) :+ col(rightTs).as("__graft_ts")) :+
+          struct(valueCols.map { case (from, to) => col(from).as(to) }: _*)
+            .as("__graft_vals"): _*)
       .withColumn("__graft_tag", lit(0))
-    val lAligned = valueCols.foldLeft(l) { case (d, (_, to)) =>
-      d.withColumn(s"__graft_v_$to", lit(null))
-    }
-    val unioned = lAligned.select(
-        (keys.map(col) :+ col("__graft_ts") :+ col("__graft_tag")) ++
-          leftCols.filterNot(keys.contains).map(col) ++
-          valueCols.map { case (_, to) => col(s"__graft_v_$to") }: _*)
+    val unioned = l.select(
+        (keys.map(col) :+ col("__graft_ts") :+ col("__graft_tag") :+ col("__graft_vals")) ++
+          leftCols.filterNot(keys.contains).map(col): _*)
       .unionByName(r0
         .withColumns(leftCols.filterNot(keys.contains).map(c => c -> lit(null)).toMap))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__graft_ts"), col("__graft_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned) { case (d, (_, to)) =>
-      d.withColumn(to, last(col(s"__graft_v_$to"), ignoreNulls = true).over(w))
-    }
-    carried
+    unioned
+      .withColumn("__graft_hit", last(col("__graft_vals"), ignoreNulls = true).over(w))
       .filter(col("__graft_tag") === 1)
-      .select(leftCols.map(col) ++ valueCols.map { case (_, to) => col(to) }: _*)
+      .select(leftCols.map(col) ++
+        valueCols.map { case (_, to) => col(s"__graft_hit.$to").as(to) }: _*)
   }
 }

@@ -36,10 +36,12 @@ object Multimodal {
 
   /**
    * The decode stub: deterministic fake features derived from the payload
-   * bytes. Swap for a real codec (`javax.imageio`, ffmpeg bindings, ...)
-   * in production — the signature is the contract.
+   * bytes. Production swaps in a real codec (`javax.imageio`, ffmpeg
+   * bindings, ...) by passing it to [[decodeFeatures]] — the decoder is
+   * a parameter (serialized with the closure), NOT mutable global state,
+   * because a driver-side `var` would never reach executor JVMs.
    */
-  var decoder: MediaRow => MediaFeatures = { row =>
+  val defaultDecoder: MediaRow => MediaFeatures = { row =>
     val bytes = row.payload
     var sum = 0L
     var i = 0
@@ -59,13 +61,14 @@ object Multimodal {
    * graft drops below the DataFrame API, as SURVEY §4 allows for genuine
    * per-partition imperative logic.
    */
-  def decodeFeatures(spark: SparkSession, docs: DataFrame, textCol: String, idCol: String): Dataset[MediaFeatures] = {
+  def decodeFeatures(
+      spark: SparkSession, docs: DataFrame, textCol: String, idCol: String,
+      decode: MediaRow => MediaFeatures = defaultDecoder): Dataset[MediaFeatures] = {
     val media = docs
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("binary").as("payload"))
       .as(Encoders.product[MediaRow])
     media.mapPartitions { rows =>
-      // per-partition decoder setup would happen here
-      val decode = decoder
+      // per-partition codec setup would happen here
       rows.map(decode)
     }(Encoders.product[MediaFeatures])
   }

@@ -89,10 +89,15 @@ object Relational {
   /**
    * Skew-resistant two-phase aggregation: rows are first aggregated on
    * (keys, salt) — spreading one hot key over `saltBuckets` reducers —
-   * then the partials are combined on the true keys. The salt is a
-   * deterministic hash of the whole row's aggregated columns, so results
-   * are stable. Use when one key holds a disproportionate share of a
-   * 100 TB table and even map-side partial aggregation leaves a hot
+   * then the partials are combined on the true keys. The salt is derived
+   * from each row's physical id, so even a hot key whose rows are all
+   * IDENTICAL spreads uniformly (a content hash would collapse duplicate
+   * rows into one bucket — the classic skew case this operator exists
+   * for). The salt value never affects the final result — phase 2
+   * re-aggregates on the true keys — so result determinism rests on the
+   * phase aggregates themselves (use [[graft.functions.Exact]] builders
+   * for float sums). Use when one key holds a disproportionate share of
+   * a 100 TB table and even map-side partial aggregation leaves a hot
    * reducer; for joins, AQE's skew-join splitting covers the same risk.
    *
    * `partials` maps each output column to (phase-1 agg of the input,
@@ -103,7 +108,7 @@ object Relational {
       df: DataFrame, keys: Seq[String], saltBuckets: Int,
       partials: Seq[(String, Column, Column => Column)]): DataFrame = {
     val salted = df.withColumn("__graft_salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets)))
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)))
     val phase1 = salted
       .groupBy((keys :+ "__graft_salt").map(col): _*)
       .agg(partials.head._2.as(s"__graft_p_${partials.head._1}"),

@@ -82,13 +82,18 @@ object Similarity {
   }
 
   /**
-   * Deterministic k-means centroids (Lloyd's) over an embedding column,
-   * entirely in DataFrame ops: initialization takes the `k` lowest-id
-   * vectors (deterministic, no RNG), each iteration assigns rows to the
-   * nearest centroid (argmax cosine against a broadcast k-row table) and
-   * recomputes per-cluster means via posexplode + per-dimension avg.
-   * Two shuffles per iteration (assign is shuffle-free; the mean is a
-   * map-side partial agg), so iterations scale to any corpus size.
+   * K-means centroids (Lloyd's) over an embedding column, entirely in
+   * DataFrame ops: initialization takes the `k` lowest-id vectors (no
+   * RNG), each iteration assigns rows to the nearest centroid (argmax
+   * cosine, shuffle-free) and recomputes per-cluster means via
+   * posexplode + per-dimension avg (map-side partials), so iterations
+   * scale to any corpus size. A cluster that captures no rows keeps its
+   * previous centroid rather than silently vanishing, so `k` cells
+   * always survive. Initialization and tie-breaks are deterministic;
+   * the mean itself merges double partials in shuffle order, so
+   * centroids can differ in the last ulp between runs — searches that
+   * need run-to-run bit-stability should persist the index (centroids +
+   * assignments) once and reuse it, as production IVF deployments do.
    */
   def kmeansCentroids(
       spark: SparkSession, df: DataFrame, id: String, vec: String,
@@ -97,7 +102,7 @@ object Similarity {
       .select(col(vec)).collect()
       .map(_.getSeq[Float](0).toSeq).zipWithIndex.map(_.swap).toSeq
     for (_ <- 0 until iterations) {
-      centroids = assignToCentroids(spark, df, vec, centroids)
+      val updated = assignToCentroids(spark, df, vec, centroids)
         .select(col("cluster_id"), posexplode(col(vec)).as(Seq("__gpos", "__gval")))
         .groupBy("cluster_id", "__gpos")
         .agg(avg(col("__gval")).as("__gmean"))          // map-side partials; k·dim rows out
@@ -106,8 +111,11 @@ object Similarity {
         .select(col("cluster_id"),
           expr("transform(__gpairs, p -> CAST(p.__gmean AS FLOAT))").as("centroid"))
         .collect()                                       // k tiny rows, like agg-to-literal medians
-        .map(r => r.getAs[Number]("cluster_id").intValue -> r.getSeq[Float](1).toSeq).toSeq
-        .sortBy(_._1)
+        .map(r => r.getAs[Number]("cluster_id").intValue -> r.getSeq[Float](1).toSeq)
+        .toMap
+      centroids = centroids.map { case (cid, prev) =>
+        cid -> updated.getOrElse(cid, prev)              // empty cluster keeps its centroid
+      }
     }
     centroids
   }

@@ -54,6 +54,19 @@ class EventsSpec extends SparkSpec {
       Some(ts("2024-01-01 10:15:00")), None, Some(ts("2024-01-01 10:00:00"))))
   }
 
+  test("asofJoin carries all value columns atomically from ONE right row") {
+    val lefts = Seq((1L, ts("2024-01-01 12:00:00"))).toDF("user_id", "ts")
+    val rights = Seq(
+      (1L, ts("2024-01-01 03:00:00"), Some(2.0), Some(7.0)),
+      (1L, ts("2024-01-01 10:00:00"), Some(5.0), None), // latest match: qty is null
+    ).toDF("user_id", "ts", "price", "qty")
+    val out = Events.asofJoin(lefts, rights, Seq("user_id"), "ts", "ts",
+        Seq("price" -> "p", "qty" -> "q")).collect().head
+    assert(out.getAs[Double]("p") == 5.0)
+    assert(out.isNullAt(out.fieldIndex("q")),
+      "q must be the latest row's null, never stitched from an older row")
+  }
+
   test("rollupAgg emits all grouping-set levels") {
     import graft.operators.Relational
     val d = Seq(("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0)).toDF("g1", "g2", "v")

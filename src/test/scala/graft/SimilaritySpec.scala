@@ -38,6 +38,19 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r - 1.0) < 1e-12)
   }
 
+  test("cosine returns null on dimension mismatch and null elements, never a prefix similarity") {
+    val mismatch = Seq((Seq(1f, 0f, 0f), Seq(1f, 0f)))
+      .toDF("x", "y")
+      .select(Similarity.cosine(spark, col("x"), col("y")).as("c"))
+      .collect().head
+    assert(mismatch.isNullAt(0))
+    val withNullElem = Seq((Seq(Some(1f), None), Seq(Some(1f), Some(0f))))
+      .toDF("x", "y")
+      .select(Similarity.cosine(spark, col("x"), col("y")).as("c"))
+      .collect().head
+    assert(withNullElem.isNullAt(0))
+  }
+
   test("cosine propagates null inputs and rejects wrong types at analysis") {
     val withNull = Seq((Some(Seq(1f, 0f)), Option.empty[Seq[Float]]))
       .toDF("x", "y")

@@ -338,6 +338,11 @@ object SparkEntry {
     Relational.quantileAgg(t(s, dir).lineitem, Seq("l_returnflag"), "l_extendedprice",
       Seq("p50" -> 0.5, "p90" -> 0.9))
 
+  /** #45 deterministic stratified sample: hash-ordered top-n per stratum. */
+  private def q45StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Relational.stratifiedSample(t(s, dir).documents, Seq("lang"), col("text"), n = 10)
+      .select("lang", "doc_id", "n_chars")
+
   /** #44 null/missing-value profile in one aggregation (notebook isnull().sum()). */
   private def q44NullProfile(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir).lineitem
@@ -417,6 +422,7 @@ object SparkEntry {
     "q42_regex_extract"     -> (q42RegexExtract _),
     "q43_ann_ivf"           -> (q43AnnIvf _),
     "q44_null_profile"      -> (q44NullProfile _),
+    "q45_stratified_sample" -> (q45StratifiedSample _),
   )
 
   private val monthCaseSql: String =
@@ -624,5 +630,10 @@ object SparkEntry {
         "SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS nulls_discount_n, " +
         "SUM(CASE WHEN NULLIF(l_tax, 0.0) IS NULL THEN 1 ELSE 0 END) AS nulls_tax_n " +
         "FROM lineitem"),
+    "q45_stratified_sample" ->
+      ("SELECT lang, doc_id, n_chars FROM (" +
+        "SELECT lang, doc_id, n_chars, " +
+        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text)) AS rn " +
+        "FROM documents) WHERE rn <= 10"),
   )
 }

@@ -41,9 +41,23 @@ object Relational {
    * split at runtime.
    */
   def keepFirst(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame =
+    keepFirstN(df, keys, order, 1)
+
+  /** First `n` rows per key under `order` (WindowGroupLimit prunes map-side). */
+  def keepFirstN(df: DataFrame, keys: Seq[Column], order: Seq[Column], n: Int): DataFrame =
     df.withColumn("__graft_rn", row_number().over(Window.partitionBy(keys: _*).orderBy(order: _*)))
-      .filter(col("__graft_rn") === 1)
+      .filter(col("__graft_rn") <= n)
       .drop("__graft_rn")
+
+  /**
+   * Deterministic stratified sample for corpus curation: within each
+   * stratum keep the `n` rows with the smallest hash of `hashCol` — a
+   * reproducible pseudo-random draw (same rows on any cluster, any
+   * partitioning, any engine computing the same hash), unlike
+   * seeded-RNG sampling whose output shifts with partition layout.
+   */
+  def stratifiedSample(df: DataFrame, strata: Seq[String], hashCol: Column, n: Int): DataFrame =
+    keepFirstN(df, strata.map(col), Seq(md5(hashCol.cast("string"))), n)
 
   /** Union of homogeneous slices by column name (reference dag.py:208 concat). */
   def unionSlices(slices: Seq[DataFrame]): DataFrame =

@@ -47,6 +47,16 @@ class RelationalSpec extends SparkSpec {
     assert(Relational.semiJoin(a, b, col("k") === col("k2")).as[Int].collect().sorted.toSeq == Seq(2, 3))
   }
 
+  test("stratifiedSample: deterministic, n per stratum, partition-layout independent") {
+    val d = (1 to 100).map(i => (s"s${i % 3}", i)).toDF("stratum", "id")
+    val a = Relational.stratifiedSample(d, Seq("stratum"), col("id"), 5)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    val b = Relational.stratifiedSample(d.repartition(7), Seq("stratum"), col("id"), 5)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(a == b) // same draw regardless of physical layout
+    assert(a.groupBy(_._1).forall(_._2.size == 5))
+  }
+
   test("unionSlices unions by name") {
     val s1 = Seq((1, "a")).toDF("x", "y")
     val s2 = Seq(("b", 2)).toDF("y", "x")

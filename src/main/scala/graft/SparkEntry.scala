@@ -338,6 +338,16 @@ object SparkEntry {
     Relational.quantileAgg(t(s, dir).lineitem, Seq("l_returnflag"), "l_extendedprice",
       Seq("p50" -> 0.5, "p90" -> 0.9))
 
+  /** #46 idempotent load: drop incoming rows whose keys already landed (dag.py:290-445). */
+  private def q46IdempotentLoad(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir).orders
+    val existing = o.filter(col("o_orderkey") % 3 === 0)
+    val incoming = o.filter(col("o_orderkey") % 2 === 0)
+    Relational.idempotentAppend(incoming, existing, Seq("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(cnt.as("n"), decSum(col("o_totalprice")).as("sum_price"))
+  }
+
   /** #45 deterministic stratified sample: hash-ordered top-n per stratum. */
   private def q45StratifiedSample(s: SparkSession, dir: String): DataFrame =
     Relational.stratifiedSample(t(s, dir).documents, Seq("lang"), col("text"), n = 10)
@@ -423,6 +433,7 @@ object SparkEntry {
     "q43_ann_ivf"           -> (q43AnnIvf _),
     "q44_null_profile"      -> (q44NullProfile _),
     "q45_stratified_sample" -> (q45StratifiedSample _),
+    "q46_idempotent_load"   -> (q46IdempotentLoad _),
   )
 
   private val monthCaseSql: String =
@@ -635,5 +646,11 @@ object SparkEntry {
         "SELECT lang, doc_id, n_chars, " +
         "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text)) AS rn " +
         "FROM documents) WHERE rn <= 10"),
+    "q46_idempotent_load" ->
+      ("SELECT o_orderstatus, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price " +
+        "FROM orders WHERE o_orderkey % 2 = 0 AND NOT EXISTS (" +
+        "SELECT 1 FROM orders e WHERE e.o_orderkey % 3 = 0 " +
+        "AND e.o_orderkey = orders.o_orderkey) GROUP BY 1"),
   )
 }

@@ -149,6 +149,18 @@ object Relational {
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /**
+   * Idempotent-load filter: rows of `incoming` whose `keys` already exist
+   * in `existing` are dropped — the Spark-first re-expression of the
+   * reference's `INSERT ... ON CONFLICT DO NOTHING` warehouse load
+   * (reference dag.py:290-445, which resolves conflicts row-by-row in
+   * the database). Resolving them as one distributed anti-join BEFORE
+   * the write keeps the sink append-only and the conflict check
+   * parallel; re-running a load is a no-op.
+   */
+  def idempotentAppend(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
   /** Existence joins for FK-integrity checks (orphans / members). */
   def antiJoin(df: DataFrame, other: DataFrame, joinExprs: Column): DataFrame =
     df.join(other, joinExprs, "left_anti")

@@ -57,6 +57,15 @@ class RelationalSpec extends SparkSpec {
     assert(a.groupBy(_._1).forall(_._2.size == 5))
   }
 
+  test("idempotentAppend drops already-loaded keys; re-run is a no-op") {
+    val existing = Seq((1, "old"), (2, "old")).toDF("k", "v")
+    val incoming = Seq((2, "new"), (3, "new")).toDF("k", "v")
+    val first = Relational.idempotentAppend(incoming, existing, Seq("k"))
+    assert(first.select("k").as[Int].collect().toSeq == Seq(3))
+    val afterLoad = existing.unionByName(first)
+    assert(Relational.idempotentAppend(incoming, afterLoad, Seq("k")).isEmpty)
+  }
+
   test("unionSlices unions by name") {
     val s1 = Seq((1, "a")).toDF("x", "y")
     val s2 = Seq(("b", 2)).toDF("y", "x")

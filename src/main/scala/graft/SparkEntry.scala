@@ -350,7 +350,8 @@ object SparkEntry {
 
   /** #45 deterministic stratified sample: hash-ordered top-n per stratum. */
   private def q45StratifiedSample(s: SparkSession, dir: String): DataFrame =
-    Relational.stratifiedSample(t(s, dir).documents, Seq("lang"), col("text"), n = 10)
+    Relational.stratifiedSample(t(s, dir).documents, Seq("lang"), col("text"), n = 10,
+        tieBreak = Seq(col("doc_id")))  // duplicate texts exist; doc_id totalizes the order
       .select("lang", "doc_id", "n_chars")
 
   /** #44 null/missing-value profile in one aggregation (notebook isnull().sum()). */
@@ -644,7 +645,7 @@ object SparkEntry {
     "q45_stratified_sample" ->
       ("SELECT lang, doc_id, n_chars FROM (" +
         "SELECT lang, doc_id, n_chars, " +
-        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text)) AS rn " +
+        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn " +
         "FROM documents) WHERE rn <= 10"),
     "q46_idempotent_load" ->
       ("SELECT o_orderstatus, COUNT(*) AS n, " +

@@ -55,9 +55,14 @@ object Relational {
    * reproducible pseudo-random draw (same rows on any cluster, any
    * partitioning, any engine computing the same hash), unlike
    * seeded-RNG sampling whose output shifts with partition layout.
+   * `tieBreak` must make the ordering total (e.g. the row id): duplicate
+   * `hashCol` values hash identically, and row_number over a tie is
+   * partition-order dependent — exactly the nondeterminism this
+   * operator exists to avoid.
    */
-  def stratifiedSample(df: DataFrame, strata: Seq[String], hashCol: Column, n: Int): DataFrame =
-    keepFirstN(df, strata.map(col), Seq(md5(hashCol.cast("string"))), n)
+  def stratifiedSample(df: DataFrame, strata: Seq[String], hashCol: Column, n: Int,
+                       tieBreak: Seq[Column] = Nil): DataFrame =
+    keepFirstN(df, strata.map(col), md5(hashCol.cast("string")) +: tieBreak, n)
 
   /** Union of homogeneous slices by column name (reference dag.py:208 concat). */
   def unionSlices(slices: Seq[DataFrame]): DataFrame =
@@ -159,7 +164,9 @@ object Relational {
    * parallel; re-running a load is a no-op.
    */
   def idempotentAppend(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
-    incoming.join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    // no distinct on the build side: left_anti is unaffected by duplicate
+    // keys, and deduplicating first would cost an extra shuffle
+    incoming.join(existing.select(keys.map(col): _*), keys, "left_anti")
 
   /** Existence joins for FK-integrity checks (orphans / members). */
   def antiJoin(df: DataFrame, other: DataFrame, joinExprs: Column): DataFrame =

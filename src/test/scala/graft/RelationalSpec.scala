@@ -47,14 +47,18 @@ class RelationalSpec extends SparkSpec {
     assert(Relational.semiJoin(a, b, col("k") === col("k2")).as[Int].collect().sorted.toSeq == Seq(2, 3))
   }
 
-  test("stratifiedSample: deterministic, n per stratum, partition-layout independent") {
-    val d = (1 to 100).map(i => (s"s${i % 3}", i)).toDF("stratum", "id")
-    val a = Relational.stratifiedSample(d, Seq("stratum"), col("id"), 5)
-      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
-    val b = Relational.stratifiedSample(d.repartition(7), Seq("stratum"), col("id"), 5)
-      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
-    assert(a == b) // same draw regardless of physical layout
-    assert(a.groupBy(_._1).forall(_._2.size == 5))
+  test("stratifiedSample: deterministic under ties, n per stratum, layout independent") {
+    // duplicate hash values ("dup") within strata force tie-breaking
+    val d = ((1 to 100).map(i => (s"s${i % 3}", "dup", i)) ++
+      (101 to 130).map(i => (s"s${i % 3}", s"v$i", i))).toDF("stratum", "text", "id")
+    def draw(df: org.apache.spark.sql.DataFrame) =
+      Relational.stratifiedSample(df, Seq("stratum"), col("text"), 5, Seq(col("id")))
+        .collect().map(r => (r.getString(0), r.getInt(2))).toSet
+    val a = draw(d)
+    val b = draw(d.repartition(7))
+    assert(a == b, "same draw regardless of physical layout, even with tied hashes")
+    assert(a.size == 15)
+    assert(a.map(_._1) == Set("s0", "s1", "s2"))
   }
 
   test("idempotentAppend drops already-loaded keys; re-run is a no-op") {

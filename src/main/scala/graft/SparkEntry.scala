@@ -338,6 +338,12 @@ object SparkEntry {
     Relational.quantileAgg(t(s, dir).lineitem, Seq("l_returnflag"), "l_extendedprice",
       Seq("p50" -> 0.5, "p90" -> 0.9))
 
+  /** #47 cube with grouping indicators (null-safe subtotal disambiguation). */
+  private def q47CubeAgg(s: SparkSession, dir: String): DataFrame =
+    Relational.cubeAgg(t(s, dir).orders,
+      Seq("o_orderpriority", "o_orderstatus"),
+      Seq(cnt.as("n"), decSum(col("o_totalprice")).as("sum_price")))
+
   /** #46 idempotent load: drop incoming rows whose keys already landed (dag.py:290-445). */
   private def q46IdempotentLoad(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir).orders
@@ -435,6 +441,7 @@ object SparkEntry {
     "q44_null_profile"      -> (q44NullProfile _),
     "q45_stratified_sample" -> (q45StratifiedSample _),
     "q46_idempotent_load"   -> (q46IdempotentLoad _),
+    "q47_cube_agg"          -> (q47CubeAgg _),
   )
 
   private val monthCaseSql: String =
@@ -653,5 +660,12 @@ object SparkEntry {
         "FROM orders WHERE o_orderkey % 2 = 0 AND NOT EXISTS (" +
         "SELECT 1 FROM orders e WHERE e.o_orderkey % 3 = 0 " +
         "AND e.o_orderkey = orders.o_orderkey) GROUP BY 1"),
+    "q47_cube_agg" ->
+      ("SELECT o_orderpriority, o_orderstatus, " +
+        "CAST(GROUPING(o_orderpriority) AS INT) AS is_total_o_orderpriority, " +
+        "CAST(GROUPING(o_orderstatus) AS INT) AS is_total_o_orderstatus, " +
+        "COUNT(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price " +
+        "FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)"),
   )
 }

@@ -97,6 +97,18 @@ object Relational {
     df.rollup(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
 
   /**
+   * Full cube: every grouping-set combination in one shuffle, with a
+   * `grouping(c)` indicator per dimension so subtotal rows are
+   * distinguishable from genuine NULL dimension values — the robust
+   * form of what [[rollupAgg]] does for hierarchies.
+   */
+  def cubeAgg(df: DataFrame, groupCols: Seq[String], aggs: Seq[Column]): DataFrame = {
+    val indicators = groupCols.map(c => grouping(col(c)).cast("int").as(s"is_total_$c"))
+    df.cube(groupCols.map(col): _*)
+      .agg((indicators ++ aggs).head, (indicators ++ aggs).tail: _*)
+  }
+
+  /**
    * Distinct cardinality: exact (two-phase partial distinct) or HLL++
    * sketch (`rsd` relative error) — the sketch is the 100 TB default:
    * fixed-size mergeable state instead of shuffling every distinct value.

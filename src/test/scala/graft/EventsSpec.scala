@@ -88,6 +88,19 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("cubeAgg grouping indicators separate subtotals from null data values") {
+    import graft.operators.Relational
+    val d = Seq((Some("a"), "x", 1.0), (None, "x", 2.0)).toDF("g1", "g2", "v")
+    val out = Relational.cubeAgg(d, Seq("g1", "g2"), Seq(sum("v").as("s")))
+    // the NULL data value row at leaf level is distinguishable from the g1 subtotal
+    val leafNull = out.filter(col("g1").isNull && col("is_total_g1") === 0 &&
+      col("is_total_g2") === 0)
+    assert(leafNull.count() == 1 && leafNull.head.getAs[Double]("s") == 2.0)
+    val subtotal = out.filter(col("is_total_g1") === 1 && col("is_total_g2") === 1)
+    assert(subtotal.head.getAs[Double]("s") == 3.0)
+    assert(out.count() == 6) // 2 leaves + 1 (*,x) + 2 (g1,*) + 1 grand total
+  }
+
   test("distinctCount: approx HLL++ lands within rsd of exact") {
     import graft.operators.Relational
     val li = sources.Tables(spark, sf0001).lineitem

@@ -614,8 +614,8 @@ object SparkEntry {
       ("WITH x AS (SELECT user_id, ts, CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) " +
         "OVER (PARTITION BY user_id ORDER BY ts) > 3600000000 THEN 1 ELSE 0 END AS ns " +
         "FROM events), " +
-        "y AS (SELECT user_id, ts, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts " +
-        "ROWS UNBOUNDED PRECEDING) AS session_idx FROM x) " +
+        "y AS (SELECT user_id, ts, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM x) " +
         "SELECT user_id, session_idx, COUNT(*) AS n_events, " +
         "MIN(ts) AS start_ts, MAX(ts) AS end_ts FROM y GROUP BY 1, 2"),
     "q38_asof_join" ->
@@ -645,9 +645,9 @@ object SparkEntry {
         "COUNT(*) AS n FROM part GROUP BY 1"),
     "q44_null_profile" ->
       ("SELECT COUNT(*) AS n_rows, " +
-        "SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nulls_l_quantity, " +
-        "SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS nulls_discount_n, " +
-        "SUM(CASE WHEN NULLIF(l_tax, 0.0) IS NULL THEN 1 ELSE 0 END) AS nulls_tax_n " +
+        "CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_quantity, " +
+        "CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_discount_n, " +
+        "CAST(SUM(CASE WHEN NULLIF(l_tax, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_tax_n " +
         "FROM lineitem"),
     "q45_stratified_sample" ->
       ("SELECT lang, doc_id, n_chars FROM (" +

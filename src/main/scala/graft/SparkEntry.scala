@@ -315,7 +315,8 @@ object SparkEntry {
 
   /** #37 gap-based batch sessionization (1-hour gap). */
   private def q37SessionizeBatch(s: SparkSession, dir: String): DataFrame =
-    Events.sessionSummaries(t(s, dir).events, "user_id", "ts", gapUs = 3600L * 1000000L)
+    Events.sessionSummaries(t(s, dir).events, "user_id", "ts", gapUs = 3600L * 1000000L,
+      tieBreak = Seq("event_id"))
 
   /** #38 as-of join: latest click at-or-before each purchase, per user. */
   private def q38AsofJoin(s: SparkSession, dir: String): DataFrame = {
@@ -325,7 +326,7 @@ object SparkEntry {
           .select("user_id", "event_id", "ts"),
         e.filter(col("event_type") === "click"),
         keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
-        valueCols = Seq("ts" -> "last_click_ts"))
+        valueCols = Seq("ts" -> "last_click_ts"), rightTieBreak = Seq("event_id"))
       .select("user_id", "event_id", "ts", "last_click_ts")
   }
 

@@ -20,9 +20,15 @@ object Events {
    * One shuffle (by `user`); both windows share that partitioning, so
    * Catalyst plans a single exchange + sort. No state, no driver loops —
    * this is the batch twin of `EventStreams.sessionize`.
+   *
+   * `tieBreak` makes the window ordering total when timestamps can
+   * repeat within a user (session_idx values are gap-derived and thus
+   * already value-deterministic, but per-row ordering among tied
+   * timestamps is partition-order dependent without it).
    */
-  def sessionize(df: DataFrame, user: String, ts: String, gapUs: Long): DataFrame = {
-    val w = Window.partitionBy(user).orderBy(ts)
+  def sessionize(df: DataFrame, user: String, ts: String, gapUs: Long,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(user).orderBy(col(ts) +: tieBreak.map(col): _*)
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val gap = unix_micros(col(ts)) - lag(unix_micros(col(ts)), 1).over(w)
     df.withColumn("__graft_new", when(gap > gapUs, 1L).otherwise(0L))
@@ -31,8 +37,9 @@ object Events {
   }
 
   /** Session summaries: one row per (user, session). */
-  def sessionSummaries(df: DataFrame, user: String, ts: String, gapUs: Long): DataFrame =
-    sessionize(df, user, ts, gapUs)
+  def sessionSummaries(df: DataFrame, user: String, ts: String, gapUs: Long,
+      tieBreak: Seq[String] = Nil): DataFrame =
+    sessionize(df, user, ts, gapUs, tieBreak)
       .groupBy(col(user), col("session_idx"))
       .agg(count(lit(1)).as("n_events"),
         min(col(ts)).as("start_ts"),
@@ -49,12 +56,20 @@ object Events {
    * then `last(..., ignoreNulls)` carries the most recent right values
    * forward. At equal timestamps the right row sorts first (tag order),
    * giving the inclusive `<=` match.
+   *
+   * `rightTieBreak` (right-side columns) makes the sweep ordering total
+   * when several right rows share (keys, ts): the row with the GREATEST
+   * tie-break tuple wins. Without it, which tied right row is attached
+   * is partition-order dependent. Left-left ties are harmless — tied
+   * left rows see the same set of preceding right rows either way.
    */
   def asofJoin(
       left: DataFrame, right: DataFrame,
       keys: Seq[String], leftTs: String, rightTs: String,
-      valueCols: Seq[(String, String)]): DataFrame = {
+      valueCols: Seq[(String, String)],
+      rightTieBreak: Seq[String] = Nil): DataFrame = {
     val leftCols = left.columns.toSeq
+    val tbNames = rightTieBreak.indices.map(i => s"__graft_tb_$i")
     // All right-side values travel in ONE struct, so the window's
     // last(ignoreNulls) picks the whole latest right row atomically —
     // carrying columns independently could stitch fields from different
@@ -68,18 +83,26 @@ object Events {
             org.apache.spark.sql.types.StructField(to,
               right.schema(from).dataType)
           })))
+      .withColumns(rightTieBreak.zip(tbNames).map { case (from, tb) =>
+        tb -> lit(null).cast(right.schema(from).dataType)
+      }.toMap)
     val r0 = right.select(
-        (keys.map(col) :+ col(rightTs).as("__graft_ts")) :+
+        (keys.map(col) :+ col(rightTs).as("__graft_ts")) ++
+          rightTieBreak.zip(tbNames).map { case (from, tb) => col(from).as(tb) } :+
           struct(valueCols.map { case (from, to) => col(from).as(to) }: _*)
             .as("__graft_vals"): _*)
       .withColumn("__graft_tag", lit(0))
     val unioned = l.select(
         (keys.map(col) :+ col("__graft_ts") :+ col("__graft_tag") :+ col("__graft_vals")) ++
+          tbNames.map(col) ++
           leftCols.filterNot(keys.contains).map(col): _*)
       .unionByName(r0
         .withColumns(leftCols.filterNot(keys.contains).map(c => c -> lit(null)).toMap))
+    // Tied right rows order by the tie-break ASC, so last() keeps the
+    // greatest; left rows carry null tie-breaks but sort after every tied
+    // right row via the tag column regardless (nulls-first is irrelevant).
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__graft_ts"), col("__graft_tag"))
+      .orderBy(col("__graft_ts") +: col("__graft_tag") +: tbNames.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("__graft_hit", last(col("__graft_vals"), ignoreNulls = true).over(w))

@@ -67,6 +67,38 @@ class EventsSpec extends SparkSpec {
       "q must be the latest row's null, never stitched from an older row")
   }
 
+  test("asofJoin with duplicate (key, ts) right rows picks the greatest tie-break deterministically") {
+    val lefts = Seq((1L, ts("2024-01-01 12:00:00"))).toDF("user_id", "ts")
+    // Two right rows tied on (user_id, ts) but carrying different values:
+    // without a total ordering, which one attaches is partition-order
+    // dependent. With rightTieBreak, the greatest id must win — under
+    // every shuffle layout.
+    val rights = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 5L, "low"),
+      (1L, ts("2024-01-01 10:00:00"), 9L, "high"),
+      (1L, ts("2024-01-01 10:00:00"), 7L, "mid"),
+    ).toDF("user_id", "ts", "click_id", "label").repartition(8)
+    (1 to 3).foreach { _ =>
+      val out = Events.asofJoin(lefts, rights, Seq("user_id"), "ts", "ts",
+          Seq("label" -> "l", "click_id" -> "cid"), rightTieBreak = Seq("click_id"))
+        .collect().head
+      assert(out.getAs[String]("l") == "high")
+      assert(out.getAs[Long]("cid") == 9L)
+    }
+  }
+
+  test("sessionize tie-break makes per-row ordering total under duplicate timestamps") {
+    val dup = Seq(
+      (7L, ts("2024-01-01 10:00:00"), 1L),
+      (7L, ts("2024-01-01 10:00:00"), 2L), // tied ts, same session
+      (7L, ts("2024-01-01 12:00:00"), 3L), // > 1h gap -> new session
+    ).toDF("user_id", "ts", "event_id").repartition(8)
+    val out = Events.sessionize(dup, "user_id", "ts", 3600L * 1000000L,
+        tieBreak = Seq("event_id"))
+      .orderBy("event_id").select("session_idx").as[Long].collect().toSeq
+    assert(out == Seq(0L, 0L, 1L))
+  }
+
   test("rollupAgg emits all grouping-set levels") {
     import graft.operators.Relational
     val d = Seq(("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0)).toDF("g1", "g2", "v")

@@ -288,16 +288,17 @@ object SparkEntry {
     Similarity.bruteForceTopK(s, e, e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
   }
 
-  /** #33 LSH-bucketed approximate top-k (scale path; bits sized to corpus). */
+  /** #33 multi-table LSH approximate top-k (OR-amplified; bits sized to corpus). */
   private def q33AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir).embeddings
-    Similarity.lshTopK(s, e, e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5, bits = 6)
+    Similarity.lshTopK(s, e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+      k = 5, bits = 4, tables = 16, maxBucketSize = 2000)
   }
 
-  /** #34 embedding-cosine near-dup pairs within LSH buckets. */
+  /** #34 embedding-cosine near-dup pairs within multi-table LSH buckets. */
   private def q34EmbeddingDedup(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDups(s, t(s, dir).embeddings, "vec_id", "embedding",
-      threshold = 0.3, bits = 6)
+      threshold = 0.3, bits = 6, tables = 8, maxBucketSize = 2000)
 
   /** #35 multimodal: binary payload plumbing + per-partition decode stage. */
   private def q35MultimodalMeta(s: SparkSession, dir: String): DataFrame = {

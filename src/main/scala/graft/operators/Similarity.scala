@@ -59,22 +59,68 @@ object Similarity {
     }.reduce(_ + _)
 
   /**
-   * Approximate top-k: queries and corpus are bucketed by hyperplane
-   * signature; ranking happens only within the query's bucket. With b
-   * bits the probe cost is ~|corpus| / 2^b. Recall loss is the ANN
-   * trade-off — callers pick bits per corpus size.
+   * All `tables` (table, bucket) coordinates of a vector as an array of
+   * structs — one independent b-bit hyperplane signature per table
+   * (seeded per table), the OR-amplification construction: a true
+   * neighbor pair is a candidate if it collides in ANY table, so the
+   * miss probability drops from (1-p^b) to (1-p^b)^T. Each signature
+   * reads `vec` directly (no nested higher-order re-evaluation).
+   */
+  def hyperplaneTables(vec: Column, bits: Int, tables: Int, seed: Int = 42): Column =
+    array((0 until tables).map { t =>
+      struct(lit(t).as("table"),
+        hyperplaneBucket(vec, bits, seed + t * 7919).as("bucket"))
+    }: _*)
+
+  /**
+   * Drop rows that land in degenerate (table, bucket) groups larger than
+   * `maxBucketSize` — e.g. near-zero vectors all signing identically.
+   * Bounds the within-bucket join at O(cap²) per bucket; the pairs lost
+   * are those whose ONLY collision was inside a degenerate bucket, which
+   * OR-amplification makes unlikely for true neighbors. One shuffle on
+   * the same (table, bucket) key the subsequent join uses.
+   */
+  private def capBuckets(bucketed: DataFrame, maxBucketSize: Int): DataFrame =
+    if (maxBucketSize <= 0) bucketed
+    else {
+      val w = Window.partitionBy("__gtable", "__gbucket")
+      bucketed
+        .withColumn("__gbsize", count(lit(1)).over(w))
+        .filter(col("__gbsize") <= maxBucketSize)
+        .drop("__gbsize")
+    }
+
+  /**
+   * Approximate top-k: corpus and queries are bucketed by `tables`
+   * independent b-bit hyperplane signatures; ranking happens only over
+   * the union of the query's buckets (deduped per pair before the
+   * cosine, so multi-table collisions don't recompute). Probe cost is
+   * ~|corpus|·T/2^b; recall follows 1-(1-p^b)^T. The corpus side never
+   * shuffles: queries broadcast, per-pair dedup and ranking shuffle only
+   * the candidate set.
    */
   def lshTopK(
       spark: SparkSession,
       corpus: DataFrame, queries: DataFrame,
-      id: String, vec: String, k: Int, bits: Int = 8): DataFrame = {
-    val bucketed = corpus.withColumn("__gbucket", hyperplaneBucket(col(vec), bits))
+      id: String, vec: String, k: Int, bits: Int = 8, tables: Int = 4,
+      maxBucketSize: Int = 0): DataFrame = {
+    val bucketed = capBuckets(
+      corpus
+        .withColumn("__gtb", explode(hyperplaneTables(col(vec), bits, tables)))
+        .select(col(id), col(vec), col("__gtb.table").as("__gtable"),
+          col("__gtb.bucket").as("__gbucket")),
+      maxBucketSize)
     val q = queries
       .select(col(id).as("query_id"), col(vec).as("__qvec"))
-      .withColumn("__qbucket", hyperplaneBucket(col("__qvec"), bits))
+      .withColumn("__gtb", explode(hyperplaneTables(col("__qvec"), bits, tables)))
+      .select(col("query_id"), col("__qvec"), col("__gtb.table").as("__gqtable"),
+        col("__gtb.bucket").as("__gqbucket"))
     val w = Window.partitionBy("query_id").orderBy(col("__gsim").desc, col(id).asc)
     bucketed
-      .join(broadcast(q), col("__gbucket") === col("__qbucket") && col(id) =!= col("query_id"))
+      .join(broadcast(q),
+        col("__gtable") === col("__gqtable") && col("__gbucket") === col("__gqbucket") &&
+          col(id) =!= col("query_id"))
+      .dropDuplicates("query_id", id)
       .withColumn("__gsim", cosine(spark, col(vec), col("__qvec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -97,27 +143,43 @@ object Similarity {
    */
   def kmeansCentroids(
       spark: SparkSession, df: DataFrame, id: String, vec: String,
-      k: Int, iterations: Int = 3): Seq[(Int, Seq[Float])] = {
-    var centroids: Seq[(Int, Seq[Float])] = df.orderBy(col(id)).limit(k)
-      .select(col(vec)).collect()
-      .map(_.getSeq[Float](0).toSeq).zipWithIndex.map(_.swap).toSeq
-    for (_ <- 0 until iterations) {
-      val updated = assignToCentroids(spark, df, vec, centroids)
-        .select(col("cluster_id"), posexplode(col(vec)).as(Seq("__gpos", "__gval")))
-        .groupBy("cluster_id", "__gpos")
-        .agg(avg(col("__gval")).as("__gmean"))          // map-side partials; k·dim rows out
-        .groupBy("cluster_id")
-        .agg(array_sort(collect_list(struct(col("__gpos"), col("__gmean")))).as("__gpairs"))
-        .select(col("cluster_id"),
-          expr("transform(__gpairs, p -> CAST(p.__gmean AS FLOAT))").as("centroid"))
-        .collect()                                       // k tiny rows, like agg-to-literal medians
-        .map(r => r.getAs[Number]("cluster_id").intValue -> r.getSeq[Float](1).toSeq)
-        .toMap
-      centroids = centroids.map { case (cid, prev) =>
-        cid -> updated.getOrElse(cid, prev)              // empty cluster keeps its centroid
+      k: Int, iterations: Int = 3, trainSampleSize: Int = 0): Seq[(Int, Seq[Float])] = {
+    // A coarse quantizer doesn't need the full corpus: with
+    // trainSampleSize > 0, train on a bounded deterministic sample
+    // (hash-ordered top-n, the same md5-order trick as
+    // Relational.stratifiedSample) so each Lloyd iteration scans
+    // O(sample) rows instead of exploding 100 TB three times. The
+    // sample is cached for the iteration loop and released after.
+    val sampled = trainSampleSize > 0
+    val train =
+      if (sampled)
+        df.select(col(id), col(vec))
+          .orderBy(xxhash64(col(id)).asc, col(id).asc)
+          .limit(trainSampleSize)
+          .cache()
+      else df
+    try {
+      var centroids: Seq[(Int, Seq[Float])] = train.orderBy(col(id)).limit(k)
+        .select(col(vec)).collect()
+        .map(_.getSeq[Float](0).toSeq).zipWithIndex.map(_.swap).toSeq
+      for (_ <- 0 until iterations) {
+        val updated = assignToCentroids(spark, train, vec, centroids)
+          .select(col("cluster_id"), posexplode(col(vec)).as(Seq("__gpos", "__gval")))
+          .groupBy("cluster_id", "__gpos")
+          .agg(avg(col("__gval")).as("__gmean"))          // map-side partials; k·dim rows out
+          .groupBy("cluster_id")
+          .agg(array_sort(collect_list(struct(col("__gpos"), col("__gmean")))).as("__gpairs"))
+          .select(col("cluster_id"),
+            expr("transform(__gpairs, p -> CAST(p.__gmean AS FLOAT))").as("centroid"))
+          .collect()                                       // k tiny rows, like agg-to-literal medians
+          .map(r => r.getAs[Number]("cluster_id").intValue -> r.getSeq[Float](1).toSeq)
+          .toMap
+        centroids = centroids.map { case (cid, prev) =>
+          cid -> updated.getOrElse(cid, prev)              // empty cluster keeps its centroid
+        }
       }
-    }
-    centroids
+      centroids
+    } finally if (sampled) train.unpersist()
   }
 
   /**
@@ -150,14 +212,16 @@ object Similarity {
    * a bucketed table); each query probes only its `nprobe` nearest cells,
    * so probe cost is ~|corpus|·nprobe/nlist instead of |corpus|. The
    * centroid table is tiny and broadcast everywhere — the corpus never
-   * shuffles for a search.
+   * shuffles for a search. The quantizer trains on a bounded
+   * deterministic sample (default 4096 vectors), never the full corpus.
    */
   def ivfTopK(
       spark: SparkSession,
       corpus: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, iterations: Int = 3): DataFrame = {
-    val centroids = kmeansCentroids(spark, corpus, id, vec, nlist, iterations)
+      nlist: Int = 16, nprobe: Int = 4, iterations: Int = 3,
+      trainSampleSize: Int = 4096): DataFrame = {
+    val centroids = kmeansCentroids(spark, corpus, id, vec, nlist, iterations, trainSampleSize)
     val cells = assignToCentroids(spark, corpus, vec, centroids)
     val centroidRows = centroids.map { case (cid, v) => (cid, v) }
     import spark.implicits._
@@ -182,19 +246,33 @@ object Similarity {
   }
 
   /**
-   * Embedding near-duplicate pairs: LSH-bucket self-join → cosine ≥
-   * threshold. The all-pairs comparison only happens within buckets.
+   * Embedding near-duplicate pairs: multi-table LSH-bucket self-join →
+   * per-pair dedup → cosine ≥ threshold. The all-pairs comparison only
+   * happens within (table, bucket) groups; the table index participates
+   * in the join key, salting the shuffle exactly like MinHash's band
+   * index (Dedup.minhashCandidates). `maxBucketSize` bounds degenerate
+   * buckets so one hot bucket can never do unbounded quadratic work.
    */
   def embeddingNearDups(
       spark: SparkSession, df: DataFrame,
-      id: String, vec: String, threshold: Double, bits: Int = 12): DataFrame = {
-    val bucketed = df.select(col(id).as("__gid"), col(vec).as("__gvec"))
-      .withColumn("__gbucket", hyperplaneBucket(col("__gvec"), bits))
+      id: String, vec: String, threshold: Double, bits: Int = 12,
+      tables: Int = 4, maxBucketSize: Int = 0): DataFrame = {
+    val bucketed = capBuckets(
+      df.select(col(id).as("__gid"), col(vec).as("__gvec"))
+        .withColumn("__gtb", explode(hyperplaneTables(col("__gvec"), bits, tables)))
+        .select(col("__gid"), col("__gvec"), col("__gtb.table").as("__gtable"),
+          col("__gtb.bucket").as("__gbucket")),
+      maxBucketSize)
     bucketed.as("a")
       .join(bucketed.as("b"),
-        col("a.__gbucket") === col("b.__gbucket") && col("a.__gid") < col("b.__gid"))
-      .withColumn("cosine", cosine(spark, col("a.__gvec"), col("b.__gvec")))
+        col("a.__gtable") === col("b.__gtable") &&
+          col("a.__gbucket") === col("b.__gbucket") &&
+          col("a.__gid") < col("b.__gid"))
+      .select(col("a.__gid").as("id_a"), col("b.__gid").as("id_b"),
+        col("a.__gvec").as("__gva"), col("b.__gvec").as("__gvb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", cosine(spark, col("__gva"), col("__gvb")))
       .filter(col("cosine") >= threshold)
-      .select(col("a.__gid").as("id_a"), col("b.__gid").as("id_b"), col("cosine"))
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }

@@ -394,6 +394,39 @@ object SparkEntry {
       .groupBy("brand_num")
       .agg(cnt.as("n"))
 
+  /**
+   * #48 grouped quantiles via the t-digest sketch — the 100 TB default
+   * (q40's exact percentile gathers every group value; this one keeps
+   * fixed-size mergeable state). Rows-only: sketch estimates are
+   * engine-specific; EventsSpec pins it within 5% of exact.
+   */
+  private def q48QuantilesApprox(s: SparkSession, dir: String): DataFrame =
+    Relational.quantileAgg(t(s, dir).lineitem, Seq("l_returnflag"), "l_extendedprice",
+      Seq("p50" -> 0.5, "p90" -> 0.9), approx = true)
+
+  /**
+   * #49 distinct cardinality via HLL++ — the 100 TB default (fixed-size
+   * sketch vs shuffling every distinct value). Rows-only: estimates are
+   * engine-specific; EventsSpec pins it within rsd of exact.
+   */
+  private def q49DistinctHll(s: SparkSession, dir: String): DataFrame =
+    Relational.distinctCount(t(s, dir).lineitem, "l_partkey", approx = true, rsd = 0.05)
+
+  /** #50 brand/model split with the reference's `I/`-prefix special case
+   *  (dag.py:187-196), driven over synthesized `marca` strings on part. */
+  private def q50BrandModelSplit(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir).part.select(col("p_partkey"),
+      when(col("p_partkey") % 3 === 0, concat(lit("I/"), upper(col("p_name"))))
+        .when(col("p_partkey") % 3 === 1, concat(lit("IVECO/"), upper(col("p_name"))))
+        .otherwise(upper(col("p_name"))).as("marca"))
+    Transforms.brandModelSplit(src, "marca", brandOut = "brand", modelOut = "modelo")
+      .select("p_partkey", "brand", "modelo")
+  }
+
+  /** #51 dimension with dense index+1 surrogate parity (dag.py:220-237). */
+  private def q51DimDenseKey(s: SparkSession, dir: String): DataFrame =
+    StarSchema.dimWithDenseKey(t(s, dir).part, Seq("p_brand", "p_type"), "dim_sk")
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -444,6 +477,10 @@ object SparkEntry {
     "q45_stratified_sample" -> (q45StratifiedSample _),
     "q46_idempotent_load"   -> (q46IdempotentLoad _),
     "q47_cube_agg"          -> (q47CubeAgg _),
+    "q48_quantiles_approx"  -> (q48QuantilesApprox _),
+    "q49_distinct_hll"      -> (q49DistinctHll _),
+    "q50_brand_model_split" -> (q50BrandModelSplit _),
+    "q51_dim_dense_key"     -> (q51DimDenseKey _),
   )
 
   private val monthCaseSql: String =
@@ -669,5 +706,24 @@ object SparkEntry {
         "COUNT(*) AS n, " +
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price " +
         "FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)"),
+    "q50_brand_model_split" ->
+      ("WITH src AS (SELECT p_partkey, CASE " +
+        "WHEN p_partkey % 3 = 0 THEN 'I/' || upper(p_name) " +
+        "WHEN p_partkey % 3 = 1 THEN 'IVECO/' || upper(p_name) " +
+        "ELSE upper(p_name) END AS marca FROM part), " +
+        "segs AS (SELECT p_partkey, string_split(marca, '/') AS sg FROM src), " +
+        "m AS (SELECT p_partkey, sg[1] AS seg0, " +
+        "CASE WHEN len(sg) >= 2 THEN sg[2] END AS seg1 FROM segs) " +
+        "SELECT p_partkey, " +
+        "COALESCE(CASE WHEN substr(seg0, 1, 1) = 'I' " +
+        "THEN string_split(seg1, ' ')[1] ELSE seg0 END, 'não informado') AS brand, " +
+        "COALESCE(CASE WHEN seg0 = 'I' THEN (CASE WHEN seg1 IS NULL THEN NULL " +
+        "WHEN strpos(seg1, ' ') > 0 THEN substr(seg1, strpos(seg1, ' ') + 1) " +
+        "ELSE '' END) ELSE seg1 END, 'não informado') AS modelo " +
+        "FROM m"),
+    "q51_dim_dense_key" ->
+      ("SELECT p_brand, p_type, CAST(ROW_NUMBER() OVER " +
+        "(ORDER BY p_brand, p_type) AS INT) AS dim_sk " +
+        "FROM (SELECT DISTINCT p_brand, p_type FROM part)"),
   )
 }

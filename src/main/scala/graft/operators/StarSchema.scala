@@ -19,9 +19,17 @@ object StarSchema {
    * and incremental loads (the reference's positional `index + 1` key is
    * neither stable nor computable without a single-node sort).
    */
-  def dimWithHashKey(df: DataFrame, naturalKey: Seq[String], idCol: String): DataFrame =
+  def dimWithHashKey(df: DataFrame, naturalKey: Seq[String], idCol: String): DataFrame = {
+    // concat_ws silently DROPS null components, so ("a", null) would
+    // hash identically to ("a",) tuples and collide across distinct
+    // natural keys. concat propagates null instead -- matching DuckDB
+    // `a || chr(1) || b` -- so a tuple with any null component gets a
+    // null surrogate, never a colliding one.
+    val raw = concat(naturalKey.map(c => col(c).cast("string"))
+      .flatMap(c => Seq(c, lit("\u0001"))).dropRight(1): _*)
     df.select(naturalKey.map(col): _*).distinct()
-      .withColumn(idCol, md5(concat_ws("\u0001", naturalKey.map(c => col(c).cast("string")): _*)))
+      .withColumn(idCol, md5(raw))
+  }
 
   /**
    * Dimension with a dense sequential surrogate key ordered by the natural

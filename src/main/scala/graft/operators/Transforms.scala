@@ -96,4 +96,39 @@ object Transforms {
     when(instr(column, sep) > 0,
       column.substr(instr(column, sep) + lit(sep.length), length(column)))
       .otherwise(lit(""))
+
+  /**
+   * The reference's brand/model derivation with its `I/`-prefix special
+   * case (reference dag.py:187-196), reproduced exactly — including its
+   * deliberate asymmetry: `modelo` re-derives only when the first
+   * segment EQUALS 'I', while `marca` re-derives whenever the first
+   * segment merely STARTS WITH 'I' (so 'IVECO/…' keeps its full second
+   * segment as modelo but takes that segment's first word as marca).
+   *
+   * Semantics per column (`seg0`/`seg1` = first/second '/'-segment):
+   *  - modelo = seg1; if seg0 == 'I', the second segment minus its first
+   *    space-token (pandas `' '.join(split(' ')[1:])`, '' when seg1 has
+   *    one token). Null when there is no second segment.
+   *  - marca = seg0; if seg0 starts with 'I', the first space-token of
+   *    seg1 (null when there is no second segment).
+   *  - Nulls in either backfill to `fillValue` (dag.py:194-196).
+   *
+   * Pure per-row codegen expressions — no UDF, no shuffle.
+   */
+  def brandModelSplit(df: DataFrame, marcaCol: String,
+      brandOut: String, modelOut: String,
+      fillValue: String = "não informado"): DataFrame = {
+    val m = col(marcaCol)
+    val seg0 = substring_index(m, "/", 1)
+    val seg1 = when(size(split(m, "/")) >= 2, split(m, "/").getItem(1))
+    // drop-first-token == everything after the first space ('' when the
+    // segment is a single token) — string-identical to pandas
+    // `' '.join(split(' ')[1:])`, even for consecutive spaces
+    val modelTail = when(seg1.isNotNull, afterFirst(seg1, " "))
+    val modelo = when(seg0 === "I", modelTail).otherwise(seg1)
+    val nova = when(substring(seg0, 1, 1) === "I", substring_index(seg1, " ", 1))
+      .otherwise(seg0)
+    df.withColumn(modelOut, coalesce(modelo, lit(fillValue)))
+      .withColumn(brandOut, coalesce(nova, lit(fillValue)))
+  }
 }

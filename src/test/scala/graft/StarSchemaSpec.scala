@@ -19,6 +19,19 @@ class StarSchemaSpec extends SparkSpec {
       sameElements again.collect().map(_.getAs[String]("id")).sorted)
   }
 
+  test("dimWithHashKey: null components never collide with empty or absent ones") {
+    val d = Seq(
+      (Some("a"), Some("")), (Some("a"), None), (Some("a"), Some("b")),
+    ).toDF("uf", "zone")
+    val dim = StarSchema.dimWithHashKey(d, Seq("uf", "zone"), "id").collect()
+    assert(dim.length == 3)
+    // any-null tuple -> null surrogate (DuckDB `a || chr(1) || b` semantics)
+    val (nullId, nonNullId) = dim.partition(r => r.isNullAt(r.fieldIndex("id")))
+    assert(nullId.map(r => Option(r.getAs[String]("zone"))).toSeq == Seq(None))
+    // the two non-null keys stay distinct
+    assert(nonNullId.map(_.getAs[String]("id")).distinct.length == 2)
+  }
+
   test("dimWithDenseKey: dense 1..n keys in natural-key order") {
     val dim = StarSchema.dimWithDenseKey(src, Seq("uf"), "id")
       .orderBy("id").collect()

@@ -67,6 +67,26 @@ class TransformsSpec extends SparkSpec {
     assert(row.getString(3) == "")
   }
 
+  test("brandModelSplit reproduces the reference's I/-prefix special case (dag.py:187-196)") {
+    val d = Seq(
+      "I/FORD FIESTA 1.6",  // seg0 == 'I': brand=first word of seg1, model=rest
+      "IVECO/DAILY 35S14",  // starts with 'I' but != 'I': brand=first word, model=FULL seg1
+      "VW/GOL",             // plain split
+      "HONDA",              // no '/': model backfills
+      "I/X",                // single-token seg1: model is '' (not backfilled)
+      "ITAPEMIRIM",         // no '/', starts with 'I': brand backfills too
+    ).toDF("marca")
+    val out = Transforms.brandModelSplit(d, "marca", "brand", "model")
+      .select("marca", "brand", "model").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out("I/FORD FIESTA 1.6") == ("FORD", "FIESTA 1.6"))
+    assert(out("IVECO/DAILY 35S14") == ("DAILY", "DAILY 35S14"))
+    assert(out("VW/GOL") == ("VW", "GOL"))
+    assert(out("HONDA") == ("HONDA", "não informado"))
+    assert(out("I/X") == ("X", ""))
+    assert(out("ITAPEMIRIM") == ("não informado", "não informado"))
+  }
+
   test("monthName covers all 12 months") {
     val out = (1 to 12).toDF("m").select(Transforms.monthName(col("m")).as("n"))
       .as[String].collect().toSeq

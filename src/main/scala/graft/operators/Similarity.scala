@@ -59,13 +59,23 @@ object Similarity {
     }.reduce(_ + _)
 
   /**
-   * All `tables` (table, bucket) coordinates of a vector as an array of
-   * structs — one independent b-bit hyperplane signature per table
-   * (seeded per table), the OR-amplification construction: a true
-   * neighbor pair is a candidate if it collides in ANY table, so the
-   * miss probability drops from (1-p^b) to (1-p^b)^T. Each signature
-   * reads `vec` directly (no nested higher-order re-evaluation).
+   * All `tables` bucket ids of a vector — one independent b-bit
+   * hyperplane signature per table (seeded per table), the
+   * OR-amplification construction: a true neighbor pair is a candidate
+   * if it collides in ANY table, so the miss probability drops from
+   * (1-p^b) to (1-p^b)^T. One-pass codegen
+   * [[graft.plans.HyperplaneSignatures]] — bit-identical to building
+   * [[hyperplaneBucket]] per table (seed + t·7919), without
+   * materializing tables·bits intermediate arrays per row.
    */
+  def hyperplaneSignatures(
+      spark: SparkSession, vec: Column, bits: Int, tables: Int, seed: Int = 42): Column = {
+    GraftFunctions.register(spark)
+    call_function(GraftFunctions.hyperplanesName, vec, lit(bits), lit(tables), lit(seed))
+  }
+
+  /** Declarative reference form of [[hyperplaneSignatures]] (kept as the
+   *  parity oracle for the codegen expression; specs compare the two). */
   def hyperplaneTables(vec: Column, bits: Int, tables: Int, seed: Int = 42): Column =
     array((0 until tables).map { t =>
       struct(lit(t).as("table"),
@@ -105,16 +115,15 @@ object Similarity {
       id: String, vec: String, k: Int, bits: Int = 8, tables: Int = 4,
       maxBucketSize: Int = 0): DataFrame = {
     val bucketed = capBuckets(
-      corpus
-        .withColumn("__gtb", explode(hyperplaneTables(col(vec), bits, tables)))
-        .select(col(id), col(vec), col("__gtb.table").as("__gtable"),
-          col("__gtb.bucket").as("__gbucket")),
+      corpus.select(col(id), col(vec),
+        posexplode(hyperplaneSignatures(spark, col(vec), bits, tables))
+          .as(Seq("__gtable", "__gbucket"))),
       maxBucketSize)
     val q = queries
       .select(col(id).as("query_id"), col(vec).as("__qvec"))
-      .withColumn("__gtb", explode(hyperplaneTables(col("__qvec"), bits, tables)))
-      .select(col("query_id"), col("__qvec"), col("__gtb.table").as("__gqtable"),
-        col("__gtb.bucket").as("__gqbucket"))
+      .select(col("query_id"), col("__qvec"),
+        posexplode(hyperplaneSignatures(spark, col("__qvec"), bits, tables))
+          .as(Seq("__gqtable", "__gqbucket")))
     val w = Window.partitionBy("query_id").orderBy(col("__gsim").desc, col(id).asc)
     bucketed
       .join(broadcast(q),
@@ -259,9 +268,9 @@ object Similarity {
       tables: Int = 4, maxBucketSize: Int = 0): DataFrame = {
     val bucketed = capBuckets(
       df.select(col(id).as("__gid"), col(vec).as("__gvec"))
-        .withColumn("__gtb", explode(hyperplaneTables(col("__gvec"), bits, tables)))
-        .select(col("__gid"), col("__gvec"), col("__gtb.table").as("__gtable"),
-          col("__gtb.bucket").as("__gbucket")),
+        .select(col("__gid"), col("__gvec"),
+          posexplode(hyperplaneSignatures(spark, col("__gvec"), bits, tables))
+            .as(Seq("__gtable", "__gbucket"))),
       maxBucketSize)
     bucketed.as("a")
       .join(bucketed.as("b"),

@@ -92,19 +92,38 @@ case class CosineSimilarity(left: Expression, right: Expression)
 /** Session registration for graft's native expressions. */
 object GraftFunctions {
   val cosineName = "graft_cosine"
+  val hyperplanesName = "graft_hyperplanes"
 
   private def cosineBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2, s"$cosineName expects 2 arguments")
     CosineSimilarity(children.head, children(1))
   }
 
+  private def intLit(e: Expression, what: String): Int = {
+    require(e.foldable, s"$hyperplanesName: $what must be a literal")
+    e.eval().asInstanceOf[Number].intValue
+  }
+
+  private def hyperplanesBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 4,
+      s"$hyperplanesName expects (vec, bits, tables, seed)")
+    HyperplaneSignatures(children.head, intLit(children(1), "bits"),
+      intLit(children(2), "tables"), intLit(children(3), "seed"))
+  }
+
   private def cosineInfo = new ExpressionInfo(
     classOf[CosineSimilarity].getName, cosineName)
 
+  private def hyperplanesInfo = new ExpressionInfo(
+    classOf[HyperplaneSignatures].getName, hyperplanesName)
+
   /** Idempotent per-session registration (programmatic path). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(cosineName), cosineInfo, cosineBuilder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(hyperplanesName), hyperplanesInfo, hyperplanesBuilder _)
+  }
 }
 
 /**
@@ -112,9 +131,17 @@ object GraftFunctions {
  * injection for sessions graft code doesn't construct.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.cosineName),
       new ExpressionInfo(classOf[CosineSimilarity].getName, GraftFunctions.cosineName),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.hyperplanesName),
+      new ExpressionInfo(classOf[HyperplaneSignatures].getName, GraftFunctions.hyperplanesName),
+      (children: Seq[Expression]) => HyperplaneSignatures(children(0),
+        children(1).eval().asInstanceOf[Number].intValue,
+        children(2).eval().asInstanceOf[Number].intValue,
+        children(3).eval().asInstanceOf[Number].intValue)))
+  }
 }

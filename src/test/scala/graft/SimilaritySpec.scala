@@ -123,6 +123,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.1, f"recall@5 with nprobe=2/8 collapsed: $recall%.2f")
   }
 
+  test("codegen HyperplaneSignatures is bit-identical to the declarative form") {
+    val e = sources.Tables(spark, sf0001).embeddings
+    val (bits, tables) = (5, 7)
+    val fused = e.select(col("vec_id"),
+      Similarity.hyperplaneSignatures(spark, col("embedding"), bits, tables).as("sig"))
+    val reference = e.select(col("vec_id"),
+      transform(Similarity.hyperplaneTables(col("embedding"), bits, tables),
+        tb => tb.getField("bucket")).as("sig"))
+    assert(fused.exceptAll(reference).isEmpty && reference.exceptAll(fused).isEmpty,
+      "one-pass expression must reproduce the per-table HOF buckets exactly")
+    // interpreted eval path agrees with codegen too
+    val row = fused.orderBy("vec_id").limit(1).collect().head
+    val expr = graft.plans.HyperplaneSignatures(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        e.orderBy("vec_id").limit(1).select("embedding").as[Array[Float]].collect().head,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      bits, tables, 42)
+    assert(expr.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray().toSeq == row.getSeq[Int](1))
+  }
+
   test("multi-table LSH recall@5 beats 0.9 vs brute force; single table does not need to") {
     val e = sources.Tables(spark, sf0001).embeddings
     val queries = e.filter(col("vec_id") < 16)

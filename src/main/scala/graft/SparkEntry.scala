@@ -335,7 +335,7 @@ object SparkEntry {
   private def q39DistinctCount(s: SparkSession, dir: String): DataFrame =
     Relational.distinctCount(t(s, dir).lineitem, "l_partkey")
 
-  /** #40 grouped exact quantiles (approx t-digest is the library's scale path). */
+  /** #40 grouped exact quantiles (the approx Greenwald-Khanna sketch is the library's scale path). */
   private def q40Quantiles(s: SparkSession, dir: String): DataFrame =
     Relational.quantileAgg(t(s, dir).lineitem, Seq("l_returnflag"), "l_extendedprice",
       Seq("p50" -> 0.5, "p90" -> 0.9))
@@ -395,7 +395,7 @@ object SparkEntry {
       .agg(cnt.as("n"))
 
   /**
-   * #48 grouped quantiles via the t-digest sketch — the 100 TB default
+   * #48 grouped quantiles via the Greenwald-Khanna sketch — the 100 TB default
    * (q40's exact percentile gathers every group value; this one keeps
    * fixed-size mergeable state). Rows-only: sketch estimates are
    * engine-specific; EventsSpec pins it within 5% of exact.
@@ -407,7 +407,8 @@ object SparkEntry {
   /**
    * #49 distinct cardinality via HLL++ — the 100 TB default (fixed-size
    * sketch vs shuffling every distinct value). Rows-only: estimates are
-   * engine-specific; EventsSpec pins it within rsd of exact.
+   * engine-specific; EventsSpec pins the relative error under 3x the
+   * configured rsd (rsd is a standard deviation, not a bound).
    */
   private def q49DistinctHll(s: SparkSession, dir: String): DataFrame =
     Relational.distinctCount(t(s, dir).lineitem, "l_partkey", approx = true, rsd = 0.05)
@@ -495,6 +496,13 @@ object SparkEntry {
   private val enStopSql: String =
     enStop.map(w => s"'$w'").mkString("(", ",", ")")
 
+  /**
+   * DuckDB fragment mirroring [[StarSchema.dimWithHashKey]]'s null-flag
+   * component encoding: chr(2)/chr(3) null marker + null-coalesced value.
+   */
+  private def nkSql(c: String): String =
+    s"(CASE WHEN $c IS NULL THEN chr(2) ELSE chr(3) END || coalesce($c, ''))"
+
   def oracleSql: Map[String, String] = Map(
     "q01_group_agg" ->
       ("SELECT l_returnflag, l_linestatus, " +
@@ -557,10 +565,10 @@ object SparkEntry {
         "UNION ALL SELECT * FROM orders WHERE year(o_orderdate) = 1996) GROUP BY 1"),
     "q15_dim_build" ->
       ("SELECT o_orderpriority, o_orderstatus, " +
-        "md5(o_orderpriority || chr(1) || o_orderstatus) AS id_dim " +
+        s"md5(${nkSql("o_orderpriority")} || chr(1) || ${nkSql("o_orderstatus")}) AS id_dim " +
         "FROM (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders)"),
     "q16_fact_build" ->
-      ("SELECT md5(o_orderpriority) AS id_priority, md5(c_mktsegment) AS id_segment, " +
+      (s"SELECT md5(${nkSql("o_orderpriority")}) AS id_priority, md5(${nkSql("c_mktsegment")}) AS id_segment, " +
         "COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price " +
         "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2"),
     "q17_fact_dedup" ->

@@ -23,7 +23,7 @@ object Cleaning {
    * `median` aggregation, attached back via a broadcast cross-join of a
    * 1-row frame — no driver collect in the plan, no re-computation per row.
    * For 100 TB columns where an exact median's full sort is too expensive,
-   * pass `approx = true` to use `percentile_approx` (t-digest, one pass,
+   * pass `approx = true` to use `percentile_approx` (Greenwald-Khanna sketch, one pass,
    * mergeable across partitions).
    */
   def imputeWithMedian(df: DataFrame, column: String, valid: Column, approx: Boolean = false): DataFrame = {

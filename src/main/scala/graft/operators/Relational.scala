@@ -152,7 +152,7 @@ object Relational {
 
   /**
    * Grouped quantiles: exact linear-interpolated percentiles (matches
-   * DuckDB `quantile_cont` bit-for-bit), or the t-digest
+   * DuckDB `quantile_cont` bit-for-bit), or the Greenwald-Khanna sketch behind
    * `approx_percentile` sketch — the 100 TB default, since an exact
    * per-group percentile must gather every value of the group.
    */

@@ -87,8 +87,10 @@ object Similarity {
    * `maxBucketSize` — e.g. near-zero vectors all signing identically.
    * Bounds the within-bucket join at O(cap²) per bucket; the pairs lost
    * are those whose ONLY collision was inside a degenerate bucket, which
-   * OR-amplification makes unlikely for true neighbors. One shuffle on
-   * the same (table, bucket) key the subsequent join uses.
+   * OR-amplification makes unlikely for true neighbors. Costs one
+   * count-window shuffle of the exploded corpus on (table, bucket); in
+   * [[embeddingNearDups]] the subsequent self-join reuses that
+   * partitioning, in [[lshTopK]] (broadcast join) it does not.
    */
   private def capBuckets(bucketed: DataFrame, maxBucketSize: Int): DataFrame =
     if (maxBucketSize <= 0) bucketed
@@ -105,9 +107,10 @@ object Similarity {
    * independent b-bit hyperplane signatures; ranking happens only over
    * the union of the query's buckets (deduped per pair before the
    * cosine, so multi-table collisions don't recompute). Probe cost is
-   * ~|corpus|·T/2^b; recall follows 1-(1-p^b)^T. The corpus side never
-   * shuffles: queries broadcast, per-pair dedup and ranking shuffle only
-   * the candidate set.
+   * ~|corpus|·T/2^b; recall follows 1-(1-p^b)^T. With maxBucketSize = 0
+   * the corpus side never shuffles (queries broadcast; per-pair dedup and
+   * ranking shuffle only the candidate set); a positive cap adds one
+   * full shuffle of the exploded corpus for the bucket-size window.
    */
   def lshTopK(
       spark: SparkSession,

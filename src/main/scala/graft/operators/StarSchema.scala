@@ -20,13 +20,18 @@ object StarSchema {
    * neither stable nor computable without a single-node sort).
    */
   def dimWithHashKey(df: DataFrame, naturalKey: Seq[String], idCol: String): DataFrame = {
-    // concat_ws silently DROPS null components, so ("a", null) would
-    // hash identically to ("a",) tuples and collide across distinct
-    // natural keys. concat propagates null instead -- matching DuckDB
-    // `a || chr(1) || b` -- so a tuple with any null component gets a
-    // null surrogate, never a colliding one.
-    val raw = concat(naturalKey.map(c => col(c).cast("string"))
-      .flatMap(c => Seq(c, lit("\u0001"))).dropRight(1): _*)
+    // Each component is prefix-coded with a null-flag byte plus the
+    // null-coalesced value, so ("a", null), ("a", "") and ("b", null) all
+    // hash distinctly AND the surrogate is never null -- a null surrogate
+    // (what plain `concat` / DuckDB `||` would produce) makes every
+    // null-containing tuple indistinguishable and unjoinable. DuckDB
+    // equivalent: md5((CASE WHEN a IS NULL THEN chr(2) ELSE chr(3) END ||
+    // coalesce(a, '')) || chr(1) || ...).
+    val parts = naturalKey.map { c =>
+      val s = col(c).cast("string")
+      concat(when(s.isNull, lit("\u0002")).otherwise(lit("\u0003")), coalesce(s, lit("")))
+    }
+    val raw = concat(parts.flatMap(c => Seq(c, lit("\u0001"))).dropRight(1): _*)
     df.select(naturalKey.map(col): _*).distinct()
       .withColumn(idCol, md5(raw))
   }

@@ -94,7 +94,7 @@ object GraftFunctions {
   val cosineName = "graft_cosine"
   val hyperplanesName = "graft_hyperplanes"
 
-  private def cosineBuilder(children: Seq[Expression]): Expression = {
+  private[plans] def cosineBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2, s"$cosineName expects 2 arguments")
     CosineSimilarity(children.head, children(1))
   }
@@ -104,7 +104,7 @@ object GraftFunctions {
     e.eval().asInstanceOf[Number].intValue
   }
 
-  private def hyperplanesBuilder(children: Seq[Expression]): Expression = {
+  private[plans] def hyperplanesBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 4,
       s"$hyperplanesName expects (vec, bits, tables, seed)")
     HyperplaneSignatures(children.head, intLit(children(1), "bits"),
@@ -132,16 +132,15 @@ object GraftFunctions {
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Reuse the registry builders: same arity/foldable validation on the
+    // config-driven path as the programmatic one.
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.cosineName),
       new ExpressionInfo(classOf[CosineSimilarity].getName, GraftFunctions.cosineName),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+      GraftFunctions.cosineBuilder _))
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.hyperplanesName),
       new ExpressionInfo(classOf[HyperplaneSignatures].getName, GraftFunctions.hyperplanesName),
-      (children: Seq[Expression]) => HyperplaneSignatures(children(0),
-        children(1).eval().asInstanceOf[Number].intValue,
-        children(2).eval().asInstanceOf[Number].intValue,
-        children(3).eval().asInstanceOf[Number].intValue)))
+      GraftFunctions.hyperplanesBuilder _))
   }
 }

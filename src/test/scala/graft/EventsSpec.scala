@@ -108,7 +108,7 @@ class EventsSpec extends SparkSpec {
       .head.getAs[Double]("s") == 7.0)
   }
 
-  test("quantileAgg: approx t-digest tracks the exact interpolated percentile") {
+  test("quantileAgg: approx GK sketch tracks the exact interpolated percentile") {
     import graft.operators.Relational
     val li = sources.Tables(spark, sf0001).lineitem
     val exact = Relational.quantileAgg(li, Seq("l_returnflag"), "l_extendedprice",
@@ -133,7 +133,7 @@ class EventsSpec extends SparkSpec {
     assert(out.count() == 6) // 2 leaves + 1 (*,x) + 2 (g1,*) + 1 grand total
   }
 
-  test("distinctCount: approx HLL++ lands within rsd of exact") {
+  test("distinctCount: approx HLL++ lands within 3x rsd of exact") {
     import graft.operators.Relational
     val li = sources.Tables(spark, sf0001).lineitem
     val exact = Relational.distinctCount(li, "l_partkey").head.getLong(0)

@@ -19,17 +19,18 @@ class StarSchemaSpec extends SparkSpec {
       sameElements again.collect().map(_.getAs[String]("id")).sorted)
   }
 
-  test("dimWithHashKey: null components never collide with empty or absent ones") {
+  test("dimWithHashKey: null components neither collide nor null the surrogate") {
     val d = Seq(
       (Some("a"), Some("")), (Some("a"), None), (Some("a"), Some("b")),
+      (Some("b"), None),
     ).toDF("uf", "zone")
     val dim = StarSchema.dimWithHashKey(d, Seq("uf", "zone"), "id").collect()
-    assert(dim.length == 3)
-    // any-null tuple -> null surrogate (DuckDB `a || chr(1) || b` semantics)
-    val (nullId, nonNullId) = dim.partition(r => r.isNullAt(r.fieldIndex("id")))
-    assert(nullId.map(r => Option(r.getAs[String]("zone"))).toSeq == Seq(None))
-    // the two non-null keys stay distinct
-    assert(nonNullId.map(_.getAs[String]("id")).distinct.length == 2)
+    assert(dim.length == 4)
+    // every surrogate is non-null (null keys would be unjoinable) and the
+    // four natural keys -- including two distinct null-containing tuples
+    // and a null-vs-empty pair -- get four distinct surrogates
+    assert(dim.forall(r => !r.isNullAt(r.fieldIndex("id"))))
+    assert(dim.map(_.getAs[String]("id")).distinct.length == 4)
   }
 
   test("dimWithDenseKey: dense 1..n keys in natural-key order") {

@@ -5,8 +5,26 @@ DuckDB over the sf parquet tables and diff against the Verify parquet dumps
     python3 tools/check_oracle.py <sfdir> <verify_out_dir>
 """
 import sys, os, json, glob
+import datetime
 import duckdb
 import pandas as pd
+
+
+def kind(s):
+    """Dtype kind for the driver-parity compare: the driver's hash forgives
+    integer widths (int32 vs int64 serialize the same) but NOT kind
+    mismatches — DuckDB HUGEINT lands in pandas as float64, so an uncast
+    SUM hashes 5.0 against Spark's 5 and fails. Flag exactly that class:
+    int vs float vs bool vs datetime vs other."""
+    d = s.dtype
+    if pd.api.types.is_bool_dtype(d): return "bool"
+    if pd.api.types.is_integer_dtype(d): return "int"
+    if pd.api.types.is_float_dtype(d): return "float"
+    if pd.api.types.is_datetime64_any_dtype(d): return "datetime"
+    nn = s.dropna()
+    if len(nn) and isinstance(nn.iloc[0], (datetime.date, datetime.datetime)):
+        return "datetime"
+    return "other"
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
@@ -35,22 +53,6 @@ for name, sql in sorted(oracle.items()):
     ok = True
     for c in gc:
         gv, wv = g[c], w[c]
-        # dtype-kind-sensitive: the driver's hash forgives integer widths
-        # (int32 vs int64 both serialize as the same int) but NOT kind
-        # mismatches — DuckDB HUGEINT lands in pandas as float64, so an
-        # uncast SUM hashes 5.0 against Spark's 5 and fails. Flag exactly
-        # that class: int vs float vs bool vs datetime vs other.
-        def kind(s):
-            import datetime as _dt
-            d = s.dtype
-            if pd.api.types.is_bool_dtype(d): return "bool"
-            if pd.api.types.is_integer_dtype(d): return "int"
-            if pd.api.types.is_float_dtype(d): return "float"
-            if pd.api.types.is_datetime64_any_dtype(d): return "datetime"
-            nn = s.dropna()
-            if len(nn) and isinstance(nn.iloc[0], (_dt.date, _dt.datetime)):
-                return "datetime"
-            return "other"
         gk, wk = kind(gv), kind(wv)
         if gk != wk:
             print(f"DTYPE {name}.{c}: spark={gv.dtype}({gk}) duck={wv.dtype}({wk})")

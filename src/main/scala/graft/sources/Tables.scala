@@ -90,11 +90,11 @@ object Sources {
   }
 
   /**
-   * JDBC sink configuration for the reference's warehouse load stage
-   * (reference dag.py:290-445 row-wise INSERTs into Postgres). Spark-first
+   * JDBC sink for the reference's warehouse load stage (reference
+   * dag.py:290-445 row-wise INSERTs into Postgres). Spark-first
    * equivalent: a single distributed `write.jdbc` with batched inserts —
-   * no driver-side row loop. The container has no database, so this
-   * builds the configured writer; callers invoke `.save()` in production.
+   * no driver-side row loop; every partition loads in parallel.
+   * Exercised end-to-end against embedded Derby in SourcesSpec.
    */
   def jdbcWriter(
       df: DataFrame,
@@ -102,8 +102,9 @@ object Sources {
       tableName: String,
       user: String,
       password: String,
-      batchSize: Int = 10000) =
-    df.write
+      batchSize: Int = 10000,
+      driver: Option[String] = None) = {
+    val w = df.write
       .format("jdbc")
       .option("url", url)
       .option("dbtable", tableName)
@@ -112,4 +113,30 @@ object Sources {
       .option("batchsize", batchSize.toString)
       .option("isolationLevel", "READ_COMMITTED")
       .mode("append")
+    driver.fold(w)(d => w.option("driver", d))
+  }
+
+  /**
+   * JDBC source read. `extra` passes through Spark's partitioned-read
+   * knobs (`partitionColumn`/`lowerBound`/`upperBound`/`numPartitions`) —
+   * without them the read is a single partition, which is only acceptable
+   * for small dimension pulls.
+   */
+  def jdbc(
+      spark: SparkSession,
+      url: String,
+      tableName: String,
+      user: String = "",
+      password: String = "",
+      driver: Option[String] = None,
+      extra: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", tableName)
+      .option("user", user)
+      .option("password", password)
+      .options(extra)
+    driver.fold(r)(d => r.option("driver", d)).load()
+  }
 }

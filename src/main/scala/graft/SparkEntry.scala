@@ -261,12 +261,14 @@ object SparkEntry {
     t(s, dir).documents
       .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
 
-  /** #29 MinHash+LSH near-dup pairs, exact-Jaccard verified at 0.8. */
+  /** #29 MinHash+LSH near-dup pairs, exact-Jaccard verified at 0.8.
+   *  cacheSets: the shingle sets feed three plan branches (signature +
+   *  both verify joins); caching computes the shingling once. */
   private def q29MinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(
       t(s, dir).documents, "doc_id",
       TextFns.wordShingles(TextFns.tokens(col("text")), 3),
-      threshold = 0.8)
+      threshold = 0.8, cacheSets = true)
 
   /** #30 SimHash near-dup pairs (64-bit, Hamming ≤ 3, chunk-blocked). */
   private def q30Simhash(s: SparkSession, dir: String): DataFrame =

@@ -1,9 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
+import graft.plans.GraftFunctions
 
 /**
  * Deduplication operators for large-scale corpus curation (SURVEY §2.2
@@ -23,13 +24,27 @@ object Dedup {
       .agg(min(col(id)).as("keeper"), count(lit(1)).as("n"))
 
   /**
-   * MinHash signature: `numHashes` independent permutations approximated
-   * by seeded xxhash64; sig[h] = min over shingles of hash(shingle, h).
-   * Pure per-row expression — computed map-side, embarrassingly parallel.
+   * MinHash signature via the one-pass codegen
+   * [[graft.plans.MinHashSignature]] expression: `numHashes` independent
+   * permutations approximated by universal hashing — each shingle string
+   * is hashed once, then sig[h] = min over shingles of the h-mixed
+   * re-hash of that long. Pure per-row projection: no explode, no
+   * aggregate, no shuffle. NULL for empty/null shingle arrays.
    */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
+  def minhashSignature(spark: SparkSession, shingles: Column, numHashes: Int): Column = {
+    GraftFunctions.register(spark)
+    call_function(GraftFunctions.minhashName, shingles, lit(numHashes))
+  }
+
+  /**
+   * Declarative reference form of [[minhashSignature]] (kept as the
+   * spec's parity baseline; nested higher-order transforms re-evaluate
+   * multiplicatively — do not use on a hot path). Differs on empty
+   * arrays only: yields an all-null array where the codegen form is NULL.
+   */
+  def minhashSignatureDeclarative(shingles: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
-      h => array_min(transform(shingles, sh => xxhash64(sh, h))))
+      h => array_min(transform(shingles, sh => xxhash64(xxhash64(sh), h))))
 
   /**
    * Candidate pairs from MinHash LSH banding: the signature splits into
@@ -44,32 +59,31 @@ object Dedup {
    * key, which also salts the shuffle: one hot bucket in band 3 doesn't
    * skew the whole join.
    *
-   * Execution shape (the 100 TB path): shingles are exploded ONCE, each
-   * (doc, shingle) row computes its `numHashes` hashes, and the signature
-   * is a map-side partial `min` aggregation — only `numHashes` longs per
-   * doc cross the shuffle. The naive alternative (signature as one nested
-   * higher-order expression feeding the band expressions) re-evaluates
-   * the shingle subtree per hash per band — measured 100×+ slower at
-   * sf0.1. Band buckets then hash bound attributes (cheap field reads),
-   * and the self-join's two identical shuffle subplans collapse into one
-   * via Spark's ReuseExchange.
+   * Execution shape (the 100 TB path): the signature is ONE per-row pass
+   * of the codegen [[graft.plans.MinHashSignature]] expression — each
+   * shingle string hashed once, the `numHashes` "permutations" re-hash
+   * that 8-byte long (universal hashing), running minimums updated in a
+   * tight primitive loop. No exploded (doc, shingle) rows, no
+   * `numHashes`-column aggregate, and no shuffle before banding. Band
+   * buckets then hash signature field reads, and the self-join's two
+   * identical shuffle subplans collapse into one via Spark's
+   * ReuseExchange. (The previous explode → partial-min-agg shape paid a
+   * full shuffle of signature partials; the naive nested higher-order
+   * expression re-evaluates the shingle subtree per hash per band —
+   * measured 100×+ slower at sf0.1.)
    */
   def minhashCandidates(
       df: DataFrame, id: String, shingles: Column,
       numHashes: Int = 120, bands: Int = 20): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    // Each shingle string is hashed ONCE; the `numHashes` "permutations"
-    // re-hash that 8-byte long, not the string — the classic universal-
-    // hashing trick, ~an order of magnitude less hash work per shingle.
-    val exploded = df
-      .select(col(id).as("__gid"), explode(shingles).as("__gshingle"))
-      .select(col("__gid"), xxhash64(col("__gshingle")).as("__gbase"))
-    val minAggs = (0 until numHashes).map(h =>
-      min(xxhash64(col("__gbase"), lit(h))).as(s"__gh$h"))
-    val sig = exploded.groupBy("__gid").agg(minAggs.head, minAggs.tail: _*)
+    val sig = df
+      .select(col(id).as("__gid"),
+        minhashSignature(df.sparkSession, shingles, numHashes).as("__gsig"))
+      .filter(col("__gsig").isNotNull) // no shingles -> nothing to band on
     val bucketCols = (0 until bands).map { b =>
-      val bandHashes = (b * rowsPerBand until (b + 1) * rowsPerBand).map(h => col(s"__gh$h"))
+      val bandHashes = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(h => element_at(col("__gsig"), h + 1))
       struct(lit(b).as("band"), xxhash64(lit(b) +: bandHashes: _*).as("bucket"))
     }
     val banded = sig

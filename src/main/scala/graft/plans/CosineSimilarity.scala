@@ -93,6 +93,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object GraftFunctions {
   val cosineName = "graft_cosine"
   val hyperplanesName = "graft_hyperplanes"
+  val minhashName = "graft_minhash"
 
   private[plans] def cosineBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2, s"$cosineName expects 2 arguments")
@@ -111,11 +112,19 @@ object GraftFunctions {
       intLit(children(2), "tables"), intLit(children(3), "seed"))
   }
 
+  private[plans] def minhashBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 2, s"$minhashName expects (shingles, numHashes)")
+    MinHashSignature(children.head, intLit(children(1), "numHashes"))
+  }
+
   private def cosineInfo = new ExpressionInfo(
     classOf[CosineSimilarity].getName, cosineName)
 
   private def hyperplanesInfo = new ExpressionInfo(
     classOf[HyperplaneSignatures].getName, hyperplanesName)
+
+  private def minhashInfo = new ExpressionInfo(
+    classOf[MinHashSignature].getName, minhashName)
 
   /** Idempotent per-session registration (programmatic path). */
   def register(spark: SparkSession): Unit = {
@@ -123,6 +132,8 @@ object GraftFunctions {
       FunctionIdentifier(cosineName), cosineInfo, cosineBuilder _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(hyperplanesName), hyperplanesInfo, hyperplanesBuilder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(minhashName), minhashInfo, minhashBuilder _)
   }
 }
 
@@ -142,5 +153,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(GraftFunctions.hyperplanesName),
       new ExpressionInfo(classOf[HyperplaneSignatures].getName, GraftFunctions.hyperplanesName),
       GraftFunctions.hyperplanesBuilder _))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.minhashName),
+      new ExpressionInfo(classOf[MinHashSignature].getName, GraftFunctions.minhashName),
+      GraftFunctions.minhashBuilder _))
   }
 }

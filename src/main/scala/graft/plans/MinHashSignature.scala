@@ -1,0 +1,95 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{UnsafeArrayData, XXH64}
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expression: the full `numHashes`-permutation MinHash
+ * signature of a shingle array in ONE pass — the hot path of MinHash-LSH
+ * text dedup (SURVEY §2.2 #29).
+ *
+ * Bit-for-bit identical to the declarative universal-hashing
+ * construction in [[graft.operators.Dedup.minhashSignature]]
+ * (sig[h] = min over shingles of xxhash64(xxhash64(shingle), h), i.e.
+ * XXH64.hashInt(h, hashLong(hashUTF8String(shingle, 42), 42))), but
+ * each shingle string is hashed exactly once and the `numHashes` running
+ * minimums update in a tight primitive loop: no exploded (doc, shingle)
+ * rows, no `numHashes`-column partial-min aggregate, and — decisively at
+ * 100 TB — no shuffle: the signature is a pure per-row projection.
+ *
+ * A null shingle element contributes base hash 42 (what Spark's
+ * `xxhash64(NULL)` evaluates to), matching the declarative form. An
+ * empty or null shingle array yields a NULL signature — such documents
+ * have no content to band on; callers filter them out.
+ */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if numHashes >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs numHashes >= 1 (got $numHashes)")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<STRING>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_minhash"
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n == 0) return null
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val base = if (x.isNullAt(i)) 42L else XXH64.hashUTF8String(x.getUTF8String(i), 42L)
+      val mixed = XXH64.hashLong(base, 42L)
+      var h = 0
+      while (h < numHashes) {
+        val v = XXH64.hashInt(h, mixed)
+        if (v < out(h)) out(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val xxh = classOf[XXH64].getName
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val h = ctx.freshName("h")
+      val out = ctx.freshName("out"); val base = ctx.freshName("base")
+      val mixed = ctx.freshName("mixed"); val v = ctx.freshName("v")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $out = new long[$numHashes];
+         |  java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $base = $x.isNullAt($i) ? 42L : $xxh.hashUTF8String($x.getUTF8String($i), 42L);
+         |    long $mixed = $xxh.hashLong($base, 42L);
+         |    for (int $h = 0; $h < $numHashes; $h++) {
+         |      long $v = $xxh.hashInt($h, $mixed);
+         |      if ($v < $out[$h]) $out[$h] = $v;
+         |    }
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -33,12 +33,27 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated never pairs
   }
 
-  test("minhash signature length and determinism") {
-    val sig = docs.select(
-      Dedup.minhashSignature(TextFns.wordShingles(TextFns.tokens(col("text")), 2), 24).as("s"))
-      .collect().map(_.getSeq[Long](0))
+  test("minhash signature: length, determinism, codegen == declarative") {
+    val sh = TextFns.wordShingles(TextFns.tokens(col("text")), 2)
+    val rows = docs.select(
+      Dedup.minhashSignature(spark, sh, 24).as("s"),
+      Dedup.minhashSignatureDeclarative(sh, 24).as("d")).collect()
+    val sig = rows.map(_.getSeq[Long](0))
     assert(sig.forall(_.length == 24))
     assert(sig(0) == sig(3)) // identical text -> identical signature
+    // the one-pass codegen expression is bit-identical to the reference form
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("minhash signature: null shingles contribute, empty arrays yield null") {
+    val d = Seq(
+      (1L, Seq[String]("a", "b")), (2L, Seq[String]()),
+    ).toDF("id", "sh")
+      .union(Seq((3L, null.asInstanceOf[Seq[String]])).toDF("id", "sh"))
+    val out = d.select(col("id"), Dedup.minhashSignature(spark, col("sh"), 8).as("s"))
+      .orderBy("id").collect()
+    assert(out(0).getSeq[Long](1).length == 8)
+    assert(out(1).isNullAt(1) && out(2).isNullAt(1))
   }
 
   test("simhash near-dups: identical docs at hamming 0, unrelated docs excluded") {

@@ -275,13 +275,16 @@ object SparkEntry {
     Dedup.simhashNearDups(t(s, dir).documents, "doc_id",
       TextFns.tokens(col("text")), maxHamming = 3)
 
-  /** #31 char-3-gram Jaccard over deterministic adjacent-id pairs (SQL-checkable). */
+  /** #31 char-3-gram Jaccard over deterministic adjacent-id pairs
+   *  (SQL-checkable). Only (id, text) crosses the join shuffle; the gram
+   *  sets live inside the one-pass codegen expression. */
   private def q31NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir).documents
-    val a = d.select(col("doc_id").as("id_a"), TextFns.charGrams(col("text"), 3).as("g_a"))
-    val b = d.select(col("doc_id").as("id_b"), TextFns.charGrams(col("text"), 3).as("g_b"))
+    val a = d.select(col("doc_id").as("id_a"), col("text").as("__ta"))
+    val b = d.select(col("doc_id").as("id_b"), col("text").as("__tb"))
     a.join(b, col("id_b") === col("id_a") + 1)
-      .select(col("id_a"), col("id_b"), TextFns.jaccard(col("g_a"), col("g_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+        TextFns.charGramJaccard(s, col("__ta"), col("__tb"), 3).as("jaccard"))
   }
 
   /** #32 exact cosine top-k neighbors via the codegen expression. */

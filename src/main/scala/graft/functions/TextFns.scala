@@ -36,6 +36,18 @@ object TextFns {
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
       i => text.substr(i, lit(k))))
 
+  /**
+   * Exact Jaccard of two texts' char-k-gram sets via the one-pass codegen
+   * [[graft.plans.CharGramJaccard]] expression — value-identical to
+   * `jaccard(charGrams(a, k), charGrams(b, k))` without materializing
+   * either gram array. The hot path for pairwise n-gram similarity.
+   */
+  def charGramJaccard(spark: org.apache.spark.sql.SparkSession,
+      a: Column, b: Column, k: Int): Column = {
+    graft.plans.GraftFunctions.register(spark)
+    call_function(graft.plans.GraftFunctions.charGramJaccardName, a, b, lit(k))
+  }
+
   /** Jaccard similarity of two pre-distinct sets: |∩| / |∪| (exact ints → exact double). */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))

@@ -94,6 +94,7 @@ object GraftFunctions {
   val cosineName = "graft_cosine"
   val hyperplanesName = "graft_hyperplanes"
   val minhashName = "graft_minhash"
+  val charGramJaccardName = "graft_chargram_jaccard"
 
   private[plans] def cosineBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2, s"$cosineName expects 2 arguments")
@@ -117,6 +118,11 @@ object GraftFunctions {
     MinHashSignature(children.head, intLit(children(1), "numHashes"))
   }
 
+  private[plans] def charGramJaccardBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 3, s"$charGramJaccardName expects (a, b, k)")
+    CharGramJaccard(children.head, children(1), intLit(children(2), "k"))
+  }
+
   private def cosineInfo = new ExpressionInfo(
     classOf[CosineSimilarity].getName, cosineName)
 
@@ -134,6 +140,10 @@ object GraftFunctions {
       FunctionIdentifier(hyperplanesName), hyperplanesInfo, hyperplanesBuilder _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(minhashName), minhashInfo, minhashBuilder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(charGramJaccardName),
+      new ExpressionInfo(classOf[CharGramJaccard].getName, charGramJaccardName),
+      charGramJaccardBuilder _)
   }
 }
 
@@ -157,5 +167,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(GraftFunctions.minhashName),
       new ExpressionInfo(classOf[MinHashSignature].getName, GraftFunctions.minhashName),
       GraftFunctions.minhashBuilder _))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.charGramJaccardName),
+      new ExpressionInfo(classOf[CharGramJaccard].getName, GraftFunctions.charGramJaccardName),
+      GraftFunctions.charGramJaccardBuilder _))
   }
 }

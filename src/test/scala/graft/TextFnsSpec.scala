@@ -37,6 +37,28 @@ class TextFnsSpec extends SparkSpec {
     assert(j == 0.5)
   }
 
+  test("charGramJaccard codegen == declarative gram-array jaccard") {
+    val pairs = Seq(
+      ("abcdef", "bcdefg"),   // overlapping grams
+      ("abcdef", "abcdef"),   // identical -> 1.0
+      ("ab", "abc"),          // left shorter than k -> whole-text gram
+      ("", "abc"),            // empty text -> single "" gram, disjoint
+      ("", ""),               // both empty -> {""} == {""} -> 1.0
+      ("aaaa", "aa"),         // repeated chars collapse via distinct
+      ("héllo wörld", "héllo würld"), // multi-byte code points
+    ).toDF("a", "b")
+    val out = pairs.select(
+      TextFns.charGramJaccard(spark, col("a"), col("b"), 3).as("fast"),
+      TextFns.jaccard(TextFns.charGrams(col("a"), 3), TextFns.charGrams(col("b"), 3)).as("ref"))
+      .collect()
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"fast=${r.getDouble(0)} ref=${r.getDouble(1)}"))
+    // null text -> null, matching the declarative form
+    val n = Seq((Option.empty[String], Some("abc"))).toDF("a", "b")
+      .select(TextFns.charGramJaccard(spark, col("a"), col("b"), 3)).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("langId picks the dominant stopword family") {
     assert(one[String](TextFns.langId(TextFns.tokens(col("t"))), "the cat is here") == "en")
     assert(one[String](TextFns.langId(TextFns.tokens(col("t"))), "el perro de la casa") == "es")

@@ -267,7 +267,7 @@ object SparkEntry {
   private def q29MinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(
       t(s, dir).documents, "doc_id",
-      TextFns.wordShingles(TextFns.tokens(col("text")), 3),
+      TextFns.wordShingles(s, col("text"), 3),
       threshold = 0.8, cacheSets = true)
 
   /** #30 SimHash near-dup pairs (64-bit, Hamming ≤ 3, chunk-blocked). */

@@ -30,6 +30,20 @@ object TextFns {
         i => array_join(slice(toks, i + lit(1), lit(k)), " "))))
       .otherwise(array(array_join(toks, " ")))
 
+  /**
+   * Distinct word k-shingles straight from the raw text via the one-pass
+   * codegen [[graft.plans.WordShingles]] expression — value-identical to
+   * `wordShingles(tokens(text), k)` (joining k consecutive tokens with
+   * the single-space separator reproduces the original byte range), but
+   * one byte walk per text instead of a token array plus per-shingle
+   * slice/join allocations. The hot path for shingling a corpus.
+   */
+  def wordShingles(spark: org.apache.spark.sql.SparkSession,
+      text: Column, k: Int): Column = {
+    graft.plans.GraftFunctions.register(spark)
+    call_function(graft.plans.GraftFunctions.wordShinglesName, text, lit(k))
+  }
+
   /** Distinct character k-grams of the raw text. */
   def charGrams(text: Column, k: Int): Column =
     array_distinct(transform(

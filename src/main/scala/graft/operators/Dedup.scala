@@ -139,10 +139,21 @@ object Dedup {
   }
 
   /**
-   * 64-bit SimHash: each token votes ±1 per bit of its hash; the sign of
-   * the vote sum becomes the bit. `tokenHashes` must be an
-   * Array[Long] column (hash each token once, then fold bits). The 64
-   * per-bit folds are built as static expressions with fixed shifts.
+   * 64-bit SimHash of a token array via the one-pass codegen
+   * [[graft.plans.SimHash64]] expression: each token votes ±1 per bit of
+   * its hash, the vote sign becomes the bit — per-row, no explode, no
+   * vote aggregate, no shuffle. NULL for empty/null token arrays.
+   */
+  def simhashSignature(spark: SparkSession, toks: Column): Column = {
+    GraftFunctions.register(spark)
+    call_function(GraftFunctions.simhashName, toks)
+  }
+
+  /**
+   * Declarative reference form of [[simhashSignature]] over pre-hashed
+   * tokens (kept as the spec's parity baseline). `tokenHashes` must be
+   * an Array[Long] column; the 64 per-bit folds are built as static
+   * expressions with fixed shifts.
    */
   def simhash64(tokenHashes: Column): Column =
     (0 until 64).map { i =>
@@ -158,18 +169,14 @@ object Dedup {
    * maxHamming. Same banded-join scale shape as MinHash LSH.
    */
   def simhashNearDups(df: DataFrame, id: String, toks: Column, maxHamming: Int = 3): DataFrame = {
-    // Same explode→partial-agg shape as MinHash: each (doc, token) row
-    // hashes once, the 64 bit-votes are map-side SUM partials, and only
-    // 64 longs per doc cross the shuffle.
-    val exploded = df
-      .select(col(id).as("__gid"), explode(toks).as("__gtok"))
-      .select(col("__gid"), xxhash64(col("__gtok")).as("__gh"))
-    val votes = (0 until 64).map(i =>
-      sum(when(shiftright(col("__gh"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"__gv$i"))
-    val hashed = exploded.groupBy("__gid").agg(votes.head, votes.tail: _*)
-      .select(col("__gid"),
-        (0 until 64).map(i => when(col(s"__gv$i") > 0L, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _).as("__gsim"))
+    // One per-row pass of the codegen SimHash64 expression — no exploded
+    // (doc, token) rows, no 64-column vote aggregate, no shuffle before
+    // chunk blocking. (The previous explode → partial-SUM shape paid a
+    // full shuffle of vote partials.)
+    val hashed = df
+      .select(col(id).as("__gid"),
+        simhashSignature(df.sparkSession, toks).as("__gsim"))
+      .filter(col("__gsim").isNotNull) // no tokens -> nothing to block on
     val chunked = hashed.select(col("__gid"), col("__gsim"),
         explode(expr("transform(sequence(0, 3), j -> struct(j AS chunk, shiftright(__gsim, j * 16) & 65535L AS val))")).as("cb"))
       .select(col("__gid"), col("__gsim"), col("cb.chunk").as("chunk"), col("cb.val").as("val"))

@@ -95,6 +95,8 @@ object GraftFunctions {
   val hyperplanesName = "graft_hyperplanes"
   val minhashName = "graft_minhash"
   val charGramJaccardName = "graft_chargram_jaccard"
+  val wordShinglesName = "graft_word_shingles"
+  val simhashName = "graft_simhash64"
 
   private[plans] def cosineBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2, s"$cosineName expects 2 arguments")
@@ -123,6 +125,16 @@ object GraftFunctions {
     CharGramJaccard(children.head, children(1), intLit(children(2), "k"))
   }
 
+  private[plans] def wordShinglesBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 2, s"$wordShinglesName expects (text, k)")
+    WordShingles(children.head, intLit(children(1), "k"))
+  }
+
+  private[plans] def simhashBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 1, s"$simhashName expects (tokens)")
+    SimHash64(children.head)
+  }
+
   private def cosineInfo = new ExpressionInfo(
     classOf[CosineSimilarity].getName, cosineName)
 
@@ -144,6 +156,14 @@ object GraftFunctions {
       FunctionIdentifier(charGramJaccardName),
       new ExpressionInfo(classOf[CharGramJaccard].getName, charGramJaccardName),
       charGramJaccardBuilder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(wordShinglesName),
+      new ExpressionInfo(classOf[WordShingles].getName, wordShinglesName),
+      wordShinglesBuilder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(simhashName),
+      new ExpressionInfo(classOf[SimHash64].getName, simhashName),
+      simhashBuilder _)
   }
 }
 
@@ -171,5 +191,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(GraftFunctions.charGramJaccardName),
       new ExpressionInfo(classOf[CharGramJaccard].getName, GraftFunctions.charGramJaccardName),
       GraftFunctions.charGramJaccardBuilder _))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.wordShinglesName),
+      new ExpressionInfo(classOf[WordShingles].getName, GraftFunctions.wordShinglesName),
+      GraftFunctions.wordShinglesBuilder _))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.simhashName),
+      new ExpressionInfo(classOf[SimHash64].getName, GraftFunctions.simhashName),
+      GraftFunctions.simhashBuilder _))
   }
 }

@@ -64,6 +64,17 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("simhash signature codegen == declarative bit-vote fold; empty -> null") {
+    val rows = docs.select(
+      Dedup.simhashSignature(spark, TextFns.tokens(col("text"))).as("fast"),
+      Dedup.simhash64(transform(TextFns.tokens(col("text")), t => xxhash64(t))).as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    val empty = Seq(Tuple1(Seq.empty[String])).toDF("toks")
+      .select(Dedup.simhashSignature(spark, col("toks"))).collect()
+    assert(empty.head.isNullAt(0))
+  }
+
   test("simhash64 is order-insensitive over token multisets") {
     val h = Seq("a b c d e f", "f e d c b a").toDF("text")
       .select(Dedup.simhash64(transform(TextFns.tokens(col("text")), t => xxhash64(t))).as("h"))

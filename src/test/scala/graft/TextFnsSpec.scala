@@ -37,6 +37,26 @@ class TextFnsSpec extends SparkSpec {
     assert(j == 0.5)
   }
 
+  test("wordShingles codegen == declarative, including separator edge cases") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b",                 // fewer tokens than k -> whole text
+      "",                    // empty -> one empty shingle
+      "x",                   // single token
+      "a  b c",              // double space -> empty token in the middle
+      " leading trailing ",  // boundary separators
+      "dup dup dup dup",     // repeated shingles collapse via distinct
+      "héllo wörld ünïcode tokens here", // multi-byte code points
+    ).toDF("t")
+    val rows = texts.select(
+      TextFns.wordShingles(spark, col("t"), 3).as("fast"),
+      TextFns.wordShingles(TextFns.tokens(col("t")), 3).as("ref")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"fast=${r.getSeq[String](0)} ref=${r.getSeq[String](1)}")
+    }
+  }
+
   test("charGramJaccard codegen == declarative gram-array jaccard") {
     val pairs = Seq(
       ("abcdef", "bcdefg"),   // overlapping grams

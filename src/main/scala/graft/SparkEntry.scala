@@ -433,6 +433,13 @@ object SparkEntry {
   private def q51DimDenseKey(s: SparkSession, dir: String): DataFrame =
     StarSchema.dimWithDenseKey(t(s, dir).part, Seq("p_brand", "p_type"), "dim_sk")
 
+  /** #52 token counting: whitespace + BPE-ish regex pre-tokenizer. */
+  private def q52TokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).documents.select(
+      col("doc_id"),
+      TextFns.tokenCount(col("text")).as("ws_tokens"),
+      TextFns.bpeTokenCount(col("text")).as("bpe_tokens"))
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -487,6 +494,7 @@ object SparkEntry {
     "q49_distinct_hll"      -> (q49DistinctHll _),
     "q50_brand_model_split" -> (q50BrandModelSplit _),
     "q51_dim_dense_key"     -> (q51DimDenseKey _),
+    "q52_token_count"       -> (q52TokenCount _),
   )
 
   private val monthCaseSql: String =
@@ -738,5 +746,10 @@ object SparkEntry {
       ("SELECT p_brand, p_type, CAST(ROW_NUMBER() OVER " +
         "(ORDER BY p_brand, p_type) AS INT) AS dim_sk " +
         "FROM (SELECT DISTINCT p_brand, p_type FROM part)"),
+    "q52_token_count" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, " +
+        "'''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+', 0)) AS INT) " +
+        "AS bpe_tokens FROM documents"),
   )
 }

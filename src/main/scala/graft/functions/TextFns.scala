@@ -16,6 +16,19 @@ object TextFns {
   /** Token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /**
+   * BPE-ish pre-tokenizer pattern (GPT-2 shape): contraction suffixes,
+   * space-prefixed letter runs, digit runs, punctuation runs, whitespace
+   * runs. Restricted to constructs with identical semantics in Java
+   * regex and RE2 (no lookahead) so DuckDB oracle counts match.
+   */
+  val bpeTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Subword-aware token count: matches of [[bpeTokenPattern]]. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
+
   /** Count of tokens found in a stopword list (language-ID signal). */
   def stopwordHits(toks: Column, stopwords: Seq[String]): Column =
     size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*)))

@@ -18,6 +18,15 @@ class TextFnsSpec extends SparkSpec {
     assert(one[Int](TextFns.tokenCount(col("t")), "solo") == 1)
   }
 
+  test("bpeTokenCount splits contractions, digits, and punctuation runs") {
+    // "don" + "'t" + " stop" -> 3; the whitespace rides on the next token
+    assert(one[Int](TextFns.bpeTokenCount(col("t")), "don't stop") == 3)
+    // "abc" + "123" + "!!" -> letter run, digit run, punct run
+    assert(one[Int](TextFns.bpeTokenCount(col("t")), "abc123!!") == 3)
+    // plain words: one token per word (space-prefixed runs)
+    assert(one[Int](TextFns.bpeTokenCount(col("t")), "key agg row") == 3)
+  }
+
   test("wordShingles emits distinct k-grams; short docs collapse to whole text") {
     val sh = oneSeq(TextFns.wordShingles(TextFns.tokens(col("t")), 2), "a b c a b")
     assert(sh.toSet == Set("a b", "b c", "c a"))

@@ -35,6 +35,10 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
+      finally
+        // queries that persist intermediates (e.g. q29's shingle sets)
+        // must not hold memory while later queries are measured
+        spark.catalog.clearCache()
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -20,10 +20,12 @@ object TextFns {
    * BPE-ish pre-tokenizer pattern (GPT-2 shape): contraction suffixes,
    * space-prefixed letter runs, digit runs, punctuation runs, whitespace
    * runs. Restricted to constructs with identical semantics in Java
-   * regex and RE2 (no lookahead) so DuckDB oracle counts match.
+   * regex and RE2 (no lookahead; explicit `[ \t\n\f\r]` whitespace class
+   * because Java `\s` includes U+000B and RE2's does not) so DuckDB
+   * oracle counts match.
    */
   val bpeTokenPattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+"
 
   /** Subword-aware token count: matches of [[bpeTokenPattern]]. */
   def bpeTokenCount(text: Column): Column =

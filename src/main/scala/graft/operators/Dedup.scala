@@ -11,10 +11,11 @@ import graft.plans.GraftFunctions
  * #25, #29-31): exact, MinHash+LSH, SimHash, n-gram Jaccard.
  *
  * Scale design: nothing here is O(n²) over the corpus. Signatures are
- * computed per-row with higher-order array expressions (no shuffle, no
- * explode of shingles across rows); candidate pairs only materialize
- * inside LSH band buckets, so the self-join shuffles on (band, bucket)
- * and compares only probable near-duplicates.
+ * computed per-row with one-pass codegen expressions
+ * ([[graft.plans.MinHashSignature]], [[graft.plans.SimHash64]] — no
+ * shuffle, no explode of shingles across rows); candidate pairs only
+ * materialize inside LSH band buckets, so the self-join shuffles on
+ * (band, bucket) and compares only probable near-duplicates.
  */
 object Dedup {
 
@@ -77,10 +78,13 @@ object Dedup {
       numHashes: Int = 120, bands: Int = 20): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    // No null-guard filter here: the signature expression is total (empty
+    // arrays get the sentinel signature), and a filter on the computed
+    // column would be predicate-pushed below this projection, evaluating
+    // the signature twice per row.
     val sig = df
       .select(col(id).as("__gid"),
         minhashSignature(df.sparkSession, shingles, numHashes).as("__gsig"))
-      .filter(col("__gsig").isNotNull) // no shingles -> nothing to band on
     val bucketCols = (0 until bands).map { b =>
       val bandHashes = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(h => element_at(col("__gsig"), h + 1))
@@ -118,7 +122,7 @@ object Dedup {
   /**
    * Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard
    * verify. The shingle-set frame is referenced by three plan branches
-   * (signature explode + both verify joins); `cacheSets` persists it —
+   * (the signature projection + both verify joins); `cacheSets` persists it —
    * projected down to (id, set) only — so the sets are computed once
    * instead of three times: at corpus scale that is two saved
    * scans-with-shingling for |corpus| × set-size of spillable cache.
@@ -173,10 +177,16 @@ object Dedup {
     // (doc, token) rows, no 64-column vote aggregate, no shuffle before
     // chunk blocking. (The previous explode → partial-SUM shape paid a
     // full shuffle of vote partials.)
+    // No null-guard filter: SimHash64 is total (empty arrays hash to 0),
+    // and a filter on the computed column would be predicate-pushed below
+    // the projection, evaluating the hash twice per row. The coalesce
+    // (null token array -> 0, the empty-doc hash) makes the column
+    // non-nullable, so the isnotnull constraint the optimizer infers from
+    // the downstream Hamming filter constant-folds instead of being
+    // pushed down as a second evaluation of the hash.
     val hashed = df
       .select(col(id).as("__gid"),
-        simhashSignature(df.sparkSession, toks).as("__gsim"))
-      .filter(col("__gsim").isNotNull) // no tokens -> nothing to block on
+        coalesce(simhashSignature(df.sparkSession, toks), lit(0L)).as("__gsim"))
     val chunked = hashed.select(col("__gid"), col("__gsim"),
         explode(expr("transform(sequence(0, 3), j -> struct(j AS chunk, shiftright(__gsim, j * 16) & 65535L AS val))")).as("cb"))
       .select(col("__gid"), col("__gsim"), col("cb.chunk").as("chunk"), col("cb.val").as("val"))

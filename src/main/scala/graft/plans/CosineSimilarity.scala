@@ -135,69 +135,47 @@ object GraftFunctions {
     SimHash64(children.head)
   }
 
-  private def cosineInfo = new ExpressionInfo(
-    classOf[CosineSimilarity].getName, cosineName)
-
-  private def hyperplanesInfo = new ExpressionInfo(
-    classOf[HyperplaneSignatures].getName, hyperplanesName)
-
-  private def minhashInfo = new ExpressionInfo(
-    classOf[MinHashSignature].getName, minhashName)
+  /**
+   * The single source of truth for (identifier, info, builder) triples:
+   * both the programmatic [[register]] path and the config-driven
+   * [[GraftExtensions]] path iterate this list, so a new expression
+   * added here is available — with the same arity/foldable validation —
+   * on both.
+   */
+  private[plans] val defs: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier(cosineName),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, cosineName),
+      cosineBuilder _),
+    (FunctionIdentifier(hyperplanesName),
+      new ExpressionInfo(classOf[HyperplaneSignatures].getName, hyperplanesName),
+      hyperplanesBuilder _),
+    (FunctionIdentifier(minhashName),
+      new ExpressionInfo(classOf[MinHashSignature].getName, minhashName),
+      minhashBuilder _),
+    (FunctionIdentifier(charGramJaccardName),
+      new ExpressionInfo(classOf[CharGramJaccard].getName, charGramJaccardName),
+      charGramJaccardBuilder _),
+    (FunctionIdentifier(wordShinglesName),
+      new ExpressionInfo(classOf[WordShingles].getName, wordShinglesName),
+      wordShinglesBuilder _),
+    (FunctionIdentifier(simhashName),
+      new ExpressionInfo(classOf[SimHash64].getName, simhashName),
+      simhashBuilder _),
+  )
 
   /** Idempotent per-session registration (programmatic path). */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(cosineName), cosineInfo, cosineBuilder _)
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(hyperplanesName), hyperplanesInfo, hyperplanesBuilder _)
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(minhashName), minhashInfo, minhashBuilder _)
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(charGramJaccardName),
-      new ExpressionInfo(classOf[CharGramJaccard].getName, charGramJaccardName),
-      charGramJaccardBuilder _)
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(wordShinglesName),
-      new ExpressionInfo(classOf[WordShingles].getName, wordShinglesName),
-      wordShinglesBuilder _)
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(simhashName),
-      new ExpressionInfo(classOf[SimHash64].getName, simhashName),
-      simhashBuilder _)
-  }
+  def register(spark: SparkSession): Unit =
+    defs.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
 }
 
 /**
  * `spark.sql.extensions=graft.plans.GraftExtensions` — config-driven
- * injection for sessions graft code doesn't construct.
+ * injection for sessions graft code doesn't construct. Shares
+ * [[GraftFunctions.defs]] with the programmatic path.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    // Reuse the registry builders: same arity/foldable validation on the
-    // config-driven path as the programmatic one.
-    ext.injectFunction((
-      FunctionIdentifier(GraftFunctions.cosineName),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, GraftFunctions.cosineName),
-      GraftFunctions.cosineBuilder _))
-    ext.injectFunction((
-      FunctionIdentifier(GraftFunctions.hyperplanesName),
-      new ExpressionInfo(classOf[HyperplaneSignatures].getName, GraftFunctions.hyperplanesName),
-      GraftFunctions.hyperplanesBuilder _))
-    ext.injectFunction((
-      FunctionIdentifier(GraftFunctions.minhashName),
-      new ExpressionInfo(classOf[MinHashSignature].getName, GraftFunctions.minhashName),
-      GraftFunctions.minhashBuilder _))
-    ext.injectFunction((
-      FunctionIdentifier(GraftFunctions.charGramJaccardName),
-      new ExpressionInfo(classOf[CharGramJaccard].getName, GraftFunctions.charGramJaccardName),
-      GraftFunctions.charGramJaccardBuilder _))
-    ext.injectFunction((
-      FunctionIdentifier(GraftFunctions.wordShinglesName),
-      new ExpressionInfo(classOf[WordShingles].getName, GraftFunctions.wordShinglesName),
-      GraftFunctions.wordShinglesBuilder _))
-    ext.injectFunction((
-      FunctionIdentifier(GraftFunctions.simhashName),
-      new ExpressionInfo(classOf[SimHash64].getName, GraftFunctions.simhashName),
-      GraftFunctions.simhashBuilder _))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.defs.foreach(ext.injectFunction)
 }

@@ -23,8 +23,13 @@ import org.apache.spark.sql.types._
  *
  * A null shingle element contributes base hash 42 (what Spark's
  * `xxhash64(NULL)` evaluates to), matching the declarative form. An
- * empty or null shingle array yields a NULL signature — such documents
- * have no content to band on; callers filter them out.
+ * empty shingle array yields the all-Long.MaxValue sentinel signature —
+ * a TOTAL result, deliberately not NULL: a null-guard filter on the
+ * computed column gets predicate-pushed below the projection and makes
+ * Catalyst evaluate the signature twice per row. Empty documents share
+ * the sentinel signature and band together, which is semantically right
+ * (they are identical) and harmless downstream (exact-Jaccard verify
+ * yields NULL for empty sets and drops the pair).
  */
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression {
@@ -42,12 +47,11 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 
   override def prettyName: String = "graft_minhash"
 
-  override def nullable: Boolean = true
+  override def nullable: Boolean = child.nullable
 
   override protected def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
     val n = x.numElements()
-    if (n == 0) return null
     val out = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {
@@ -72,21 +76,17 @@ case class MinHashSignature(child: Expression, numHashes: Int)
       val mixed = ctx.freshName("mixed"); val v = ctx.freshName("v")
       s"""
          |int $n = $x.numElements();
-         |if ($n == 0) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  long[] $out = new long[$numHashes];
-         |  java.util.Arrays.fill($out, Long.MAX_VALUE);
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    long $base = $x.isNullAt($i) ? 42L : $xxh.hashUTF8String($x.getUTF8String($i), 42L);
-         |    long $mixed = $xxh.hashLong($base, 42L);
-         |    for (int $h = 0; $h < $numHashes; $h++) {
-         |      long $v = $xxh.hashInt($h, $mixed);
-         |      if ($v < $out[$h]) $out[$h] = $v;
-         |    }
+         |long[] $out = new long[$numHashes];
+         |java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $base = $x.isNullAt($i) ? 42L : $xxh.hashUTF8String($x.getUTF8String($i), 42L);
+         |  long $mixed = $xxh.hashLong($base, 42L);
+         |  for (int $h = 0; $h < $numHashes; $h++) {
+         |    long $v = $xxh.hashInt($h, $mixed);
+         |    if ($v < $out[$h]) $out[$h] = $v;
          |  }
-         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
          |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
        """.stripMargin
     })
 

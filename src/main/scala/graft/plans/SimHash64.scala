@@ -16,8 +16,12 @@ import org.apache.spark.sql.types._
  * sign becoming the output bit) but evaluated per row in a tight loop:
  * no exploded (doc, token) rows, no 64-column vote aggregate, no
  * shuffle. A null token contributes hash 42 (Spark's `xxhash64(NULL)`),
- * matching the pipeline. An empty or null token array yields NULL —
- * such documents have nothing to block on; callers filter them out.
+ * matching the pipeline. An empty token array yields 0L (all votes tie
+ * at zero) — a TOTAL result, deliberately not NULL: a null-guard filter
+ * on the computed column gets predicate-pushed below the projection and
+ * makes Catalyst evaluate the hash twice per row. Empty documents share
+ * hash 0 and block together, which is semantically right (they are
+ * identical, Hamming 0).
  */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
@@ -31,12 +35,11 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "graft_simhash64"
 
-  override def nullable: Boolean = true
+  override def nullable: Boolean = child.nullable
 
   override protected def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
     val n = x.numElements()
-    if (n == 0) return null
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
@@ -64,22 +67,18 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       val votes = ctx.freshName("votes"); val h = ctx.freshName("h")
       s"""
          |int $n = $x.numElements();
-         |if ($n == 0) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  int[] $votes = new int[64];
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    long $h = $x.isNullAt($i) ? 42L : $xxh.hashUTF8String($x.getUTF8String($i), 42L);
-         |    for (int $b = 0; $b < 64; $b++) {
-         |      if ((($h >> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
-         |    }
-         |  }
-         |  long ${ev.value}_acc = 0L;
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $x.isNullAt($i) ? 42L : $xxh.hashUTF8String($x.getUTF8String($i), 42L);
          |  for (int $b = 0; $b < 64; $b++) {
-         |    if ($votes[$b] > 0) ${ev.value}_acc |= (1L << $b);
+         |    if ((($h >> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
          |  }
-         |  ${ev.value} = ${ev.value}_acc;
          |}
+         |long ${ev.value}_acc = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] > 0) ${ev.value}_acc |= (1L << $b);
+         |}
+         |${ev.value} = ${ev.value}_acc;
        """.stripMargin
     })
 

@@ -440,6 +440,12 @@ object SparkEntry {
       TextFns.tokenCount(col("text")).as("ws_tokens"),
       TextFns.bpeTokenCount(col("text")).as("bpe_tokens"))
 
+  /** #53 dense surrogate key without a single-partition window — the
+   *  100 TB twin of q51, proven on a 6-figure-row key set. */
+  private def q53DimDenseScalable(s: SparkSession, dir: String): DataFrame =
+    StarSchema.dimWithDenseKeyScalable(t(s, dir).lineitem,
+      Seq("l_orderkey", "l_linenumber"), "dim_sk")
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -495,6 +501,7 @@ object SparkEntry {
     "q50_brand_model_split" -> (q50BrandModelSplit _),
     "q51_dim_dense_key"     -> (q51DimDenseKey _),
     "q52_token_count"       -> (q52TokenCount _),
+    "q53_dim_dense_scalable" -> (q53DimDenseScalable _),
   )
 
   private val monthCaseSql: String =
@@ -751,5 +758,9 @@ object SparkEntry {
         "CAST(len(regexp_extract_all(text, " +
         "'''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+', 0)) AS INT) " +
         "AS bpe_tokens FROM documents"),
+    "q53_dim_dense_scalable" ->
+      ("SELECT l_orderkey, l_linenumber, ROW_NUMBER() OVER " +
+        "(ORDER BY l_orderkey, l_linenumber) AS dim_sk " +
+        "FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)"),
   )
 }

@@ -49,6 +49,36 @@ object StarSchema {
       .withColumn(idCol, row_number().over(Window.orderBy(naturalKey.map(col): _*)))
 
   /**
+   * Dense sequential surrogate key WITHOUT a single-partition window —
+   * the 100 TB twin of [[dimWithDenseKey]], byte-equal output. Ranges
+   * partition the distinct keys (partition i's keys all sort before
+   * partition i+1's), each partition ranks locally, and the global id is
+   * local rank + the sum of earlier partitions' sizes. The only
+   * unpartitioned window runs over the per-partition size frame — at
+   * most `spark.sql.shuffle.partitions` rows. Range boundaries come
+   * from sampling and may vary between runs; the output does not,
+   * because global rank is invariant to where the ranges fall.
+   */
+  def dimWithDenseKeyScalable(df: DataFrame, naturalKey: Seq[String], idCol: String): DataFrame = {
+    val keys = naturalKey.map(col)
+    val ranged = df.select(keys: _*).distinct()
+      .repartitionByRange(keys: _*)
+      .withColumn("__gpid", spark_partition_id())
+    val withRn = ranged.withColumn("__grn",
+      row_number().over(Window.partitionBy("__gpid").orderBy(keys: _*)))
+    // per-partition sizes -> exclusive running sum = id offset per pid;
+    // both branches share the ranged exchange via ReuseExchange
+    val offsets = withRn.groupBy("__gpid").agg(count(lit(1)).as("__gsz"))
+      .withColumn("__goff", coalesce(
+        sum("__gsz").over(Window.orderBy("__gpid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__gpid", "__goff")
+    withRn.join(broadcast(offsets), "__gpid")
+      .withColumn(idCol, (col("__goff") + col("__grn")).cast("long"))
+      .select((naturalKey :+ idCol).map(col): _*)
+  }
+
+  /**
    * Fact construction: left-join each dimension back on its natural key to
    * attach surrogate FKs, then project measures + FKs (reference
    * dag.py:241-261). Dimensions are broadcast — the fact side of a star

@@ -40,6 +40,19 @@ class StarSchemaSpec extends SparkSpec {
     assert(dim.map(_.getAs[String]("uf")).toSeq == Seq("rj", "sp")) // ordered
   }
 
+  test("dimWithDenseKeyScalable matches the single-window form exactly") {
+    val li = sources.Tables(spark, sf0001).lineitem
+    val keys = Seq("l_orderkey", "l_linenumber")
+    val scalable = StarSchema.dimWithDenseKeyScalable(li, keys, "id")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val ref = StarSchema.dimWithDenseKey(li, keys, "id")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2).toLong))
+    assert(scalable.length == ref.length)
+    assert(scalable.toSeq == ref.toSeq) // dense 1..n in natural-key order
+  }
+
   test("buildFact attaches every FK and keeps measures") {
     val dimUf = StarSchema.dimWithHashKey(src, Seq("uf"), "id_uf")
     val dimZone = StarSchema.dimWithHashKey(src, Seq("zone"), "id_zone")

@@ -446,6 +446,13 @@ object SparkEntry {
     StarSchema.dimWithDenseKeyScalable(t(s, dir).lineitem,
       Seq("l_orderkey", "l_linenumber"), "dim_sk")
 
+  /** #54 winnowing (rolling-hash) fingerprint partial-overlap candidates.
+   *  Rows-only: the MOSS selection isn't SQL-expressible; DedupSpec pins
+   *  the substring-sharing guarantee and edit robustness. */
+  private def q54WinnowOverlap(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowCandidates(t(s, dir).documents, "doc_id", col("text"),
+      k = 24, w = 4, minShared = 3, maxDocFreq = 100)
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -502,6 +509,7 @@ object SparkEntry {
     "q51_dim_dense_key"     -> (q51DimDenseKey _),
     "q52_token_count"       -> (q52TokenCount _),
     "q53_dim_dense_scalable" -> (q53DimDenseScalable _),
+    "q54_winnow_overlap"    -> (q54WinnowOverlap _),
   )
 
   private val monthCaseSql: String =

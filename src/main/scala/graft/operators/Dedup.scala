@@ -102,6 +102,55 @@ object Dedup {
   }
 
   /**
+   * Winnowing document fingerprints (MOSS) via the one-pass codegen
+   * [[graft.plans.WinnowFingerprints]] expression: sorted distinct
+   * rightmost-min gram hashes, one per sliding hash window. Any shared
+   * substring of length >= k + w - 1 yields a shared fingerprint;
+   * fingerprints survive edits outside the shared region — the
+   * position-robust complement of [[graft.functions.TextFns.fingerprint]]'s
+   * whole-text md5.
+   */
+  def winnowFingerprints(spark: SparkSession, text: Column, k: Int, w: Int): Column = {
+    GraftFunctions.register(spark)
+    call_function(GraftFunctions.winnowName, text, lit(k), lit(w))
+  }
+
+  /**
+   * Partial-overlap candidate pairs: documents sharing at least
+   * `minShared` winnow fingerprints. Same band-bucket scale shape as
+   * MinHash LSH — the self-join key is the fingerprint, so pairs only
+   * materialize among documents that actually share a fingerprint,
+   * never all-pairs; `shared` counts the common fingerprints for
+   * downstream ranking/verification.
+   *
+   * `maxDocFreq` drops fingerprints appearing in more than that many
+   * documents before the join — boilerplate/common-phrase fingerprints
+   * are non-discriminative AND each contributes O(df²) join work, so a
+   * corpus-wide stock phrase would otherwise dominate the shuffle
+   * (measured 6× on the bench corpus). The df-count window shuffles on
+   * the same fingerprint key the join uses, so the exchange is reused.
+   */
+  def winnowCandidates(
+      df: DataFrame, id: String, text: Column,
+      k: Int = 24, w: Int = 4, minShared: Int = 2,
+      maxDocFreq: Int = 100): DataFrame = {
+    val fp = df.select(col(id).as("__gid"),
+      explode(winnowFingerprints(df.sparkSession, text, k, w)).as("__gfp"))
+    val capped = if (maxDocFreq <= 0) fp else {
+      fp.withColumn("__gdf",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("__gfp")))
+        .filter(col("__gdf") <= maxDocFreq)
+        .drop("__gdf")
+    }
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.__gfp") === col("b.__gfp") && col("a.__gid") < col("b.__gid"))
+      .groupBy(col("a.__gid").as("id_a"), col("b.__gid").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /**
    * Verify candidate pairs with exact Jaccard over `setOf(id)` sets,
    * keeping pairs ≥ threshold. Joining sets back by id is two hash joins
    * against the (small) candidate set — broadcastable.

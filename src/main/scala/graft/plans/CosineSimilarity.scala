@@ -97,6 +97,7 @@ object GraftFunctions {
   val charGramJaccardName = "graft_chargram_jaccard"
   val wordShinglesName = "graft_word_shingles"
   val simhashName = "graft_simhash64"
+  val winnowName = "graft_winnow"
 
   private[plans] def cosineBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2, s"$cosineName expects 2 arguments")
@@ -135,6 +136,11 @@ object GraftFunctions {
     SimHash64(children.head)
   }
 
+  private[plans] def winnowBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 3, s"$winnowName expects (text, k, w)")
+    WinnowFingerprints(children.head, intLit(children(1), "k"), intLit(children(2), "w"))
+  }
+
   /**
    * The single source of truth for (identifier, info, builder) triples:
    * both the programmatic [[register]] path and the config-driven
@@ -161,6 +167,9 @@ object GraftFunctions {
     (FunctionIdentifier(simhashName),
       new ExpressionInfo(classOf[SimHash64].getName, simhashName),
       simhashBuilder _),
+    (FunctionIdentifier(winnowName),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, winnowName),
+      winnowBuilder _),
   )
 
   /** Idempotent per-session registration (programmatic path). */

@@ -59,6 +59,30 @@ class DedupSpec extends SparkSpec {
     assert(out(2).isNullAt(1)) // null input still propagates null
   }
 
+  test("winnow fingerprints: shared-substring guarantee, edit robustness, determinism") {
+    val k = 8; val w = 4
+    val shared = "this exact paragraph appears verbatim in both documents today"
+    val d = Seq(
+      (0L, s"unique preamble zero. $shared and then it diverges completely"),
+      (1L, s"a totally different much longer opening text here! $shared ending otherwise"),
+      (2L, "no overlap with anything else at all in this one, different words"),
+      (3L, s"unique preamble zero. $shared and then it diverges completely"), // == 0
+    ).toDF("doc_id", "text")
+    def fps(id: Long) = d.filter(col("doc_id") === id)
+      .select(Dedup.winnowFingerprints(spark, col("text"), k, w))
+      .head.getSeq[Long](0).toSet
+    // identical docs -> identical fingerprint sets (deterministic)
+    assert(fps(0) == fps(3))
+    // shared substring of length >= k+w-1 -> at least one shared
+    // fingerprint, despite different surroundings (position robustness)
+    assert((fps(0) & fps(1)).nonEmpty)
+    // candidates surface the overlap pairs, never the unrelated doc
+    val cands = Dedup.winnowCandidates(d, "doc_id", col("text"), k, w, minShared = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cands.contains((0L, 3L)) && cands.contains((0L, 1L)))
+    assert(!cands.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
   test("simhash near-dups: identical docs at hamming 0, unrelated docs excluded") {
     val pairs = Dedup.simhashNearDups(docs, "doc_id", TextFns.tokens(col("text")), maxHamming = 3)
       .collect().map(r =>

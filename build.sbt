@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 54 codegen-heavy queries (x warmup) overflow the default 240m code
+  // cache; once full the JIT disables itself and late queries run
+  // interpreted — seen as 3-8x spikes on unchanged queries late in a
+  // bench run.
+  "-XX:ReservedCodeCacheSize=512m",
 )

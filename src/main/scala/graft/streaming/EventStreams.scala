@@ -63,6 +63,29 @@ object EventStreams {
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   /**
+   * Exactly-once-effective warehouse sink: each micro-batch anti-joins
+   * the target on `keys` before appending (the streaming twin of the
+   * batch idempotent load, reference dag.py:290-445 ON CONFLICT DO
+   * NOTHING). Replayed batches — at-least-once delivery, restarts —
+   * insert nothing the second time, turning Structured Streaming's
+   * at-least-once file sink into effective exactly-once by key. Each
+   * batch is one distributed anti-join + append; no driver-side rows.
+   */
+  def writeIdempotent(
+      stream: DataFrame, spark: SparkSession, targetDir: String,
+      keys: Seq[String], checkpointDir: String) =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fresh =
+          if (new java.io.File(targetDir).exists()) {
+            val existing = spark.read.parquet(targetDir)
+            graft.operators.Relational.idempotentAppend(batch, existing, keys)
+          } else batch
+        fresh.write.mode("append").parquet(targetDir)
+      }
+
+  /**
    * Custom-state sessionization via flatMapGroupsWithState with a
    * processing-time timeout: emits a summary when a user goes quiet.
    * This is the (c)-tier extension point of SURVEY §4 — state Spark's

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Exact._
 import graft.functions.TextFns
-import graft.operators.{Cleaning, Dedup, Events, Multimodal, Relational, Similarity, StarSchema, Transforms}
+import graft.operators.{Cleaning, Curation, Dedup, Events, Multimodal, Relational, Similarity, StarSchema, Transforms}
 import graft.sources.Tables
 
 /**
@@ -453,6 +453,12 @@ object SparkEntry {
     Dedup.winnowCandidates(t(s, dir).documents, "doc_id", col("text"),
       k = 24, w = 4, minShared = 3, maxDocFreq = 100)
 
+  /** #55 composed curation pipeline: lang filter → quality filter →
+   *  exact dedup — one plan, one scan, one shuffle. */
+  private def q55CurationPipeline(s: SparkSession, dir: String): DataFrame =
+    Curation.curate(t(s, dir).documents, "doc_id", "text", "n_chars",
+      stopwords = enStop, langs = Seq("en"), minQuality = 0.35)
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -510,6 +516,7 @@ object SparkEntry {
     "q52_token_count"       -> (q52TokenCount _),
     "q53_dim_dense_scalable" -> (q53DimDenseScalable _),
     "q54_winnow_overlap"    -> (q54WinnowOverlap _),
+    "q55_curation_pipeline" -> (q55CurationPipeline _),
   )
 
   private val monthCaseSql: String =
@@ -761,6 +768,23 @@ object SparkEntry {
       ("SELECT p_brand, p_type, CAST(ROW_NUMBER() OVER " +
         "(ORDER BY p_brand, p_type) AS INT) AS dim_sk " +
         "FROM (SELECT DISTINCT p_brand, p_type FROM part)"),
+    "q55_curation_pipeline" ->
+      ("WITH s AS (SELECT doc_id, text, n_chars, " +
+        "len(string_split(text, ' ')) AS n_tokens, " +
+        s"len(list_filter(string_split(text, ' '), t -> t IN $enStopSql)) AS en, " +
+        "len(list_filter(string_split(text, ' '), t -> t IN ('el','la','de','los','es'))) AS es, " +
+        "len(list_filter(string_split(text, ' '), t -> t IN ('o','os','um','uma','não'))) AS pt " +
+        "FROM documents), " +
+        "q AS (SELECT doc_id, text, " +
+        "CASE WHEN en >= es AND en >= pt AND en > 0 THEN 'en' " +
+        "WHEN es >= pt AND es > 0 THEN 'es' WHEN pt > 0 THEN 'pt' ELSE 'und' END AS lang, " +
+        "0.5::DOUBLE * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) " +
+        "+ 0.3::DOUBLE * (CAST(en AS DOUBLE) / greatest(n_tokens, 1)) " +
+        "+ 0.2::DOUBLE * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS quality FROM s) " +
+        "SELECT doc_id, lang, quality FROM (" +
+        "SELECT doc_id, lang, quality, " +
+        "ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn " +
+        "FROM q WHERE lang = 'en' AND quality >= 0.35) WHERE rn = 1"),
     "q52_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, " +

@@ -459,6 +459,21 @@ object SparkEntry {
     Curation.curate(t(s, dir).documents, "doc_id", "text", "n_chars",
       stopwords = enStop, langs = Seq("en"), minQuality = 0.35)
 
+  /** #56 interval (range) join with no equi-key, bin-bucketed — never a
+   *  nested-loop cartesian. Orders counted into 7-day windows opened by
+   *  a deterministic order sample. */
+  private def q56RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir).orders
+    val intervals = o.filter(col("o_orderkey") % 601 === 0)
+      .select(col("o_orderkey").as("i_key"),
+        col("o_orderdate").as("start_ts"),
+        (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("end_ts"))
+    Events.rangeJoin(o.select("o_orderkey", "o_orderdate"), "o_orderdate",
+        intervals, "start_ts", "end_ts", binWidthSec = 7L * 86400)
+      .groupBy("i_key")
+      .agg(cnt.as("n"))
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -517,6 +532,7 @@ object SparkEntry {
     "q53_dim_dense_scalable" -> (q53DimDenseScalable _),
     "q54_winnow_overlap"    -> (q54WinnowOverlap _),
     "q55_curation_pipeline" -> (q55CurationPipeline _),
+    "q56_range_join"        -> (q56RangeJoin _),
   )
 
   private val monthCaseSql: String =
@@ -785,6 +801,11 @@ object SparkEntry {
         "SELECT doc_id, lang, quality, " +
         "ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn " +
         "FROM q WHERE lang = 'en' AND quality >= 0.35) WHERE rn = 1"),
+    "q56_range_join" ->
+      ("SELECT i.o_orderkey AS i_key, COUNT(*) AS n FROM orders o JOIN " +
+        "(SELECT o_orderkey, o_orderdate AS s, o_orderdate + INTERVAL 7 DAY AS e " +
+        "FROM orders WHERE o_orderkey % 601 = 0) i " +
+        "ON o.o_orderdate >= i.s AND o.o_orderdate <= i.e GROUP BY 1"),
     "q52_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, " +

@@ -110,4 +110,35 @@ object Events {
       .select(leftCols.map(col) ++
         valueCols.map { case (_, to) => col(s"__graft_hit.$to").as(to) }: _*)
   }
+
+  /**
+   * Interval (range) join WITHOUT an equi-key: pairs every left row
+   * whose `leftTs` lies in a right-side `[startCol, endCol]` interval
+   * (inclusive both ends). Spark plans the naive form as
+   * BroadcastNestedLoopJoin — a cartesian at scale. Scale shape: time
+   * is quantized into `binWidthSec` bins; each right interval explodes
+   * into the bins it covers, a left row has exactly ONE bin, and the
+   * join becomes an equi-join on bin plus the exact containment filter.
+   * A (left, right) pair can only meet in the left row's bin, so no
+   * dedup shuffle is needed. Work per bin is bounded by interval
+   * density — never |left|·|right|. Size `binWidthSec` near the median
+   * interval length: much smaller multiplies the right-side explode,
+   * much larger packs unrelated rows into shared bins.
+   */
+  def rangeJoin(
+      left: DataFrame, leftTs: String,
+      right: DataFrame, startCol: String, endCol: String,
+      binWidthSec: Long): DataFrame = {
+    val w = lit(binWidthSec)
+    // via unix_seconds: TIMESTAMP_NTZ won't cast to BIGINT directly
+    // (session tz is UTC, so the NTZ->TS cast is stable)
+    def epoch(c: Column) = unix_seconds(c.cast("timestamp"))
+    val l = left.withColumn("__graft_bin", floor(epoch(col(leftTs)) / w))
+    val r = right.withColumn("__graft_bin",
+      explode(sequence(floor(epoch(col(startCol)) / w),
+        floor(epoch(col(endCol)) / w))))
+    l.join(r, Seq("__graft_bin"))
+      .filter(col(leftTs) >= col(startCol) && col(leftTs) <= col(endCol))
+      .drop("__graft_bin")
+  }
 }

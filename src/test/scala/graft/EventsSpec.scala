@@ -108,6 +108,31 @@ class EventsSpec extends SparkSpec {
       .head.getAs[Double]("s") == 7.0)
   }
 
+  test("rangeJoin matches the naive non-equi join, boundaries inclusive") {
+    import graft.operators.Events
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 11:30:00")),
+      (3L, ts("2024-01-01 13:00:00")), (4L, ts("2024-01-02 09:00:00")),
+      (5L, ts("2024-01-01 12:00:00")), // == an interval end (inclusive)
+    ).toDF("id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")),
+      (11L, ts("2024-01-01 11:00:00"), ts("2024-01-01 11:59:00")),
+      (12L, ts("2024-01-03 00:00:00"), ts("2024-01-04 00:00:00")), // matches nothing
+    ).toDF("rid", "s", "e")
+    // bin width much smaller than intervals: exercises multi-bin explode
+    for (binSec <- Seq(600L, 3600L, 86400L)) {
+      val fast = Events.rangeJoin(left, "ts", right, "s", "e", binSec)
+        .select("id", "rid").as[(Long, Long)].collect().toSet
+      val naive = left.join(right, col("ts") >= col("s") && col("ts") <= col("e"))
+        .select("id", "rid").as[(Long, Long)].collect().toSet
+      assert(fast == naive, s"binSec=$binSec")
+      assert(fast.contains((1L, 10L)) && fast.contains((5L, 10L))) // inclusive ends
+      assert(!fast.exists(_._2 == 12L))
+    }
+  }
+
   test("quantileAgg: approx GK sketch tracks the exact interpolated percentile") {
     import graft.operators.Relational
     val li = sources.Tables(spark, sf0001).lineitem

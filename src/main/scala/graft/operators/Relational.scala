@@ -151,6 +151,29 @@ object Relational {
   }
 
   /**
+   * Skew-resistant equi-join: the big side salts each row (physical-id
+   * hash, as in [[saltedAgg]] — identical hot-key rows still spread),
+   * the small side replicates once per salt bucket, and the join runs
+   * on (keys, salt) — one hot key spreads over `saltBuckets` reducers
+   * instead of melting one. Result is row-identical to the plain join
+   * (every big row meets exactly one replica of each matching small
+   * row). Use when a known hot key defeats even AQE's skew-join
+   * splitting (e.g. one key is most of a partition AND both sides are
+   * too big to broadcast); costs `saltBuckets`× the small side's
+   * shuffle volume.
+   */
+  def saltedJoin(
+      big: DataFrame, small: DataFrame, keys: Seq[String],
+      saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    val bigS = big.withColumn("__graft_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)).cast("int"))
+    val smallS = small.withColumn("__graft_salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    bigS.join(smallS, keys :+ "__graft_salt", joinType)
+      .drop("__graft_salt")
+  }
+
+  /**
    * Grouped quantiles: exact linear-interpolated percentiles (matches
    * DuckDB `quantile_cont` bit-for-bit), or the Greenwald-Khanna sketch behind
    * `approx_percentile` sketch — the 100 TB default, since an exact

@@ -26,6 +26,22 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(salted == direct)
   }
 
+  test("saltedJoin is row-identical to the plain join on skewed keys") {
+    // 90% of the big side shares one key; small side has duplicate keys
+    // so replication must not multiply matches
+    val big = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k${i % 7}", i))
+      .toDF("k", "v")
+    val small = Seq(("hot", 1.0), ("hot", 2.0), ("k1", 3.0), ("miss", 9.0))
+      .toDF("k", "w")
+    for (joinType <- Seq("inner", "left")) {
+      val plain = big.join(small, Seq("k"), joinType)
+        .collect().map(r => (r.getString(0), r.getInt(1), String.valueOf(r.get(2)))).sorted.toSeq
+      val salted = Relational.saltedJoin(big, small, Seq("k"), saltBuckets = 8, joinType)
+        .collect().map(r => (r.getString(0), r.getInt(1), String.valueOf(r.get(2)))).sorted.toSeq
+      assert(salted == plain, s"joinType=$joinType")
+    }
+  }
+
   test("bucketed tables join with zero shuffle") {
     val t = sources.Tables(spark, sf0001)
     for (tbl <- Seq("b_orders", "b_lineitem")) {

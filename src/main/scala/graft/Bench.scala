@@ -27,19 +27,22 @@ object Bench {
 
     def materialize(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case scala.util.control.NonFatal(e) =>
+      try {
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        // stop the clock before cache teardown, which belongs to the
+        // harness, not the measured query
+        (System.nanoTime() - t0) / 1e9
+      } catch { case scala.util.control.NonFatal(e) =>
         // fatal JVM errors (OOM etc.) must abort — timings after one
         // would be garbage measured in a corrupted JVM
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
+        -1.0
       }
       finally
         // queries that persist intermediates (e.g. q29's shingle sets)
         // must not hold memory while later queries are measured
         spark.catalog.clearCache()
-      (System.nanoTime() - t0) / 1e9
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -30,7 +30,10 @@ object Dedup {
    * permutations approximated by universal hashing — each shingle string
    * is hashed once, then sig[h] = min over shingles of the h-mixed
    * re-hash of that long. Pure per-row projection: no explode, no
-   * aggregate, no shuffle. NULL for empty/null shingle arrays.
+   * aggregate, no shuffle. Total: an EMPTY shingle array yields the
+   * all-Long.MaxValue sentinel signature (a null output would force a
+   * null-guard filter that predicate-pushdown double-evaluates); only a
+   * null input array yields NULL.
    */
   def minhashSignature(spark: SparkSession, shingles: Column, numHashes: Int): Column = {
     GraftFunctions.register(spark)
@@ -41,7 +44,8 @@ object Dedup {
    * Declarative reference form of [[minhashSignature]] (kept as the
    * spec's parity baseline; nested higher-order transforms re-evaluate
    * multiplicatively — do not use on a hot path). Differs on empty
-   * arrays only: yields an all-null array where the codegen form is NULL.
+   * arrays only: yields an all-null array where the codegen form yields
+   * the all-Long.MaxValue sentinel.
    */
   def minhashSignatureDeclarative(shingles: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
@@ -75,13 +79,16 @@ object Dedup {
    */
   def minhashCandidates(
       df: DataFrame, id: String, shingles: Column,
-      numHashes: Int = 120, bands: Int = 20): DataFrame = {
+      numHashes: Int = 120, bands: Int = 20,
+      maxBucketSize: Int = 10000): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     // No null-guard filter here: the signature expression is total (empty
     // arrays get the sentinel signature), and a filter on the computed
     // column would be predicate-pushed below this projection, evaluating
-    // the signature twice per row.
+    // the signature twice per row. Degenerate groups — including all
+    // empty-shingle docs, which share the sentinel signature and band
+    // together — are bounded by the bucket cap below instead.
     val sig = df
       .select(col(id).as("__gid"),
         minhashSignature(df.sparkSession, shingles, numHashes).as("__gsig"))
@@ -93,8 +100,19 @@ object Dedup {
     val banded = sig
       .select(col("__gid"), explode(array(bucketCols: _*)).as("bb"))
       .select(col("__gid"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    banded.as("a")
-      .join(banded.as("b"),
+    // Cap (band, bucket) groups: a degenerate bucket (sentinel signatures,
+    // a corpus-wide boilerplate text) does O(size²) join work; true
+    // near-dup groups larger than the cap still pair through their other
+    // 19 bands. The count window shuffles on the same key the join uses.
+    val capped = if (maxBucketSize <= 0) banded else {
+      banded.withColumn("__gbsz",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("band", "bucket")))
+        .filter(col("__gbsz") <= maxBucketSize)
+        .drop("__gbsz")
+    }
+    capped.as("a")
+      .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.__gid") < col("b.__gid"))
       .select(col("a.__gid").as("id_a"), col("b.__gid").as("id_b"))
@@ -183,11 +201,12 @@ object Dedup {
   def minhashNearDups(
       df: DataFrame, id: String, setCol: Column,
       threshold: Double, numHashes: Int = 120, bands: Int = 20,
-      cacheSets: Boolean = false): DataFrame = {
+      cacheSets: Boolean = false, maxBucketSize: Int = 10000): DataFrame = {
     var withSet = df.select(col(id), setCol.as("__gset_src"))
     if (cacheSets)
       withSet = withSet.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = minhashCandidates(withSet, id, col("__gset_src"), numHashes, bands)
+    val cands = minhashCandidates(withSet, id, col("__gset_src"), numHashes, bands,
+      maxBucketSize)
     jaccardVerify(cands, withSet, id, col("__gset_src"), threshold)
   }
 
@@ -195,7 +214,9 @@ object Dedup {
    * 64-bit SimHash of a token array via the one-pass codegen
    * [[graft.plans.SimHash64]] expression: each token votes ±1 per bit of
    * its hash, the vote sign becomes the bit — per-row, no explode, no
-   * vote aggregate, no shuffle. NULL for empty/null token arrays.
+   * vote aggregate, no shuffle. Total: an EMPTY token array yields 0L
+   * (all votes tie; a null output would force a null-guard filter that
+   * predicate-pushdown double-evaluates); only a null input yields NULL.
    */
   def simhashSignature(spark: SparkSession, toks: Column): Column = {
     GraftFunctions.register(spark)
@@ -226,14 +247,18 @@ object Dedup {
     // (doc, token) rows, no 64-column vote aggregate, no shuffle before
     // chunk blocking. (The previous explode → partial-SUM shape paid a
     // full shuffle of vote partials.)
-    // No null-guard filter: SimHash64 is total (empty arrays hash to 0),
-    // and a filter on the computed column would be predicate-pushed below
-    // the projection, evaluating the hash twice per row. The coalesce
-    // (null token array -> 0, the empty-doc hash) makes the column
-    // non-nullable, so the isnotnull constraint the optimizer infers from
-    // the downstream Hamming filter constant-folds instead of being
-    // pushed down as a second evaluation of the hash.
+    // Contentless docs (null/empty token arrays) are excluded BEFORE the
+    // signature projection: they would all hash to 0 and pair with each
+    // other at Hamming 0 despite having no content, with no downstream
+    // verify stage to drop them. Filtering the INPUT keeps the expensive
+    // signature single-evaluation (only the cheap `toks` subtree runs in
+    // both the filter and the signature); a filter on the computed
+    // column would be predicate-pushed below the projection and evaluate
+    // the hash twice per row. The coalesce makes the column non-nullable
+    // so the isnotnull constraint inferred from the Hamming filter
+    // constant-folds instead of pushing a second evaluation.
     val hashed = df
+      .filter(toks.isNotNull && size(toks) > 0)
       .select(col(id).as("__gid"),
         coalesce(simhashSignature(df.sparkSession, toks), lit(0L)).as("__gsim"))
     val chunked = hashed.select(col("__gid"), col("__gsim"),

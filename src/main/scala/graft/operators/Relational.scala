@@ -160,11 +160,17 @@ object Relational {
    * row). Use when a known hot key defeats even AQE's skew-join
    * splitting (e.g. one key is most of a partition AND both sides are
    * too big to broadcast); costs `saltBuckets`× the small side's
-   * shuffle volume.
+   * shuffle volume. Only big-side-preserving join types are allowed:
+   * right/full outer would emit `saltBuckets` copies of every unmatched
+   * small-side row (each replica survives independently).
    */
   def saltedJoin(
       big: DataFrame, small: DataFrame, keys: Seq[String],
       saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin supports big-side-preserving join types only, got $joinType")
     val bigS = big.withColumn("__graft_salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)).cast("int"))
     val smallS = small.withColumn("__graft_salt",

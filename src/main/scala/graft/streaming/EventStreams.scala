@@ -77,11 +77,19 @@ object EventStreams {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // at-least-once sources can repeat a key WITHIN one micro-batch
+        // too — dedup the batch itself first (ON CONFLICT semantics:
+        // an arbitrary one of the duplicates wins)
+        val deduped = batch.dropDuplicates(keys)
+        // existence via the Hadoop FS of the target path — java.io.File
+        // is wrong for every non-local scheme (hdfs://, s3a://)
+        val path = new org.apache.hadoop.fs.Path(targetDir)
+        val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
         val fresh =
-          if (new java.io.File(targetDir).exists()) {
+          if (fs.exists(path)) {
             val existing = spark.read.parquet(targetDir)
-            graft.operators.Relational.idempotentAppend(batch, existing, keys)
-          } else batch
+            graft.operators.Relational.idempotentAppend(deduped, existing, keys)
+          } else deduped
         fresh.write.mode("append").parquet(targetDir)
       }
 

@@ -104,6 +104,25 @@ class DedupSpec extends SparkSpec {
     assert(empty.head.getLong(0) == 0L)
   }
 
+  test("simhashNearDups excludes contentless docs from pairing") {
+    val d = Seq((1L, Seq[String]()), (2L, Seq[String]()),
+        (4L, Seq("a", "b")), (5L, Seq("a", "b")))
+      .toDF("id", "toks")
+      .union(Seq((3L, null.asInstanceOf[Seq[String]])).toDF("id", "toks"))
+    val pairs = Dedup.simhashNearDups(d, "id", col("toks"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // empty/null-token docs all hash to 0 but must not pair as "dups"
+    assert(pairs == Set((4L, 5L)))
+  }
+
+  test("minhash bucket cap bounds degenerate buckets; wide cap changes nothing") {
+    val d = (1L to 6L).map(i => (i, Seq("x", "y", "z"))).toDF("id", "sh")
+    val capped = Dedup.minhashCandidates(d, "id", col("sh"), 24, 4, maxBucketSize = 5)
+    assert(capped.count() == 0) // all 6 identical docs exceed the cap in every band
+    val uncapped = Dedup.minhashCandidates(d, "id", col("sh"), 24, 4, maxBucketSize = 0)
+    assert(uncapped.count() == 15) // 6 choose 2
+  }
+
   test("simhash64 is order-insensitive over token multisets") {
     val h = Seq("a b c d e f", "f e d c b a").toDF("text")
       .select(Dedup.simhash64(transform(TextFns.tokens(col("text")), t => xxhash64(t))).as("h"))

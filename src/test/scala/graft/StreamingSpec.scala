@@ -44,7 +44,8 @@ class StreamingSpec extends SparkSpec {
     try {
       mem.addData(
         Event(1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
-        Event(2L, ts("2024-01-01 10:01:00"), 1L, "click", 2.0))
+        Event(2L, ts("2024-01-01 10:01:00"), 1L, "click", 2.0),
+        Event(2L, ts("2024-01-01 10:01:00"), 1L, "click", 2.0)) // intra-batch dup
       q.processAllAvailable()
       // batch 2 replays key 1 (at-least-once delivery) plus a new key
       mem.addData(

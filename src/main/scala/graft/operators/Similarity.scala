@@ -235,10 +235,19 @@ object Similarity {
       trainSampleSize: Int = 4096): DataFrame = {
     val centroids = kmeansCentroids(spark, corpus, id, vec, nlist, iterations, trainSampleSize)
     val cells = assignToCentroids(spark, corpus, vec, centroids)
-    val centroidRows = centroids.map { case (cid, v) => (cid, v) }
+    probeCells(spark, cells, centroidsToDf(spark, centroids), queries, id, vec, k, nprobe)
+  }
+
+  private def centroidsToDf(spark: SparkSession, centroids: Seq[(Int, Seq[Float])]): DataFrame = {
     import spark.implicits._
-    val centroidDf = centroidRows.toDF("cluster_id", "centroid")
+    centroids.toDF("cluster_id", "centroid")
       .withColumn("centroid", col("centroid").cast("array<float>"))
+  }
+
+  /** Shared probe: nprobe nearest cells per query, rank within them. */
+  private def probeCells(
+      spark: SparkSession, cells: DataFrame, centroidDf: DataFrame,
+      queries: DataFrame, id: String, vec: String, k: Int, nprobe: Int): DataFrame = {
     val probes = queries
       .select(col(id).as("query_id"), col(vec).as("__qvec"))
       .join(broadcast(centroidDf))
@@ -255,6 +264,34 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col(id).as("neighbor_id"))
+  }
+
+  /**
+   * Build and persist an IVF index: the tiny centroid table plus the
+   * cell-assigned corpus written PARTITIONED BY cluster_id. Production
+   * shape: train once, search many — and because cells are physical
+   * partitions, a search's broadcast probe join triggers dynamic
+   * partition pruning, so only the probed nprobe/nlist of the corpus is
+   * READ from storage, not merely not-shuffled.
+   */
+  def buildIvfIndex(
+      spark: SparkSession, corpus: DataFrame, id: String, vec: String,
+      indexDir: String, nlist: Int = 16, iterations: Int = 3,
+      trainSampleSize: Int = 4096): Unit = {
+    val centroids = kmeansCentroids(spark, corpus, id, vec, nlist, iterations, trainSampleSize)
+    centroidsToDf(spark, centroids)
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    assignToCentroids(spark, corpus, vec, centroids)
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$indexDir/cells")
+  }
+
+  /** Search a persisted IVF index (see [[buildIvfIndex]]). */
+  def ivfTopKFromIndex(
+      spark: SparkSession, indexDir: String, queries: DataFrame,
+      id: String, vec: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val centroidDf = spark.read.parquet(s"$indexDir/centroids")
+    val cells = spark.read.parquet(s"$indexDir/cells")
+    probeCells(spark, cells, centroidDf, queries, id, vec, k, nprobe)
   }
 
   /**

@@ -207,6 +207,24 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == bf, "full-probe IVF must equal brute force regardless of training sample")
   }
 
+  test("persisted IVF index reproduces the in-memory search; full probe == brute force") {
+    val e = sources.Tables(spark, sf0001).embeddings
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").resolve("idx").toString
+    Similarity.buildIvfIndex(spark, e, "vec_id", "embedding",
+      dir, nlist = 8, trainSampleSize = 64)
+    val queries = e.filter(col("vec_id") < 8)
+    val fromIndex = Similarity.ivfTopKFromIndex(spark, dir, queries,
+        "vec_id", "embedding", k = 5, nprobe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val bf = Similarity.bruteForceTopK(spark, e, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(fromIndex == bf, "full-probe search over the persisted index must equal brute force")
+    // partial probe still returns k ranked neighbors per query
+    val partial = Similarity.ivfTopKFromIndex(spark, dir, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)
+    assert(partial.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
+  }
+
   test("embeddingNearDups only emits pairs above threshold with id_a < id_b") {
     val e = sources.Tables(spark, sf0001).embeddings
     val rows = Similarity.embeddingNearDups(spark, e, "vec_id", "embedding", 0.2, bits = 4).collect()

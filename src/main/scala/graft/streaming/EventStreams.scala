@@ -63,6 +63,27 @@ object EventStreams {
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   /**
+   * Stream-stream interval join (the unbounded twin of
+   * [[graft.operators.Events.rangeJoin]]): right rows matching on the
+   * key within `[leftTs, leftTs + within]`. Watermarks on BOTH sides
+   * plus the time-range condition let Spark bound the join state — a
+   * buffered row is evicted as soon as the other stream's watermark
+   * passes the last instant it could still match. Without the range
+   * condition the state grows forever; this operator makes it
+   * impossible to omit.
+   */
+  def streamIntervalJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      watermark: String, within: String): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+
+  /**
    * Exactly-once-effective warehouse sink: each micro-batch anti-joins
    * the target on `keys` before appending (the streaming twin of the
    * batch idempotent load, reference dag.py:290-445 ON CONFLICT DO

@@ -32,6 +32,36 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
   }
 
+  test("stream-stream interval join pairs events on key within the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val imp = MemoryStream[Event]
+    val clk = MemoryStream[Event]
+    val joined = EventStreams.streamIntervalJoin(
+      imp.toDF().select(col("event_id").as("imp_id"), col("user_id").as("imp_user"),
+        col("ts").as("imp_ts")),
+      clk.toDF().select(col("event_id").as("clk_id"), col("user_id").as("clk_user"),
+        col("ts").as("clk_ts")),
+      "imp_user", "clk_user", "imp_ts", "clk_ts",
+      watermark = "2 hours", within = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      imp.addData(
+        Event(1L, ts("2024-01-01 10:00:00"), 1L, "imp", 0.0),
+        Event(2L, ts("2024-01-01 11:00:00"), 2L, "imp", 0.0))
+      clk.addData(
+        Event(10L, ts("2024-01-01 10:05:00"), 1L, "click", 0.0), // within
+        Event(11L, ts("2024-01-01 10:30:00"), 1L, "click", 0.0), // outside window
+        Event(12L, ts("2024-01-01 11:05:00"), 2L, "click", 0.0), // within
+        Event(13L, ts("2024-01-01 10:05:00"), 9L, "click", 0.0)) // wrong key
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("ssj").select("imp_id", "clk_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 10L), (2L, 12L)))
+  }
+
   test("writeIdempotent: replayed keys across micro-batches insert exactly once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

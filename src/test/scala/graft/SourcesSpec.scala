@@ -77,6 +77,12 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == 6)
     assert(back.select("v").distinct().as[String].collect().sorted.toSeq
       == Seq("a", "b", "c"))
+    // partitioned read: stride ranges over the key column, parallel scans
+    val ranged = Sources.jdbc(spark, url, "t_load", "app", "app", derby,
+      extra = Map("partitionColumn" -> "id", "lowerBound" -> "1",
+        "upperBound" -> "4", "numPartitions" -> "2"))
+    assert(ranged.rdd.getNumPartitions == 2)
+    assert(ranged.count() == 6) // range bounds stride, they don't filter
   }
 
   test("multimodal resize fits the longest edge and preserves aspect") {

@@ -89,13 +89,15 @@ object SparkEntry {
       .groupBy("fase_dia")
       .agg(cnt.as("n"))
 
+  /** The reference's `holidays.Brazil()` (dag.py:161), rule-generated
+   *  over the orders date span: fixed national dates + computus-derived
+   *  movable feasts. */
   private val holidayDates: Seq[String] =
-    (1995 to 2001).flatMap(y => Seq(f"$y%04d-01-01", f"$y%04d-12-25"))
+    Transforms.brazilHolidays(1992, 1998).map(_.toString)
 
   /** #10 calendar-lookup flag via broadcast join (dag.py:161). */
   private def q10HolidayFlag(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val cal = holidayDates.toDF("d").select(to_date(col("d")).as("d"))
+    val cal = Transforms.brazilHolidayDim(s, 1992, 1998)
     Transforms.flagFromCalendar(t(s, dir).orders, "o_orderdate", cal, "d", "feriado")
       .groupBy(col("feriado"), year(col("o_orderdate")).as("ano"))
       .agg(cnt.as("n"))

@@ -63,6 +63,49 @@ object Transforms {
       .drop("__graft_cal_date", "__graft_hit")
   }
 
+  /**
+   * Gregorian Easter Sunday via the Anonymous Gregorian (Gauss/Meeus)
+   * computus — the rule-based engine behind the reference's
+   * `holidays.Brazil()` movable feasts (dag.py:161).
+   */
+  def easterSunday(year: Int): java.time.LocalDate = {
+    val a = year % 19
+    val b = year / 100; val c = year % 100
+    val d = b / 4; val e = b % 4
+    val f = (b + 8) / 25; val g = (b - f + 1) / 3
+    val h = (19 * a + b - d - g + 15) % 30
+    val i = c / 4; val k = c % 4
+    val l = (32 + 2 * e + 2 * i - h - k) % 7
+    val m = (a + 11 * h + 22 * l) / 451
+    val month = (h + l - 7 * m + 114) / 31
+    val day = (h + l - 7 * m + 114) % 31 + 1
+    java.time.LocalDate.of(year, month, day)
+  }
+
+  /**
+   * Brazilian national holidays, generated rule-based like the
+   * reference's `holidays.Brazil()` (dag.py:161): the eight fixed dates
+   * plus the computus-derived movable feasts (Carnival Monday/Tuesday,
+   * Good Friday, Easter, Corpus Christi). Bounded by the year range —
+   * a driver-side literal dim, broadcast by [[flagFromCalendar]].
+   */
+  def brazilHolidays(fromYear: Int, toYear: Int): Seq[java.time.LocalDate] =
+    (fromYear to toYear).flatMap { y =>
+      val easter = easterSunday(y)
+      val fixed = Seq((1, 1), (4, 21), (5, 1), (9, 7), (10, 12), (11, 2), (11, 15), (12, 25))
+        .map { case (m, d) => java.time.LocalDate.of(y, m, d) }
+      val movable = Seq(-48L, -47L, -2L, 0L, 60L).map(easter.plusDays)
+      fixed ++ movable
+    }.sorted
+
+  /** [[brazilHolidays]] as a one-column date dimension frame. */
+  def brazilHolidayDim(spark: org.apache.spark.sql.SparkSession,
+      fromYear: Int, toYear: Int): DataFrame = {
+    import spark.implicits._
+    brazilHolidays(fromYear, toYear).map(_.toString).toDF("d")
+      .select(to_date(col("d")).as("d"))
+  }
+
   /** Literal dictionary remap (reference dag.py:165: uso_solo Não/Sim → Rural/Urbano). */
   def valueMap(column: Column, mapping: Map[String, String], default: Option[Column] = None): Column =
     mapping.foldLeft(default.getOrElse(column)) { case (acc, (from, to)) =>

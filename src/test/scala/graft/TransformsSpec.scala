@@ -9,6 +9,21 @@ import graft.operators.Transforms
 class TransformsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("computus: Easter and the derived Brazilian movable feasts") {
+    import java.time.LocalDate
+    // documented Easter Sundays across century boundaries
+    assert(Transforms.easterSunday(1995) == LocalDate.of(1995, 4, 16))
+    assert(Transforms.easterSunday(1997) == LocalDate.of(1997, 3, 30))
+    assert(Transforms.easterSunday(2000) == LocalDate.of(2000, 4, 23))
+    assert(Transforms.easterSunday(2024) == LocalDate.of(2024, 3, 31))
+    val h97 = Transforms.brazilHolidays(1997, 1997).toSet
+    assert(h97.contains(LocalDate.of(1997, 2, 11))) // Carnival Tuesday
+    assert(h97.contains(LocalDate.of(1997, 3, 28))) // Good Friday
+    assert(h97.contains(LocalDate.of(1997, 5, 29))) // Corpus Christi
+    assert(h97.contains(LocalDate.of(1997, 9, 7)))  // fixed: Independência
+    assert(h97.size == 13) // 8 fixed + 5 movable, no collisions in 1997
+  }
+
   test("dateParts derives the reference's time-dimension columns") {
     val d = Seq(Timestamp.valueOf("2020-08-15 13:45:00")).toDF("ts") // a Saturday
     val row = Transforms.dateParts(d, "ts").collect().head

@@ -461,6 +461,17 @@ object SparkEntry {
     Curation.curate(t(s, dir).documents, "doc_id", "text", "n_chars",
       stopwords = enStop, langs = Seq("en"), minQuality = 0.35)
 
+  /** #57 persisted IVF index round trip: build (cells partitioned by
+   *  cluster_id) then search with FULL probing — which must equal brute
+   *  force exactly, so the q32 oracle applies verbatim. */
+  private def q57AnnIvfIndex(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir).embeddings
+    val idx = s"target/graft_ivf_${java.lang.Integer.toHexString(dir.hashCode)}"
+    Similarity.buildIvfIndex(s, e, "vec_id", "embedding", idx, nlist = 8)
+    Similarity.ivfTopKFromIndex(s, idx, e.filter(col("vec_id") < 8),
+      "vec_id", "embedding", k = 5, nprobe = 8)
+  }
+
   /** #56 interval (range) join with no equi-key, bin-bucketed — never a
    *  nested-loop cartesian. Orders counted into 7-day windows opened by
    *  a deterministic order sample. */
@@ -535,6 +546,7 @@ object SparkEntry {
     "q54_winnow_overlap"    -> (q54WinnowOverlap _),
     "q55_curation_pipeline" -> (q55CurationPipeline _),
     "q56_range_join"        -> (q56RangeJoin _),
+    "q57_ann_ivf_index"     -> (q57AnnIvfIndex _),
   )
 
   private val monthCaseSql: String =
@@ -699,6 +711,15 @@ object SparkEntry {
         "len(list_distinct(list_concat(a.gr, b.gr))) AS jaccard " +
         "FROM g a JOIN g b ON b.doc_id = a.doc_id + 1"),
     "q32_ann_bruteforce" ->
+      ("SELECT query_id, rank, neighbor_id FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, " +
+        "c.vec_id) AS rank " +
+        "FROM embeddings c JOIN embeddings q ON q.vec_id < 8 AND c.vec_id <> q.vec_id) " +
+        "WHERE rank <= 5"),
+    // full-probe IVF over the persisted index == brute force exactly
+    "q57_ann_ivf_index" ->
       ("SELECT query_id, rank, neighbor_id FROM (" +
         "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
         "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY " +

@@ -96,7 +96,7 @@ object Transforms {
         .map { case (m, d) => java.time.LocalDate.of(y, m, d) }
       val movable = Seq(-48L, -47L, -2L, 0L, 60L).map(easter.plusDays)
       fixed ++ movable
-    }.sorted
+    }.distinct.sorted // a movable feast can land on a fixed date (e.g. Easter 2019-04-21 = Tiradentes)
 
   /** [[brazilHolidays]] as a one-column date dimension frame. */
   def brazilHolidayDim(spark: org.apache.spark.sql.SparkSession,

@@ -62,6 +62,27 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((1L, 10L), (2L, 12L)))
   }
 
+  test("stream-stream interval join accepts identically-named schemas") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val a = MemoryStream[Event]
+    val b = MemoryStream[Event]
+    // the canonical case: both sides read the same source schema — the
+    // join condition must bind per-frame, not by ambiguous name
+    val joined = EventStreams.streamIntervalJoin(a.toDF(), b.toDF(),
+      "user_id", "user_id", "ts", "ts", watermark = "2 hours", within = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj_same")
+      .outputMode("append").start()
+    try {
+      a.addData(Event(1L, ts("2024-01-01 10:00:00"), 1L, "imp", 0.0))
+      b.addData(
+        Event(10L, ts("2024-01-01 10:05:00"), 1L, "click", 0.0), // within
+        Event(11L, ts("2024-01-01 12:00:00"), 1L, "click", 0.0)) // outside
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("ssj_same").count() == 1)
+  }
+
   test("writeIdempotent: replayed keys across micro-batches insert exactly once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

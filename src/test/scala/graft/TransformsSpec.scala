@@ -22,6 +22,11 @@ class TransformsSpec extends SparkSpec {
     assert(h97.contains(LocalDate.of(1997, 5, 29))) // Corpus Christi
     assert(h97.contains(LocalDate.of(1997, 9, 7)))  // fixed: Independência
     assert(h97.size == 13) // 8 fixed + 5 movable, no collisions in 1997
+    // Easter 2019 falls ON Tiradentes (Apr 21): the date appears once
+    val h19 = Transforms.brazilHolidays(2019, 2019)
+    assert(Transforms.easterSunday(2019) == LocalDate.of(2019, 4, 21))
+    assert(h19.count(_ == LocalDate.of(2019, 4, 21)) == 1)
+    assert(h19.size == 12)
   }
 
   test("dateParts derives the reference's time-dimension columns") {

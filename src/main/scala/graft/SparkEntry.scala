@@ -472,6 +472,23 @@ object SparkEntry {
       "vec_id", "embedding", k = 5, nprobe = 8)
   }
 
+  /** #58 SCD type-2 dimension merge: half the customers re-arrive, a
+   *  quarter with a changed segment — changed keys close + re-version. */
+  private def q58Scd2Merge(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir).customer
+    val existing = c.select(col("c_custkey"), col("c_mktsegment"),
+      lit("1990-01-01 00:00:00").cast("timestamp").as("valid_from"),
+      lit(null).cast("timestamp").as("valid_to"),
+      lit(true).as("is_current"))
+    val incoming = c.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 4 === 0, lit("SEG-NEW"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+    StarSchema.scd2Merge(existing, incoming,
+      Seq("c_custkey"), Seq("c_mktsegment"),
+      effTs = lit("1995-06-01 00:00:00").cast("timestamp"))
+  }
+
   /** #56 interval (range) join with no equi-key, bin-bucketed — never a
    *  nested-loop cartesian. Orders counted into 7-day windows opened by
    *  a deterministic order sample. */
@@ -547,6 +564,7 @@ object SparkEntry {
     "q55_curation_pipeline" -> (q55CurationPipeline _),
     "q56_range_join"        -> (q56RangeJoin _),
     "q57_ann_ivf_index"     -> (q57AnnIvfIndex _),
+    "q58_scd2_merge"        -> (q58Scd2Merge _),
   )
 
   private val monthCaseSql: String =
@@ -829,6 +847,21 @@ object SparkEntry {
         "(SELECT o_orderkey, o_orderdate AS s, o_orderdate + INTERVAL 7 DAY AS e " +
         "FROM orders WHERE o_orderkey % 601 = 0) i " +
         "ON o.o_orderdate >= i.s AND o.o_orderdate <= i.e GROUP BY 1"),
+    "q58_scd2_merge" ->
+      ("WITH existing AS (SELECT c_custkey, c_mktsegment, " +
+        "TIMESTAMP '1990-01-01' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to, " +
+        "TRUE AS is_current FROM customer), " +
+        "inc AS (SELECT c_custkey, CASE WHEN c_custkey % 4 = 0 THEN 'SEG-NEW' " +
+        "ELSE c_mktsegment END AS c_mktsegment FROM customer WHERE c_custkey % 2 = 0), " +
+        "changed AS (SELECT i.c_custkey FROM inc i JOIN existing e USING (c_custkey) " +
+        "WHERE i.c_mktsegment IS DISTINCT FROM e.c_mktsegment) " +
+        "SELECT e.c_custkey, e.c_mktsegment, e.valid_from, " +
+        "CASE WHEN ch.c_custkey IS NOT NULL THEN TIMESTAMP '1995-06-01' ELSE e.valid_to END AS valid_to, " +
+        "ch.c_custkey IS NULL AS is_current " +
+        "FROM existing e LEFT JOIN changed ch USING (c_custkey) " +
+        "UNION ALL " +
+        "SELECT i.c_custkey, i.c_mktsegment, TIMESTAMP '1995-06-01', " +
+        "CAST(NULL AS TIMESTAMP), TRUE FROM inc i JOIN changed ch USING (c_custkey)"),
     "q52_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, " +

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -76,6 +76,58 @@ object StarSchema {
     withRn.join(broadcast(offsets), "__gpid")
       .withColumn(idCol, (col("__goff") + col("__grn")).cast("long"))
       .select((naturalKey :+ idCol).map(col): _*)
+  }
+
+  /**
+   * Slowly-changing-dimension type 2 merge: version rows instead of
+   * overwriting them. `existing` carries the dimension history
+   * (naturalKey, attrs, validFrom, validTo, isCurrent); `incoming`
+   * carries the new snapshot (naturalKey, attrs). Keys whose attributes
+   * changed (null-safe compare) close their current row at `effTs` and
+   * append a new current version; unchanged keys pass through; keys new
+   * to the dimension insert as current. History rows are untouched.
+   *
+   * Scale shape: one equi-join of current-vs-incoming on the natural key
+   * decides changed/new/unchanged; every output branch derives from that
+   * join or from (history ∪ unchanged current), so the plan shuffles the
+   * dimension once by key and the branches reuse the exchange. No MERGE
+   * statement, no driver loops — pure unions of joins, runnable on any
+   * store that can append (the reference's load is append-only too,
+   * dag.py:290-445).
+   */
+  def scd2Merge(
+      existing: DataFrame, incoming: DataFrame,
+      naturalKey: Seq[String], attrs: Seq[String], effTs: Column,
+      validFrom: String = "valid_from", validTo: String = "valid_to",
+      isCurrent: String = "is_current"): DataFrame = {
+    val outCols = (naturalKey ++ attrs :+ validFrom :+ validTo :+ isCurrent).map(col)
+    val history = existing.filter(!col(isCurrent))
+    val current = existing.filter(col(isCurrent))
+    val inc = incoming.select((naturalKey ++ attrs).map(col): _*)
+    // decorate incoming with the matching current attrs (if any)
+    val cur = current.select(
+      naturalKey.map(col) ++
+        attrs.map(a => col(a).as(s"__gcur_$a")) :+ lit(true).as("__ghit"): _*)
+    val joined = inc.join(cur, naturalKey, "left")
+    val differs = attrs.map(a => !(col(a) <=> col(s"__gcur_$a"))).reduce(_ || _)
+    val isNew = col("__ghit").isNull
+    // new current versions: brand-new keys + changed keys
+    val newVersions = joined.filter(isNew || differs)
+      .select(naturalKey.map(col) ++ attrs.map(col) :+
+        effTs.as(validFrom) :+ lit(null).cast(existing.schema(validTo).dataType).as(validTo) :+
+        lit(true).as(isCurrent): _*)
+    // close the changed keys' current rows at effTs
+    val changedKeys = joined.filter(!isNew && differs).select(naturalKey.map(col): _*)
+    val closed = current.join(changedKeys, naturalKey, "left_semi")
+      .withColumn(validTo, effTs)
+      .withColumn(isCurrent, lit(false))
+      .select(outCols: _*)
+    val untouchedCurrent = current.join(changedKeys, naturalKey, "left_anti")
+      .select(outCols: _*)
+    history.select(outCols: _*)
+      .unionByName(untouchedCurrent)
+      .unionByName(closed)
+      .unionByName(newVersions)
   }
 
   /**

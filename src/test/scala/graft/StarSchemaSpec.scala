@@ -53,6 +53,37 @@ class StarSchemaSpec extends SparkSpec {
     assert(scalable.toSeq == ref.toSeq) // dense 1..n in natural-key order
   }
 
+  test("scd2Merge versions changed keys, inserts new ones, keeps history") {
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2020-01-01 00:00:00")
+    val t1 = Timestamp.valueOf("2021-01-01 00:00:00")
+    val existing = Seq(
+      // k=1: history row (already closed) + current row
+      (1L, "old", t0, Some(t1), false), (1L, "v1", t1, None, true),
+      (2L, "v1", t0, None, true), // will change
+      (3L, "v1", t0, None, true), // re-arrives unchanged
+      (4L, "v1", t0, None, true), // absent from incoming
+    ).map { case (k, a, f, to, c) => (k, a, f, to.orNull, c) }
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val eff = Timestamp.valueOf("2022-01-01 00:00:00")
+    val incoming = Seq((1L, "v1"), (2L, "v2"), (3L, "v1"), (9L, "new"))
+      .toDF("k", "attr")
+    val out = StarSchema.scd2Merge(existing, incoming, Seq("k"), Seq("attr"),
+        lit(eff.toString).cast("timestamp"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getBoolean(4))).toSet
+    assert(out == Set(
+      (1L, "old", t0, Some(t1), false),  // history untouched
+      (1L, "v1", t1, None, true),        // unchanged current survives
+      (2L, "v1", t0, Some(eff), false),  // changed key: closed at eff
+      (2L, "v2", eff, None, true),       //   ... and re-versioned
+      (3L, "v1", t0, None, true),        // re-arrived identical: untouched
+      (4L, "v1", t0, None, true),        // absent from incoming: untouched
+      (9L, "new", eff, None, true),      // brand-new key inserted current
+    ))
+  }
+
   test("buildFact attaches every FK and keeps measures") {
     val dimUf = StarSchema.dimWithHashKey(src, Seq("uf"), "id_uf")
     val dimZone = StarSchema.dimWithHashKey(src, Seq("zone"), "id_zone")

@@ -861,7 +861,10 @@ object SparkEntry {
         "FROM existing e LEFT JOIN changed ch USING (c_custkey) " +
         "UNION ALL " +
         "SELECT i.c_custkey, i.c_mktsegment, TIMESTAMP '1995-06-01', " +
-        "CAST(NULL AS TIMESTAMP), TRUE FROM inc i JOIN changed ch USING (c_custkey)"),
+        "CAST(NULL AS TIMESTAMP), TRUE " +
+        "FROM inc i LEFT JOIN existing e USING (c_custkey) " +
+        "LEFT JOIN changed ch ON i.c_custkey = ch.c_custkey " +
+        "WHERE ch.c_custkey IS NOT NULL OR e.c_custkey IS NULL"),
     "q52_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, " +

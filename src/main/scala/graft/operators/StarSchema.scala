@@ -88,21 +88,30 @@ object StarSchema {
    * to the dimension insert as current. History rows are untouched.
    *
    * Scale shape: one equi-join of current-vs-incoming on the natural key
-   * decides changed/new/unchanged; every output branch derives from that
-   * join or from (history ∪ unchanged current), so the plan shuffles the
-   * dimension once by key and the branches reuse the exchange. No MERGE
-   * statement, no driver loops — pure unions of joins, runnable on any
-   * store that can append (the reference's load is append-only too,
-   * dag.py:290-445).
+   * decides changed/new/unchanged, and one left join of the current slice
+   * against the changed keys closes-or-passes-through in a single pass —
+   * the dimension shuffles by key, never row-by-row. No MERGE statement,
+   * no driver loops — pure unions of joins, runnable on any store that
+   * can append (the reference's load is append-only too, dag.py:290-445).
+   *
+   * Preconditions: at most one `isCurrent` row per natural key in
+   * `existing`, and unique natural keys in `incoming` — duplicates would
+   * version the same key multiple times. A NULL `isCurrent` is treated
+   * as not-current (the row passes through with the history).
    */
   def scd2Merge(
       existing: DataFrame, incoming: DataFrame,
       naturalKey: Seq[String], attrs: Seq[String], effTs: Column,
       validFrom: String = "valid_from", validTo: String = "valid_to",
       isCurrent: String = "is_current"): DataFrame = {
+    require(attrs.nonEmpty, "scd2Merge needs at least one tracked attribute")
     val outCols = (naturalKey ++ attrs :+ validFrom :+ validTo :+ isCurrent).map(col)
-    val history = existing.filter(!col(isCurrent))
-    val current = existing.filter(col(isCurrent))
+    // eff ts in the dimension's own temporal dtype, so unionByName can't
+    // silently coerce a TIMESTAMP_NTZ dimension to TIMESTAMP
+    val effFrom = effTs.cast(existing.schema(validFrom).dataType)
+    val effTo = effTs.cast(existing.schema(validTo).dataType)
+    val history = existing.filter(!coalesce(col(isCurrent), lit(false)))
+    val current = existing.filter(coalesce(col(isCurrent), lit(false)))
     val inc = incoming.select((naturalKey ++ attrs).map(col): _*)
     // decorate incoming with the matching current attrs (if any)
     val cur = current.select(
@@ -114,19 +123,19 @@ object StarSchema {
     // new current versions: brand-new keys + changed keys
     val newVersions = joined.filter(isNew || differs)
       .select(naturalKey.map(col) ++ attrs.map(col) :+
-        effTs.as(validFrom) :+ lit(null).cast(existing.schema(validTo).dataType).as(validTo) :+
+        effFrom.as(validFrom) :+ lit(null).cast(existing.schema(validTo).dataType).as(validTo) :+
         lit(true).as(isCurrent): _*)
-    // close the changed keys' current rows at effTs
-    val changedKeys = joined.filter(!isNew && differs).select(naturalKey.map(col): _*)
-    val closed = current.join(changedKeys, naturalKey, "left_semi")
-      .withColumn(validTo, effTs)
-      .withColumn(isCurrent, lit(false))
-      .select(outCols: _*)
-    val untouchedCurrent = current.join(changedKeys, naturalKey, "left_anti")
+    // one pass over the current slice: changed keys close at effTs,
+    // everything else passes through untouched
+    val changedKeys = joined.filter(!isNew && differs)
+      .select(naturalKey.map(col): _*)
+      .withColumn("__gchanged", lit(true))
+    val mergedCurrent = current.join(changedKeys, naturalKey, "left")
+      .withColumn(validTo, when(col("__gchanged"), effTo).otherwise(col(validTo)))
+      .withColumn(isCurrent, col("__gchanged").isNull)
       .select(outCols: _*)
     history.select(outCols: _*)
-      .unionByName(untouchedCurrent)
-      .unionByName(closed)
+      .unionByName(mergedCurrent)
       .unionByName(newVersions)
   }
 

@@ -68,9 +68,11 @@ class StarSchemaSpec extends SparkSpec {
     val eff = Timestamp.valueOf("2022-01-01 00:00:00")
     val incoming = Seq((1L, "v1"), (2L, "v2"), (3L, "v1"), (9L, "new"))
       .toDF("k", "attr")
-    val out = StarSchema.scd2Merge(existing, incoming, Seq("k"), Seq("attr"),
+    val rows = StarSchema.scd2Merge(existing, incoming, Seq("k"), Seq("attr"),
         lit(eff.toString).cast("timestamp"))
       .collect()
+    assert(rows.length == 7) // Set compare below would hide duplicates
+    val out = rows
       .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
         Option(r.getTimestamp(3)), r.getBoolean(4))).toSet
     assert(out == Set(

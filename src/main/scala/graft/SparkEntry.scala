@@ -504,6 +504,34 @@ object SparkEntry {
       .agg(cnt.as("n"))
   }
 
+  /** #59 near-dup cluster resolution: MinHash candidate pairs →
+   *  connected components → min-id keeper election. Generalizes the
+   *  reference's drop_duplicates (dag.py:49) to transitive near-dups
+   *  (A~B, B~C ⇒ one keeper for all three). Rows-only: the pair
+   *  generation isn't SQL-expressible; DedupSpec pins cluster ==
+   *  transitive closure, and q62 oracle-checks the component operator
+   *  itself on a SQL-expressible graph. */
+  private def q59DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashNearDups(
+      t(s, dir).documents, "doc_id",
+      TextFns.wordShingles(s, col("text"), 3),
+      threshold = 0.8, cacheSets = true)
+    Dedup.dedupClusters(pairs)
+  }
+
+  /** #62 connected components oracle twin: a deterministic
+   *  SQL-expressible edge set (4-chains over doc ids + every-20th cross
+   *  link that merges two chains), so DuckDB's recursive-CTE transitive
+   *  closure fully oracle-checks labels — rows, schema, and hash. */
+  private def q62CcLabels(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir).documents.select(col("doc_id"))
+    val chain = d.filter(col("doc_id") % 4 =!= 3)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+    val cross = d.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 10).as("id_b"))
+    Dedup.connectedComponents(chain.union(cross))
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -565,6 +593,8 @@ object SparkEntry {
     "q56_range_join"        -> (q56RangeJoin _),
     "q57_ann_ivf_index"     -> (q57AnnIvfIndex _),
     "q58_scd2_merge"        -> (q58Scd2Merge _),
+    "q59_dedup_clusters"    -> (q59DedupClusters _),
+    "q62_cc_labels"         -> (q62CcLabels _),
   )
 
   private val monthCaseSql: String =
@@ -874,5 +904,15 @@ object SparkEntry {
       ("SELECT l_orderkey, l_linenumber, ROW_NUMBER() OVER " +
         "(ORDER BY l_orderkey, l_linenumber) AS dim_sk " +
         "FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)"),
+    "q62_cc_labels" ->
+      ("WITH RECURSIVE " +
+        "e0 AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 4 <> 3 " +
+        "UNION ALL SELECT doc_id, doc_id + 10 FROM documents WHERE doc_id % 20 = 0), " +
+        "edges AS (SELECT a, b FROM e0 WHERE a <> b " +
+        "UNION SELECT b, a FROM e0 WHERE a <> b), " +
+        "reach(a, b) AS (SELECT a, b FROM edges " +
+        "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a) " +
+        "SELECT a AS id, CAST(least(a, min(b)) AS BIGINT) AS component " +
+        "FROM reach GROUP BY a"),
   )
 }

@@ -211,6 +211,114 @@ object Dedup {
   }
 
   /**
+   * Connected components over a candidate-pair edge list: resolves the
+   * pairwise near-dup output of [[minhashNearDups]] / [[simhashNearDups]] /
+   * [[winnowCandidates]] into transitive clusters, labeling every member
+   * with the minimum id of its component. This generalizes the
+   * reference's exact `drop_duplicates` (dag.py:49) to near-duplicates:
+   * A~B and B~C must collapse to ONE keeper even when A~C was never a
+   * candidate pair.
+   *
+   * Algorithm: iterative min-label propagation with pointer jumping.
+   * Each round every vertex takes the min label among itself and its
+   * neighbors (one shuffle on the edge key), then compresses
+   * label := label(label) (one join on the label table) — the
+   * compression makes convergence logarithmic in component diameter
+   * rather than linear, so 25 rounds cover diameters past 2^25.
+   * Convergence is detected by the label-sum fixpoint: labels are
+   * min-ids, so the per-vertex label is monotone nonincreasing and the
+   * (exact, decimal) sum strictly decreases until the fixpoint.
+   *
+   * Scale shape: every round is two hash joins over (edges, labels) —
+   * no all-pairs, no driver-side graph. The driver loop is bounded
+   * (`maxIter`) and collects ONE scalar per round (the convergence sum),
+   * matching the library's bounded agg-to-literal exception.
+   * `localCheckpoint` truncates the growing lineage each round so round
+   * N's plan does not replay rounds 1..N-1 (the standard iterative-
+   * algorithm requirement; on a cluster with a checkpoint dir,
+   * reliable `checkpoint` is the durable variant).
+   *
+   * Returns (id, component): one row per distinct vertex appearing in
+   * `pairs`, component = min vertex id reachable via the pair graph.
+   */
+  def connectedComponents(
+      pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val half = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+    val edges = half
+      .union(half.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst") && col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    // Exact decimal sum: label ids are arbitrary longs; a DOUBLE sum
+    // loses low bits past 2^53 and could report a false fixpoint.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prev = labelSum(labels)
+    var iter = 0
+    var converged = prev.signum == 0 && labels.isEmpty
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label").as("label"))
+      // Fresh aliases on both union children: they share attribute ids
+      // (viaNeighbors derives from labels), which trips Union's
+      // constraint rewrite in Spark 4.1.
+      val propagated = labels.select(col("id").as("id"), col("label").as("label"))
+        .union(viaNeighbors)
+        .groupBy("id").agg(min("label").as("label"))
+      // Pointer jump: every label value is itself a vertex id (a min of
+      // vertex ids), so label(label) exists and is <= label.
+      val compressed = propagated.as("a")
+        .join(propagated.select(col("id").as("label"), col("label").as("__ll")).as("b"),
+          Seq("label"))
+        .select(col("id"), col("__ll").as("label"))
+        .localCheckpoint()
+      val cur = labelSum(compressed)
+      converged = cur.compareTo(prev) == 0
+      prev = cur
+      labels = compressed
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("component"))
+  }
+
+  /**
+   * Keeper election over resolved clusters: (id, cluster, is_keeper)
+   * for every vertex in the pair graph — the keeper is the minimum id
+   * of each component (the same election [[exactGroups]] makes for
+   * exact duplicates).
+   */
+  def dedupClusters(
+      pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIter: Int = 25): DataFrame =
+    connectedComponents(pairs, idA, idB, maxIter)
+      .select(col("id"), col("component").as("cluster"),
+        (col("id") === col("component")).as("is_keeper"))
+
+  /**
+   * Apply near-dup resolution to a corpus: drop every non-keeper member
+   * of every cluster, keep keepers and untouched documents. The drop
+   * set is the (small) candidate-pair closure, so the anti-join
+   * broadcasts in the common case.
+   */
+  def resolveNearDups(
+      df: DataFrame, id: String, pairs: DataFrame,
+      idA: String = "id_a", idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val drops = dedupClusters(pairs, idA, idB, maxIter)
+      .filter(!col("is_keeper"))
+      .select(col("id").as("__gdrop"))
+    df.join(drops, df(id) === col("__gdrop"), "left_anti")
+  }
+
+  /**
    * 64-bit SimHash of a token array via the one-pass codegen
    * [[graft.plans.SimHash64]] expression: each token votes ±1 per bit of
    * its hash, the vote sign becomes the bit — per-row, no explode, no

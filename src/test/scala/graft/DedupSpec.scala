@@ -129,4 +129,79 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(h(0) == h(1))
   }
+
+  /** Local union-find reference for the connected-components specs. */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(v => v -> find(v)).toMap
+  }
+
+  test("connectedComponents == transitive closure (chains, merges, disjoint)") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L),              // chain: {1,2,3}
+      (10L, 11L),                      // disjoint pair
+      (20L, 21L), (22L, 21L), (23L, 22L), // star/chain merge: {20..23}
+      (31L, 30L), (30L, 31L),          // both directions + duplicate edge
+    )
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == unionFind(edges))
+  }
+
+  test("connectedComponents converges on a long chain (pointer jumping)") {
+    // diameter 60 — linear min-propagation would need 60 rounds; the
+    // label-compression round makes it logarithmic, so maxIter=25 holds
+    val edges = (100L until 160L).map(i => (i, i + 1))
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 61 && got.values.forall(_ == 100L))
+  }
+
+  test("connectedComponents on a random graph matches union-find") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2)
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == unionFind(edges))
+  }
+
+  test("connectedComponents: empty pair set yields empty labels") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+  }
+
+  test("dedupClusters elects the min id; resolveNearDups keeps keepers + untouched") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = Dedup.dedupClusters(pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(clusters == Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false)))
+    val corpus = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val kept = Dedup.resolveNearDups(corpus, "doc_id", pairs)
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 99L)) // keepers + the untouched doc
+  }
+
+  test("minhash pairs resolve transitively: A~B, B~C collapse to one keeper") {
+    // docs 0, 1, 3 are mutual near-dups (0~1, 0~3, 1~3); 2 is unrelated
+    val pairs = Dedup.minhashNearDups(
+      docs, "doc_id", TextFns.wordShingles(TextFns.tokens(col("text")), 3),
+      threshold = 0.7)
+    val clusters = Dedup.dedupClusters(pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(clusters == Set((0L, 0L, true), (1L, 0L, false), (3L, 0L, false)))
+    val kept = Dedup.resolveNearDups(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L))
+  }
 }

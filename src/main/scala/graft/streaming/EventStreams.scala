@@ -95,10 +95,22 @@ object EventStreams {
    * insert nothing the second time, turning Structured Streaming's
    * at-least-once file sink into effective exactly-once by key. Each
    * batch is one distributed anti-join + append; no driver-side rows.
+   *
+   * Scale shape: the target is laid out partitioned by
+   * `__gbucket = pmod(xxhash64(keys), numBuckets)`, so the per-batch
+   * existence check reads ONLY (a) the partitions whose buckets the
+   * batch actually touches — partition pruning on the directory layout,
+   * decisive for small/bursty batches — and (b) the key columns —
+   * column pruning, decisive for wide warehouses even when a large
+   * batch touches every bucket. A 100 TB target is never re-scanned in
+   * full per batch. The data remains its own dedup index (no side
+   * index table whose write could race the data write on a crash);
+   * `__gbucket` is an ordinary partition column downstream readers may
+   * drop, and it co-locates any later key-equi-join against the target.
    */
   def writeIdempotent(
       stream: DataFrame, spark: SparkSession, targetDir: String,
-      keys: Seq[String], checkpointDir: String) =
+      keys: Seq[String], checkpointDir: String, numBuckets: Int = 256) =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -106,16 +118,24 @@ object EventStreams {
         // too — dedup the batch itself first (ON CONFLICT semantics:
         // an arbitrary one of the duplicates wins)
         val deduped = batch.dropDuplicates(keys)
+          .withColumn("__gbucket",
+            pmod(xxhash64(keys.map(col): _*), lit(numBuckets.toLong)).cast("int"))
         // existence via the Hadoop FS of the target path — java.io.File
         // is wrong for every non-local scheme (hdfs://, s3a://)
         val path = new org.apache.hadoop.fs.Path(targetDir)
         val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
         val fresh =
           if (fs.exists(path)) {
-            val existing = spark.read.parquet(targetDir)
-            graft.operators.Relational.idempotentAppend(deduped, existing, keys)
+            // buckets this batch can collide with: a bounded driver
+            // collect (≤ numBuckets ints), the partition-prune predicate
+            val present = deduped.select("__gbucket").distinct()
+              .collect().map(_.getInt(0)).toSeq
+            val existingKeys = spark.read.parquet(targetDir)
+              .filter(col("__gbucket").isin(present: _*))
+              .select(keys.map(col): _*)
+            graft.operators.Relational.idempotentAppend(deduped, existingKeys, keys)
           } else deduped
-        fresh.write.mode("append").parquet(targetDir)
+        fresh.write.mode("append").partitionBy("__gbucket").parquet(targetDir)
       }
 
   /**

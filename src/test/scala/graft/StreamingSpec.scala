@@ -107,6 +107,38 @@ class StreamingSpec extends SparkSpec {
     val loaded = spark.read.parquet(target)
     assert(loaded.count() == 3)
     assert(loaded.select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // layout contract: the target is hash-bucket partitioned
+    val dirs = new java.io.File(target).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("__gbucket=")))
+  }
+
+  test("writeIdempotent existence read scans only the batch's hash buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idem_prune")
+    val target = dir.resolve("t").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val mem = MemoryStream[Event]
+    val q = EventStreams.writeIdempotent(mem.toDF(), spark, target,
+      keys = Seq("event_id"), checkpointDir = ckpt, numBuckets = 64).start()
+    try {
+      mem.addData((1L to 40L).map(i =>
+        Event(i, ts("2024-01-01 10:00:00"), i, "click", 1.0)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // replicate the sink's existence read for ONE present bucket and
+    // assert the scan's numFiles metric shows partition pruning — this
+    // is the read shape every micro-batch issues against the warehouse
+    val all = spark.read.parquet(target)
+    val oneBucket = all.select("__gbucket").distinct().as[Int].head()
+    val totalFiles = all.inputFiles.length
+    val pruned = all.filter(col("__gbucket").isin(oneBucket)).select("event_id")
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.metrics("numFiles").value < totalFiles,
+      s"existence read scanned ${scan.metrics("numFiles").value} of $totalFiles files")
   }
 
   test("stream-static enrichment joins each micro-batch against the dim") {

@@ -519,6 +519,34 @@ object SparkEntry {
     Dedup.dedupClusters(pairs)
   }
 
+  /** #60 benchmark decontamination: every-97th document stands in as the
+   *  benchmark set; corpus docs sharing >= 2 winnow fingerprints with it
+   *  are flagged (which includes each benchmark doc itself — verbatim
+   *  leakage — plus near-verbatim overlaps). Rows-only: the MOSS
+   *  selection isn't SQL-expressible; CurationSpec pins embedded-excerpt
+   *  detection and the clean-doc no-op. */
+  private def q60Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir).documents
+    Curation.contaminationFlags(
+      docs, "doc_id", col("text"),
+      docs.filter(col("doc_id") % 97 === 0), col("text"),
+      k = 24, w = 4, minShared = 2)
+  }
+
+  /** #61 Gopher/C4 repetition quality signals (Rae et al. 2021 §A1.1):
+   *  duplicate-line fraction, top-2-gram fraction, symbol-to-word
+   *  ratio, mean word length — all per-row native expressions, fully
+   *  DuckDB-expressible, feeding [[Curation.curate]]'s optional gates. */
+  private def q61QualityRules(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    t(s, dir).documents.select(
+      col("doc_id"),
+      TextFns.duplicateLineFraction(col("text")).as("dup_line_frac"),
+      TextFns.topNGramFraction(toks, 2).as("top2gram_frac"),
+      TextFns.symbolToWordRatio(col("text")).as("symbol_word_ratio"),
+      TextFns.meanWordLength(toks).as("mean_word_len"))
+  }
+
   /** #62 connected components oracle twin: a deterministic
    *  SQL-expressible edge set (4-chains over doc ids + every-20th cross
    *  link that merges two chains), so DuckDB's recursive-CTE transitive
@@ -594,6 +622,8 @@ object SparkEntry {
     "q57_ann_ivf_index"     -> (q57AnnIvfIndex _),
     "q58_scd2_merge"        -> (q58Scd2Merge _),
     "q59_dedup_clusters"    -> (q59DedupClusters _),
+    "q60_decontaminate"     -> (q60Decontaminate _),
+    "q61_quality_rules"     -> (q61QualityRules _),
     "q62_cc_labels"         -> (q62CcLabels _),
   )
 
@@ -904,6 +934,21 @@ object SparkEntry {
       ("SELECT l_orderkey, l_linenumber, ROW_NUMBER() OVER " +
         "(ORDER BY l_orderkey, l_linenumber) AS dim_sk " +
         "FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)"),
+    "q61_quality_rules" ->
+      ("WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1), " +
+        "i -> toks[i] || ' ' || toks[i+1])) AS gram FROM t WHERE len(toks) >= 2), " +
+        "c AS (SELECT doc_id, COUNT(*) AS c FROM g GROUP BY doc_id, gram), " +
+        "m AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS frac FROM c GROUP BY doc_id) " +
+        "SELECT t.doc_id, " +
+        "CAST(len(string_split(t.text, chr(10))) - len(list_distinct(string_split(t.text, chr(10)))) AS DOUBLE) " +
+        "/ len(string_split(t.text, chr(10))) AS dup_line_frac, " +
+        "coalesce(m.frac, 0.0) AS top2gram_frac, " +
+        "CAST(len(regexp_extract_all(t.text, '[^\\p{L}\\p{N} ]')) AS DOUBLE) " +
+        "/ greatest(len(toks), 1) AS symbol_word_ratio, " +
+        "CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) " +
+        "/ greatest(len(toks), 1) AS mean_word_len " +
+        "FROM t LEFT JOIN m USING (doc_id)"),
     "q62_cc_labels" ->
       ("WITH RECURSIVE " +
         "e0 AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 4 <> 3 " +

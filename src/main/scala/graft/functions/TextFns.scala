@@ -109,4 +109,52 @@ object TextFns {
    */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), " +", " "))
+
+  // ----------------------- Gopher/C4-style repetition quality signals
+  // (Rae et al. 2021 §A1.1; Raffel et al. 2020 §2.2) — all native
+  // expressions, integer counts divided last so doubles are bit-stable
+  // across engines.
+
+  /** Fraction of lines that repeat an earlier line: (total - distinct) /
+   *  total. `split` of an empty text yields one empty line, so the
+   *  denominator is never zero. */
+  def duplicateLineFraction(text: Column): Column = {
+    val lines = split(text, "\n")
+    (size(lines) - size(array_distinct(lines))).cast("double") / size(lines)
+  }
+
+  /**
+   * Fraction of all word n-grams taken by the single most frequent one —
+   * the Gopher repetition gate. Computed per row with NO shuffle and NO
+   * nested higher-order re-evaluation: the gram array is built once,
+   * sorted, and a single `aggregate` fold counts the longest equal run
+   * (sorted order makes run length == gram frequency). Documents
+   * shorter than n tokens score 0.0.
+   */
+  def topNGramFraction(toks: Column, n: Int): Column = {
+    val grams = array_sort(transform(sequence(lit(0), size(toks) - n),
+      i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("mx"))
+    val maxRun = aggregate(grams, zero,
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("mx"), run).as("mx"))
+      },
+      acc => acc.getField("mx"))
+    when(size(toks) >= n, maxRun.cast("double") / (size(toks) - (n - 1)))
+      .otherwise(lit(0.0))
+  }
+
+  /** Symbol-to-word ratio: non-letter/digit/space characters per token. */
+  def symbolToWordRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^\\p{L}\\p{N} ]"), lit(0))).cast("double") /
+      greatest(size(split(text, " ")), lit(1))
+
+  /** Mean word length in characters (short-word soup and long-token
+   *  garbage both sit far from natural prose's 3-10 band). */
+  def meanWordLength(toks: Column): Column =
+    aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") /
+      greatest(size(toks), lit(1))
 }

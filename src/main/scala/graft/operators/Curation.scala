@@ -20,13 +20,19 @@ object Curation {
    *  1. language-ID over stopword families, keep `langs`;
    *  2. quality score (token count, stopword ratio, length), keep
    *     >= `minQuality`;
-   *  3. exact dedup on the text, electing the lowest `id` per group.
+   *  3. optional Gopher/C4 repetition gates (top-2-gram fraction,
+   *     duplicate-line fraction, symbol-to-word ratio) — defaults
+   *     disable them, so the base plan is unchanged;
+   *  4. exact dedup on the text, electing the lowest `id` per group.
    * Returns (id, lang, quality) for the surviving documents.
    */
   def curate(
       df: DataFrame, id: String, textCol: String, nCharsCol: String,
       stopwords: Seq[String], langs: Seq[String],
-      minQuality: Double): DataFrame = {
+      minQuality: Double,
+      maxTop2GramFrac: Double = 1.0,
+      maxDupLineFrac: Double = 1.0,
+      maxSymbolWordRatio: Double = Double.PositiveInfinity): DataFrame = {
     val text = col(textCol)
     val toks = TextFns.tokens(text)
     val scored = df.select(
@@ -38,7 +44,64 @@ object Curation {
           col(nCharsCol)).as("quality"))
       .filter(col("lang").isin(langs.map(x => x: Any): _*) &&
         col("quality") >= minQuality)
-    Relational.keepFirst(scored, keys = Seq(text), order = Seq(col(id)))
+    // repetition gates fuse into the same scan/codegen stage; they are
+    // only added when active so disabled gates cost nothing
+    val gated = Seq[Option[Column]](
+        if (maxTop2GramFrac < 1.0)
+          Some(TextFns.topNGramFraction(TextFns.tokens(text), 2) <= maxTop2GramFrac)
+        else None,
+        if (maxDupLineFrac < 1.0)
+          Some(TextFns.duplicateLineFraction(text) <= maxDupLineFrac)
+        else None,
+        if (maxSymbolWordRatio != Double.PositiveInfinity)
+          Some(TextFns.symbolToWordRatio(text) <= maxSymbolWordRatio)
+        else None,
+      ).flatten.foldLeft(scored)(_ filter _)
+    Relational.keepFirst(gated, keys = Seq(text), order = Seq(col(id)))
       .select(col(id), col("lang"), col("quality"))
+  }
+
+  /**
+   * Benchmark-contamination flags: corpus documents sharing at least
+   * `minShared` winnowing fingerprints with any document of the
+   * benchmark set — the standard pretraining hygiene step (eval
+   * verbatim/near-verbatim leakage must not train). Winnowing's
+   * guarantee makes the flag robust: any shared substring of length
+   * >= k + w - 1 produces a shared fingerprint regardless of position,
+   * so excerpts survive being embedded in unrelated text.
+   *
+   * Scale shape: the benchmark side is SMALL (eval suites are MBs, the
+   * corpus is TBs) — its distinct fingerprint set is broadcast, so the
+   * corpus never shuffles for the membership test; only the matched
+   * (doc, fingerprint) rows — a tiny fraction — shuffle into the
+   * per-doc count. Returns (id, shared).
+   */
+  def contaminationFlags(
+      corpus: DataFrame, id: String, text: Column,
+      benchmark: DataFrame, benchText: Column,
+      k: Int = 24, w: Int = 4, minShared: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val benchFp = benchmark
+      .select(explode(Dedup.winnowFingerprints(spark, benchText, k, w)).as("__gfp"))
+      .distinct()
+    corpus
+      .select(col(id), explode(Dedup.winnowFingerprints(spark, text, k, w)).as("__gfp"))
+      .join(broadcast(benchFp), "__gfp")
+      // winnow fingerprints are distinct within a doc, so the plain
+      // count IS the distinct shared-fingerprint count
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** Remove flagged-contaminated documents from the corpus (anti-join
+   *  against the small flag set — broadcast in the common case). */
+  def decontaminate(
+      corpus: DataFrame, id: String, text: Column,
+      benchmark: DataFrame, benchText: Column,
+      k: Int = 24, w: Int = 4, minShared: Int = 2): DataFrame = {
+    val flags = contaminationFlags(corpus, id, text, benchmark, benchText, k, w, minShared)
+      .select(col(id).as("__gflag"))
+    corpus.join(flags, corpus(id) === col("__gflag"), "left_anti")
   }
 }

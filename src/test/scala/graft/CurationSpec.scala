@@ -35,4 +35,54 @@ class CurationSpec extends SparkSpec {
       .collect()
     assert(out.map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("curate repetition gates drop gram-repetitive and symbol-heavy docs") {
+    val docs = Seq(
+      (0L, "the fox is a friend of the dog and the cat is a friend of the bird", 66),
+      (1L, "the the the the the the the the the the the the", 47),      // top-2-gram ~1
+      (2L, "the fox #### is $$$ a %%% dog !!!! and ** a @@ cat ^^", 53), // symbol-heavy
+    ).toDF("doc_id", "text", "n_chars")
+    val out = Curation.curate(docs, "doc_id", "text", "n_chars",
+        stopwords = en, langs = Seq("en"), minQuality = 0.0,
+        maxTop2GramFrac = 0.5, maxSymbolWordRatio = 0.5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out == Seq(0L))
+    // defaults disable the gates: all three English docs survive
+    val ungated = Curation.curate(docs, "doc_id", "text", "n_chars",
+      stopwords = en, langs = Seq("en"), minQuality = 0.0)
+    assert(ungated.count() == 3)
+  }
+
+  private val benchSnippet =
+    "the seventeen golden axolotls balanced quietly upon the ancient granite obelisk at dawn"
+
+  test("contaminationFlags catches embedded benchmark excerpts, spares clean docs") {
+    val benchmark = Seq((100L, benchSnippet)).toDF("bid", "btext")
+    val corpus = Seq(
+      (0L, s"some unrelated preamble text and then $benchSnippet followed by more filler words"),
+      (1L, "a perfectly ordinary document about spark shuffles and catalyst optimizer rules"),
+      (2L, benchSnippet), // verbatim leak
+    ).toDF("doc_id", "text")
+    val flagged = Curation.contaminationFlags(
+        corpus, "doc_id", col("text"), benchmark, col("btext"),
+        k = 12, w = 4, minShared = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged == Set(0L, 2L)) // embedded + verbatim flagged, clean doc spared
+    val clean = Curation.decontaminate(
+        corpus, "doc_id", col("text"), benchmark, col("btext"),
+        k = 12, w = 4, minShared = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(1L))
+  }
+
+  test("decontaminate is a no-op when the benchmark shares nothing") {
+    val benchmark = Seq((1L, "completamente distinto contenido referencial")).toDF("bid", "btext")
+    val corpus = Seq(
+      (0L, "spark dataframe operations compose into a single catalyst plan tree"),
+      (1L, "tungsten code generation collapses operators into tight jvm loops"),
+    ).toDF("doc_id", "text")
+    val clean = Curation.decontaminate(
+      corpus, "doc_id", col("text"), benchmark, col("btext"), k = 12, w = 4)
+    assert(clean.count() == 2)
+  }
 }

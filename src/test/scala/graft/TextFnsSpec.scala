@@ -107,4 +107,30 @@ class TextFnsSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(q == 0.7) // 0.5*1 + 0.3*0 + 0.2*1
   }
+
+  test("duplicateLineFraction counts repeated lines; single-line text scores 0") {
+    assert(one[Double](TextFns.duplicateLineFraction(col("t")),
+      "aa\nbb\naa\naa") == 0.5) // 4 lines, 2 distinct -> (4-2)/4
+    assert(one[Double](TextFns.duplicateLineFraction(col("t")), "just one line") == 0.0)
+    assert(one[Double](TextFns.duplicateLineFraction(col("t")), "") == 0.0)
+  }
+
+  test("topNGramFraction: sorted-run fold equals the most frequent n-gram share") {
+    val f = TextFns.topNGramFraction(TextFns.tokens(col("t")), 2)
+    // grams: "a b","b a","a b","b a","a b" -> top "a b" 3 of 5
+    assert(one[Double](f, "a b a b a b") == 3.0 / 5.0)
+    // all grams distinct -> 1/n
+    assert(one[Double](f, "q w e r") == 1.0 / 3.0)
+    // degenerate repetition -> 1.0
+    assert(one[Double](f, "x x x x x") == 1.0)
+    // shorter than n tokens -> 0.0
+    assert(one[Double](f, "solo") == 0.0)
+  }
+
+  test("symbolToWordRatio and meanWordLength") {
+    assert(one[Double](TextFns.symbolToWordRatio(col("t")), "a b### c!") == 4.0 / 3.0)
+    assert(one[Double](TextFns.symbolToWordRatio(col("t")), "clean words here") == 0.0)
+    assert(one[Double](TextFns.meanWordLength(TextFns.tokens(col("t"))), "ab cdef") == 3.0)
+    assert(one[Double](TextFns.meanWordLength(TextFns.tokens(col("t"))), "") == 0.0)
+  }
 }

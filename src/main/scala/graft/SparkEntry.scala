@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Exact._
 import graft.functions.TextFns
 import graft.operators.{Cleaning, Curation, Dedup, Events, Multimodal, Relational, Similarity, StarSchema, Transforms}
-import graft.sources.Tables
+import graft.sources.{Sources, Tables}
 
 /**
  * Driver contract: one `queries` entry per implemented operator from
@@ -560,6 +560,45 @@ object SparkEntry {
     Dedup.connectedComponents(chain.union(cross))
   }
 
+  /** #63 two-phase salted aggregation, driver-exercised: hot grouping
+   *  keys (3 return flags over the whole table) spread across 16 salt
+   *  buckets before the final combine. Results are exact, so the plain
+   *  GROUP BY is the oracle. */
+  private def q63SaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Relational.saltedAgg(t(s, dir).lineitem, Seq("l_returnflag"), saltBuckets = 16,
+      Seq(
+        ("sum_qty", sum(col("l_quantity").cast("decimal(18,4)")),
+          (c: Column) => sum(c).cast("double")),
+        ("n", cnt, (c: Column) => sum(c))))
+
+  /** #64 skew-salted equi-join, driver-exercised: lineitem→part with the
+   *  big side salted and the small side replicated per bucket. Row-set
+   *  identical to the plain join, so the plain join is the oracle. */
+  private def q64SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val small = tt.part.select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    Relational.saltedJoin(tt.lineitem.select("l_partkey", "l_quantity"), small,
+        Seq("l_partkey"), saltBuckets = 8)
+      .groupBy("p_brand")
+      .agg(decSum(col("l_quantity")).as("sum_qty"), cnt.as("n"))
+  }
+
+  /** #65 bucketed-table co-located join, driver-exercised: both sides
+   *  written bucketed on the join key (ScaleSpec asserts the zero-shuffle
+   *  plan), then joined + aggregated; the plain join is the oracle. */
+  private def q65BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val hex = java.lang.Integer.toHexString(dir.hashCode)
+    val (ot, lt) = (s"graft_b_orders_$hex", s"graft_b_lineitem_$hex")
+    Sources.writeBucketed(tt.orders.select("o_orderkey", "o_custkey"),
+      ot, Seq("o_orderkey"), numBuckets = 8)
+    Sources.writeBucketed(tt.lineitem.select("l_orderkey", "l_quantity"),
+      lt, Seq("l_orderkey"), numBuckets = 8)
+    s.table(lt).join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(decSum(col("l_quantity")).as("sum_qty"), cnt.as("n"))
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -625,6 +664,9 @@ object SparkEntry {
     "q60_decontaminate"     -> (q60Decontaminate _),
     "q61_quality_rules"     -> (q61QualityRules _),
     "q62_cc_labels"         -> (q62CcLabels _),
+    "q63_salted_agg"        -> (q63SaltedAgg _),
+    "q64_salted_join"       -> (q64SaltedJoin _),
+    "q65_bucketed_join"     -> (q65BucketedJoin _),
   )
 
   private val monthCaseSql: String =
@@ -949,6 +991,20 @@ object SparkEntry {
         "CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) " +
         "/ greatest(len(toks), 1) AS mean_word_len " +
         "FROM t LEFT JOIN m USING (doc_id)"),
+    "q63_salted_agg" ->
+      ("SELECT l_returnflag, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, " +
+        "COUNT(*) AS n FROM lineitem GROUP BY 1"),
+    "q64_salted_join" ->
+      ("SELECT p.p_brand, " +
+        "CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, " +
+        "COUNT(*) AS n FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey " +
+        "GROUP BY 1"),
+    "q65_bucketed_join" ->
+      ("SELECT o.o_custkey, " +
+        "CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, " +
+        "COUNT(*) AS n FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "GROUP BY 1"),
     "q62_cc_labels" ->
       ("WITH RECURSIVE " +
         "e0 AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 4 <> 3 " +

@@ -590,6 +590,16 @@ object SparkEntry {
     val tt = t(s, dir)
     val hex = java.lang.Integer.toHexString(dir.hashCode)
     val (ot, lt) = (s"graft_b_orders_$hex", s"graft_b_lineitem_$hex")
+    // idempotent across JVMs: the warehouse location outlives the
+    // in-memory catalog, and saveAsTable refuses an unregistered
+    // existing location — drop both the entry and the files
+    for (tbl <- Seq(ot, lt)) {
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val p = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), tbl)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     Sources.writeBucketed(tt.orders.select("o_orderkey", "o_custkey"),
       ot, Seq("o_orderkey"), numBuckets = 8)
     Sources.writeBucketed(tt.lineitem.select("l_orderkey", "l_quantity"),

@@ -171,7 +171,12 @@ object Similarity {
           .cache()
       else df
     try {
-      var centroids: Seq[(Int, Seq[Float])] = train.orderBy(col(id)).limit(k)
+      // Seed from the first k of the HASH order, not the k lowest ids:
+      // low ids are often insertion-correlated (same-batch near-dups would
+      // seed k near-identical centroids); the hash order is an unbiased
+      // deterministic spread over the corpus.
+      var centroids: Seq[(Int, Seq[Float])] = train
+        .orderBy(xxhash64(col(id)).asc, col(id).asc).limit(k)
         .select(col(vec)).collect()
         .map(_.getSeq[Float](0).toSeq).zipWithIndex.map(_.swap).toSeq
       for (_ <- 0 until iterations) {

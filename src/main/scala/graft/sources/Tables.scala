@@ -15,14 +15,23 @@ import org.apache.spark.sql.types.StructType
 final case class Tables(spark: SparkSession, dir: String) {
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
+  // Catalog-level session requirement, applied once at construction (NOT
+  // inside a table accessor — a getter that mutates session state
+  // surprises any second consumer of the session): the events table
+  // carries nanosecond parquet timestamps, which Spark's vectorized
+  // reader rejects unless `nanosAsLong` maps them to raw int64 at schema
+  // conversion. The conf must outlive the read (execution consults it
+  // again), so it cannot be save/restore-scoped around the accessor.
+  spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
   /**
    * The events table carries nanosecond parquet timestamps, which Spark's
    * vectorized reader rejects. Read them as raw int64 nanos
-   * (`nanosAsLong`) and truncate to a proper microsecond TimestampType —
-   * the same ns→µs truncation DuckDB and Arrow apply.
+   * (`nanosAsLong`, set at catalog construction) and truncate to a proper
+   * microsecond TimestampType — the same ns→µs truncation DuckDB and
+   * Arrow apply.
    */
   private def withNanoTimestamp(name: String, tsCols: String*): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(name)
     tsCols.foldLeft(df) { (d, c) =>
       d.schema(c).dataType match {
@@ -50,19 +59,29 @@ final case class Tables(spark: SparkSession, dir: String) {
  * (reference dag.py:47 reads `;`-delimited latin1 CSV).
  */
 object Sources {
-  /** CSV reader with the reference's dialect knobs (sep/encoding/header). */
+  /**
+   * CSV reader with the reference's dialect knobs (sep/encoding/header).
+   *
+   * Schema discipline at scale: `inferSchema` costs a FULL extra pass
+   * over the files before the real read — at 100 TB that doubles the
+   * ingest. Pass an explicit `schema` (zero extra scans) for production
+   * reads; `inferSchema = true` is an explicit opt-in for small/ad-hoc
+   * files. With neither, columns come back as strings (Spark's
+   * scan-free CSV default), which at least never silently double-reads.
+   */
   def csv(
       spark: SparkSession,
       path: String,
       sep: String = ",",
       encoding: String = "UTF-8",
       header: Boolean = true,
-      schema: Option[StructType] = None): DataFrame = {
+      schema: Option[StructType] = None,
+      inferSchema: Boolean = false): DataFrame = {
     val r = spark.read
       .option("sep", sep)
       .option("encoding", encoding)
       .option("header", header.toString)
-    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+    schema.fold(r.option("inferSchema", inferSchema.toString))(r.schema).csv(path)
   }
 
   /** JSON-lines reader (schema-on-read for semi-structured columns). */

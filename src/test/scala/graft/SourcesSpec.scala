@@ -23,6 +23,24 @@ class SourcesSpec extends SparkSpec {
       == Seq("São Paulo", "Brasília"))
   }
 
+  test("csv schema discipline: strings by default, typed only via schema or opt-in") {
+    val dir = Files.createTempDirectory("graft_csv_schema")
+    val f = dir.resolve("d.csv")
+    Files.write(f, "id,v\n1,2.5\n2,3.5\n".getBytes("UTF-8"))
+    // default: no inference pass — columns are strings (no silent double-read)
+    val plain = Sources.csv(spark, f.toString)
+    assert(plain.schema.fields.forall(_.dataType.typeName == "string"))
+    // explicit opt-in to the inference scan
+    val inferred = Sources.csv(spark, f.toString, inferSchema = true)
+    assert(inferred.schema("id").dataType.typeName == "integer")
+    assert(inferred.schema("v").dataType.typeName == "double")
+    // explicit schema: typed with zero extra scans
+    val typed = Sources.csv(spark, f.toString,
+      schema = Some(org.apache.spark.sql.types.StructType.fromDDL("id LONG, v DOUBLE")))
+    assert(typed.schema("id").dataType.typeName == "long")
+    assert(typed.as[(Long, Double)].collect().sorted.toSeq == Seq((1L, 2.5), (2L, 3.5)))
+  }
+
   test("table catalog reads every sf table; events ts is a usable timestamp") {
     val t = Tables(spark, sf0001)
     val all = Seq(t.region, t.nation, t.customer, t.supplier, t.part,

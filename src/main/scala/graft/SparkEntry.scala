@@ -609,6 +609,27 @@ object SparkEntry {
       .agg(decSum(col("l_quantity")).as("sum_qty"), cnt.as("n"))
   }
 
+  /** #66 validated timestamp parse (dag.py:64-75 raises on failure;
+   *  to_timestamp nulls silently): every 97th order's date string is
+   *  corrupted; the flag column splits the parse outcomes per year. */
+  private def q66ParseValidated(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir).orders.select(col("o_orderkey"),
+      when(col("o_orderkey") % 97 === 0, lit("not-a-date"))
+        .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("raw"))
+    Cleaning.parseTimestamp(src, "raw", "yyyy-MM-dd", "parsed", "parse_ok")
+      .groupBy(col("parse_ok"), year(col("parsed")).as("ano"))
+      .agg(cnt.as("n"))
+  }
+
+  /** #67 pt-BR decimal-comma normalization (dag.py:184): comma-decimal
+   *  strings synthesized from customer balances round-trip to DOUBLE. */
+  private def q67LocaleNormalize(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir).customer.select(col("c_custkey"),
+      translate(col("c_acctbal").cast("string"), ".", ",").as("bal_br"))
+    src.select(col("c_custkey"),
+      Transforms.normalizeDecimalComma(col("bal_br")).as("bal"))
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -677,6 +698,8 @@ object SparkEntry {
     "q63_salted_agg"        -> (q63SaltedAgg _),
     "q64_salted_join"       -> (q64SaltedJoin _),
     "q65_bucketed_join"     -> (q65BucketedJoin _),
+    "q66_parse_validated"   -> (q66ParseValidated _),
+    "q67_locale_normalize"  -> (q67LocaleNormalize _),
   )
 
   private val monthCaseSql: String =
@@ -1015,6 +1038,15 @@ object SparkEntry {
         "CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, " +
         "COUNT(*) AS n FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
         "GROUP BY 1"),
+    "q66_parse_validated" ->
+      ("WITH s AS (SELECT o_orderkey, CASE WHEN o_orderkey % 97 = 0 THEN 'not-a-date' " +
+        "ELSE strftime(o_orderdate, '%Y-%m-%d') END AS raw FROM orders), " +
+        "p AS (SELECT try_strptime(raw, '%Y-%m-%d') AS parsed FROM s) " +
+        "SELECT parsed IS NOT NULL AS parse_ok, year(parsed) AS ano, COUNT(*) AS n " +
+        "FROM p GROUP BY 1, 2"),
+    "q67_locale_normalize" ->
+      ("SELECT c_custkey, CAST(replace(replace(CAST(c_acctbal AS VARCHAR), '.', ','), " +
+        "',', '.') AS DOUBLE) AS bal FROM customer"),
     "q62_cc_labels" ->
       ("WITH RECURSIVE " +
         "e0 AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 4 <> 3 " +

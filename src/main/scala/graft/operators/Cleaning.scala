@@ -74,6 +74,47 @@ object Cleaning {
     df.select(col(column)).distinct()
 
   /**
+   * Timestamp parse with explicit failure semantics: the reference
+   * RAISES when `data_inversa`/`horario` fail to parse (dag.py:64-75),
+   * while Spark's `to_timestamp` nulls silently — silently-swallowed
+   * corruption is how a bad upstream drop ships to production. Adds
+   * `out` (the parsed timestamp) and `validOut` (false exactly when a
+   * NON-null input failed to parse; null inputs are absence, not
+   * corruption, and stay valid for [[fillSentinel]] to handle).
+   */
+  def parseTimestamp(
+      df: DataFrame, src: String, fmt: String,
+      out: String, validOut: String): DataFrame =
+    // try_to_timestamp, not to_timestamp: under ANSI mode (Spark 4's
+    // default) the plain parse THROWS mid-job on the first bad row —
+    // the flag column is the point of this operator
+    df.withColumn(out, try_to_timestamp(col(src), lit(fmt)))
+      .withColumn(validOut, col(out).isNotNull || col(src).isNull)
+
+  /**
+   * The reference's eager contract (dag.py:64-75): parse, then THROW if
+   * more than `maxInvalid` non-null values failed. The check is ONE
+   * bounded aggregate (a single long reaches the driver — the library's
+   * agg-to-literal exception); the returned frame re-reads the source
+   * lazily, so at 100 TB callers who cannot afford the validation pass
+   * should use [[parseTimestamp]]'s flag column and filter/quarantine
+   * inline instead.
+   */
+  def assertParsed(
+      df: DataFrame, src: String, fmt: String, out: String,
+      maxInvalid: Long = 0L): DataFrame = {
+    val parsed = parseTimestamp(df, src, fmt, out, "__gvalid")
+    val bad = parsed
+      .agg(coalesce(sum(when(!col("__gvalid"), 1L).otherwise(0L)), lit(0L)))
+      .head().getLong(0)
+    if (bad > maxInvalid)
+      throw new IllegalStateException(
+        s"parse validation failed: $bad value(s) of '$src' did not parse as '$fmt' " +
+          s"(allowed: $maxInvalid)")
+    parsed.drop("__gvalid")
+  }
+
+  /**
    * Null profile: one pass over the table computing the row count and a
    * null count per listed column (the reference notebook's
    * `df.isnull().sum()` profiling cell) — a single aggregation, however

@@ -127,6 +127,18 @@ object Transforms {
    */
   def concatColumns(sep: String, cols: Column*): Column = concat_ws(sep, cols: _*)
 
+  /**
+   * Locale decimal normalization (dag.py:184: `latitude.str.replace(',',
+   * '.')` before the lat/long concat): pt-BR decimal-comma strings →
+   * DOUBLE. `translate` (single-char map, codegen'd) rather than a regex
+   * engine per row; unparseable values null out, feeding
+   * [[graft.operators.Cleaning.fillSentinel]].
+   */
+  def normalizeDecimalComma(c: Column): Column =
+    // try_cast: ANSI mode (Spark 4 default) makes a plain cast throw on
+    // the first malformed value instead of nulling it
+    translate(c, ",", ".").try_cast("double")
+
   /** Regex group extraction (codegen'd; empty match → null after cast). */
   def regexExtract(column: Column, pattern: String, group: Int): Column =
     regexp_extract(column, pattern, group)

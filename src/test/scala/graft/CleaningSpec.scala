@@ -55,4 +55,29 @@ class CleaningSpec extends SparkSpec {
     assert(r.getAs[Long]("nulls_x") == 1L)
     assert(r.getAs[Long]("nulls_y") == 1L)
   }
+
+  private val dates = Seq(
+    (1L, "2020-03-01"), (2L, "garbage"), (3L, "2020-04-15"), (4L, null),
+  ).toDF("id", "raw")
+
+  test("parseTimestamp flags non-null parse failures; null input stays valid") {
+    val p = Cleaning.parseTimestamp(dates, "raw", "yyyy-MM-dd", "ts", "ok")
+      .select("id", "ok").as[(Long, Boolean)].collect().toMap
+    assert(p == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true))
+  }
+
+  test("assertParsed mirrors the reference's raise-on-failure contract") {
+    // one corrupt value: throws at the default tolerance...
+    val e = intercept[IllegalStateException] {
+      Cleaning.assertParsed(dates, "raw", "yyyy-MM-dd", "ts")
+    }
+    assert(e.getMessage.contains("1 value(s)"))
+    // ...passes when tolerated, with the parsed column attached
+    val ok = Cleaning.assertParsed(dates, "raw", "yyyy-MM-dd", "ts", maxInvalid = 1)
+    assert(ok.columns.toSeq == Seq("id", "raw", "ts"))
+    assert(ok.filter(col("ts").isNotNull).count() == 2)
+    // ...and cleanly on fully-valid data
+    assert(Cleaning.assertParsed(dates.filter(col("id") =!= 2),
+      "raw", "yyyy-MM-dd", "ts").count() == 3)
+  }
 }

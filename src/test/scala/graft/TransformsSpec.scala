@@ -113,4 +113,11 @@ class TransformsSpec extends SparkSpec {
     assert(out == Seq("Janeiro", "Fevereiro", "Março", "Abril", "Maio", "Junho",
       "Julho", "Agosto", "Setembro", "Outubro", "Novembro", "Dezembro"))
   }
+
+  test("normalizeDecimalComma parses pt-BR decimals; garbage nulls out (dag.py:184)") {
+    val out = Seq("-23,55052", "100", "abc", "1,5,2").toDF("s")
+      .select(Transforms.normalizeDecimalComma(col("s")).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out.toSeq == Seq(Some(-23.55052), Some(100.0), None, None))
+  }
 }

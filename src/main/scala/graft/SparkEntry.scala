@@ -630,6 +630,36 @@ object SparkEntry {
       Transforms.normalizeDecimalComma(col("bal_br")).as("bal"))
   }
 
+  /** #68 PII redaction: emails/IPs/phones (synthesized onto every 5th and
+   *  7th document) replaced before training — three portable
+   *  regexp_replace passes, byte-identical in the DuckDB oracle. */
+  private def q68PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir).documents.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" contact bob@example.com or 10.0.255.7 today")))
+        .when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" call (555) 867-5309 now")))
+        .otherwise(col("text")).as("text"))
+    src.select(col("doc_id"), TextFns.redactPii(col("text")).as("clean"))
+  }
+
+  /** #69 C4 line-level filtering (Raffel et al. 2020 §2.2): boilerplate
+   *  and unterminated lines drop, prose lines survive — driven over
+   *  synthesized multi-line documents (the corpus is single-line). */
+  private def q69C4LineFilter(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir).documents.select(col("doc_id"),
+      concat_ws("\n",
+        concat(substring(col("text"), 1, 40), lit(" end.")),
+        lit("enable javascript to continue"),
+        lit("lorem ipsum dolor sit amet"),
+        lit("{ code }"),
+        concat(lit("the tail says "), substring(col("text"), 41, 30), lit("!"))).as("text"))
+    val kept = TextFns.c4KeptLines(col("text"))
+    src.select(col("doc_id"),
+      array_join(kept, "\n").as("clean"),
+      size(kept).as("n_lines"))
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -700,6 +730,8 @@ object SparkEntry {
     "q65_bucketed_join"     -> (q65BucketedJoin _),
     "q66_parse_validated"   -> (q66ParseValidated _),
     "q67_locale_normalize"  -> (q67LocaleNormalize _),
+    "q68_pii_redact"        -> (q68PiiRedact _),
+    "q69_c4_line_filter"    -> (q69C4LineFilter _),
   )
 
   private val monthCaseSql: String =
@@ -1047,6 +1079,28 @@ object SparkEntry {
     "q67_locale_normalize" ->
       ("SELECT c_custkey, CAST(replace(replace(CAST(c_acctbal AS VARCHAR), '.', ','), " +
         "',', '.') AS DOUBLE) AS bal FROM customer"),
+    "q68_pii_redact" ->
+      ("WITH s AS (SELECT doc_id, CASE " +
+        "WHEN doc_id % 5 = 0 THEN text || ' contact bob@example.com or 10.0.255.7 today' " +
+        "WHEN doc_id % 7 = 0 THEN text || ' call (555) 867-5309 now' " +
+        "ELSE text END AS text FROM documents) " +
+        "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<PII>', 'g'), " +
+        "'\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<PII>', 'g'), " +
+        "'\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PII>', 'g') AS clean FROM s"),
+    "q69_c4_line_filter" ->
+      ("WITH s AS (SELECT doc_id, substr(text, 1, 40) || ' end.' || chr(10) || " +
+        "'enable javascript to continue' || chr(10) || " +
+        "'lorem ipsum dolor sit amet' || chr(10) || " +
+        "'{ code }' || chr(10) || " +
+        "'the tail says ' || substr(text, 41, 30) || '!' AS text FROM documents), " +
+        "k AS (SELECT doc_id, list_filter(string_split(text, chr(10)), l -> " +
+        "regexp_matches(l, '[.!?\"]$') AND len(string_split(l, ' ')) >= 3 " +
+        "AND NOT contains(lower(l), 'javascript') " +
+        "AND NOT contains(lower(l), 'lorem ipsum') " +
+        "AND NOT contains(lower(l), '{')) AS kept FROM s) " +
+        "SELECT doc_id, array_to_string(kept, chr(10)) AS clean, " +
+        "CAST(len(kept) AS INT) AS n_lines FROM k"),
     "q62_cc_labels" ->
       ("WITH RECURSIVE " +
         "e0 AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 4 <> 3 " +

@@ -157,4 +157,43 @@ object TextFns {
   def meanWordLength(toks: Column): Column =
     aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") /
       greatest(size(toks), lit(1))
+
+  // ------------------------------------------------- PII redaction (q68)
+  // ASCII-only patterns restricted to constructs with identical semantics
+  // in Java regex and RE2, so the DuckDB oracle redacts byte-identically.
+
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern: String = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val phonePattern: String = "\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  /**
+   * PII redaction: emails, IPv4 addresses, and phone-shaped digit runs
+   * replaced by `token` — standard pretraining hygiene (models memorize
+   * verbatim contact strings). Three codegen'd `regexp_replace` passes;
+   * email runs first so its digit/dot tail can't half-match as an IP.
+   */
+  def redactPii(text: Column, token: String = "<PII>"): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, token),
+        ipv4Pattern, token),
+      phonePattern, token)
+
+  // ------------------------------------- C4-style line filtering (q69)
+
+  /**
+   * C4's line-level cleanup (Raffel et al. 2020 §2.2): keep only lines
+   * that end in terminal punctuation, have at least `minWords` words,
+   * and contain no boilerplate marker (javascript notices, lorem ipsum,
+   * code braces). Returns the surviving lines as an array; callers
+   * re-join with "\n" or gate on the kept count. One `filter` pass over
+   * the split — per-row, no shuffle.
+   */
+  def c4KeptLines(
+      text: Column,
+      boilerplate: Seq[String] = Seq("javascript", "lorem ipsum", "{"),
+      minWords: Int = 3): Column =
+    filter(split(text, "\n"), l =>
+      boilerplate.map(b => !lower(l).contains(b))
+        .foldLeft(l.rlike("[.!?\"]$") && size(split(l, " ")) >= minWords)(_ && _))
 }

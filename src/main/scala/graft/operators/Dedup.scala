@@ -245,9 +245,14 @@ object Dedup {
       pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIter: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val half = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
-    val edges = half
-      .union(half.select(col("dst").as("src"), col("src").as("dst")))
+    // ONE scan of `pairs`, exploded into both directions — a self-union
+    // would be two plan branches, i.e. the (possibly expensive: a whole
+    // LSH pipeline) pair generation evaluated twice
+    val edges = pairs
+      .select(explode(array(
+        struct(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst")),
+        struct(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .filter(col("src") =!= col("dst") && col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -127,6 +127,32 @@ class TextFnsSpec extends SparkSpec {
     assert(one[Double](f, "solo") == 0.0)
   }
 
+  test("redactPii scrubs emails, IPs, and phone shapes; clean text unchanged") {
+    val r = TextFns.redactPii(col("t"))
+    assert(one[String](r, "mail alice.b+x@sub.example.org now") == "mail <PII> now")
+    assert(one[String](r, "host 192.168.0.1 responded") == "host <PII> responded")
+    assert(one[String](r, "call (555) 867-5309 or 555-867-5309") == "call <PII> or <PII>")
+    assert(one[String](r, "version 1.2 of chapter 3.4.5 unchanged") ==
+      "version 1.2 of chapter 3.4.5 unchanged")
+    // shape-based, not range-validated: out-of-range octets still redact
+    // (over-redaction is the safe direction for PII)
+    assert(one[String](r, "a@b@c is not an email at 999.999.999.999.999") ==
+      "a@b@c is not an email at <PII>.999")
+  }
+
+  test("c4KeptLines keeps terminated prose, drops boilerplate and fragments") {
+    val text = Seq(
+      "this line ends with a period.",
+      "no terminal punctuation here",
+      "enable JavaScript to view",
+      "lorem ipsum dolor sit amet.",
+      "function() { return 1; }",
+      "tiny.",
+      "is this a kept question?").mkString("\n")
+    val kept = oneSeq(TextFns.c4KeptLines(col("t")), text)
+    assert(kept == Seq("this line ends with a period.", "is this a kept question?"))
+  }
+
   test("symbolToWordRatio and meanWordLength") {
     assert(one[Double](TextFns.symbolToWordRatio(col("t")), "a b### c!") == 4.0 / 3.0)
     assert(one[Double](TextFns.symbolToWordRatio(col("t")), "clean words here") == 0.0)

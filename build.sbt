@@ -31,5 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // cache; once full the JIT disables itself and late queries run
   // interpreted — seen as 3-8x spikes on unchanged queries late in a
   // bench run.
-  "-XX:ReservedCodeCacheSize=512m",
+  // 69 codegen-heavy queries in one Bench JVM: 54 overflowed the 240m
+  // default (JIT disables itself -> random 3-8x spikes on late queries,
+  // q41 the usual victim); headroom scaled with the query count
+  "-XX:ReservedCodeCacheSize=768m",
 )

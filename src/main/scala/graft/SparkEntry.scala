@@ -542,7 +542,7 @@ object SparkEntry {
     t(s, dir).documents.select(
       col("doc_id"),
       TextFns.duplicateLineFraction(col("text")).as("dup_line_frac"),
-      TextFns.topNGramFraction(toks, 2).as("top2gram_frac"),
+      TextFns.topNGramFraction(s, col("text"), 2).as("top2gram_frac"),
       TextFns.symbolToWordRatio(col("text")).as("symbol_word_ratio"),
       TextFns.meanWordLength(toks).as("mean_word_len"))
   }

@@ -147,6 +147,19 @@ object TextFns {
       .otherwise(lit(0.0))
   }
 
+  /**
+   * [[topNGramFraction]] straight from the raw text via the one-pass
+   * codegen [[graft.plans.TopGramShare]] expression — value-identical on
+   * non-null input (exact substring counts over the same byte-range
+   * grams), one byte walk + hash-map count instead of an interpreted
+   * sort-and-fold. The hot path for gating a corpus.
+   */
+  def topNGramFraction(spark: org.apache.spark.sql.SparkSession,
+      text: Column, n: Int): Column = {
+    graft.plans.GraftFunctions.register(spark)
+    call_function(graft.plans.GraftFunctions.topGramShareName, text, lit(n))
+  }
+
   /** Symbol-to-word ratio: non-letter/digit/space characters per token. */
   def symbolToWordRatio(text: Column): Column =
     size(regexp_extract_all(text, lit("[^\\p{L}\\p{N} ]"), lit(0))).cast("double") /

@@ -48,7 +48,7 @@ object Curation {
     // only added when active so disabled gates cost nothing
     val gated = Seq[Option[Column]](
         if (maxTop2GramFrac < 1.0)
-          Some(TextFns.topNGramFraction(TextFns.tokens(text), 2) <= maxTop2GramFrac)
+          Some(TextFns.topNGramFraction(df.sparkSession, text, 2) <= maxTop2GramFrac)
         else None,
         if (maxDupLineFrac < 1.0)
           Some(TextFns.duplicateLineFraction(text) <= maxDupLineFrac)

@@ -98,6 +98,7 @@ object GraftFunctions {
   val wordShinglesName = "graft_word_shingles"
   val simhashName = "graft_simhash64"
   val winnowName = "graft_winnow"
+  val topGramShareName = "graft_top_gram_share"
 
   private[plans] def cosineBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2, s"$cosineName expects 2 arguments")
@@ -141,6 +142,11 @@ object GraftFunctions {
     WinnowFingerprints(children.head, intLit(children(1), "k"), intLit(children(2), "w"))
   }
 
+  private[plans] def topGramShareBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 2, s"$topGramShareName expects (text, n)")
+    TopGramShare(children.head, intLit(children(1), "n"))
+  }
+
   /**
    * The single source of truth for (identifier, info, builder) triples:
    * both the programmatic [[register]] path and the config-driven
@@ -170,6 +176,9 @@ object GraftFunctions {
     (FunctionIdentifier(winnowName),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, winnowName),
       winnowBuilder _),
+    (FunctionIdentifier(topGramShareName),
+      new ExpressionInfo(classOf[TopGramShare].getName, topGramShareName),
+      topGramShareBuilder _),
   )
 
   /** Idempotent per-session registration (programmatic path). */

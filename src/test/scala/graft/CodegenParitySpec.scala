@@ -51,6 +51,20 @@ class CodegenParitySpec extends SparkSpec {
     }
   }
 
+  test("topGramShare codegen == declarative sorted-fold on generated text") {
+    for (seed <- 1L to 5L) {
+      val df = texts(seed).toDF("t")
+      for (n <- Seq(1, 2, 3)) {
+        val rows = df.select(
+          TextFns.topNGramFraction(spark, col("t"), n).as("fast"),
+          TextFns.topNGramFraction(TextFns.tokens(col("t")), n).as("ref"),
+          col("t")).collect()
+        rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+          s"seed=$seed n=$n '${r.getString(2)}': ${r.getDouble(0)} != ${r.getDouble(1)}"))
+      }
+    }
+  }
+
   test("charGramJaccard codegen == declarative on generated text pairs") {
     for (seed <- 1L to 5L) {
       val ts = texts(seed)

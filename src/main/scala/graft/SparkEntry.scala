@@ -660,6 +660,12 @@ object SparkEntry {
       size(kept).as("n_lines"))
   }
 
+  /** #70 TF-IDF top-3 terms per document: the canonical two-level
+   *  shuffle-staged aggregation (term explode → tf → df window → rank).
+   *  Output keeps the integer columns; the double score only orders. */
+  private def q70TfidfTopTerms(s: SparkSession, dir: String): DataFrame =
+    Curation.tfidfTopTerms(t(s, dir).documents, "doc_id", col("text"), k = 3)
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -732,6 +738,7 @@ object SparkEntry {
     "q67_locale_normalize"  -> (q67LocaleNormalize _),
     "q68_pii_redact"        -> (q68PiiRedact _),
     "q69_c4_line_filter"    -> (q69C4LineFilter _),
+    "q70_tfidf_topterms"    -> (q70TfidfTopTerms _),
   )
 
   private val monthCaseSql: String =
@@ -1101,6 +1108,15 @@ object SparkEntry {
         "AND NOT contains(lower(l), '{')) AS kept FROM s) " +
         "SELECT doc_id, array_to_string(kept, chr(10)) AS clean, " +
         "CAST(len(kept) AS INT) AS n_lines FROM k"),
+    "q70_tfidf_topterms" ->
+      ("WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) " +
+        "GROUP BY 1, 2), " +
+        "d AS (SELECT *, COUNT(*) OVER (PARTITION BY term) AS df, " +
+        "(SELECT COUNT(*) FROM documents) AS n FROM tf), " +
+        "r AS (SELECT doc_id, term, tf, df, ROW_NUMBER() OVER (PARTITION BY doc_id " +
+        "ORDER BY tf * ln(CAST(n + 1 AS DOUBLE) / (df + 1)) DESC, term) AS rank FROM d) " +
+        "SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df FROM r WHERE rank <= 3"),
     "q62_cc_labels" ->
       ("WITH RECURSIVE " +
         "e0 AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 4 <> 3 " +

@@ -94,6 +94,37 @@ object Curation {
       .filter(col("shared") >= minShared)
   }
 
+  /**
+   * TF-IDF top-k terms per document — the classic two-level
+   * shuffle-staged aggregation. Execution shape: ONE explode pass →
+   * (doc, term) count (shuffle 1, map-side combined) → document
+   * frequency as a count window over the term key (shuffle 2 — no
+   * term-side self-join, so the tf frame is computed once, not twice) →
+   * corpus size N rides in as a broadcast 1-row aggregate (metadata-only
+   * count scan) → per-doc rank window (shuffle 3). Ordering is total:
+   * (score desc, term asc); ties in score only arise from identical
+   * (tf, df), which the term tie-break settles engine-independently.
+   * idf = ln((N+1)/(df+1)) — the smoothed form that never divides by
+   * zero and zeroes out corpus-universal terms.
+   */
+  def tfidfTopTerms(
+      df: DataFrame, id: String, text: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(id), explode(TextFns.tokens(text)).as("term"))
+      .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val total = df.agg(count(lit(1)).as("__gn"))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .crossJoin(broadcast(total))
+      .withColumn("score",
+        col("tf") * log((col("__gn") + 1).cast("double") / (col("df") + 1)))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(id)).orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rank") <= k)
+      .select(col(id), col("rank"), col("term"), col("tf"), col("df"))
+  }
+
   /** Remove flagged-contaminated documents from the corpus (anti-join
    *  against the small flag set — broadcast in the common case). */
   def decontaminate(

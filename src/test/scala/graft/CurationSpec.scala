@@ -53,6 +53,25 @@ class CurationSpec extends SparkSpec {
     assert(ungated.count() == 3)
   }
 
+  test("tfidfTopTerms ranks rare-but-frequent terms above corpus-universal ones") {
+    val docs = Seq(
+      (0L, "spark spark spark common"),
+      (1L, "duck duck common extra"),
+      (2L, "common words only here"),
+    ).toDF("doc_id", "text")
+    val top = Curation.tfidfTopTerms(docs, "doc_id", col("text"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // 'common' appears in all 3 docs -> idf = ln(4/4) = 0 -> never ranks first
+    assert(top.contains((0L, 1, "spark", 3L, 1L)))
+    assert(top.contains((1L, 1, "duck", 2L, 1L)))
+    // doc 0 rank 2: 'common' is its only other term (score 0)
+    assert(top.contains((0L, 2, "common", 1L, 3L)))
+    // ties on (tf, df) break by term ascending — deterministic
+    val doc2 = top.filter(_._1 == 2L).toSeq.sortBy(_._2).map(_._3)
+    assert(doc2 == Seq("here", "only"))
+  }
+
   private val benchSnippet =
     "the seventeen golden axolotls balanced quietly upon the ancient granite obelisk at dawn"
 

@@ -590,16 +590,6 @@ object SparkEntry {
     val tt = t(s, dir)
     val hex = java.lang.Integer.toHexString(dir.hashCode)
     val (ot, lt) = (s"graft_b_orders_$hex", s"graft_b_lineitem_$hex")
-    // idempotent across JVMs: the warehouse location outlives the
-    // in-memory catalog, and saveAsTable refuses an unregistered
-    // existing location — drop both the entry and the files
-    for (tbl <- Seq(ot, lt)) {
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
-      val p = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), tbl)
-      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-      if (fs.exists(p)) fs.delete(p, true)
-    }
     Sources.writeBucketed(tt.orders.select("o_orderkey", "o_custkey"),
       ot, Seq("o_orderkey"), numBuckets = 8)
     Sources.writeBucketed(tt.lineitem.select("l_orderkey", "l_quantity"),
@@ -1115,7 +1105,7 @@ object SparkEntry {
         "d AS (SELECT *, COUNT(*) OVER (PARTITION BY term) AS df, " +
         "(SELECT COUNT(*) FROM documents) AS n FROM tf), " +
         "r AS (SELECT doc_id, term, tf, df, ROW_NUMBER() OVER (PARTITION BY doc_id " +
-        "ORDER BY tf * ln(CAST(n + 1 AS DOUBLE) / (df + 1)) DESC, term) AS rank FROM d) " +
+        "ORDER BY CAST(tf * ln(CAST(n + 1 AS DOUBLE) / (df + 1)) AS FLOAT) DESC, term) AS rank FROM d) " +
         "SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df FROM r WHERE rank <= 3"),
     "q62_cc_labels" ->
       ("WITH RECURSIVE " +

@@ -102,8 +102,13 @@ object Curation {
    * term-side self-join, so the tf frame is computed once, not twice) →
    * corpus size N rides in as a broadcast 1-row aggregate (metadata-only
    * count scan) → per-doc rank window (shuffle 3). Ordering is total:
-   * (score desc, term asc); ties in score only arise from identical
-   * (tf, df), which the term tie-break settles engine-independently.
+   * (score desc, term asc). Engine-portability of the ranking: distinct
+   * (tf, df) pairs can have MATHEMATICALLY equal scores (tf·ln(r) ==
+   * ln(r^tf)) that different libm `log`s realize a double-ULP apart —
+   * one engine would see a tie (term asc breaks it), the other a strict
+   * order. Ranking on the FLOAT-narrowed score collapses double-ULP
+   * noise (IEEE double→float narrowing is exactly defined), so both
+   * engines see the same tie and break it identically.
    * idf = ln((N+1)/(df+1)) — the smoothed form that never divides by
    * zero and zeroes out corpus-universal terms.
    */
@@ -117,7 +122,8 @@ object Curation {
       .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .crossJoin(broadcast(total))
       .withColumn("score",
-        col("tf") * log((col("__gn") + 1).cast("double") / (col("df") + 1)))
+        (col("tf") * log((col("__gn") + 1).cast("double") / (col("df") + 1)))
+          .cast("float"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(id)).orderBy(col("score").desc, col("term").asc)))
@@ -133,6 +139,6 @@ object Curation {
       k: Int = 24, w: Int = 4, minShared: Int = 2): DataFrame = {
     val flags = contaminationFlags(corpus, id, text, benchmark, benchText, k, w, minShared)
       .select(col(id).as("__gflag"))
-    corpus.join(flags, corpus(id) === col("__gflag"), "left_anti")
+    Relational.antiJoin(corpus, flags, corpus(id) === col("__gflag"))
   }
 }

@@ -292,6 +292,14 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // Unconverged labels are MID-MERGE (multiple "keepers" inside one
+    // true cluster) — silently returning them would ship duplicates.
+    // With pointer jumping, maxIter rounds cover diameters past
+    // 2^maxIter, so hitting this means the caller passed a tiny cap.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not reach a fixpoint in $maxIter rounds; " +
+          "raise maxIter (each round doubles the covered component diameter)")
     labels.select(col("id"), col("label").as("component"))
   }
 
@@ -320,7 +328,7 @@ object Dedup {
     val drops = dedupClusters(pairs, idA, idB, maxIter)
       .filter(!col("is_keeper"))
       .select(col("id").as("__gdrop"))
-    df.join(drops, df(id) === col("__gdrop"), "left_anti")
+    Relational.antiJoin(df, drops, df(id) === col("__gdrop"))
   }
 
   /**

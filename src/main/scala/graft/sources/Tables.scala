@@ -102,6 +102,16 @@ object Sources {
       df: DataFrame, tableName: String,
       bucketCols: Seq[String], numBuckets: Int,
       sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    // overwrite must also cover the cross-JVM case: the warehouse
+    // location outlives an in-memory catalog, and saveAsTable refuses
+    // an UNREGISTERED existing location — drop both the catalog entry
+    // and any stale files before writing
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tableName)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)

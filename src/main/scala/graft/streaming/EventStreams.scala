@@ -114,28 +114,78 @@ object EventStreams {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // existence via the Hadoop FS of the target path — java.io.File
+        // is wrong for every non-local scheme (hdfs://, s3a://)
+        val path = new org.apache.hadoop.fs.Path(targetDir)
+        val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+        // The bucket modulus is part of the TARGET's layout, not the
+        // caller's: a restart with a different numBuckets must not
+        // recompute present-buckets under a modulus the stored
+        // __gbucket values never used (silent duplicates). The modulus
+        // is recorded in a _graft_buckets marker at layout creation and
+        // trusted from there on; a target without a trusted marker
+        // (legacy layout, lost marker) falls back to the unpruned —
+        // correct, just wider — key-column existence read.
+        val marker = new org.apache.hadoop.fs.Path(path, "_graft_buckets")
+        val recorded: Option[Int] =
+          if (fs.exists(marker)) {
+            val in = fs.open(marker)
+            try Some(in.readUTF().toInt) finally in.close()
+          } else None
+        // data presence, by Spark's own path-visibility rule: _/. names
+        // are metadata UNLESS they contain '=' (partition dirs — and the
+        // __gbucket=N dirs themselves start with '_')
+        val hasData = fs.exists(path) &&
+          fs.listStatus(path).exists { st =>
+            val n = st.getPath.getName
+            !(n.startsWith("_") || n.startsWith(".")) || n.contains("=")
+          }
+        val writeBuckets = recorded.getOrElse(numBuckets)
         // at-least-once sources can repeat a key WITHIN one micro-batch
         // too — dedup the batch itself first (ON CONFLICT semantics:
         // an arbitrary one of the duplicates wins)
         val deduped = batch.dropDuplicates(keys)
           .withColumn("__gbucket",
-            pmod(xxhash64(keys.map(col): _*), lit(numBuckets.toLong)).cast("int"))
-        // existence via the Hadoop FS of the target path — java.io.File
-        // is wrong for every non-local scheme (hdfs://, s3a://)
-        val path = new org.apache.hadoop.fs.Path(targetDir)
-        val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-        val fresh =
-          if (fs.exists(path)) {
-            // buckets this batch can collide with: a bounded driver
-            // collect (≤ numBuckets ints), the partition-prune predicate
-            val present = deduped.select("__gbucket").distinct()
-              .collect().map(_.getInt(0)).toSeq
-            val existingKeys = spark.read.parquet(targetDir)
-              .filter(col("__gbucket").isin(present: _*))
-              .select(keys.map(col): _*)
-            graft.operators.Relational.idempotentAppend(deduped, existingKeys, keys)
-          } else deduped
-        fresh.write.mode("append").partitionBy("__gbucket").parquet(targetDir)
+            pmod(xxhash64(keys.map(col): _*), lit(writeBuckets.toLong)).cast("int"))
+        if (!hasData) {
+          if (recorded.isEmpty) {
+            val out = fs.create(marker, true)
+            try out.writeUTF(writeBuckets.toString) finally out.close()
+          }
+          deduped.write.mode("append").partitionBy("__gbucket").parquet(targetDir)
+        } else {
+          val existing = spark.read.parquet(targetDir)
+          val bucketed = existing.columns.contains("__gbucket")
+          if (!bucketed) {
+            // legacy flat layout: appending partition dirs next to root
+            // files would conflict the directory structure — stay flat,
+            // existence read is the unpruned key-column scan
+            graft.operators.Relational.idempotentAppend(
+                deduped.drop("__gbucket"), existing.select(keys.map(col): _*), keys)
+              .write.mode("append").parquet(targetDir)
+          } else {
+            val existingKeys = recorded match {
+              case Some(_) =>
+                // two actions read the batch below (present-buckets
+                // collect + the final write) — persist so the dedup
+                // shuffle runs once, not twice
+                deduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                // buckets this batch can collide with: a bounded driver
+                // collect (≤ numBuckets ints), the partition-prune predicate
+                val present = deduped.select("__gbucket").distinct()
+                  .collect().map(_.getInt(0)).toSeq
+                existing.filter(col("__gbucket").isin(present: _*))
+                  .select(keys.map(col): _*)
+              case None =>
+                // bucketed layout but no trusted modulus: no pruning
+                existing.select(keys.map(col): _*)
+            }
+            try {
+              graft.operators.Relational.idempotentAppend(deduped, existingKeys, keys)
+                .write.mode("append").partitionBy("__gbucket").parquet(targetDir)
+            } finally deduped.unpersist()
+          }
+        }
       }
 
   /**

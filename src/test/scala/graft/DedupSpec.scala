@@ -174,6 +174,14 @@ class DedupSpec extends SparkSpec {
     assert(got == unionFind(edges))
   }
 
+  test("connectedComponents throws rather than returning unconverged labels") {
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2)
+    }
+    assert(e.getMessage.contains("fixpoint"))
+  }
+
   test("connectedComponents: empty pair set yields empty labels") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(empty).count() == 0)

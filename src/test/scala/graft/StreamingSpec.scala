@@ -112,6 +112,36 @@ class StreamingSpec extends SparkSpec {
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("__gbucket=")))
   }
 
+  test("writeIdempotent stays exactly-once when restarted with a different numBuckets") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idem_moduli")
+    val target = dir.resolve("t").toString
+    // first run defines the layout at 8 buckets
+    val m1 = MemoryStream[Event]
+    val q1 = EventStreams.writeIdempotent(m1.toDF(), spark, target,
+      keys = Seq("event_id"), checkpointDir = dir.resolve("c1").toString,
+      numBuckets = 8).start()
+    try {
+      m1.addData((1L to 10L).map(i => Event(i, ts("2024-01-01 10:00:00"), i, "a", 1.0)): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // second run asks for 64 buckets — the recorded layout modulus (8)
+    // must win, or replayed keys 5..10 hash to untrusted buckets and
+    // silently duplicate
+    val m2 = MemoryStream[Event]
+    val q2 = EventStreams.writeIdempotent(m2.toDF(), spark, target,
+      keys = Seq("event_id"), checkpointDir = dir.resolve("c2").toString,
+      numBuckets = 64).start()
+    try {
+      m2.addData((5L to 15L).map(i => Event(i, ts("2024-01-01 11:00:00"), i, "b", 2.0)): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val loaded = spark.read.parquet(target)
+    assert(loaded.count() == 15)
+    assert(loaded.select("event_id").as[Long].collect().sorted.toSeq == (1L to 15L))
+  }
+
   test("writeIdempotent existence read scans only the batch's hash buckets") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

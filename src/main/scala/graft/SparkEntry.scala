@@ -656,6 +656,19 @@ object SparkEntry {
   private def q70TfidfTopTerms(s: SparkSession, dir: String): DataFrame =
     Curation.tfidfTopTerms(t(s, dir).documents, "doc_id", col("text"), k = 3)
 
+  /** #71 C4 global line dedup: a corpus-wide boilerplate line (planted
+   *  into every document) survives only in the lowest-id document;
+   *  duplicate body texts collapse to their first occurrence; unique
+   *  tails all survive. */
+  private def q71GlobalLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir).documents.select(col("doc_id"),
+      concat_ws("\n",
+        lit("every doc shares this boilerplate line"),
+        col("text"),
+        concat(lit("unique tail for doc "), col("doc_id"))).as("text"))
+    Dedup.globalLineDedup(src, "doc_id", col("text"))
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -729,6 +742,7 @@ object SparkEntry {
     "q68_pii_redact"        -> (q68PiiRedact _),
     "q69_c4_line_filter"    -> (q69C4LineFilter _),
     "q70_tfidf_topterms"    -> (q70TfidfTopTerms _),
+    "q71_global_line_dedup" -> (q71GlobalLineDedup _),
   )
 
   private val monthCaseSql: String =
@@ -1107,6 +1121,15 @@ object SparkEntry {
         "r AS (SELECT doc_id, term, tf, df, ROW_NUMBER() OVER (PARTITION BY doc_id " +
         "ORDER BY CAST(tf * ln(CAST(n + 1 AS DOUBLE) / (df + 1)) AS FLOAT) DESC, term) AS rank FROM d) " +
         "SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df FROM r WHERE rank <= 3"),
+    "q71_global_line_dedup" ->
+      ("WITH s AS (SELECT doc_id, 'every doc shares this boilerplate line' || chr(10) || " +
+        "text || chr(10) || 'unique tail for doc ' || doc_id AS text FROM documents), " +
+        "l AS (SELECT doc_id, unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos, " +
+        "unnest(string_split(text, chr(10))) AS line FROM s), " +
+        "r AS (SELECT doc_id, pos, line, ROW_NUMBER() OVER (PARTITION BY line " +
+        "ORDER BY doc_id, pos) AS rn FROM l) " +
+        "SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean, " +
+        "CAST(COUNT(*) AS INT) AS n_lines FROM r WHERE rn = 1 GROUP BY doc_id"),
     "q62_cc_labels" ->
       ("WITH RECURSIVE " +
         "e0 AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 4 <> 3 " +

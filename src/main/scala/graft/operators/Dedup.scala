@@ -211,6 +211,37 @@ object Dedup {
   }
 
   /**
+   * C4's GLOBAL line deduplication (Raffel et al. 2020 §2.2: any line
+   * occurring more than once in the corpus is kept exactly once): every
+   * line keeps only its first occurrence — ordered by (doc id,
+   * position), a total order — and each document is reassembled from
+   * its surviving lines in original order. Documents reduced to zero
+   * lines drop out. This is the cross-document complement of
+   * [[graft.functions.TextFns.c4KeptLines]]' per-document filtering.
+   *
+   * Scale shape: posexplode → ROW_NUMBER window partitioned by the line
+   * content (one hash shuffle over (line) — the only way to see global
+   * duplicates) → reassembly groupBy doc (second shuffle). Both linear,
+   * map-side-combinable on the reassembly; no self-join, no all-pairs.
+   * Returns (id, clean, n_lines).
+   */
+  def globalLineDedup(df: DataFrame, id: String, text: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = df.select(col(id),
+      posexplode(split(text, "\n")).as(Seq("__gpos", "__gline")))
+    val first = lines
+      .withColumn("__grn", row_number().over(
+        Window.partitionBy("__gline").orderBy(col(id), col("__gpos"))))
+      .filter(col("__grn") === 1)
+    first.groupBy(col(id))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("__gpos"), col("__gline")))),
+            p => p.getField("__gline")), "\n").as("clean"),
+        count(lit(1)).cast("int").as("n_lines"))
+  }
+
+  /**
    * Connected components over a candidate-pair edge list: resolves the
    * pairwise near-dup output of [[minhashNearDups]] / [[simhashNearDups]] /
    * [[winnowCandidates]] into transitive clusters, labeling every member

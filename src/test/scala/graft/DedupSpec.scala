@@ -130,6 +130,22 @@ class DedupSpec extends SparkSpec {
     assert(h(0) == h(1))
   }
 
+  test("globalLineDedup keeps each line's first (doc, pos) occurrence only") {
+    val d = Seq(
+      (1L, "shared header\nbody of one\nrepeat me\nrepeat me"),
+      (2L, "shared header\nbody of two"),
+      (3L, "shared header"),
+    ).toDF("id", "text")
+    val byId = Dedup.globalLineDedup(d, "id", col("text"))
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getInt(2)))).toMap
+    // doc 1 keeps everything once (within-doc repeat collapses)
+    assert(byId(1L) == (("shared header\nbody of one\nrepeat me", 3)))
+    // doc 2 loses the shared header (doc 1 owns its first occurrence)
+    assert(byId(2L) == (("body of two", 1)))
+    // doc 3 had only the shared line -> drops out entirely
+    assert(!byId.contains(3L))
+  }
+
   /** Local union-find reference for the connected-components specs. */
   private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()

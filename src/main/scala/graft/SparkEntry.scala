@@ -669,6 +669,12 @@ object SparkEntry {
     Dedup.globalLineDedup(src, "doc_id", col("text"))
   }
 
+  /** #72 mean embedding (average pooling) per label: exact decimal
+   *  component sums make the result independent of partial-merge order,
+   *  so the DuckDB oracle hash-matches. Long-form (label, pos, mean). */
+  private def q72MeanEmbedding(s: SparkSession, dir: String): DataFrame =
+    Similarity.meanEmbedding(t(s, dir).embeddings, "label", "embedding")
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -743,6 +749,7 @@ object SparkEntry {
     "q69_c4_line_filter"    -> (q69C4LineFilter _),
     "q70_tfidf_topterms"    -> (q70TfidfTopTerms _),
     "q71_global_line_dedup" -> (q71GlobalLineDedup _),
+    "q72_mean_embedding"    -> (q72MeanEmbedding _),
   )
 
   private val monthCaseSql: String =
@@ -1130,6 +1137,16 @@ object SparkEntry {
         "ORDER BY doc_id, pos) AS rn FROM l) " +
         "SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean, " +
         "CAST(COUNT(*) AS INT) AS n_lines FROM r WHERE rn = 1 GROUP BY doc_id"),
+    "q72_mean_embedding" ->
+      ("WITH e AS (SELECT label, " +
+        "unnest(generate_series(0, len(embedding) - 1)) AS pos, " +
+        "unnest(embedding) AS v FROM embeddings) " +
+        "SELECT label, CAST(pos AS INT) AS pos, " +
+        // decimal -> VARCHAR -> DOUBLE: DuckDB's direct decimal->double
+        // double-rounds (int128 / 10^18 in floating point); the string
+        // parse is correctly rounded, matching Spark's Decimal.toDouble
+        "CAST(CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) " +
+        "/ COUNT(*) AS mean FROM e GROUP BY label, pos"),
     "q62_cc_labels" ->
       ("WITH RECURSIVE " +
         "e0 AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 4 <> 3 " +

@@ -243,6 +243,35 @@ object Similarity {
     probeCells(spark, cells, centroidsToDf(spark, centroids), queries, id, vec, k, nprobe)
   }
 
+  /**
+   * Mean embedding per group (average pooling — the standard reduction
+   * from member vectors to a group centroid). Exact and
+   * order-independent: each float component is widened to DECIMAL
+   * before summing ([[graft.functions.Exact]]'s trick), so the per-group
+   * mean does not depend on partial-aggregation merge order and
+   * hash-matches an engine that sums in any other order. One
+   * posexplode + one (group, pos) aggregation — fully map-side
+   * combinable, no windows, no collect. Returns (group, pos, mean) in
+   * long form: scalar rows, the shape downstream joins and the
+   * correctness oracle both want; `array_agg(... ORDER BY pos)` is one
+   * more aggregation away if a caller needs the packed vector.
+   */
+  def meanEmbedding(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "__gv")))
+      .groupBy(col(groupCol), col("pos"))
+      // float → STRING → decimal, not float → decimal: Spark widens a
+      // float through its exact binary expansion (0.1f → 0.1000000015)
+      // while DuckDB uses the shortest round-trip decimal (0.1) — the
+      // Ryu string is the shortest form in BOTH engines, so summing the
+      // string-parsed decimals is engine-identical. Scale 18 keeps the
+      // parse exact (no engine-divergent rounding) for any |v| >= 1e-9
+      // — float32 shortest reprs have <= 9 significant digits. The
+      // exact sum is cast to DOUBLE before dividing (decimal division
+      // rounds at decimal scale — engines disagree; double/long is
+      // IEEE).
+      .agg((sum(col("__gv").cast("string").cast("decimal(28,18)")).cast("double") /
+        count(lit(1))).as("mean"))
+
   private def centroidsToDf(spark: SparkSession, centroids: Seq[(Int, Seq[Float])]): DataFrame = {
     import spark.implicits._
     centroids.toDF("cluster_id", "centroid")

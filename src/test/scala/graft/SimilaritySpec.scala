@@ -225,6 +225,15 @@ class SimilaritySpec extends SparkSpec {
     assert(partial.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
   }
 
+  test("meanEmbedding averages componentwise, exactly") {
+    val d = Seq(
+      (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 6.0f)), (1, Seq(5.0f, 7.0f)),
+    ).toDF("label", "vec")
+    val m = Similarity.meanEmbedding(d, "label", "vec")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(m == Map((0, 0) -> 2.0, (0, 1) -> 4.0, (1, 0) -> 5.0, (1, 1) -> 7.0))
+  }
+
   test("embeddingNearDups only emits pairs above threshold with id_a < id_b") {
     val e = sources.Tables(spark, sf0001).embeddings
     val rows = Similarity.embeddingNearDups(spark, e, "vec_id", "embedding", 0.2, bits = 4).collect()

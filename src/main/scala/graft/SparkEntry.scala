@@ -675,6 +675,28 @@ object SparkEntry {
   private def q72MeanEmbedding(s: SparkSession, dir: String): DataFrame =
     Similarity.meanEmbedding(t(s, dir).embeddings, "label", "embedding")
 
+  /** #73 semantic dedup capstone: embedding near-dup candidate pairs →
+   *  connected components → keeper election — the full "drop semantic
+   *  duplicates from a corpus" pipeline composed from q34 + q59
+   *  machinery. Rows-only (LSH pairs aren't SQL-expressible). */
+  private def q73SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Similarity.embeddingNearDups(s, t(s, dir).embeddings,
+      "vec_id", "embedding", threshold = 0.3, bits = 6, tables = 8,
+      maxBucketSize = 2000)
+    Dedup.dedupClusters(pairs)
+  }
+
+  /** #74 winsorization: per-flag clipping of extended price to the
+   *  [p05, p95] band; interpolated bounds have <= 4 decimal digits
+   *  (2-dp data, 2-dp percentile fractions), so the decimal sums stay
+   *  exact and the DuckDB quantile_cont oracle hash-matches. */
+  private def q74Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val w = Cleaning.winsorize(t(s, dir).lineitem.select("l_returnflag", "l_extendedprice"),
+      "l_extendedprice", Seq("l_returnflag"), pLo = 0.05, pHi = 0.95)
+    w.groupBy("l_returnflag")
+      .agg(decSum(col("l_extendedprice")).as("sum_w"), cnt.as("n"))
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -750,6 +772,8 @@ object SparkEntry {
     "q70_tfidf_topterms"    -> (q70TfidfTopTerms _),
     "q71_global_line_dedup" -> (q71GlobalLineDedup _),
     "q72_mean_embedding"    -> (q72MeanEmbedding _),
+    "q73_semantic_dedup"    -> (q73SemanticDedup _),
+    "q74_winsorize"         -> (q74Winsorize _),
   )
 
   private val monthCaseSql: String =
@@ -1147,6 +1171,14 @@ object SparkEntry {
         // parse is correctly rounded, matching Spark's Decimal.toDouble
         "CAST(CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) " +
         "/ COUNT(*) AS mean FROM e GROUP BY label, pos"),
+    "q74_winsorize" ->
+      ("WITH b AS (SELECT l_returnflag, " +
+        "quantile_cont(l_extendedprice, 0.05) AS lo, " +
+        "quantile_cont(l_extendedprice, 0.95) AS hi " +
+        "FROM lineitem GROUP BY 1) " +
+        "SELECT l.l_returnflag, " +
+        "CAST(SUM(CAST(least(greatest(l.l_extendedprice, b.lo), b.hi) AS DECIMAL(18,4))) AS DOUBLE) AS sum_w, " +
+        "COUNT(*) AS n FROM lineitem l JOIN b USING (l_returnflag) GROUP BY 1"),
     "q62_cc_labels" ->
       ("WITH RECURSIVE " +
         "e0 AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 4 <> 3 " +

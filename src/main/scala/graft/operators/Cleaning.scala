@@ -115,6 +115,32 @@ object Cleaning {
   }
 
   /**
+   * Winsorization: clip a numeric column to its [pLo, pHi] percentile
+   * band, per group — the standard outlier-capping step between
+   * sentinel-fill and aggregation. Exact percentiles by default
+   * (bit-identical to DuckDB `quantile_cont`); `approx = true` switches
+   * to the Greenwald-Khanna sketch for 100 TB columns where the exact
+   * per-group gather is too expensive. The percentile frame is tiny
+   * (one row per group) and broadcast back.
+   */
+  def winsorize(
+      df: DataFrame, column: String, keys: Seq[String],
+      pLo: Double, pHi: Double, approx: Boolean = false): DataFrame = {
+    def pct(p: Double) =
+      if (approx) percentile_approx(col(column), lit(p), lit(10000))
+      else expr(s"percentile($column, $p)")
+    val bounds =
+      if (keys.isEmpty) df.agg(pct(pLo).as("__glo"), pct(pHi).as("__ghi"))
+      else df.groupBy(keys.map(col): _*).agg(pct(pLo).as("__glo"), pct(pHi).as("__ghi"))
+    val joined =
+      if (keys.isEmpty) df.crossJoin(broadcast(bounds))
+      else df.join(broadcast(bounds), keys)
+    joined
+      .withColumn(column, least(greatest(col(column), col("__glo")), col("__ghi")))
+      .drop("__glo", "__ghi")
+  }
+
+  /**
    * Null profile: one pass over the table computing the row count and a
    * null count per listed column (the reference notebook's
    * `df.isnull().sum()` profiling cell) — a single aggregation, however

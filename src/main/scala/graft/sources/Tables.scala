@@ -119,6 +119,30 @@ object Sources {
   }
 
   /**
+   * Small-file compaction: rewrite a parquet directory into
+   * ceil(bytes / targetBytes) files. Streaming sinks and incremental
+   * appends accrete thousands of KB-scale files; at warehouse scale the
+   * per-file open/footer overhead then dominates scan time and the
+   * NameNode/object-store listing becomes the bottleneck — periodic
+   * compaction is the standard fix. `coalesce`, not `repartition`:
+   * merging down needs no shuffle (and when the target exceeds the
+   * current partition count it degrades to a no-op rather than
+   * splitting). Writes to a NEW directory — atomic dir swap is the
+   * caller's (or the table format's) concern, not a library side
+   * effect.
+   */
+  def compact(
+      spark: SparkSession, srcDir: String, destDir: String,
+      targetBytes: Long = 128L << 20): Unit = {
+    val path = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(path).getLength
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(srcDir).coalesce(parts)
+      .write.mode("overwrite").parquet(destDir)
+  }
+
+  /**
    * JDBC sink for the reference's warehouse load stage (reference
    * dag.py:290-445 row-wise INSERTs into Postgres). Spark-first
    * equivalent: a single distributed `write.jdbc` with batched inserts —

@@ -56,6 +56,23 @@ class CleaningSpec extends SparkSpec {
     assert(r.getAs[Long]("nulls_y") == 1L)
   }
 
+  test("winsorize clips to the percentile band, globally and per group") {
+    val d = (1 to 100).map(_.toDouble).toDF("v")
+    val w = Cleaning.winsorize(d, "v", Nil, 0.1, 0.9)
+      .agg(min(col("v")), max(col("v")), count(lit(1))).collect().head
+    // percentile(0.1) of 1..100 = 1 + 0.1*99; p90 = 1 + 0.9*99 — compare
+    // against the same double arithmetic, not decimal literals
+    assert(w.getDouble(0) == 1.0 + 0.1 * 99.0)
+    assert(w.getDouble(1) == 1.0 + 0.9 * 99.0)
+    assert(w.getLong(2) == 100)
+    val g = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0), ("b", 20.0), ("b", 30.0))
+      .toDF("k", "v")
+    val gw = Cleaning.winsorize(g, "v", Seq("k"), 0.25, 0.75)
+      .groupBy("k").agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(gw("a") == ((1.5, 2.5)) && gw("b") == ((15.0, 25.0)))
+  }
+
   private val dates = Seq(
     (1L, "2020-03-01"), (2L, "garbage"), (3L, "2020-04-15"), (4L, null),
   ).toDF("id", "raw")

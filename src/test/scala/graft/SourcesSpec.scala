@@ -72,6 +72,20 @@ class SourcesSpec extends SparkSpec {
     assert(back.filter(col("v") === "x;y").count() == 1) // quoting survived the ';' payload
   }
 
+  test("compact merges small files down to the byte target, preserving rows") {
+    val dir = Files.createTempDirectory("graft_compact")
+    val (src, dest) = (dir.resolve("src").toString, dir.resolve("dest").toString)
+    spark.range(10000).toDF("id").repartition(20).write.parquet(src)
+    val srcFiles = new java.io.File(src).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(srcFiles == 20)
+    Sources.compact(spark, src, dest, targetBytes = Long.MaxValue)
+    val destFiles = new java.io.File(dest).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(destFiles == 1)
+    val back = spark.read.parquet(dest)
+    assert(back.count() == 10000)
+    assert(back.agg(sum(col("id"))).head.getLong(0) == 49995000L)
+  }
+
   test("jsonLines reads semi-structured records") {
     val dir = Files.createTempDirectory("graft_json")
     Files.write(dir.resolve("d.json"),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Exact._
 import graft.functions.TextFns
-import graft.operators.{Cleaning, Curation, Dedup, Events, Multimodal, Relational, Similarity, StarSchema, Transforms}
+import graft.operators.{Cleaning, Curation, Dedup, Events, Features, Multimodal, Relational, Similarity, StarSchema, Transforms}
 import graft.sources.{Sources, Tables}
 
 /**
@@ -697,6 +697,43 @@ object SparkEntry {
       .agg(decSum(col("l_extendedprice")).as("sum_w"), cnt.as("n"))
   }
 
+  /** #75 z-score standardization: per-flag (price - mean) / stddev with
+   *  exact-decimal moments, so the scaling constants — and therefore
+   *  every scaled value — are bit-identical across engines. */
+  private def q75Zscore(s: SparkSession, dir: String): DataFrame =
+    Features.zscore(
+      t(s, dir).lineitem.select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"),
+      "l_extendedprice", Seq("l_returnflag"))
+      .withColumnRenamed("l_extendedprice", "z")
+
+  /** #76 min-max scaling of quantity to [0,1] per return flag; min/max
+   *  need no exactness machinery (no summation), and the two IEEE ops
+   *  are engine-identical. */
+  private def q76MinmaxScale(s: SparkSession, dir: String): DataFrame =
+    Features.minmaxScale(
+      t(s, dir).lineitem.select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
+      "l_quantity", Seq("l_returnflag"))
+      .withColumnRenamed("l_quantity", "x")
+
+  private val q78Weights = Map(
+    "src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25)
+  private val q78Default = 0.1
+
+  /** #77 sequence packing: documents concatenated in id order and cut
+   *  every 512 tokens — the (doc, seq) span map a trainer consumes.
+   *  Prefix sum over the total order without a single-partition window. */
+  private def q77SequencePack(s: SparkSession, dir: String): DataFrame =
+    Features.packSequences(
+      t(s, dir).documents, "doc_id", TextFns.tokenCount(col("text")), 512L)
+
+  /** #78 deterministic weighted mixture sampling by id hash: no RNG, so
+   *  the sample is reproducible on any engine with the same md5 and
+   *  stable under corpus growth. */
+  private def q78MixtureSample(s: SparkSession, dir: String): DataFrame =
+    Features.mixtureSample(
+      t(s, dir).documents, "source", "doc_id", q78Weights, q78Default)
+      .select("doc_id", "source")
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -774,6 +811,10 @@ object SparkEntry {
     "q72_mean_embedding"    -> (q72MeanEmbedding _),
     "q73_semantic_dedup"    -> (q73SemanticDedup _),
     "q74_winsorize"         -> (q74Winsorize _),
+    "q75_zscore"            -> (q75Zscore _),
+    "q76_minmax_scale"      -> (q76MinmaxScale _),
+    "q77_sequence_pack"     -> (q77SequencePack _),
+    "q78_mixture_sample"    -> (q78MixtureSample _),
   )
 
   private val monthCaseSql: String =
@@ -1179,6 +1220,45 @@ object SparkEntry {
         "SELECT l.l_returnflag, " +
         "CAST(SUM(CAST(least(greatest(l.l_extendedprice, b.lo), b.hi) AS DECIMAL(18,4))) AS DOUBLE) AS sum_w, " +
         "COUNT(*) AS n FROM lineitem l JOIN b USING (l_returnflag) GROUP BY 1"),
+    "q75_zscore" ->
+      // moments via exact decimal sums, decimal->double through VARCHAR
+      // (strtod is correctly rounded; DuckDB's direct cast double-rounds)
+      ("WITH b AS (SELECT l_returnflag, " +
+        "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sx, " +
+        // 22,4 casts give DuckDB int128 room for the product (int64 would
+        // overflow); the sum itself then exceeds 2^53 scaled units, which
+        // is why the VARCHAR routing matters here
+        "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,4)) * CAST(l_extendedprice AS DECIMAL(22,4))) AS VARCHAR) AS DOUBLE) AS sxx, " +
+        "CAST(COUNT(*) AS DOUBLE) AS n FROM lineitem GROUP BY 1) " +
+        "SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, " +
+        "CASE WHEN sqrt(n * sxx - sx * sx) / n = 0 THEN 0.0 " +
+        "ELSE (l.l_extendedprice - sx / n) / (sqrt(n * sxx - sx * sx) / n) END AS z " +
+        "FROM lineitem l JOIN b USING (l_returnflag)"),
+    "q76_minmax_scale" ->
+      ("WITH b AS (SELECT l_returnflag, min(l_quantity) AS mn, max(l_quantity) AS mx " +
+        "FROM lineitem GROUP BY 1) " +
+        "SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, " +
+        "CASE WHEN mx = mn THEN 0.0 ELSE (l.l_quantity - mn) / (mx - mn) END AS x " +
+        "FROM lineitem l JOIN b USING (l_returnflag)"),
+    "q77_sequence_pack" ->
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok " +
+        "FROM documents), " +
+        "p AS (SELECT doc_id, tok, CAST(SUM(tok) OVER (ORDER BY doc_id) AS BIGINT) AS cend " +
+        "FROM t WHERE tok > 0), " +
+        "s AS (SELECT doc_id, cend - tok AS cstart, cend FROM p), " +
+        "x AS (SELECT doc_id, cstart, cend, " +
+        "unnest(generate_series(cstart // 512, (cend - 1) // 512)) AS seq_id FROM s) " +
+        "SELECT doc_id, seq_id, " +
+        "greatest(cstart, seq_id * 512) - cstart AS doc_off, " +
+        "greatest(cstart, seq_id * 512) - seq_id * 512 AS seq_off, " +
+        "least(cend, (seq_id + 1) * 512) - greatest(cstart, seq_id * 512) AS len FROM x"),
+    "q78_mixture_sample" ->
+      ("SELECT doc_id, source FROM documents " +
+        "WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < CASE source " +
+        q78Weights.toSeq.sortBy(_._1).map { case (s, w) =>
+          s"WHEN '$s' THEN '${Features.weightThresholdHex(w)}'"
+        }.mkString(" ") +
+        s" ELSE '${Features.weightThresholdHex(q78Default)}' END"),
     "q62_cc_labels" ->
       ("WITH RECURSIVE " +
         "e0 AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 4 <> 3 " +

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+
+/**
+ * Feature preparation for model-training pipelines: per-group
+ * standardization, deterministic mixture sampling, and token-budget
+ * sequence packing. The reference stops at cleaning + star-schema load
+ * (dag.py:47-288); these are the steps a training pipeline runs next,
+ * built on the same exact-aggregate machinery so every scaling constant
+ * is bit-reproducible across engines and partitionings.
+ */
+object Features {
+
+  /**
+   * Per-group z-score standardization: (v - mean) / stddev_pop, with
+   * mean and stddev built from exact decimal sums ([[Exact]]) so the
+   * scaling constants are order-independent and engine-portable. Groups
+   * with zero variance standardize to 0.0 rather than NaN.
+   *
+   * Scale shape: one aggregate pass produces a one-row-per-group bounds
+   * frame that is broadcast back, so the big table never shuffles for
+   * the join — the only shuffle is the aggregate's own partial/final
+   * exchange.
+   */
+  def zscore(
+      df: DataFrame, column: String, keys: Seq[String],
+      scale: Int = 4): DataFrame = {
+    val v = col(column)
+    val stats = Seq(
+      Exact.decAvg(v, scale).as("__gmu"),
+      Exact.decStddevPop(v, scale).as("__gsigma"))
+    val bounds =
+      if (keys.isEmpty) df.agg(stats.head, stats.tail: _*)
+      else df.groupBy(keys.map(col): _*).agg(stats.head, stats.tail: _*)
+    val joined =
+      if (keys.isEmpty) df.crossJoin(broadcast(bounds))
+      else df.join(broadcast(bounds), keys)
+    joined
+      .withColumn(column,
+        when(col("__gsigma") === 0d, 0d)
+          .otherwise((v - col("__gmu")) / col("__gsigma")))
+      .drop("__gmu", "__gsigma")
+  }
+
+  /**
+   * Per-group min-max scaling to [0, 1]. Min/max of doubles are exact
+   * (no summation), so no decimal detour is needed; the subtraction and
+   * division are single IEEE ops, identical in any engine. Degenerate
+   * groups (max == min) scale to 0.0.
+   */
+  def minmaxScale(df: DataFrame, column: String, keys: Seq[String]): DataFrame = {
+    val v = col(column)
+    val stats = Seq(min(v).as("__gmn"), max(v).as("__gmx"))
+    val bounds =
+      if (keys.isEmpty) df.agg(stats.head, stats.tail: _*)
+      else df.groupBy(keys.map(col): _*).agg(stats.head, stats.tail: _*)
+    val joined =
+      if (keys.isEmpty) df.crossJoin(broadcast(bounds))
+      else df.join(broadcast(bounds), keys)
+    joined
+      .withColumn(column,
+        when(col("__gmx") === col("__gmn"), 0d)
+          .otherwise((v - col("__gmn")) / (col("__gmx") - col("__gmn"))))
+      .drop("__gmn", "__gmx")
+  }
+
+  /**
+   * Threshold literal for [[mixtureSample]]: an 8-hex-digit lowercase
+   * string such that `md5(id).substr(0, 8) < threshold` keeps a
+   * `w` fraction of uniformly-hashed ids. Weights ≥ 1 map to "g", which
+   * every hex string sorts below (keep all); ≤ 0 maps to "00000000"
+   * (keep none). Fixed-length lowercase hex compares lexicographically
+   * exactly as the underlying 32-bit integer compares numerically.
+   */
+  def weightThresholdHex(w: Double): String =
+    if (w >= 1.0) "g"
+    else if (w <= 0.0) "00000000"
+    else f"${math.round(w * 4294967296.0).min(0xffffffffL)}%08x"
+
+  /**
+   * Deterministic weighted mixture sampling: keep each row of source s
+   * with probability weights(s), decided by the row's own id hash — no
+   * RNG, no seed plumbing, identical output on any cluster, any engine
+   * with the same md5, and any run (the property that makes training
+   * mixtures reproducible and incrementally extendable: re-running on
+   * a grown corpus keeps exactly the old rows plus new ones).
+   *
+   * Pure per-row filter — no shuffle, no join; the weight table folds
+   * into a chained CASE expression.
+   */
+  def mixtureSample(
+      df: DataFrame, sourceCol: String, idCol: String,
+      weights: Map[String, Double], default: Double = 0.0): DataFrame = {
+    val threshold = weights.toSeq.sortBy(_._1).foldLeft(null: Column) {
+      case (acc, (s, w)) =>
+        val branch = (col(sourceCol) === s, lit(weightThresholdHex(w)))
+        if (acc == null) when(branch._1, branch._2) else acc.when(branch._1, branch._2)
+    } match {
+      case null => lit(weightThresholdHex(default))
+      case c => c.otherwise(lit(weightThresholdHex(default)))
+    }
+    df.filter(substring(md5(col(idCol).cast("string")), 1, 8) < threshold)
+  }
+
+  /**
+   * GPT-style sequence packing: concatenate every document's tokens in
+   * id order into one global stream and cut it every `budget` tokens,
+   * emitting the (document, sequence) spans — `doc_off`/`seq_off`/`len`
+   * say which token slice of the document lands where in which
+   * training sequence. Documents with zero tokens are dropped.
+   *
+   * The global running offset is a prefix sum over a total order —
+   * computed WITHOUT a single-partition window, via the same
+   * range-partition + per-partition rank + broadcast-offset scheme as
+   * [[StarSchema.dimWithDenseKeyScalable]]: the only unpartitioned
+   * window runs over the per-partition size frame (≤ shuffle
+   * parallelism rows). One range shuffle total; the sequence explode
+   * is at most (doc tokens / budget) + 1 rows per document.
+   */
+  def packSequences(
+      df: DataFrame, idCol: String, tokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, "packSequences needs a positive token budget")
+    val id = col(idCol)
+    val ranged = df.select(id, tokens.cast("long").as("__gtok"))
+      .filter(col("__gtok") > 0)
+      .repartitionByRange(id)
+      .withColumn("__gpid", spark_partition_id())
+    val local = ranged.withColumn("__gcum",
+      sum("__gtok").over(Window.partitionBy("__gpid").orderBy(id)))
+    val offsets = local.groupBy("__gpid")
+      .agg(sum("__gtok").as("__gsz"))
+      .withColumn("__goff", coalesce(
+        sum("__gsz").over(Window.orderBy("__gpid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__gpid", "__goff")
+    val spans = local.join(broadcast(offsets), "__gpid")
+      .withColumn("__gend", col("__goff") + col("__gcum"))
+      .withColumn("__gstart", col("__gend") - col("__gtok"))
+    spans
+      .withColumn("seq_id", explode(sequence(
+        expr(s"__gstart div $budget"), expr(s"(__gend - 1) div $budget"))))
+      .withColumn("__gchunk", col("seq_id") * budget)
+      .withColumn("__glo", greatest(col("__gstart"), col("__gchunk")))
+      .withColumn("__ghi", least(col("__gend"), col("__gchunk") + budget))
+      .select(
+        id,
+        col("seq_id"),
+        (col("__glo") - col("__gstart")).as("doc_off"),
+        (col("__glo") - col("__gchunk")).as("seq_off"),
+        (col("__ghi") - col("__glo")).as("len"))
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Features
+
+class FeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zscore standardizes per group; zero-variance groups map to 0") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 5.0), ("b", 5.0),
+    ).toDF("k", "v")
+    val out = Features.zscore(df, "v", Seq("k"))
+      .groupBy("k").agg(
+        min(col("v")).as("lo"), max(col("v")).as("hi"),
+        sum(col("v")).as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // group a: mean 2, stddev_pop sqrt(2/3); z in {-1,0,1} * sqrt(3/2)
+    val sd = math.sqrt(2.0 / 3.0)
+    assert(math.abs(out("a")._1 - (-1.0 / sd)) < 1e-12)
+    assert(math.abs(out("a")._2 - (1.0 / sd)) < 1e-12)
+    assert(math.abs(out("a")._3) < 1e-12)
+    assert(out("b") == ((0.0, 0.0, 0.0)))
+  }
+
+  test("zscore with no keys standardizes globally") {
+    val out = Features.zscore((1 to 9).map(_.toDouble).toDF("v"), "v", Nil)
+      .agg(sum(col("v")), max(col("v"))).collect().head
+    assert(math.abs(out.getDouble(0)) < 1e-12)
+    // mean 5, sigma_pop sqrt(60/9); max z = 4/sigma
+    assert(math.abs(out.getDouble(1) - 4.0 / math.sqrt(60.0 / 9.0)) < 1e-12)
+  }
+
+  test("minmaxScale maps to [0,1] per group; degenerate groups to 0") {
+    val df = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0), ("b", 7.0)).toDF("k", "v")
+    val out = Features.minmaxScale(df, "v", Seq("k"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(out == Set(("a", 0.0), ("a", 0.5), ("a", 1.0), ("b", 0.0)))
+  }
+
+  test("weightThresholdHex is monotone and clamps at the ends") {
+    assert(Features.weightThresholdHex(-0.5) == "00000000")
+    assert(Features.weightThresholdHex(0.0) == "00000000")
+    assert(Features.weightThresholdHex(1.0) == "g")
+    assert(Features.weightThresholdHex(1.5) == "g")
+    assert(Features.weightThresholdHex(0.5) == "80000000")
+    val hs = Seq(0.1, 0.25, 0.5, 0.75, 0.9).map(Features.weightThresholdHex)
+    assert(hs == hs.sorted && hs.distinct == hs)
+  }
+
+  test("mixtureSample: weight 1 keeps all, 0 drops all, 0.5 is ~half and deterministic") {
+    val df = (0 until 2000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "src")
+    assert(Features.mixtureSample(df, "src", "id", Map("a" -> 1.0), 0.0).count() == 1000)
+    assert(Features.mixtureSample(df, "src", "id", Map("a" -> 0.0), 1.0).count() == 1000)
+    val half = Features.mixtureSample(df, "src", "id", Map("a" -> 0.5, "b" -> 0.5))
+    val n = half.count()
+    assert(n > 850 && n < 1150, s"expected ~1000 of 2000 at w=0.5, got $n")
+    val again = Features.mixtureSample(df, "src", "id", Map("a" -> 0.5, "b" -> 0.5))
+    assert(half.select("id").except(again.select("id")).count() == 0)
+    assert(again.count() == n)
+  }
+
+  test("mixtureSample is stable under corpus growth (old decisions unchanged)") {
+    val small = (0 until 500).map(i => (i.toLong, "a")).toDF("id", "src")
+    val big = (0 until 1000).map(i => (i.toLong, "a")).toDF("id", "src")
+    val w = Map("a" -> 0.3)
+    val kept = Features.mixtureSample(small, "src", "id", w).select("id").as[Long].collect().toSet
+    val keptBig = Features.mixtureSample(big, "src", "id", w)
+      .filter(col("id") < 500).select("id").as[Long].collect().toSet
+    assert(kept == keptBig)
+  }
+
+  test("packSequences covers every document exactly, in order, within budget") {
+    val docs = Seq((1L, 3L), (2L, 10L), (3L, 4L), (4L, 7L), (5L, 1L), (6L, 0L))
+      .toDF("doc_id", "tok")
+    val budget = 8L
+    val out = Features.packSequences(docs, "doc_id", col("tok"), budget)
+      .orderBy("doc_id", "seq_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // total stream = 3+10+4+7+1 = 25 tokens -> seqs 0..3
+    // doc1 [0,3) seq0; doc2 [3,13) seq0+seq1; doc3 [13,17) seq1+seq2;
+    // doc4 [17,24) seq2+seq3(24? no: [17,24) spans seq2 [16,24) only);
+    // doc5 [24,25) seq3; doc6 empty dropped
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 0L, 3L),
+      (2L, 0L, 0L, 3L, 5L), (2L, 1L, 5L, 0L, 5L),
+      (3L, 1L, 0L, 5L, 3L), (3L, 2L, 3L, 0L, 1L),
+      (4L, 2L, 0L, 1L, 7L),
+      (5L, 3L, 0L, 0L, 1L)))
+    // invariants: per-doc spans concatenate to the doc; per-seq fill <= budget
+    val perDoc = out.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    assert(perDoc == Map(1L -> 3L, 2L -> 10L, 3L -> 4L, 4L -> 7L, 5L -> 1L))
+    val perSeq = out.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+    assert(perSeq.values.forall(_ <= budget))
+    assert(perSeq == Map(0L -> 8L, 1L -> 8L, 2L -> 8L, 3L -> 1L))
+  }
+
+  test("packSequences matches a serial reference packing on random sizes") {
+    val sizes = new scala.util.Random(7).shuffle((1 to 300).toList)
+      .map(i => (i.toLong, (i % 13).toLong))
+    val budget = 32L
+    val expected = {
+      var cum = 0L
+      sizes.sortBy(_._1).filter(_._2 > 0).flatMap { case (id, tok) =>
+        val start = cum; cum += tok
+        (start / budget) to ((cum - 1) / budget) map { seq =>
+          val lo = math.max(start, seq * budget)
+          val hi = math.min(cum, (seq + 1) * budget)
+          (id, seq, lo - start, lo - seq * budget, hi - lo)
+        }
+      }
+    }
+    val out = Features.packSequences(
+        sizes.toDF("doc_id", "tok").repartition(5), "doc_id", col("tok"), budget)
+      .orderBy("doc_id", "seq_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == expected)
+  }
+}

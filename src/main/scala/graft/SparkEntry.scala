@@ -734,6 +734,27 @@ object SparkEntry {
       t(s, dir).documents, "source", "doc_id", q78Weights, q78Default)
       .select("doc_id", "source")
 
+  /** #79 equal-frequency quantile binning: decile of extended price
+   *  within each return flag — ANSI NTILE over a total ordering, so any
+   *  conforming engine reproduces the buckets exactly. */
+  private def q79QuantileBins(s: SparkSession, dir: String): DataFrame =
+    Relational.quantileBins(
+      t(s, dir).lineitem.select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"),
+      "l_extendedprice", Seq("l_returnflag"), 10,
+      tieBreak = Seq("l_orderkey", "l_linenumber"))
+      .drop("l_extendedprice")
+
+  /** #80 rolling mean: 7-order moving average of order value per
+   *  customer — framed sum through the exact-decimal detour because
+   *  engines disagree on framed-double-sum order (segment tree vs
+   *  running accumulator). */
+  private def q80MovingAvg(s: SparkSession, dir: String): DataFrame =
+    Relational.movingAvg(
+      t(s, dir).orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+      "o_totalprice", Seq("o_custkey"), Seq(col("o_orderdate"), col("o_orderkey")),
+      window = 7, out = "mavg7")
+      .select("o_orderkey", "o_custkey", "mavg7")
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -815,6 +836,8 @@ object SparkEntry {
     "q76_minmax_scale"      -> (q76MinmaxScale _),
     "q77_sequence_pack"     -> (q77SequencePack _),
     "q78_mixture_sample"    -> (q78MixtureSample _),
+    "q79_quantile_bins"     -> (q79QuantileBins _),
+    "q80_moving_avg"        -> (q80MovingAvg _),
   )
 
   private val monthCaseSql: String =
@@ -1259,6 +1282,20 @@ object SparkEntry {
           s"WHEN '$s' THEN '${Features.weightThresholdHex(w)}'"
         }.mkString(" ") +
         s" ELSE '${Features.weightThresholdHex(q78Default)}' END"),
+    "q79_quantile_bins" ->
+      ("SELECT l_orderkey, l_linenumber, l_returnflag, " +
+        "CAST(ntile(10) OVER (PARTITION BY l_returnflag " +
+        "ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT) AS bin " +
+        "FROM lineitem"),
+    "q80_moving_avg" ->
+      // decimal framed sum: segment-tree vs running-accumulator double
+      // sums differ in the last ulp; the decimal sum is order-free and
+      // stays below 2^53 scaled units, so the direct DOUBLE cast matches
+      ("SELECT o_orderkey, o_custkey, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) " +
+        "/ COUNT(*) OVER w AS mavg7 FROM orders " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"),
     "q62_cc_labels" ->
       ("WITH RECURSIVE " +
         "e0 AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 4 <> 3 " +

@@ -119,8 +119,10 @@ object Features {
    * range-partition + per-partition rank + broadcast-offset scheme as
    * [[StarSchema.dimWithDenseKeyScalable]]: the only unpartitioned
    * window runs over the per-partition size frame (≤ shuffle
-   * parallelism rows). One range shuffle total; the sequence explode
-   * is at most (doc tokens / budget) + 1 rows per document.
+   * parallelism rows). Text is projected away before any exchange —
+   * the two data shuffles (range, then pid for the running sum) move
+   * (id, token-count) pairs only, and the sequence explode adds at
+   * most (doc tokens / budget) + 1 rows per document.
    */
   def packSequences(
       df: DataFrame, idCol: String, tokens: Column, budget: Long): DataFrame = {

@@ -215,4 +215,46 @@ object Relational {
 
   def semiJoin(df: DataFrame, other: DataFrame, joinExprs: Column): DataFrame =
     df.join(other, joinExprs, "left_semi")
+
+  /**
+   * Equal-frequency discretization: assign each row to one of `n`
+   * quantile buckets of `column` within its group — ANSI `NTILE`, whose
+   * bucket-size rule (earlier buckets get the extra rows) is pinned by
+   * the SQL standard, so any conforming engine reproduces the buckets
+   * bit-for-bit once the ordering is total. `tieBreak` columns must
+   * make it total (CLAUDE.md window rule) or tied values land in
+   * engine-dependent buckets.
+   *
+   * One hash shuffle on the group keys. With empty `keys` the window is
+   * global and single-partition — fine for bounded inputs only; at
+   * scale, bin globally against [[quantiles]]-derived boundaries
+   * instead (broadcast bounds, per-row comparison, no total sort).
+   */
+  def quantileBins(
+      df: DataFrame, column: String, keys: Seq[String], n: Int,
+      tieBreak: Seq[String], out: String = "bin"): DataFrame = {
+    val base = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
+    val w = base.orderBy((column +: tieBreak).map(col): _*)
+    df.withColumn(out, ntile(n).over(w).cast("long"))
+  }
+
+  /**
+   * Rolling mean over an ordered per-key frame (`window` rows ending at
+   * the current row). The frame sum goes through the exact-decimal
+   * detour: engines disagree on framed-double-sum order (DuckDB uses a
+   * segment tree, Spark a running accumulator), so a double sum drifts
+   * in the last ulp while the decimal sum is order-independent; the
+   * final double division is a single IEEE op. The ordering must be
+   * total for the frame membership itself to be deterministic.
+   */
+  def movingAvg(
+      df: DataFrame, column: String, keys: Seq[String], order: Seq[Column],
+      window: Int, out: String, scale: Int = 4): DataFrame = {
+    require(window > 0, "movingAvg needs a positive window")
+    val base = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
+    val w = base.orderBy(order: _*).rowsBetween(-(window - 1), Window.currentRow)
+    df.withColumn(out,
+      sum(col(column).cast(s"decimal(18,$scale)")).over(w).cast("double") /
+        count(lit(1)).over(w))
+  }
 }

@@ -75,4 +75,38 @@ class RelationalSpec extends SparkSpec {
     val s2 = Seq(("b", 2)).toDF("y", "x")
     assert(Relational.unionSlices(Seq(s1, s2)).count() == 2)
   }
+
+  test("quantileBins assigns ANSI NTILE buckets: early buckets take the remainder") {
+    // 7 rows into 3 bins -> sizes 3,2,2 by value order
+    val df = (1 to 7).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val out = Relational.quantileBins(df, "v", Nil, 3, tieBreak = Seq("id"))
+      .orderBy("id").select("bin").as[Long].collect().toSeq
+    assert(out == Seq(1L, 1L, 1L, 2L, 2L, 3L, 3L))
+    // per-group: bins restart within each key
+    val g = Seq(("a", 1.0), ("a", 2.0), ("b", 9.0), ("b", 3.0)).toDF("k", "v")
+      .withColumn("id", col("v"))
+    val gb = Relational.quantileBins(g, "v", Seq("k"), 2, tieBreak = Seq("id"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(3))).toSet
+    assert(gb == Set(("a", 1.0, 1L), ("a", 2.0, 2L), ("b", 3.0, 1L), ("b", 9.0, 2L)))
+  }
+
+  test("movingAvg averages the trailing frame per key") {
+    val df = Seq(
+      ("c1", 1, 10.0), ("c1", 2, 20.0), ("c1", 3, 30.0), ("c1", 4, 40.0),
+      ("c2", 1, 100.0),
+    ).toDF("k", "t", "v")
+    val out = Relational.movingAvg(df, "v", Seq("k"), Seq(col("t")), window = 2, out = "m")
+      .orderBy("k", "t").select("m").as[Double].collect().toSeq
+    assert(out == Seq(10.0, 15.0, 25.0, 35.0, 100.0))
+  }
+
+  test("movingAvg frame sum is partition-order independent (exact decimal)") {
+    val rnd = new scala.util.Random(3)
+    val df = (1 to 500).map(i => (i % 5, i, rnd.nextInt(100000) / 100.0)).toDF("k", "t", "v")
+    val a = Relational.movingAvg(df.repartition(7), "v", Seq("k"), Seq(col("t")), 10, "m")
+      .orderBy("k", "t").select("m").as[Double].collect().toSeq
+    val b = Relational.movingAvg(df.coalesce(1), "v", Seq("k"), Seq(col("t")), 10, "m")
+      .orderBy("k", "t").select("m").as[Double].collect().toSeq
+    assert(a == b)
+  }
 }

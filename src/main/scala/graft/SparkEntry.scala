@@ -755,6 +755,36 @@ object SparkEntry {
       window = 7, out = "mavg7")
       .select("o_orderkey", "o_custkey", "mavg7")
 
+  /** #81 equi-width histogram of extended price: fixed IEEE bucket
+   *  arithmetic, so bucket ids are engine-portable. */
+  private def q81Histogram(s: SparkSession, dir: String): DataFrame =
+    Relational.histogram(t(s, dir).lineitem.select("l_extendedprice"), "l_extendedprice", 20)
+
+  /** #82 daily gap-fill + forward-fill per user: densify each user's
+   *  event series to a full calendar, zero-fill counts, carry the last
+   *  daily sum across gaps (distributed resample/ffill). */
+  private def q82GapFill(s: SparkSession, dir: String): DataFrame =
+    Events.gapFillDaily(
+      t(s, dir).events, Seq("user_id"), "ts",
+      aggs = Seq(cnt.as("n_events"), decSum(col("value")).as("day_sum")),
+      zeroCol = "n_events", ffillCol = "day_sum")
+      .select("user_id", "day", "n_events", "day_sum")
+
+  /** #83 CDC changelog apply: orders replayed as a changelog over the
+   *  customer snapshot — last writer wins per key, deletes drop, the
+   *  rest upsert (set-based MERGE). */
+  private def q83CdcApply(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val base = tt.customer.select("c_custkey", "c_acctbal")
+    val changes = tt.orders.select(
+      col("o_custkey").as("c_custkey"),
+      col("o_totalprice").as("c_acctbal"),
+      when(col("o_custkey") % 10 === 0, "D").otherwise("U").as("op"),
+      col("o_orderdate"), col("o_orderkey"))
+    StarSchema.cdcApply(base, changes, Seq("c_custkey"),
+      orderBy = Seq(col("o_orderdate"), col("o_orderkey")), opCol = "op")
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -838,6 +868,9 @@ object SparkEntry {
     "q78_mixture_sample"    -> (q78MixtureSample _),
     "q79_quantile_bins"     -> (q79QuantileBins _),
     "q80_moving_avg"        -> (q80MovingAvg _),
+    "q81_histogram"         -> (q81Histogram _),
+    "q82_gap_fill"          -> (q82GapFill _),
+    "q83_cdc_apply"         -> (q83CdcApply _),
   )
 
   private val monthCaseSql: String =
@@ -1296,6 +1329,28 @@ object SparkEntry {
         "/ COUNT(*) OVER w AS mavg7 FROM orders " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
         "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"),
+    "q81_histogram" ->
+      ("WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem) " +
+        "SELECT CASE WHEN hi = lo THEN CAST(0 AS BIGINT) " +
+        "ELSE least(CAST(floor((l_extendedprice - lo) * 20 / (hi - lo)) AS BIGINT), 19) END AS bucket, " +
+        "COUNT(*) AS cnt FROM lineitem, b GROUP BY 1"),
+    "q82_gap_fill" ->
+      ("WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS day_sum FROM events GROUP BY 1, 2), " +
+        "sp AS (SELECT user_id, min(day) AS mn, max(day) AS mx FROM d GROUP BY 1), " +
+        "cal AS (SELECT user_id, CAST(unnest(generate_series(CAST(mn AS TIMESTAMP), " +
+        "CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM sp), " +
+        "j AS (SELECT c.user_id, c.day, coalesce(d.n_events, 0) AS n_events, d.day_sum " +
+        "FROM cal c LEFT JOIN d ON c.user_id = d.user_id AND c.day = d.day) " +
+        "SELECT user_id, day, n_events, " +
+        "last_value(day_sum IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day) AS day_sum FROM j"),
+    "q83_cdc_apply" ->
+      ("WITH ch AS (SELECT o_custkey AS k, o_totalprice AS v, " +
+        "CASE WHEN o_custkey % 10 = 0 THEN 'D' ELSE 'U' END AS op, " +
+        "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn " +
+        "FROM orders), l AS (SELECT * FROM ch WHERE rn = 1) " +
+        "SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey NOT IN (SELECT k FROM l) " +
+        "UNION ALL SELECT k AS c_custkey, v AS c_acctbal FROM l WHERE op <> 'D'"),
     "q62_cc_labels" ->
       ("WITH RECURSIVE " +
         "e0 AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 4 <> 3 " +

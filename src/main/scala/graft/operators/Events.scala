@@ -141,4 +141,39 @@ object Events {
       .filter(col(leftTs) >= col(startCol) && col(leftTs) <= col(endCol))
       .drop("__graft_bin")
   }
+
+  /**
+   * Daily gap-fill + forward-fill: densify a per-key daily series to a
+   * complete calendar between each key's first and last observed day,
+   * zero-filling the count and carrying the last observed aggregate
+   * forward across the gap (the standard resample step before any
+   * time-series feature extraction; pandas `resample`/`ffill` done
+   * distributed).
+   *
+   * `aggs` are the per-(key, day) aggregates; the one named by
+   * `ffillCol` is forward-filled, the one named by `zeroCol` is
+   * zero-filled. Scale shape: the raw table aggregates down to
+   * (key, day) rows first — the calendar explode and the forward-fill
+   * window run on the aggregated series, at most (days-in-span) rows
+   * per key, all hash-partitioned by key; the raw events never join
+   * the calendar.
+   */
+  def gapFillDaily(
+      df: DataFrame, keys: Seq[String], ts: String,
+      aggs: Seq[Column], zeroCol: String, ffillCol: String): DataFrame = {
+    val keyCols = keys.map(col)
+    val daily = df
+      .withColumn("__gday", to_date(col(ts)))
+      .groupBy(keyCols :+ col("__gday"): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val cal = daily.groupBy(keyCols: _*)
+      .agg(min("__gday").as("__gmn"), max("__gday").as("__gmx"))
+      .select(keyCols :+ explode(sequence(col("__gmn"), col("__gmx"),
+        expr("interval 1 day"))).as("__gday"): _*)
+    val filled = cal.join(daily, keys :+ "__gday", "left")
+      .withColumn(zeroCol, coalesce(col(zeroCol), lit(0L)))
+      .withColumn(ffillCol, last(col(ffillCol), ignoreNulls = true)
+        .over(Window.partitionBy(keyCols: _*).orderBy(col("__gday"))))
+    filled.withColumnRenamed("__gday", "day")
+  }
 }

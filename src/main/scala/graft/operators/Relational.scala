@@ -239,6 +239,27 @@ object Relational {
   }
 
   /**
+   * Equi-width histogram: `n` equal-width buckets spanning the observed
+   * [min, max], returning (bucket, count). The bucket arithmetic is a
+   * fixed sequence of IEEE double ops — ((v - lo) * n) / (hi - lo),
+   * floored, clamped — so any engine reproduces the same buckets from
+   * the same data. Two light shuffles: the two-value bounds aggregate
+   * (broadcast back) and the final per-bucket count; the data itself
+   * never shuffles un-aggregated — the per-bucket count is map-side
+   * combined into at most `n` partials per task.
+   */
+  def histogram(df: DataFrame, column: String, n: Int): DataFrame = {
+    require(n > 0, "histogram needs a positive bucket count")
+    val v = col(column)
+    val bounds = df.agg(min(v).as("__glo"), max(v).as("__ghi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("__ghi") === col("__glo"), 0L)
+          .otherwise(least(floor((v - col("__glo")) * n / (col("__ghi") - col("__glo"))), lit(n - 1L))))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
    * Rolling mean over an ordered per-key frame (`window` rows ending at
    * the current row). The frame sum goes through the exact-decimal
    * detour: engines disagree on framed-double-sum order (DuckDB uses a

@@ -154,4 +154,32 @@ object StarSchema {
     }
     withKeys.select((dims.map(_._3) ++ measures).map(col): _*)
   }
+
+  /**
+   * CDC changelog apply: fold a stream of keyed change rows (upserts and
+   * deletes) into a base snapshot — last writer wins per key, decided by
+   * `orderBy` (which must be total per key or the winner is
+   * partition-order dependent). `changes` carries the full target row
+   * plus `opCol`; rows whose latest op equals `deleteOp` drop the key,
+   * anything else replaces it (insert and update collapse to upsert —
+   * the set-based twin of a row-by-row MERGE).
+   *
+   * Scale shape: one window shuffle ranks the changelog by key (the
+   * changelog, not the snapshot, is usually the small side), then one
+   * anti-join removes superseded/deleted base rows and a union appends
+   * the surviving upserts. The snapshot is never windowed — it shuffles
+   * once, for the anti-join.
+   */
+  def cdcApply(
+      base: DataFrame, changes: DataFrame, keys: Seq[String],
+      orderBy: Seq[Column], opCol: String, deleteOp: String = "D"): DataFrame = {
+    val latest = changes
+      .withColumn("__grn", row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy(orderBy.map(_.desc): _*)))
+      .filter(col("__grn") === 1)
+    base.join(latest.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(
+        latest.filter(col(opCol) =!= deleteOp)
+          .select(base.columns.map(col).toIndexedSeq: _*))
+  }
 }

@@ -166,4 +166,26 @@ class EventsSpec extends SparkSpec {
       .head.getLong(0)
     assert(math.abs(approx - exact).toDouble / exact < 0.15)
   }
+
+  test("gapFillDaily densifies the calendar, zero-fills counts, forward-fills sums") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 10.0),
+      (1L, "2024-01-01 11:00:00", 20.0),
+      (1L, "2024-01-04 09:00:00", 5.0),   // 2-day gap for user 1
+      (2L, "2024-01-02 08:00:00", 7.0),   // single-day user
+    ).toDF("user_id", "raw", "value")
+      .withColumn("ts", to_timestamp(col("raw"))).drop("raw")
+    val out = Events.gapFillDaily(df, Seq("user_id"), "ts",
+        aggs = Seq(count(lit(1)).as("n"), sum(col("value")).as("s")),
+        zeroCol = "n", ffillCol = "s")
+      .orderBy("user_id", "day")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, "2024-01-01", 2L, 30.0),
+      (1L, "2024-01-02", 0L, 30.0),  // gap day: count 0, sum carried
+      (1L, "2024-01-03", 0L, 30.0),
+      (1L, "2024-01-04", 1L, 5.0),
+      (2L, "2024-01-02", 1L, 7.0),
+    ))
+  }
 }

@@ -100,6 +100,16 @@ class RelationalSpec extends SparkSpec {
     assert(out == Seq(10.0, 15.0, 25.0, 35.0, 100.0))
   }
 
+  test("histogram buckets span [min,max]; edge values clamp into the last bucket") {
+    val df = (0 to 100).map(_.toDouble).toDF("v")
+    val out = Relational.histogram(df, "v", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // width 10: buckets 0..9 get 10 each, v=100 clamps into bucket 9
+    assert(out == (0L to 9L).map(b => b -> (if (b == 9) 11L else 10L)).toMap)
+    val flat = Seq(5.0, 5.0, 5.0).toDF("v")
+    assert(Relational.histogram(flat, "v", 10).collect().toSeq.map(r => (r.getLong(0), r.getLong(1))) == Seq((0L, 3L)))
+  }
+
   test("movingAvg frame sum is partition-order independent (exact decimal)") {
     val rnd = new scala.util.Random(3)
     val df = (1 to 500).map(i => (i % 5, i, rnd.nextInt(100000) / 100.0)).toDF("k", "t", "v")

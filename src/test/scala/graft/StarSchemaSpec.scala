@@ -96,4 +96,26 @@ class StarSchemaSpec extends SparkSpec {
     assert(fact.count() == 3)
     assert(fact.filter(col("id_uf").isNull || col("id_zone").isNull).count() == 0)
   }
+
+  test("cdcApply: last writer wins, deletes drop keys, untouched rows survive") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "a1", "U", 1), (1L, "a2", "U", 2),  // two updates: ts 2 wins
+      (2L, "xx", "U", 1), (2L, "xx", "D", 2),  // update then delete: gone
+      (4L, "d", "U", 1),                       // insert of a new key
+      (5L, "e", "U", 1), (5L, "ee", "D", 0),   // delete superseded by update
+    ).toDF("k", "v", "op", "ts")
+    val out = StarSchema.cdcApply(base, changes, Seq("k"),
+        orderBy = Seq(col("ts")), opCol = "op")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "a2"), (3L, "c"), (4L, "d"), (5L, "e")))
+  }
+
+  test("cdcApply is idempotent: re-applying the same changelog is a no-op") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val changes = Seq((1L, "a1", "U", 1), (2L, "zz", "D", 1)).toDF("k", "v", "op", "ts")
+    val once = StarSchema.cdcApply(base, changes, Seq("k"), Seq(col("ts")), "op")
+    val twice = StarSchema.cdcApply(once, changes, Seq("k"), Seq(col("ts")), "op")
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
 }

@@ -785,6 +785,32 @@ object SparkEntry {
       orderBy = Seq(col("o_orderdate"), col("o_orderkey")), opCol = "op")
   }
 
+  /** #84 blocked fuzzy matching: part-name pairs within 10 edits,
+   *  compared only inside first-two-word blocks — record linkage
+   *  without an all-pairs join. The TPC-H name vocabulary is tiny, so
+   *  a one-word block degenerates (~250k pairs at sf0.01); two words
+   *  keep the worst block bounded while still never splitting a pair
+   *  less than two leading edits apart. */
+  private def q84FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("p_name"), " ")
+    Dedup.editDistancePairs(
+      t(s, dir).part.select("p_partkey", "p_name"), "p_partkey", "p_name",
+      blockKey = concat(element_at(words, 1), lit(" "), element_at(words, 2)),
+      maxDist = 10, maxBlockSize = 1000)
+  }
+
+  /** #85 mergeable HLL sketch rollup: per-(type, day) sketch partials
+   *  persisted once, rolled up to per-type distinct-user estimates by
+   *  merging SKETCHES, not rescanning rows — the 100 TB pre-aggregation
+   *  pattern. Rows-only (DuckDB's approx_count_distinct is a different
+   *  sketch); the spec pins merge-of-parts == sketch-of-whole. */
+  private def q85HllRollup(s: SparkSession, dir: String): DataFrame = {
+    val partials = Relational.hllPartials(
+      t(s, dir).events.withColumn("day", to_date(col("ts"))),
+      Seq("event_type", "day"), "user_id")
+    Relational.hllRollup(partials, Seq("event_type"))
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -871,6 +897,8 @@ object SparkEntry {
     "q81_histogram"         -> (q81Histogram _),
     "q82_gap_fill"          -> (q82GapFill _),
     "q83_cdc_apply"         -> (q83CdcApply _),
+    "q84_fuzzy_match"       -> (q84FuzzyMatch _),
+    "q85_hll_rollup"        -> (q85HllRollup _),
   )
 
   private val monthCaseSql: String =
@@ -1351,6 +1379,14 @@ object SparkEntry {
         "FROM orders), l AS (SELECT * FROM ch WHERE rn = 1) " +
         "SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey NOT IN (SELECT k FROM l) " +
         "UNION ALL SELECT k AS c_custkey, v AS c_acctbal FROM l WHERE op <> 'D'"),
+    "q84_fuzzy_match" ->
+      ("WITH b AS (SELECT p_partkey AS id, p_name AS t, " +
+        "string_split(p_name, ' ')[1] || ' ' || string_split(p_name, ' ')[2] AS blk FROM part), " +
+        "c AS (SELECT *, COUNT(*) OVER (PARTITION BY blk) AS n FROM b), " +
+        "f AS (SELECT id, t, blk FROM c WHERE n <= 1000) " +
+        "SELECT a.id AS id_a, x.id AS id_b, CAST(levenshtein(a.t, x.t) AS BIGINT) AS dist " +
+        "FROM f a JOIN f x ON a.blk = x.blk AND a.id < x.id " +
+        "WHERE levenshtein(a.t, x.t) <= 10"),
     "q62_cc_labels" ->
       ("WITH RECURSIVE " +
         "e0 AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 4 <> 3 " +

@@ -428,4 +428,35 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /**
+   * Blocked edit-distance matching: candidate pairs of rows whose
+   * `textCol` values are within `maxDist` Levenshtein edits, compared
+   * only INSIDE blocks sharing `blockKey` (e.g. first token, phonetic
+   * key, length band) — the classic record-linkage shape. Never
+   * all-pairs: the self-join shuffles on the block key, and blocks
+   * larger than `maxBlockSize` are excluded whole (a count window over
+   * the block key, reusing its exchange), bounding the worst block at
+   * maxBlockSize² comparisons — the same degenerate-bucket policy as
+   * the LSH operators. A blocking key can miss pairs whose first
+   * divergence falls inside the key (recall/cost trade, caller picks
+   * the key); `levenshtein` is Spark-native codegen, no UDF.
+   */
+  def editDistancePairs(
+      df: DataFrame, idCol: String, textCol: String, blockKey: Column,
+      maxDist: Int, maxBlockSize: Int = 1000): DataFrame = {
+    val blocked = df.select(col(idCol), col(textCol), blockKey.as("__gblk"))
+      .withColumn("__gbn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__gblk")))
+      .filter(col("__gbn") <= maxBlockSize)
+    val a = blocked.select(col("__gblk"),
+      col(idCol).as("id_a"), col(textCol).as("__gta"))
+    val b = blocked.select(col("__gblk"),
+      col(idCol).as("id_b"), col(textCol).as("__gtb"))
+    a.join(b, "__gblk")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("__gta"), col("__gtb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
 }

@@ -239,6 +239,30 @@ object Relational {
   }
 
   /**
+   * Per-group HLL sketch partials: fixed-size mergeable distinct-count
+   * state, persisted as binary — the 100 TB pre-aggregation pattern.
+   * Store sketches at a fine grain once; every later rollup re-
+   * aggregates the SKETCHES (bytes per group) instead of rescanning the
+   * raw table. The rollup ([[hllRollup]]) is deterministic and
+   * layout-independent (register merge is a commutative max), and its
+   * estimate carries the same ~1.04/√2^lgK error as sketching the
+   * coarser grain directly — though not bit-identical to it (the union
+   * gadget is HLL_8; a direct sketch defaults to HLL_4).
+   */
+  def hllPartials(
+      df: DataFrame, keys: Seq[String], column: String,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(column), lit(lgK)).as("sketch"))
+
+  /** Roll partial sketches up to a coarser grain and estimate. */
+  def hllRollup(partials: DataFrame, keys: Seq[String]): DataFrame = {
+    val est = hll_sketch_estimate(hll_union_agg(col("sketch"))).as("n_distinct")
+    if (keys.isEmpty) partials.agg(est)
+    else partials.groupBy(keys.map(col): _*).agg(est)
+  }
+
+  /**
    * Equi-width histogram: `n` equal-width buckets spanning the observed
    * [min, max], returning (bucket, count). The bucket arithmetic is a
    * fixed sequence of IEEE double ops — ((v - lo) * n) / (hi - lo),

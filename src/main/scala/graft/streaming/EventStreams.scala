@@ -63,6 +63,36 @@ object EventStreams {
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   /**
+   * Streaming corpus intake: the batch curation gates run UNCHANGED on
+   * an unbounded document stream — `TextFns` columns are plain
+   * per-row expressions with no window/aggregate, so the same lang-id
+   * and quality filters that [[graft.operators.Curation.curate]]
+   * applies in batch apply per micro-batch here. Only the dedup stage
+   * needs a streaming twin: batch keep-first becomes a fingerprint
+   * dedup within the watermark horizon (bounded state; an exact global
+   * dedup over an unbounded stream is impossible with finite state, so
+   * the horizon IS the contract).
+   */
+  def curatedIntake(
+      docs: DataFrame, idCol: String, tsCol: String, textCol: String,
+      stopwords: Seq[String], langs: Seq[String], minQuality: Double,
+      watermark: String = "1 hour"): DataFrame = {
+    val text = col(textCol)
+    val toks = graft.functions.TextFns.tokens(text)
+    docs.withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol), text,
+        graft.functions.TextFns.langId(toks).as("lang"),
+        graft.functions.TextFns.qualityScore(
+          graft.functions.TextFns.tokenCount(text),
+          graft.functions.TextFns.stopwordHits(toks, stopwords),
+          length(text)).as("quality"),
+        graft.functions.TextFns.fingerprint(text).as("fp"))
+      .filter(col("lang").isin(langs.map(x => x: Any): _*) &&
+        col("quality") >= minQuality)
+      .dropDuplicatesWithinWatermark("fp")
+  }
+
+  /**
    * Stream-stream interval join (the unbounded twin of
    * [[graft.operators.Events.rangeJoin]]): right rows matching on the
    * key within `[leftTs, leftTs + within]`. Watermarks on BOTH sides

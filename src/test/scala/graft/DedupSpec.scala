@@ -228,4 +228,24 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(0L, 2L))
   }
+
+  test("editDistancePairs finds close pairs inside blocks and skips across blocks") {
+    val df = Seq(
+      (1L, "alpha bravo charlie"),
+      (2L, "alpha bravo charlee"),   // 1 edit from id 1, same block "alpha"
+      (3L, "alpha zulu"),            // same block, far from both
+      (4L, "beta bravo charlie"),    // 1 edit from id 1 BUT different block
+    ).toDF("id", "text")
+    val pairs = Dedup.editDistancePairs(df, "id", "text",
+        blockKey = element_at(split(col("text"), " "), 1), maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 1L)))
+  }
+
+  test("editDistancePairs excludes oversized blocks whole") {
+    val big = (1 to 30).map(i => (i.toLong, s"same block text $i")).toDF("id", "text")
+    val out = Dedup.editDistancePairs(big, "id", "text",
+      blockKey = lit("hot"), maxDist = 50, maxBlockSize = 10)
+    assert(out.isEmpty)
+  }
 }

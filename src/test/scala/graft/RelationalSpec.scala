@@ -100,6 +100,23 @@ class RelationalSpec extends SparkSpec {
     assert(out == Seq(10.0, 15.0, 25.0, 35.0, 100.0))
   }
 
+  test("hll partials roll up to an accurate merged estimate") {
+    val df = (1 to 5000).map(i => (s"g${i % 4}", (i % 700).toLong)).toDF("g", "v")
+    val fromPartials = Relational.hllRollup(
+      Relational.hllPartials(df, Seq("g"), "v"), Nil).head.getLong(0)
+    val direct = Relational.hllRollup(
+      Relational.hllPartials(df, Nil, "v"), Nil).head.getLong(0)
+    // union-of-partials and direct sketch are independently within HLL
+    // error of the truth (they need NOT be bit-equal: the union gadget
+    // is HLL_8 while a direct sketch defaults to HLL_4)
+    assert(math.abs(fromPartials - 700.0) / 700.0 < 0.05, s"merged=$fromPartials")
+    assert(math.abs(direct - 700.0) / 700.0 < 0.05, s"direct=$direct")
+    // determinism of the rollup itself (same partials -> same estimate)
+    val again = Relational.hllRollup(
+      Relational.hllPartials(df.repartition(7), Seq("g"), "v"), Nil).head.getLong(0)
+    assert(again == fromPartials, "rollup is layout-independent")
+  }
+
   test("histogram buckets span [min,max]; edge values clamp into the last bucket") {
     val df = (0 to 100).map(_.toDouble).toDF("v")
     val out = Relational.histogram(df, "v", 10)

@@ -252,4 +252,27 @@ class StreamingSpec extends SparkSpec {
       assert(out.toSeq == Seq((7L, 2, 4.0)))
     } finally q.stop()
   }
+
+  test("curatedIntake runs the batch curation gates on a stream and dedups within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val good = "the quick fox is a friend of the lazy dog and more"
+    mem.addData(
+      (0L, ts("2024-01-01 10:00:00"), good),
+      (1L, ts("2024-01-01 10:01:00"), good),                       // in-watermark dup
+      (2L, ts("2024-01-01 10:02:00"), "el perro de la casa es de los vecinos"), // es
+      (3L, ts("2024-01-01 10:03:00"), "zz yy"))                    // junk quality
+    val q = EventStreams.curatedIntake(
+        mem.toDF().toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+        stopwords = Seq("the", "a", "of", "and", "is"),
+        langs = Seq("en"), minQuality = 0.1, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("intake").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("intake").select("doc_id").as[Long].collect().toSet
+    // which of the two dups survives within one batch is arrival-order
+    // dependent; the contract is that exactly one does
+    assert(kept.size == 1 && kept.subsetOf(Set(0L, 1L)),
+      s"one curated survivor from the dup pair expected, got $kept")
+  }
 }

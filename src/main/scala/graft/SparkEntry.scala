@@ -793,9 +793,12 @@ object SparkEntry {
    *  less than two leading edits apart. */
   private def q84FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
     val words = split(col("p_name"), " ")
+    // try_element_at: a one-word name yields a NULL block key (row sits
+    // out of the join) exactly like the oracle's list index — plain
+    // element_at would THROW under Spark 4's default ANSI mode
     Dedup.editDistancePairs(
       t(s, dir).part.select("p_partkey", "p_name"), "p_partkey", "p_name",
-      blockKey = concat(element_at(words, 1), lit(" "), element_at(words, 2)),
+      blockKey = concat(try_element_at(words, lit(1)), lit(" "), try_element_at(words, lit(2))),
       maxDist = 10, maxBlockSize = 1000)
   }
 
@@ -1105,7 +1108,7 @@ object SparkEntry {
       ("SELECT l_returnflag, " +
         "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) " +
         "AS corr_disc_tax, " +
-        "sqrt(n * sxx - sx * sx) / n AS std_disc, CAST(n AS BIGINT) AS n FROM (" +
+        "sqrt(greatest(n * sxx - sx * sx, 0.0)) / n AS std_disc, CAST(n AS BIGINT) AS n FROM (" +
         "SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n, " +
         "CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sx, " +
         "CAST(SUM(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) AS sy, " +
@@ -1313,10 +1316,14 @@ object SparkEntry {
         // overflow); the sum itself then exceeds 2^53 scaled units, which
         // is why the VARCHAR routing matters here
         "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,4)) * CAST(l_extendedprice AS DECIMAL(22,4))) AS VARCHAR) AS DOUBLE) AS sxx, " +
-        "CAST(COUNT(*) AS DOUBLE) AS n FROM lineitem GROUP BY 1) " +
+        "CAST(COUNT(*) AS DOUBLE) AS n, " +
+        // constant-group detection must be EXACT (decimal min == max):
+        // the float moment cancellation leaves a ±ulp residue either way
+        "min(CAST(l_extendedprice AS DECIMAL(18,4))) = max(CAST(l_extendedprice AS DECIMAL(18,4))) AS isconst " +
+        "FROM lineitem GROUP BY 1) " +
         "SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, " +
-        "CASE WHEN sqrt(n * sxx - sx * sx) / n = 0 THEN 0.0 " +
-        "ELSE (l.l_extendedprice - sx / n) / (sqrt(n * sxx - sx * sx) / n) END AS z " +
+        "CASE WHEN isconst THEN 0.0 " +
+        "ELSE (l.l_extendedprice - sx / n) / (sqrt(greatest(n * sxx - sx * sx, 0.0)) / n) END AS z " +
         "FROM lineitem l JOIN b USING (l_returnflag)"),
     "q76_minmax_scale" ->
       ("WITH b AS (SELECT l_returnflag, min(l_quantity) AS mn, max(l_quantity) AS mx " +

@@ -57,11 +57,17 @@ object Exact {
     (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
   }
 
-  /** Order-independent population standard deviation (same construction). */
+  /** Order-independent population standard deviation (same construction).
+   *  The radicand is clamped at 0: for a zero-variance group the exact
+   *  sums cancel only up to the decimal→double casts, and the residual
+   *  can land a few ulps NEGATIVE (e.g. n identical 0.1 values) — sqrt
+   *  would then return NaN here and ERROR in DuckDB. `greatest(x, 0)`
+   *  is bit-neutral for every non-degenerate group, so oracles mirror
+   *  it verbatim. */
   def decStddevPop(x: Column, scale: Int = 4): Column = {
     val n = count(lit(1)).cast("double")
     val sx = sum(dec(x, scale)).cast("double")
     val sxx = sum(dec(x, scale) * dec(x, scale)).cast("double")
-    sqrt(n * sxx - sx * sx) / n
+    sqrt(greatest(n * sxx - sx * sx, lit(0d))) / n
   }
 }

@@ -129,15 +129,10 @@ object Cleaning {
     def pct(p: Double) =
       if (approx) percentile_approx(col(column), lit(p), lit(10000))
       else expr(s"percentile($column, $p)")
-    val bounds =
-      if (keys.isEmpty) df.agg(pct(pLo).as("__glo"), pct(pHi).as("__ghi"))
-      else df.groupBy(keys.map(col): _*).agg(pct(pLo).as("__glo"), pct(pHi).as("__ghi"))
-    val joined =
-      if (keys.isEmpty) df.crossJoin(broadcast(bounds))
-      else df.join(broadcast(bounds), keys)
-    joined
-      .withColumn(column, least(greatest(col(column), col("__glo")), col("__ghi")))
-      .drop("__glo", "__ghi")
+    Features.withGroupBounds(df, keys,
+      Seq(pct(pLo).as("__glo"), pct(pHi).as("__ghi"))) {
+      _.withColumn(column, least(greatest(col(column), col("__glo")), col("__ghi")))
+    }
   }
 
   /**

@@ -455,8 +455,14 @@ object Dedup {
       col(idCol).as("id_b"), col(textCol).as("__gtb"))
     a.join(b, "__gblk")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("__gta"), col("__gtb")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      // cheap length gate first (|len diff| is a Levenshtein lower
+      // bound), then the THRESHOLD-BOUNDED levenshtein: the banded DP
+      // early-exits at maxDist instead of filling the full |a|·|b|
+      // matrix, and returns -1 above the threshold
+      .filter(abs(length(col("__gta")) - length(col("__gtb"))) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("__gta"), col("__gtb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
       .select("id_a", "id_b", "dist")
   }
 }

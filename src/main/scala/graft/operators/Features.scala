@@ -17,34 +17,50 @@ import graft.functions.Exact
 object Features {
 
   /**
-   * Per-group z-score standardization: (v - mean) / stddev_pop, with
-   * mean and stddev built from exact decimal sums ([[Exact]]) so the
-   * scaling constants are order-independent and engine-portable. Groups
-   * with zero variance standardize to 0.0 rather than NaN.
-   *
-   * Scale shape: one aggregate pass produces a one-row-per-group bounds
-   * frame that is broadcast back, so the big table never shuffles for
-   * the join — the only shuffle is the aggregate's own partial/final
-   * exchange.
+   * Shared scaffold for bounds-frame operators ([[zscore]],
+   * [[minmaxScale]], [[Cleaning.winsorize]]): aggregate `stats` to one
+   * row per group, broadcast the tiny bounds frame back onto `df`, hand
+   * the joined frame to `post`, and drop the stat columns. The big
+   * table never shuffles — the only exchange is the aggregate's own
+   * partial/final pair.
    */
-  def zscore(
-      df: DataFrame, column: String, keys: Seq[String],
-      scale: Int = 4): DataFrame = {
-    val v = col(column)
-    val stats = Seq(
-      Exact.decAvg(v, scale).as("__gmu"),
-      Exact.decStddevPop(v, scale).as("__gsigma"))
+  private[operators] def withGroupBounds(
+      df: DataFrame, keys: Seq[String], stats: Seq[Column])(
+      post: DataFrame => DataFrame): DataFrame = {
     val bounds =
       if (keys.isEmpty) df.agg(stats.head, stats.tail: _*)
       else df.groupBy(keys.map(col): _*).agg(stats.head, stats.tail: _*)
     val joined =
       if (keys.isEmpty) df.crossJoin(broadcast(bounds))
       else df.join(broadcast(bounds), keys)
-    joined
-      .withColumn(column,
-        when(col("__gsigma") === 0d, 0d)
+    post(joined).drop(bounds.columns.filterNot(keys.contains).toIndexedSeq: _*)
+  }
+
+  /**
+   * Per-group z-score standardization: (v - mean) / stddev_pop, with
+   * mean and stddev built from exact decimal sums ([[Exact]]) so the
+   * scaling constants are order-independent and engine-portable.
+   *
+   * Zero-variance groups standardize to 0.0 — detected EXACTLY via the
+   * decimal-cast min == max, never via sigma: for constant groups the
+   * float moment cancellation n·sxx − sx² leaves a ±few-ulp residue of
+   * either sign, so a sigma-based guard yields NaN or a garbage tiny
+   * sigma. (The clamp inside [[Exact.decStddevPop]] still prevents NaN
+   * for near-constant groups whose residue lands negative.)
+   */
+  def zscore(
+      df: DataFrame, column: String, keys: Seq[String],
+      scale: Int = 4): DataFrame = {
+    val v = col(column)
+    val dec = v.cast(s"decimal(18,$scale)")
+    withGroupBounds(df, keys, Seq(
+      Exact.decAvg(v, scale).as("__gmu"),
+      Exact.decStddevPop(v, scale).as("__gsigma"),
+      (min(dec) === max(dec)).as("__gconst"))) {
+      _.withColumn(column,
+        when(col("__gconst"), 0d)
           .otherwise((v - col("__gmu")) / col("__gsigma")))
-      .drop("__gmu", "__gsigma")
+    }
   }
 
   /**
@@ -55,18 +71,11 @@ object Features {
    */
   def minmaxScale(df: DataFrame, column: String, keys: Seq[String]): DataFrame = {
     val v = col(column)
-    val stats = Seq(min(v).as("__gmn"), max(v).as("__gmx"))
-    val bounds =
-      if (keys.isEmpty) df.agg(stats.head, stats.tail: _*)
-      else df.groupBy(keys.map(col): _*).agg(stats.head, stats.tail: _*)
-    val joined =
-      if (keys.isEmpty) df.crossJoin(broadcast(bounds))
-      else df.join(broadcast(bounds), keys)
-    joined
-      .withColumn(column,
+    withGroupBounds(df, keys, Seq(min(v).as("__gmn"), max(v).as("__gmx"))) {
+      _.withColumn(column,
         when(col("__gmx") === col("__gmn"), 0d)
           .otherwise((v - col("__gmn")) / (col("__gmx") - col("__gmn"))))
-      .drop("__gmn", "__gmx")
+    }
   }
 
   /**

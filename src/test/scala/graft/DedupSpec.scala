@@ -242,6 +242,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 1L)))
   }
 
+  test("editDistancePairs tolerates rows where the block key is null (one-word text)") {
+    val df = Seq(
+      (1L, "solo"),                  // no second word -> null block key
+      (2L, "alpha bravo charlie"),
+      (3L, "alpha bravo charlee"),
+    ).toDF("id", "text")
+    val words = split(col("text"), " ")
+    val pairs = Dedup.editDistancePairs(df, "id", "text",
+        blockKey = concat(try_element_at(words, lit(1)), lit(" "), try_element_at(words, lit(2))),
+        maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((2L, 3L, 1L))) // the null-key row just sits out
+  }
+
   test("editDistancePairs excludes oversized blocks whole") {
     val big = (1 to 30).map(i => (i.toLong, s"same block text $i")).toDF("id", "text")
     val out = Dedup.editDistancePairs(big, "id", "text",

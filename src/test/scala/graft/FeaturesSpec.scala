@@ -25,6 +25,15 @@ class FeaturesSpec extends SparkSpec {
     assert(out("b") == ((0.0, 0.0, 0.0)))
   }
 
+  test("zscore zero-variance guard holds when the moments cancel only approximately") {
+    // n identical 0.1s: n*sxx - sx*sx lands a few ulps NEGATIVE after the
+    // decimal->double casts; without the clamp sigma would be NaN, not 0
+    val df = Seq.fill(7)(0.1).toDF("v").withColumn("k", lit("g"))
+    val out = Features.zscore(df, "v", Seq("k"))
+      .select("v").as[Double].collect().toSeq
+    assert(out == Seq.fill(7)(0.0), s"expected all-zero z, got $out")
+  }
+
   test("zscore with no keys standardizes globally") {
     val out = Features.zscore((1 to 9).map(_.toDouble).toDF("v"), "v", Nil)
       .agg(sum(col("v")), max(col("v"))).collect().head

@@ -814,6 +814,37 @@ object SparkEntry {
     Relational.hllRollup(partials, Seq("event_type"))
   }
 
+  /** #86 k-anonymity: suppress quasi-identifiers whose combination
+   *  appears fewer than k times — the privacy gate before releasing
+   *  user-adjacent tabular data. QI = (nation, market segment). */
+  private def q86KAnonymity(s: SparkSession, dir: String): DataFrame =
+    Cleaning.kAnonymize(
+      t(s, dir).customer.select("c_custkey", "c_nationkey", "c_mktsegment"),
+      quasiIds = Seq("c_nationkey", "c_mktsegment"), k = 20L)
+
+  /** #87 canonical text normalization: lowercase, collapse whitespace,
+   *  trim — the step before any fingerprint/dedup pass. */
+  private def q87TextNormalize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).documents.select(
+      col("doc_id"), TextFns.normalizeText(col("text")).as("norm"))
+
+  /** #88 incremental aggregate maintenance: history's stored aggregate
+   *  merges with the delta batch's — algebraic counts/decimal sums, so
+   *  the merge equals a full recompute (the oracle) without rescanning
+   *  history. */
+  private def q88IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir).lineitem
+    def part(f: Column => Column) = li
+      .filter(f(col("l_shipdate")))
+      .groupBy("l_returnflag")
+      .agg(cnt.as("n"), sum(col("l_quantity").cast("decimal(18,4)")).as("s"))
+    val cut = lit("1997-01-01").cast("timestamp_ntz")
+    val stored = part(_ < cut)
+    val delta = part(_ >= cut)
+    Relational.mergeAggregates(stored, delta, Seq("l_returnflag"), Seq("n", "s"))
+      .select(col("l_returnflag"), col("n"), col("s").cast("double").as("sum_qty"))
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -902,6 +933,9 @@ object SparkEntry {
     "q83_cdc_apply"         -> (q83CdcApply _),
     "q84_fuzzy_match"       -> (q84FuzzyMatch _),
     "q85_hll_rollup"        -> (q85HllRollup _),
+    "q86_k_anonymity"       -> (q86KAnonymity _),
+    "q87_text_normalize"    -> (q87TextNormalize _),
+    "q88_incremental_agg"   -> (q88IncrementalAgg _),
   )
 
   private val monthCaseSql: String =
@@ -1386,6 +1420,21 @@ object SparkEntry {
         "FROM orders), l AS (SELECT * FROM ch WHERE rn = 1) " +
         "SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey NOT IN (SELECT k FROM l) " +
         "UNION ALL SELECT k AS c_custkey, v AS c_acctbal FROM l WHERE op <> 'D'"),
+    "q86_k_anonymity" ->
+      ("SELECT c_custkey, " +
+        "CASE WHEN n < 20 THEN NULL ELSE c_nationkey END AS c_nationkey, " +
+        "CASE WHEN n < 20 THEN NULL ELSE c_mktsegment END AS c_mktsegment, " +
+        "n < 20 AS qi_suppressed FROM " +
+        "(SELECT *, COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS n FROM customer)"),
+    "q87_text_normalize" ->
+      ("SELECT doc_id, trim(regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', ' ', 'g')) AS norm " +
+        "FROM documents"),
+    "q88_incremental_agg" ->
+      // the oracle recomputes from scratch; Spark merges stored + delta
+      // partials — equality IS the incremental-maintenance contract
+      ("SELECT l_returnflag, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem GROUP BY 1"),
     "q84_fuzzy_match" ->
       ("WITH b AS (SELECT p_partkey AS id, p_name AS t, " +
         "string_split(p_name, ' ')[1] || ' ' || string_split(p_name, ' ')[2] AS blk FROM part), " +

@@ -110,6 +110,16 @@ object TextFns {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), " +", " "))
 
+  /**
+   * Canonical text normalization before hashing/dedup: lowercase,
+   * collapse every whitespace run to one space, trim. The whitespace
+   * class is spelled `[ \t\n\f\r]` (not `\s`) so the regex means the
+   * same thing in Java and RE2-family engines — the portability rule
+   * every oracle-shared pattern in this codebase follows.
+   */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[ \t\n\f\r]+", " "))
+
   // ----------------------- Gopher/C4-style repetition quality signals
   // (Rae et al. 2021 §A1.1; Raffel et al. 2020 §2.2) — all native
   // expressions, integer counts divided last so doubles are bit-stable

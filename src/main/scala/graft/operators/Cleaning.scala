@@ -136,6 +136,24 @@ object Cleaning {
   }
 
   /**
+   * k-anonymity enforcement over quasi-identifier columns: rows whose
+   * QI combination appears fewer than `k` times are re-identifiable and
+   * get their QIs suppressed (nulled) — the standard privacy gate before
+   * releasing or training on user-adjacent tabular data. One count
+   * window over the QI columns (equivalently a groupBy + join, but the
+   * window reuses a single shuffle); everything else is per-row.
+   */
+  def kAnonymize(df: DataFrame, quasiIds: Seq[String], k: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "kAnonymize needs at least one quasi-identifier")
+    val n = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(quasiIds.map(col): _*))
+    val flagged = df.withColumn("__gn", n)
+    quasiIds.foldLeft(flagged) { (acc, q) =>
+      acc.withColumn(q, when(col("__gn") < k, lit(null)).otherwise(col(q)))
+    }.withColumn("qi_suppressed", col("__gn") < k).drop("__gn")
+  }
+
+  /**
    * Null profile: one pass over the table computing the row count and a
    * null count per listed column (the reference notebook's
    * `df.isnull().sum()` profiling cell) — a single aggregation, however

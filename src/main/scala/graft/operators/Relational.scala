@@ -239,6 +239,24 @@ object Relational {
   }
 
   /**
+   * Incremental aggregate maintenance: merge a stored aggregate table
+   * with the aggregate of a new delta batch — counts and exact-decimal
+   * sums are algebraic, so `merge(agg(old), agg(delta)) == agg(old ∪
+   * delta)` and history is NEVER rescanned (the point at 100 TB: the
+   * stored aggregate is keys × metrics, the delta is one batch; the
+   * union shuffles only those). `metrics` names the columns to combine
+   * by summation; both inputs must share (keys ++ metrics) schemas,
+   * as produced by the same upstream aggregation.
+   */
+  def mergeAggregates(
+      stored: DataFrame, delta: DataFrame, keys: Seq[String],
+      metrics: Seq[String]): DataFrame =
+    stored.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(metrics.map(m => sum(col(m)).as(m)).head,
+        metrics.map(m => sum(col(m)).as(m)).tail: _*)
+
+  /**
    * Per-group HLL sketch partials: fixed-size mergeable distinct-count
    * state, persisted as binary — the 100 TB pre-aggregation pattern.
    * Store sketches at a fine grain once; every later rollup re-

@@ -56,6 +56,19 @@ class CleaningSpec extends SparkSpec {
     assert(r.getAs[Long]("nulls_y") == 1L)
   }
 
+  test("kAnonymize suppresses quasi-identifiers of groups smaller than k") {
+    val d = Seq(
+      (1L, "uk", "m"), (2L, "uk", "m"), (3L, "uk", "m"),  // group of 3: safe at k=3
+      (4L, "fr", "f"),                                    // singleton: suppressed
+    ).toDF("id", "country", "gender")
+    val out = Cleaning.kAnonymize(d, Seq("country", "gender"), k = 3L)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1L, "uk", "m", false), (2L, "uk", "m", false), (3L, "uk", "m", false),
+      (4L, null, null, true)))
+  }
+
   test("winsorize clips to the percentile band, globally and per group") {
     val d = (1 to 100).map(_.toDouble).toDF("v")
     val w = Cleaning.winsorize(d, "v", Nil, 0.1, 0.9)

@@ -100,6 +100,20 @@ class RelationalSpec extends SparkSpec {
     assert(out == Seq(10.0, 15.0, 25.0, 35.0, 100.0))
   }
 
+  test("mergeAggregates: merging stored + delta partials equals a full recompute") {
+    val rows = (1 to 200).map(i => (s"k${i % 3}", i.toLong, BigDecimal(i) / 4))
+    val df = rows.toDF("k", "n_src", "v")
+    def agg(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("k").agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val stored = agg(df.filter(col("n_src") <= 120))
+    val delta = agg(df.filter(col("n_src") > 120))
+    val merged = Relational.mergeAggregates(stored, delta, Seq("k"), Seq("n", "s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    val full = agg(df)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    assert(merged == full)
+  }
+
   test("hll partials roll up to an accurate merged estimate") {
     val df = (1 to 5000).map(i => (s"g${i % 4}", (i % 700).toLong)).toDF("g", "v")
     val fromPartials = Relational.hllRollup(

@@ -101,6 +101,13 @@ class TextFnsSpec extends SparkSpec {
     assert(fp1 == fp2)
   }
 
+  test("normalizeText lowercases, collapses all whitespace kinds, trims") {
+    assert(one[String](TextFns.normalizeText(col("t")),
+      "  Hello\t\tWorld\n\nAgain \r ") == "hello world again")
+    assert(one[String](TextFns.normalizeText(col("t")), "plain") == "plain")
+    assert(one[String](TextFns.normalizeText(col("t")), " \t\n ") == "")
+  }
+
   test("qualityScore stays in [0,1] and saturates") {
     val q = Seq((200, 0, 1000)).toDF("nt", "ns", "nc")
       .select(TextFns.qualityScore(col("nt"), col("ns"), col("nc")).as("q"))

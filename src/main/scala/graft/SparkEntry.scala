@@ -845,6 +845,37 @@ object SparkEntry {
       .select(col("l_returnflag"), col("n"), col("s").cast("double").as("sum_qty"))
   }
 
+  /** #89 top-k per group: each customer's 3 biggest orders — planned as
+   *  WindowGroupLimit, so tasks keep ≤ k rows per group before AND
+   *  after the shuffle instead of fully sorting the table. */
+  private def q89GroupTopk(s: SparkSession, dir: String): DataFrame =
+    Relational.topKPerGroup(
+      t(s, dir).orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+      Seq("o_custkey"), Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3)
+
+  /** #90 snapshot diff: derive the I/U/D changelog between two keyed
+   *  snapshots — the inverse of q83's cdcApply (feed generation for
+   *  downstream incremental consumers). The "new" snapshot is derived
+   *  deterministically from customer (drops, bumps, synthetic keys). */
+  private def q90SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir).customer
+    val oldS = cust.select("c_custkey", "c_acctbal")
+    val newS = cust.filter(col("c_custkey") % 7 =!= 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 3 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")).as("c_acctbal"))
+      .unionByName(cust.filter(col("c_custkey") % 11 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          lit(1.0).as("c_acctbal")))
+    StarSchema.snapshotDiff(oldS, newS, Seq("c_custkey"), Seq("c_acctbal"))
+  }
+
+  /** #91 heavy-hitter profile: the 20 hottest lineitem part keys with
+   *  counts and corpus share — the skew detector run before deciding
+   *  on salting (q63/q64 are the fixes). */
+  private def q91HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    Relational.heavyHitters(t(s, dir).lineitem.select("l_partkey"), "l_partkey", 20)
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -936,6 +967,9 @@ object SparkEntry {
     "q86_k_anonymity"       -> (q86KAnonymity _),
     "q87_text_normalize"    -> (q87TextNormalize _),
     "q88_incremental_agg"   -> (q88IncrementalAgg _),
+    "q89_group_topk"        -> (q89GroupTopk _),
+    "q90_snapshot_diff"     -> (q90SnapshotDiff _),
+    "q91_heavy_hitters"     -> (q91HeavyHitters _),
   )
 
   private val monthCaseSql: String =
@@ -1435,6 +1469,27 @@ object SparkEntry {
       ("SELECT l_returnflag, COUNT(*) AS n, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty " +
         "FROM lineitem GROUP BY 1"),
+    "q89_group_topk" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice, CAST(rnk AS INT) AS rnk FROM " +
+        "(SELECT o_orderkey, o_custkey, o_totalprice, ROW_NUMBER() OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders) " +
+        "WHERE rnk <= 3"),
+    "q90_snapshot_diff" ->
+      ("WITH o AS (SELECT c_custkey, c_acctbal FROM customer), " +
+        "n AS (SELECT c_custkey, CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0 " +
+        "ELSE c_acctbal END AS c_acctbal FROM customer WHERE c_custkey % 7 <> 0 " +
+        "UNION ALL SELECT c_custkey + 1000000, 1.0 FROM customer WHERE c_custkey % 11 = 0), " +
+        "d AS (SELECT coalesce(n.c_custkey, o.c_custkey) AS c_custkey, " +
+        "CASE WHEN n.c_custkey IS NULL THEN o.c_acctbal ELSE n.c_acctbal END AS c_acctbal, " +
+        "CASE WHEN o.c_custkey IS NULL THEN 'I' WHEN n.c_custkey IS NULL THEN 'D' " +
+        "WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'U' END AS op " +
+        "FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey) " +
+        "SELECT * FROM d WHERE op IS NOT NULL"),
+    "q91_heavy_hitters" ->
+      ("WITH c AS (SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY 1), " +
+        "t AS (SELECT COUNT(*) AS tt FROM lineitem) " +
+        "SELECT l_partkey, n, CAST(n AS DOUBLE) / CAST(tt AS DOUBLE) AS share " +
+        "FROM c, t ORDER BY n DESC, l_partkey LIMIT 20"),
     "q84_fuzzy_match" ->
       ("WITH b AS (SELECT p_partkey AS id, p_name AS t, " +
         "string_split(p_name, ' ')[1] || ' ' || string_split(p_name, ' ')[2] AS blk FROM part), " +

@@ -239,6 +239,39 @@ object Relational {
   }
 
   /**
+   * Top-k rows per group under a TOTAL ordering. Spark plans the rank
+   * filter as WindowGroupLimit: each task keeps only k rows per group
+   * BEFORE the shuffle and again after, so the exchange carries at most
+   * k rows per (task, group) — never the full table sorted. The rank is
+   * kept in the output (`rankCol`) since consumers usually want it.
+   */
+  def topKPerGroup(
+      df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int,
+      rankCol: String = "rnk"): DataFrame =
+    df.withColumn(rankCol, row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy(order: _*)))
+      .filter(col(rankCol) <= k)
+
+  /**
+   * Heavy-hitter profile of a key column: the k most frequent values
+   * with their counts and corpus share — the diagnostic to run BEFORE a
+   * big join or aggregation to decide whether salting/skew handling is
+   * needed ([[saltedAgg]]/[[saltedJoin]] are the fixes; this is the
+   * detector). One aggregation shuffle (map-side combined), then a
+   * 2-value total frame broadcast onto the tiny grouped frame and a
+   * bounded top-k sort.
+   */
+  def heavyHitters(df: DataFrame, column: String, k: Int): DataFrame = {
+    val counts = df.groupBy(col(column)).agg(count(lit(1)).as("n"))
+    val total = df.agg(count(lit(1)).as("__gt"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", col("n").cast("double") / col("__gt").cast("double"))
+      .drop("__gt")
+      .orderBy(col("n").desc, col(column))
+      .limit(k)
+  }
+
+  /**
    * Incremental aggregate maintenance: merge a stored aggregate table
    * with the aggregate of a new delta batch — counts and exact-decimal
    * sums are algebraic, so `merge(agg(old), agg(delta)) == agg(old ∪

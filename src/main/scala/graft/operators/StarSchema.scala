@@ -170,6 +170,40 @@ object StarSchema {
    * the surviving upserts. The snapshot is never windowed — it shuffles
    * once, for the anti-join.
    */
+  /**
+   * Snapshot diff: compare two keyed snapshots and emit the changelog
+   * that turns `old` into `new` — inserts ('I', key only in new),
+   * deletes ('D', key only in old), updates ('U', any compared column
+   * null-safely different). Unchanged keys emit nothing. The inverse of
+   * [[cdcApply]]: `cdcApply(old, snapshotDiff(old, new), …)` rebuilds
+   * `new`. One full-outer equi-join on the key — both snapshots shuffle
+   * once; change detection is per-row.
+   *
+   * Output: keys + `compareCols` (the NEW values; old values for
+   * deletes, so the row is still keyed and typed) + `op`.
+   */
+  def snapshotDiff(
+      oldSnap: DataFrame, newSnap: DataFrame, keys: Seq[String],
+      compareCols: Seq[String], opCol: String = "op"): DataFrame = {
+    // presence markers, not key-null tests: a genuine NULL key value
+    // must not read as "absent from this side"
+    val o = oldSnap.select((keys ++ compareCols).map(col) :+ lit(true).as("__go"): _*).as("o")
+    val n = newSnap.select((keys ++ compareCols).map(col) :+ lit(true).as("__gn"): _*).as("n")
+    val joinCond = keys.map(kc => col(s"o.$kc") <=> col(s"n.$kc")).reduce(_ && _)
+    val changed = compareCols.map(cc => !(col(s"o.$cc") <=> col(s"n.$cc"))).reduce(_ || _)
+    o.join(n, joinCond, "full_outer")
+      .withColumn(opCol,
+        when(col("o.__go").isNull, "I")
+          .when(col("n.__gn").isNull, "D")
+          .when(changed, "U"))
+      .filter(col(opCol).isNotNull)
+      .select(
+        keys.map(kc => coalesce(col(s"n.$kc"), col(s"o.$kc")).as(kc)) ++
+          compareCols.map(cc =>
+            when(col(opCol) === "D", col(s"o.$cc")).otherwise(col(s"n.$cc")).as(cc)) :+
+          col(opCol): _*)
+  }
+
   def cdcApply(
       base: DataFrame, changes: DataFrame, keys: Seq[String],
       orderBy: Seq[Column], opCol: String, deleteOp: String = "D"): DataFrame = {

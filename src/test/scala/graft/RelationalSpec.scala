@@ -100,6 +100,28 @@ class RelationalSpec extends SparkSpec {
     assert(out == Seq(10.0, 15.0, 25.0, 35.0, 100.0))
   }
 
+  test("topKPerGroup keeps k rows per key with a total order, and plans a group limit") {
+    val df = Seq(
+      ("a", 1L, 9.0), ("a", 2L, 9.0), ("a", 3L, 7.0), ("a", 4L, 1.0),
+      ("b", 5L, 2.0),
+    ).toDF("k", "id", "v")
+    val out = Relational.topKPerGroup(df, Seq("k"), Seq(col("v").desc, col("id")), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+    assert(out == Set(("a", 1L, 1), ("a", 2L, 2), ("b", 5L, 1)))
+    val plan = Relational.topKPerGroup(df, Seq("k"), Seq(col("v").desc, col("id")), 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected a group-limit plan:\n$plan")
+  }
+
+  test("heavyHitters ranks by frequency with deterministic ties and exact share") {
+    val df = (Seq.fill(6)("x") ++ Seq.fill(3)("y") ++ Seq.fill(3)("a") ++ Seq("z"))
+      .toDF("v")
+    val out = Relational.heavyHitters(df, "v", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      ("x", 6L, 6.0 / 13.0), ("a", 3L, 3.0 / 13.0), ("y", 3L, 3.0 / 13.0)))
+  }
+
   test("mergeAggregates: merging stored + delta partials equals a full recompute") {
     val rows = (1 to 200).map(i => (s"k${i % 3}", i.toLong, BigDecimal(i) / 4))
     val df = rows.toDF("k", "n_src", "v")

@@ -111,6 +111,24 @@ class StarSchemaSpec extends SparkSpec {
     assert(out == Set((1L, "a2"), (3L, "c"), (4L, "d"), (5L, "e")))
   }
 
+  test("snapshotDiff emits exactly the I/U/D rows; unchanged keys are silent") {
+    val oldS = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val newS = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v")
+    val out = StarSchema.snapshotDiff(oldS, newS, Seq("k"), Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set((2L, "B", "U"), (3L, "c", "D"), (4L, "d", "I")))
+  }
+
+  test("snapshotDiff inverts through cdcApply: applying the diff rebuilds the new snapshot") {
+    val oldS = Seq((1L, "a"), (2L, "b"), (3L, "c"), (7L, "x")).toDF("k", "v")
+    val newS = Seq((1L, "a"), (2L, "B2"), (5L, "new")).toDF("k", "v")
+    val diff = StarSchema.snapshotDiff(oldS, newS, Seq("k"), Seq("v"))
+    val rebuilt = StarSchema.cdcApply(oldS, diff, Seq("k"),
+      orderBy = Seq(lit(1)), opCol = "op")
+    assert(rebuilt.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      newS.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
+
   test("cdcApply is idempotent: re-applying the same changelog is a no-op") {
     val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val changes = Seq((1L, "a1", "U", 1), (2L, "zz", "D", 1)).toDF("k", "v", "op", "ts")

@@ -876,6 +876,28 @@ object SparkEntry {
   private def q91HeavyHitters(s: SparkSession, dir: String): DataFrame =
     Relational.heavyHitters(t(s, dir).lineitem.select("l_partkey"), "l_partkey", 20)
 
+  /** #92 unpivot/melt: lineitem money columns rotated to long format —
+   *  the inverse of q20's pivot, zero shuffle (native Expand). */
+  private def q92Unpivot(s: SparkSession, dir: String): DataFrame =
+    Relational.melt(
+      t(s, dir).lineitem.select("l_orderkey", "l_linenumber",
+        "l_extendedprice", "l_discount", "l_tax"),
+      ids = Seq("l_orderkey", "l_linenumber"),
+      values = Seq("l_extendedprice", "l_discount", "l_tax"))
+
+  /** #93 per-key successive difference: order-value delta per customer
+   *  under a total (date, key) order; first order per customer is NULL. */
+  private def q93KeyDeltas(s: SparkSession, dir: String): DataFrame =
+    Events.withDelta(
+      t(s, dir).orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+      Seq("o_custkey"), Seq(col("o_orderdate"), col("o_orderkey")), "o_totalprice")
+      .select("o_orderkey", "o_custkey", "delta")
+
+  /** #94 cohort retention triangle over events: users bucketed by
+   *  first-activity day, distinct actives per (cohort, day offset). */
+  private def q94CohortRetention(s: SparkSession, dir: String): DataFrame =
+    Events.cohortRetention(t(s, dir).events, "user_id", "ts")
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -970,6 +992,9 @@ object SparkEntry {
     "q89_group_topk"        -> (q89GroupTopk _),
     "q90_snapshot_diff"     -> (q90SnapshotDiff _),
     "q91_heavy_hitters"     -> (q91HeavyHitters _),
+    "q92_unpivot"           -> (q92Unpivot _),
+    "q93_key_deltas"        -> (q93KeyDeltas _),
+    "q94_cohort_retention"  -> (q94CohortRetention _),
   )
 
   private val monthCaseSql: String =
@@ -1490,6 +1515,19 @@ object SparkEntry {
         "t AS (SELECT COUNT(*) AS tt FROM lineitem) " +
         "SELECT l_partkey, n, CAST(n AS DOUBLE) / CAST(tt AS DOUBLE) AS share " +
         "FROM c, t ORDER BY n DESC, l_partkey LIMIT 20"),
+    "q92_unpivot" ->
+      ("SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure, l_extendedprice AS value FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem"),
+    "q93_key_deltas" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice - lag(o_totalprice, 1) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta FROM orders"),
+    "q94_cohort_retention" ->
+      ("WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "c AS (SELECT user_id, min(day) AS cohort FROM a GROUP BY 1) " +
+        "SELECT cohort, CAST(a.day - c.cohort AS BIGINT) AS day_offset, " +
+        "COUNT(DISTINCT a.user_id) AS n_users " +
+        "FROM a JOIN c USING (user_id) GROUP BY 1, 2"),
     "q84_fuzzy_match" ->
       ("WITH b AS (SELECT p_partkey AS id, p_name AS t, " +
         "string_split(p_name, ' ')[1] || ' ' || string_split(p_name, ' ')[2] AS blk FROM part), " +

@@ -143,6 +143,37 @@ object Events {
   }
 
   /**
+   * Per-key successive difference: value minus the previous row's value
+   * under a TOTAL per-key ordering (first row of each key gets NULL —
+   * there is nothing to difference against, and 0 would fake a flat
+   * step). One window shuffle by key; the subtraction is a single IEEE
+   * op, engine-identical.
+   */
+  def withDelta(
+      df: DataFrame, keys: Seq[String], order: Seq[Column],
+      valueCol: String, out: String = "delta"): DataFrame =
+    df.withColumn(out, col(valueCol) - lag(col(valueCol), 1).over(
+      Window.partitionBy(keys.map(col): _*).orderBy(order: _*)))
+
+  /**
+   * Cohort retention: bucket each user by first-activity day, then
+   * count distinct users active at each day offset from their cohort —
+   * the standard retention triangle. Scale shape: activity first
+   * collapses to distinct (user, day) rows; the cohort frame is one row
+   * per user and joins back broadcast at dimension sizes (Spark falls
+   * back to a shuffled join automatically when it is not); the final
+   * aggregate is a two-column groupBy on the already-collapsed rows.
+   */
+  def cohortRetention(df: DataFrame, user: String, ts: String): DataFrame = {
+    val active = df
+      .select(col(user), to_date(col(ts)).as("__gday")).distinct()
+    val cohorts = active.groupBy(col(user)).agg(min("__gday").as("cohort"))
+    active.join(broadcast(cohorts), user)
+      .groupBy(col("cohort"), datediff(col("__gday"), col("cohort")).cast("long").as("day_offset"))
+      .agg(count_distinct(col(user)).as("n_users"))
+  }
+
+  /**
    * Daily gap-fill + forward-fill: densify a per-key daily series to a
    * complete calendar between each key's first and last observed day,
    * zero-filling the count and carrying the last observed aggregate

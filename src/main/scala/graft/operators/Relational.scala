@@ -239,6 +239,19 @@ object Relational {
   }
 
   /**
+   * Unpivot (melt): rotate measure COLUMNS into (variable, value) ROWS —
+   * the inverse of [[pivotConditional]], and the shape long-format
+   * consumers (plotting, ML feature tables, sparse stores) want.
+   * Zero shuffle: a pure row-local explode multiplying rows by
+   * `values.size`; Catalyst plans Spark's native Expand node, which
+   * column-prunes unreferenced measures like any projection.
+   */
+  def melt(
+      df: DataFrame, ids: Seq[String], values: Seq[String],
+      varName: String = "measure", valName: String = "value"): DataFrame =
+    df.unpivot(ids.map(col).toArray, values.map(col).toArray, varName, valName)
+
+  /**
    * Top-k rows per group under a TOTAL ordering. Spark plans the rank
    * filter as WindowGroupLimit: each task keeps only k rows per group
    * BEFORE the shuffle and again after, so the exchange carries at most

@@ -167,6 +167,31 @@ class EventsSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.15)
   }
 
+  test("withDelta differences successive per-key values; first row is NULL") {
+    val df = Seq(("a", 1, 10.0), ("a", 2, 15.0), ("a", 3, 12.0), ("b", 1, 5.0))
+      .toDF("k", "t", "v")
+    val out = Events.withDelta(df, Seq("k"), Seq(col("t")), "v")
+      .orderBy("k", "t")
+      .collect().map(r => Option(r.get(3)).map(_.asInstanceOf[Double]))
+    assert(out.toSeq == Seq(None, Some(5.0), Some(-3.0), None))
+  }
+
+  test("cohortRetention buckets users by first day and counts distinct actives per offset") {
+    val df = Seq(
+      (1L, "2024-01-01 09:00:00"), (1L, "2024-01-01 17:00:00"), // same day: one active
+      (1L, "2024-01-03 09:00:00"),
+      (2L, "2024-01-01 10:00:00"),
+      (3L, "2024-01-02 10:00:00"), (3L, "2024-01-03 10:00:00"),
+    ).toDF("user_id", "raw").withColumn("ts", to_timestamp(col("raw"))).drop("raw")
+    val out = Events.cohortRetention(df, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(
+      ("2024-01-01", 0L, 2L),  // users 1,2 on their cohort day
+      ("2024-01-01", 2L, 1L),  // user 1 back at offset 2
+      ("2024-01-02", 0L, 1L),  // user 3's cohort
+      ("2024-01-02", 1L, 1L))) // user 3 back next day
+  }
+
   test("gapFillDaily densifies the calendar, zero-fills counts, forward-fills sums") {
     val df = Seq(
       (1L, "2024-01-01 10:00:00", 10.0),

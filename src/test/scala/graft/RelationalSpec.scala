@@ -100,6 +100,17 @@ class RelationalSpec extends SparkSpec {
     assert(out == Seq(10.0, 15.0, 25.0, 35.0, 100.0))
   }
 
+  test("melt rotates measure columns into rows and round-trips through pivot") {
+    val df = Seq((1L, 10.0, 0.1), (2L, 20.0, 0.2)).toDF("id", "price", "tax")
+    val long = Relational.melt(df, Seq("id"), Seq("price", "tax"))
+    assert(long.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet ==
+      Set((1L, "price", 10.0), (1L, "tax", 0.1), (2L, "price", 20.0), (2L, "tax", 0.2)))
+    val wide = Relational.pivotConditional(long, Seq("id"), "measure",
+      Seq("price", "tax"), col("value"))
+    assert(wide.orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 10.0, 0.1), (2L, 20.0, 0.2)))
+  }
+
   test("topKPerGroup keeps k rows per key with a total order, and plans a group limit") {
     val df = Seq(
       ("a", 1L, 9.0), ("a", 2L, 9.0), ("a", 3L, 7.0), ("a", 4L, 1.0),

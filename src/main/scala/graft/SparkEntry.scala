@@ -785,21 +785,20 @@ object SparkEntry {
       orderBy = Seq(col("o_orderdate"), col("o_orderkey")), opCol = "op")
   }
 
-  /** #84 blocked fuzzy matching: part-name pairs within 10 edits,
-   *  compared only inside first-two-word blocks — record linkage
-   *  without an all-pairs join. The TPC-H name vocabulary is tiny, so
-   *  a one-word block degenerates (~250k pairs at sf0.01); two words
-   *  keep the worst block bounded while still never splitting a pair
-   *  less than two leading edits apart. */
+  /** #84 blocked fuzzy matching: "name brand type" entity strings
+   *  within 4 edits, compared only inside same-name blocks — record
+   *  linkage without an all-pairs join. The name alone is the block
+   *  key (it carries no variation in this data: same-name distances
+   *  are 0); brand/type carry the edit variation (observed pair
+   *  distances span 0-10, ~16% within 4), so the threshold is
+   *  selective and the banded DP has real pruning headroom. */
   private def q84FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
-    val words = split(col("p_name"), " ")
-    // try_element_at: a one-word name yields a NULL block key (row sits
-    // out of the join) exactly like the oracle's list index — plain
-    // element_at would THROW under Spark 4's default ANSI mode
-    Dedup.editDistancePairs(
-      t(s, dir).part.select("p_partkey", "p_name"), "p_partkey", "p_name",
-      blockKey = concat(try_element_at(words, lit(1)), lit(" "), try_element_at(words, lit(2))),
-      maxDist = 10, maxBlockSize = 1000)
+    val p = t(s, dir).part.select(
+      col("p_partkey"),
+      concat_ws(" ", col("p_name"), col("p_brand"), col("p_type")).as("entity"),
+      col("p_name"))
+    Dedup.editDistancePairs(p, "p_partkey", "entity",
+      blockKey = col("p_name"), maxDist = 4, maxBlockSize = 1000)
   }
 
   /** #85 mergeable HLL sketch rollup: per-(type, day) sketch partials
@@ -1529,13 +1528,13 @@ object SparkEntry {
         "COUNT(DISTINCT a.user_id) AS n_users " +
         "FROM a JOIN c USING (user_id) GROUP BY 1, 2"),
     "q84_fuzzy_match" ->
-      ("WITH b AS (SELECT p_partkey AS id, p_name AS t, " +
-        "string_split(p_name, ' ')[1] || ' ' || string_split(p_name, ' ')[2] AS blk FROM part), " +
+      ("WITH b AS (SELECT p_partkey AS id, " +
+        "p_name || ' ' || p_brand || ' ' || p_type AS t, p_name AS blk FROM part), " +
         "c AS (SELECT *, COUNT(*) OVER (PARTITION BY blk) AS n FROM b), " +
         "f AS (SELECT id, t, blk FROM c WHERE n <= 1000) " +
         "SELECT a.id AS id_a, x.id AS id_b, CAST(levenshtein(a.t, x.t) AS BIGINT) AS dist " +
         "FROM f a JOIN f x ON a.blk = x.blk AND a.id < x.id " +
-        "WHERE levenshtein(a.t, x.t) <= 10"),
+        "WHERE levenshtein(a.t, x.t) <= 4"),
     "q62_cc_labels" ->
       ("WITH RECURSIVE " +
         "e0 AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 4 <> 3 " +

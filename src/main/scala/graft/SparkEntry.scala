@@ -786,19 +786,24 @@ object SparkEntry {
   }
 
   /** #84 blocked fuzzy matching: "name brand type" entity strings
-   *  within 4 edits, compared only inside same-name blocks — record
-   *  linkage without an all-pairs join. The name alone is the block
-   *  key (it carries no variation in this data: same-name distances
-   *  are 0); brand/type carry the edit variation (observed pair
-   *  distances span 0-10, ~16% within 4), so the threshold is
-   *  selective and the banded DP has real pruning headroom. */
+   *  within 4 edits, compared only inside same-(name, brand) blocks —
+   *  record linkage without an all-pairs join, mirroring the
+   *  reference's brand/model split where the brand is exact and the
+   *  model fuzzy (dag.py:184-196). The compound key is the cost
+   *  control: p_name alone has only ~64 distinct values, so blocks
+   *  grow linearly with the corpus (3.1 M candidate pairs at sf0.1);
+   *  adding p_brand multiplies block count by ~25 and divides pair
+   *  count by the same factor, while the type suffix still carries
+   *  the edit variation the threshold tests. Oversized blocks are
+   *  sub-blocked (never dropped) inside the operator, so the oracle
+   *  states pure semantics with no size cap. */
   private def q84FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
     val p = t(s, dir).part.select(
       col("p_partkey"),
       concat_ws(" ", col("p_name"), col("p_brand"), col("p_type")).as("entity"),
-      col("p_name"))
+      concat_ws("\u0001", col("p_name"), col("p_brand")).as("blk"))
     Dedup.editDistancePairs(p, "p_partkey", "entity",
-      blockKey = col("p_name"), maxDist = 4, maxBlockSize = 1000)
+      blockKey = col("blk"), maxDist = 4, maxBlockSize = 1000)
   }
 
   /** #85 mergeable HLL sketch rollup: per-(type, day) sketch partials
@@ -1529,11 +1534,10 @@ object SparkEntry {
         "FROM a JOIN c USING (user_id) GROUP BY 1, 2"),
     "q84_fuzzy_match" ->
       ("WITH b AS (SELECT p_partkey AS id, " +
-        "p_name || ' ' || p_brand || ' ' || p_type AS t, p_name AS blk FROM part), " +
-        "c AS (SELECT *, COUNT(*) OVER (PARTITION BY blk) AS n FROM b), " +
-        "f AS (SELECT id, t, blk FROM c WHERE n <= 1000) " +
+        "p_name || ' ' || p_brand || ' ' || p_type AS t, " +
+        "p_name || chr(1) || p_brand AS blk FROM part) " +
         "SELECT a.id AS id_a, x.id AS id_b, CAST(levenshtein(a.t, x.t) AS BIGINT) AS dist " +
-        "FROM f a JOIN f x ON a.blk = x.blk AND a.id < x.id " +
+        "FROM b a JOIN b x ON a.blk = x.blk AND a.id < x.id " +
         "WHERE levenshtein(a.t, x.t) <= 4"),
     "q62_cc_labels" ->
       ("WITH RECURSIVE " +

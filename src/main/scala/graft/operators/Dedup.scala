@@ -430,39 +430,72 @@ object Dedup {
   }
 
   /**
-   * Blocked edit-distance matching: candidate pairs of rows whose
-   * `textCol` values are within `maxDist` Levenshtein edits, compared
-   * only INSIDE blocks sharing `blockKey` (e.g. first token, phonetic
-   * key, length band) — the classic record-linkage shape. Never
-   * all-pairs: the self-join shuffles on the block key, and blocks
-   * larger than `maxBlockSize` are excluded whole (a count window over
-   * the block key, reusing its exchange), bounding the worst block at
-   * maxBlockSize² comparisons — the same degenerate-bucket policy as
-   * the LSH operators. A blocking key can miss pairs whose first
-   * divergence falls inside the key (recall/cost trade, caller picks
-   * the key); `levenshtein` is Spark-native codegen, no UDF.
+   * Blocked edit-distance matching: ALL pairs of rows whose `textCol`
+   * values are within `maxDist` Levenshtein edits, compared only
+   * INSIDE blocks sharing `blockKey` (e.g. a compound name+brand key,
+   * a phonetic key) — the classic record-linkage shape. Never
+   * all-pairs over the corpus: the self-join shuffles on the block key
+   * and compares within blocks only.
+   *
+   * Blocks larger than `maxBlockSize` are NOT dropped (a dropped block
+   * would silently lose every one of its pairs — with a single blocking
+   * key there is no second band to catch them, unlike the LSH
+   * operators). Instead they are sub-blocked by a LENGTH BAND of width
+   * `maxDist + 1`, which is exact: |len(a) - len(b)| is a Levenshtein
+   * lower bound, so any matching pair differs by at most `maxDist`
+   * characters and its two bands differ by at most 1 — the same-band
+   * self-join plus one adjacent-band join together see every matching
+   * pair exactly once. Sub-blocking is therefore a physical
+   * optimization only; the operator's result is identical to comparing
+   * each block in full, and the oracle can state pure semantics with
+   * no size cap. For data where a hot block is ALSO length-uniform the
+   * bands cannot shrink it — cost control there is the caller's key
+   * choice (pick a more selective compound key), never silent recall
+   * loss. `levenshtein` is Spark-native codegen, no UDF; the
+   * threshold-bounded form early-exits at `maxDist` instead of filling
+   * the full |a|·|b| DP matrix.
    */
   def editDistancePairs(
       df: DataFrame, idCol: String, textCol: String, blockKey: Column,
       maxDist: Int, maxBlockSize: Int = 1000): DataFrame = {
-    val blocked = df.select(col(idCol), col(textCol), blockKey.as("__gblk"))
+    val base = df.select(col(idCol), col(textCol), blockKey.as("__gblk"))
       .withColumn("__gbn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("__gblk")))
-      .filter(col("__gbn") <= maxBlockSize)
-    val a = blocked.select(col("__gblk"),
-      col(idCol).as("id_a"), col(textCol).as("__gta"))
-    val b = blocked.select(col("__gblk"),
-      col(idCol).as("id_b"), col(textCol).as("__gtb"))
-    a.join(b, "__gblk")
-      .filter(col("id_a") < col("id_b"))
-      // cheap length gate first (|len diff| is a Levenshtein lower
-      // bound), then the THRESHOLD-BOUNDED levenshtein: the banded DP
-      // early-exits at maxDist instead of filling the full |a|·|b|
-      // matrix, and returns -1 above the threshold
+    // cheap length gate first (|len diff| is a Levenshtein lower
+    // bound), then the threshold-bounded levenshtein (-1 above it)
+    def compare(joined: DataFrame): DataFrame = joined
       .filter(abs(length(col("__gta")) - length(col("__gtb"))) <= maxDist)
       .withColumn("dist",
         levenshtein(col("__gta"), col("__gtb"), maxDist).cast("long"))
       .filter(col("dist") >= 0)
       .select("id_a", "id_b", "dist")
+
+    val small = base.filter(col("__gbn") <= maxBlockSize)
+    val sa = small.select(col("__gblk"),
+      col(idCol).as("id_a"), col(textCol).as("__gta"))
+    val sb = small.select(col("__gblk"),
+      col(idCol).as("id_b"), col(textCol).as("__gtb"))
+    val smallPairs = compare(
+      sa.join(sb, "__gblk").filter(col("id_a") < col("id_b")))
+
+    val big = base.filter(col("__gbn") > maxBlockSize)
+      .withColumn("__gband", floor(length(col(textCol)) / (maxDist + 1)))
+    val ba = big.select(col("__gblk"), col("__gband"),
+      col(idCol).as("id_a"), col(textCol).as("__gta"))
+    val bb = big.select(col("__gblk"), col("__gband"),
+      col(idCol).as("id_b"), col(textCol).as("__gtb"))
+    // same band: ordinary in-sub-block self-join
+    val samePairs = compare(
+      ba.join(bb, Seq("__gblk", "__gband")).filter(col("id_a") < col("id_b")))
+    // adjacent bands: band b vs band b+1 — the two sides are disjoint
+    // row sets, so no id_a<id_b filter (it would drop pairs whose id
+    // order opposes the band order); normalize the id order instead
+    val adjPairs = compare(
+      ba.withColumn("__gband", col("__gband") + 1)
+        .join(bb, Seq("__gblk", "__gband")))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
+
+    smallPairs.unionByName(samePairs).unionByName(adjPairs)
   }
 }

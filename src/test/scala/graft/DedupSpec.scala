@@ -256,10 +256,45 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((2L, 3L, 1L))) // the null-key row just sits out
   }
 
-  test("editDistancePairs excludes oversized blocks whole") {
-    val big = (1 to 30).map(i => (i.toLong, s"same block text $i")).toDF("id", "text")
+  test("editDistancePairs sub-blocks oversized blocks, never drops them (all-pairs parity)") {
+    // one hot block (12 rows > maxBlockSize 5) with lengths spanning
+    // several length bands — incl. pairs straddling a band boundary —
+    // plus a small block exercising the direct path
+    val rows = Seq(
+      (1L, "hot", "aaaa"), (2L, "hot", "aaab"), (3L, "hot", "aaaaaa"),
+      (4L, "hot", "aaaaaab"), (5L, "hot", "bbbbbbbb"), (6L, "hot", "bbbbbbba"),
+      (7L, "hot", "cccc"), (8L, "hot", "ccccccc"), (9L, "hot", "zzzzzzzzzzzzzzzz"),
+      (10L, "hot", "zzzzzzzzzzzzzzza"), (11L, "hot", "a"), (12L, "hot", "ab"),
+      (13L, "hot", "aaa"),
+      (20L, "cold", "xyzzy"), (21L, "cold", "xyzzyq"),
+    ).toDF("id", "blk", "text")
+    val maxDist = 3
+    val got = Dedup.editDistancePairs(rows, "id", "text",
+        blockKey = col("blk"), maxDist = maxDist, maxBlockSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // oracle: brute-force all pairs within each block
+    val a = rows.select(col("blk"), col("id").as("ia"), col("text").as("ta"))
+    val b = rows.select(col("blk"), col("id").as("ib"), col("text").as("tb"))
+    val want = a.join(b, "blk").filter(col("ia") < col("ib"))
+      .withColumn("d", levenshtein(col("ta"), col("tb")))
+      .filter(col("d") <= maxDist)
+      .collect().map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib"), r.getAs[Int]("d").toLong))
+      .toSet
+    assert(got == want)
+    // the oracle itself must contain a cross-band pair (band width 4:
+    // "aaab" len 4 -> band 1, "aaa" len 3 -> band 0, and the lower id
+    // sits in the HIGHER band) so the adjacent-band join is exercised
+    assert(want.contains((2L, 13L, 1L)))
+    // ... and a same-band pair inside the hot block
+    assert(want.contains((11L, 12L, 1L)))
+  }
+
+  test("editDistancePairs: uniform-length oversized block still compares in full") {
+    // all texts in one band -> sub-blocking cannot shrink the block;
+    // pairs must still come back (the old policy returned zero here)
+    val big = (1 to 30).map(i => (i.toLong, f"same block text $i%02d")).toDF("id", "text")
     val out = Dedup.editDistancePairs(big, "id", "text",
-      blockKey = lit("hot"), maxDist = 50, maxBlockSize = 10)
-    assert(out.isEmpty)
+      blockKey = lit("hot"), maxDist = 2, maxBlockSize = 10)
+    assert(out.count() == 30L * 29 / 2) // every pair differs in <= 2 digit edits
   }
 }

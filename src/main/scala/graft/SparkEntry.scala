@@ -797,7 +797,7 @@ object SparkEntry {
    *  the edit variation the threshold tests. Oversized blocks are
    *  sub-blocked (never dropped) inside the operator, so the oracle
    *  states pure semantics with no size cap. */
-  private def q84FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+  private def fuzzyPartPairs(s: SparkSession, dir: String): DataFrame = {
     val p = t(s, dir).part.select(
       col("p_partkey"),
       concat_ws(" ", col("p_name"), col("p_brand"), col("p_type")).as("entity"),
@@ -805,6 +805,9 @@ object SparkEntry {
     Dedup.editDistancePairs(p, "p_partkey", "entity",
       blockKey = col("blk"), maxDist = 4, maxBlockSize = 1000)
   }
+
+  private def q84FuzzyMatch(s: SparkSession, dir: String): DataFrame =
+    fuzzyPartPairs(s, dir)
 
   /** #85 mergeable HLL sketch rollup: per-(type, day) sketch partials
    *  persisted once, rolled up to per-type distinct-user estimates by
@@ -901,6 +904,69 @@ object SparkEntry {
    *  first-activity day, distinct actives per (cohort, day offset). */
   private def q94CohortRetention(s: SparkSession, dir: String): DataFrame =
     Events.cohortRetention(t(s, dir).events, "user_id", "ts")
+
+  /** #95 grouped histogram: per-event-type distribution of event hour —
+   *  the reference notebook's per-UF hour histograms (Análise.ipynb),
+   *  with per-group [min, max] bounds frames joined back by key instead
+   *  of one global bounds row. */
+  private def q95GroupHistogram(s: SparkSession, dir: String): DataFrame =
+    Relational.histogram(
+      t(s, dir).events.select(col("event_type"),
+        hour(col("ts")).cast("double").as("event_hour")),
+      "event_hour", 12, keys = Seq("event_type"))
+
+  /** #96 multi-column median imputation in ONE pass (the reference
+   *  imputes three columns, dag.py:79-81,122-127): zero discounts and
+   *  taxes replaced by the median of the non-zero values, both medians
+   *  from a single bounds aggregate — one extra scan total. */
+  private def q96ImputeMultiMedian(s: SparkSession, dir: String): DataFrame =
+    Cleaning.imputeWithMedians(t(s, dir).lineitem,
+      Seq("l_discount" -> (col("l_discount") =!= 0.0),
+        "l_tax" -> (col("l_tax") =!= 0.0)))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_discount").as("discount_i"), col("l_tax").as("tax_i"))
+
+  /** #97 curation with a source blocklist gate: q55's pipeline plus the
+   *  provenance filter real corpus pipelines always run first — exact
+   *  blocked sources and an RE2-safe pattern, fused into the scan. */
+  private def q97BlocklistCuration(s: SparkSession, dir: String): DataFrame =
+    Curation.curate(t(s, dir).documents, "doc_id", "text", "n_chars",
+      stopwords = enStop, langs = Seq("en"), minQuality = 0.35,
+      blockedSources = Seq("src13", "src7"),
+      blockedSourcePatterns = Seq("^src1[0-2]$"))
+
+  /** #98 record-linkage capstone: q84's blocked fuzzy pairs resolved
+   *  into clusters by the same connected-components machinery the LSH
+   *  near-dup path uses (q59/q73) — the CC layer composes over non-LSH
+   *  pair sources. Keeper = min part id per cluster, the resolution step
+   *  the reference's brand/model linkage (dag.py:184-196) stops short
+   *  of. Oracle: recursive-CTE transitive closure over the same
+   *  levenshtein pair set. */
+  private def q98FuzzyClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupClusters(fuzzyPartPairs(s, dir))
+
+  /** #99 exact-substring decontamination: the oracle-backed twin of
+   *  q60's winnow path — 40-char excerpts of the benchmark split,
+   *  broadcast, matched by verbatim containment. Upgrades the
+   *  decontamination family from spec-trust to hash-trust. */
+  private def q99DecontamExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir).documents
+    val excerpts = docs.filter(col("doc_id") % 97 === 0)
+      .select(substring(col("text"), 10, 40).as("excerpt"))
+      .filter(length(col("excerpt")) === 40).distinct()
+    Curation.containsExcerptFlags(docs, "doc_id", col("text"), excerpts, "excerpt")
+  }
+
+  /** #100 exact distinct rollup: per-(type, day) distinct-member state
+   *  re-aggregated to per-type distinct users WITHOUT rescanning the
+   *  fact table — the exact twin of q85's HLL sketch rollup, and
+   *  oracle-equal to a direct COUNT(DISTINCT) by construction. */
+  private def q100DistinctRollup(s: SparkSession, dir: String): DataFrame = {
+    val partials = Relational.distinctPartials(
+      t(s, dir).events.withColumn("day", to_date(col("ts"))),
+      Seq("event_type", "day"), "user_id")
+    Relational.exactDistinctRollup(partials, Seq("event_type"), "user_id")
+  }
 
   // ------------------------------------------------------------ registry
 
@@ -999,6 +1065,12 @@ object SparkEntry {
     "q92_unpivot"           -> (q92Unpivot _),
     "q93_key_deltas"        -> (q93KeyDeltas _),
     "q94_cohort_retention"  -> (q94CohortRetention _),
+    "q95_group_histogram"   -> (q95GroupHistogram _),
+    "q96_impute_multi"      -> (q96ImputeMultiMedian _),
+    "q97_blocklist_curation" -> (q97BlocklistCuration _),
+    "q98_fuzzy_clusters"    -> (q98FuzzyClusters _),
+    "q99_decontam_exact"    -> (q99DecontamExact _),
+    "q100_distinct_rollup"  -> (q100DistinctRollup _),
   )
 
   private val monthCaseSql: String =
@@ -1012,6 +1084,26 @@ object SparkEntry {
 
   private val enStopSql: String =
     enStop.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** q55's curation oracle, parameterized by the source-gate predicate
+   *  (q97 = the same pipeline behind a blocklist WHERE clause). */
+  private def curationOracleSql(srcWhere: String): String =
+    "WITH s AS (SELECT doc_id, text, n_chars, " +
+      "len(string_split(text, ' ')) AS n_tokens, " +
+      s"len(list_filter(string_split(text, ' '), t -> t IN $enStopSql)) AS en, " +
+      "len(list_filter(string_split(text, ' '), t -> t IN ('el','la','de','los','es'))) AS es, " +
+      "len(list_filter(string_split(text, ' '), t -> t IN ('o','os','um','uma','não'))) AS pt " +
+      s"FROM documents$srcWhere), " +
+      "q AS (SELECT doc_id, text, " +
+      "CASE WHEN en >= es AND en >= pt AND en > 0 THEN 'en' " +
+      "WHEN es >= pt AND es > 0 THEN 'es' WHEN pt > 0 THEN 'pt' ELSE 'und' END AS lang, " +
+      "0.5::DOUBLE * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) " +
+      "+ 0.3::DOUBLE * (CAST(en AS DOUBLE) / greatest(n_tokens, 1)) " +
+      "+ 0.2::DOUBLE * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS quality FROM s) " +
+      "SELECT doc_id, lang, quality FROM (" +
+      "SELECT doc_id, lang, quality, " +
+      "ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn " +
+      "FROM q WHERE lang = 'en' AND quality >= 0.35) WHERE rn = 1"
 
   /**
    * DuckDB fragment mirroring [[StarSchema.dimWithHashKey]]'s null-flag
@@ -1259,23 +1351,10 @@ object SparkEntry {
       ("SELECT p_brand, p_type, CAST(ROW_NUMBER() OVER " +
         "(ORDER BY p_brand, p_type) AS INT) AS dim_sk " +
         "FROM (SELECT DISTINCT p_brand, p_type FROM part)"),
-    "q55_curation_pipeline" ->
-      ("WITH s AS (SELECT doc_id, text, n_chars, " +
-        "len(string_split(text, ' ')) AS n_tokens, " +
-        s"len(list_filter(string_split(text, ' '), t -> t IN $enStopSql)) AS en, " +
-        "len(list_filter(string_split(text, ' '), t -> t IN ('el','la','de','los','es'))) AS es, " +
-        "len(list_filter(string_split(text, ' '), t -> t IN ('o','os','um','uma','não'))) AS pt " +
-        "FROM documents), " +
-        "q AS (SELECT doc_id, text, " +
-        "CASE WHEN en >= es AND en >= pt AND en > 0 THEN 'en' " +
-        "WHEN es >= pt AND es > 0 THEN 'es' WHEN pt > 0 THEN 'pt' ELSE 'und' END AS lang, " +
-        "0.5::DOUBLE * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) " +
-        "+ 0.3::DOUBLE * (CAST(en AS DOUBLE) / greatest(n_tokens, 1)) " +
-        "+ 0.2::DOUBLE * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS quality FROM s) " +
-        "SELECT doc_id, lang, quality FROM (" +
-        "SELECT doc_id, lang, quality, " +
-        "ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn " +
-        "FROM q WHERE lang = 'en' AND quality >= 0.35) WHERE rn = 1"),
+    "q55_curation_pipeline" -> curationOracleSql(""),
+    "q97_blocklist_curation" -> curationOracleSql(
+      " WHERE source IS NOT NULL AND NOT (source IN ('src13', 'src7') " +
+        "OR regexp_matches(source, '^src1[0-2]$'))"),
     "q56_range_join" ->
       ("SELECT i.o_orderkey AS i_key, COUNT(*) AS n FROM orders o JOIN " +
         "(SELECT o_orderkey, o_orderdate AS s, o_orderdate + INTERVAL 7 DAY AS e " +
@@ -1532,6 +1611,41 @@ object SparkEntry {
         "SELECT cohort, CAST(a.day - c.cohort AS BIGINT) AS day_offset, " +
         "COUNT(DISTINCT a.user_id) AS n_users " +
         "FROM a JOIN c USING (user_id) GROUP BY 1, 2"),
+    "q95_group_histogram" ->
+      ("WITH e AS (SELECT event_type, CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS v FROM events), " +
+        "b AS (SELECT event_type, min(v) AS lo, max(v) AS hi FROM e GROUP BY 1) " +
+        "SELECT e.event_type, CASE WHEN b.hi = b.lo THEN CAST(0 AS BIGINT) " +
+        "ELSE least(CAST(floor((e.v - b.lo) * 12 / (b.hi - b.lo)) AS BIGINT), 11) END AS bucket, " +
+        "COUNT(*) AS cnt FROM e JOIN b USING (event_type) GROUP BY 1, 2"),
+    "q98_fuzzy_clusters" ->
+      ("WITH RECURSIVE " +
+        "b AS (SELECT p_partkey AS id, " +
+        "p_name || ' ' || p_brand || ' ' || p_type AS t, " +
+        "p_name || chr(1) || p_brand AS blk FROM part), " +
+        "e0 AS (SELECT a.id AS a, x.id AS b FROM b a JOIN b x " +
+        "ON a.blk = x.blk AND a.id < x.id WHERE levenshtein(a.t, x.t) <= 4), " +
+        "edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0), " +
+        "reach(a, b) AS (SELECT a, b FROM edges " +
+        "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a) " +
+        "SELECT CAST(a AS BIGINT) AS id, CAST(least(a, min(b)) AS BIGINT) AS cluster, " +
+        "a = least(a, min(b)) AS is_keeper FROM reach GROUP BY a"),
+    "q99_decontam_exact" ->
+      ("WITH e AS (SELECT DISTINCT substr(text, 10, 40) AS excerpt " +
+        "FROM documents WHERE doc_id % 97 = 0), " +
+        "f AS (SELECT excerpt FROM e WHERE len(excerpt) = 40) " +
+        "SELECT d.doc_id, COUNT(*) AS n_hits FROM documents d " +
+        "JOIN f ON contains(d.text, f.excerpt) GROUP BY 1"),
+    "q100_distinct_rollup" ->
+      ("SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct " +
+        "FROM events GROUP BY 1"),
+    "q96_impute_multi" ->
+      ("WITH m AS (SELECT " +
+        "CAST(median(CASE WHEN l_discount <> 0.0 THEN l_discount END) AS DOUBLE) AS md, " +
+        "CAST(median(CASE WHEN l_tax <> 0.0 THEN l_tax END) AS DOUBLE) AS mt FROM lineitem) " +
+        "SELECT l_orderkey, l_linenumber, " +
+        "CASE WHEN l_discount <> 0.0 THEN l_discount ELSE m.md END AS discount_i, " +
+        "CASE WHEN l_tax <> 0.0 THEN l_tax ELSE m.mt END AS tax_i " +
+        "FROM lineitem, m"),
     "q84_fuzzy_match" ->
       ("WITH b AS (SELECT p_partkey AS id, " +
         "p_name || ' ' || p_brand || ' ' || p_type AS t, " +

@@ -26,12 +26,31 @@ object Cleaning {
    * pass `approx = true` to use `percentile_approx` (Greenwald-Khanna sketch, one pass,
    * mergeable across partitions).
    */
-  def imputeWithMedian(df: DataFrame, column: String, valid: Column, approx: Boolean = false): DataFrame = {
-    val medExpr = if (approx) percentile_approx(col(column), lit(0.5), lit(10000)) else median(col(column))
-    val med = df.filter(valid).agg(medExpr.cast("double").as("__graft_med"))
-    df.crossJoin(broadcast(med))
-      .withColumn(column, when(valid, col(column)).otherwise(col("__graft_med")))
-      .drop("__graft_med")
+  def imputeWithMedian(df: DataFrame, column: String, valid: Column, approx: Boolean = false): DataFrame =
+    imputeWithMedians(df, Seq(column -> valid), approx)
+
+  /**
+   * Median imputation of N columns in ONE pass (the reference imputes
+   * THREE columns back to back, dag.py:79-81,122-127): every column's
+   * median-of-valid is computed by a single aggregate — aggregates skip
+   * nulls, so `median(when(valid, col))` is the median over exactly the
+   * valid subset, no per-column `filter` scan — broadcast back as one
+   * 1-row bounds frame. Cost is ONE extra scan total, however many
+   * columns are imputed; the per-column form costs one each.
+   */
+  def imputeWithMedians(df: DataFrame, columns: Seq[(String, Column)],
+      approx: Boolean = false): DataFrame = {
+    require(columns.nonEmpty, "imputeWithMedians needs at least one column")
+    val stats = columns.zipWithIndex.map { case ((c, valid), i) =>
+      val v = when(valid, col(c))
+      (if (approx) percentile_approx(v, lit(0.5), lit(10000)) else median(v))
+        .cast("double").as(s"__graft_med_$i")
+    }
+    val meds = df.agg(stats.head, stats.tail: _*)
+    columns.zipWithIndex.foldLeft(df.crossJoin(broadcast(meds))) {
+      case (acc, ((c, valid), i)) =>
+        acc.withColumn(c, when(valid, col(c)).otherwise(col(s"__graft_med_$i")))
+    }.drop(columns.indices.map(i => s"__graft_med_$i"): _*)
   }
 
   /**

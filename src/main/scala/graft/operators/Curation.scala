@@ -17,6 +17,8 @@ object Curation {
 
   /**
    * Score, filter, and dedup a document corpus:
+   *  0. optional source/domain blocklist gate ([[blocklistFilter]]) —
+   *     defaults keep it off, so the base plan is unchanged;
    *  1. language-ID over stopword families, keep `langs`;
    *  2. quality score (token count, stopword ratio, length), keep
    *     >= `minQuality`;
@@ -32,7 +34,49 @@ object Curation {
       minQuality: Double,
       maxTop2GramFrac: Double = 1.0,
       maxDupLineFrac: Double = 1.0,
-      maxSymbolWordRatio: Double = Double.PositiveInfinity): DataFrame = {
+      maxSymbolWordRatio: Double = Double.PositiveInfinity,
+      blockedSources: Seq[String] = Nil,
+      blockedSourcePatterns: Seq[String] = Nil,
+      sourceCol: String = "source"): DataFrame = {
+    // provenance gate first: it's the cheapest predicate (no text math)
+    // and fuses into the same scan, so blocked documents never reach
+    // the scoring expressions
+    val admitted =
+      if (blockedSources.isEmpty && blockedSourcePatterns.isEmpty) df
+      else blocklistFilter(df, sourceCol, blockedSources, blockedSourcePatterns)
+    curateAdmitted(admitted, id, textCol, nCharsCol, stopwords, langs,
+      minQuality, maxTop2GramFrac, maxDupLineFrac, maxSymbolWordRatio)
+  }
+
+  /**
+   * Source/domain blocklist gate — the C4-style cleanup step the line
+   * filter (q69) does not cover: real corpus pipelines always drop
+   * documents from blocklisted domains / URL patterns before any text
+   * processing. `blockedExact` is an exact membership test (a codegen
+   * hash-set probe per row); `blockedPatterns` are RE2-compatible
+   * regexes OR-folded into the same row predicate. Null sources are
+   * dropped too — provenance that cannot be attested cannot be
+   * allowlisted. Pure per-row filter: no shuffle, no join; a blocklist
+   * too large for a literal predicate belongs in a broadcast anti-join
+   * instead.
+   */
+  def blocklistFilter(df: DataFrame, sourceCol: String,
+      blockedExact: Seq[String], blockedPatterns: Seq[String] = Nil): DataFrame = {
+    val src = col(sourceCol)
+    val exactHit =
+      if (blockedExact.nonEmpty) src.isin(blockedExact.map(x => x: Any): _*)
+      else lit(false)
+    val patternHit = blockedPatterns.map(src.rlike).foldLeft(lit(false))(_ || _)
+    df.filter(src.isNotNull && !(exactHit || patternHit))
+  }
+
+  private def curateAdmitted(
+      df: DataFrame, id: String, textCol: String, nCharsCol: String,
+      stopwords: Seq[String], langs: Seq[String],
+      minQuality: Double,
+      maxTop2GramFrac: Double,
+      maxDupLineFrac: Double,
+      maxSymbolWordRatio: Double): DataFrame = {
     val text = col(textCol)
     val toks = TextFns.tokens(text)
     val scored = df.select(
@@ -93,6 +137,23 @@ object Curation {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
+
+  /**
+   * Exact-substring decontamination — the oracle-friendly twin of
+   * [[contaminationFlags]] for benchmark sets small enough to ship as
+   * raw excerpts: flag corpus documents containing ANY excerpt
+   * verbatim, returning (id, n_hits). Winnowing (q60) is the scale
+   * path — position-robust near-verbatim detection over fingerprints;
+   * this variant trades that robustness for semantics any engine
+   * replicates exactly. The join is a broadcast CONTAINS (nested-loop
+   * by construction) — sound only because the excerpt side is tiny
+   * (eval suites are MBs); the corpus side streams through unshuffled
+   * and only matched rows reach the per-doc count.
+   */
+  def containsExcerptFlags(corpus: DataFrame, id: String, text: Column,
+      excerpts: DataFrame, excerptCol: String): DataFrame =
+    corpus.join(broadcast(excerpts), text.contains(col(excerptCol)))
+      .groupBy(col(id)).agg(count(lit(1)).as("n_hits"))
 
   /**
    * TF-IDF top-k terms per document — the classic two-level

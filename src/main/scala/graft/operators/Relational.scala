@@ -327,24 +327,53 @@ object Relational {
   }
 
   /**
+   * EXACT distinct-state partials — the precise twin of [[hllPartials]]
+   * for grains whose member sets are bounded: store the per-fine-grain
+   * DISTINCT members as (keys..., member) rows. Linear in the true
+   * distinct count, mergeable by union, and re-aggregable to any
+   * coarser grain without rescanning the fact table ([[
+   * exactDistinctRollup]]); the sketch path trades this exactness for
+   * fixed-size state when member sets are unbounded.
+   */
+  def distinctPartials(df: DataFrame, keys: Seq[String], column: String): DataFrame =
+    df.select((keys :+ column).map(col): _*).distinct()
+
+  /** Roll exact distinct partials up to a coarser grain: re-distinct on
+   *  the coarse key (members appear once per fine grain they were seen
+   *  in) and count — identical to a direct COUNT(DISTINCT) over the
+   *  fact table, by construction. */
+  def exactDistinctRollup(partials: DataFrame, keys: Seq[String], column: String): DataFrame = {
+    val members = partials.select((keys :+ column).map(col): _*).distinct()
+    if (keys.isEmpty) members.agg(count(lit(1)).as("n_distinct"))
+    else members.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_distinct"))
+  }
+
+  /**
    * Equi-width histogram: `n` equal-width buckets spanning the observed
-   * [min, max], returning (bucket, count). The bucket arithmetic is a
+   * [min, max], returning (keys..., bucket, count). With `keys` the
+   * bounds are PER GROUP (the reference notebook's per-UF hour
+   * distributions, Análise.ipynb) — a tiny per-group [min, max] frame
+   * joined back by key via [[Features.withGroupBounds]]; without keys a
+   * single global bounds row is broadcast. The bucket arithmetic is a
    * fixed sequence of IEEE double ops — ((v - lo) * n) / (hi - lo),
    * floored, clamped — so any engine reproduces the same buckets from
-   * the same data. Two light shuffles: the two-value bounds aggregate
-   * (broadcast back) and the final per-bucket count; the data itself
-   * never shuffles un-aggregated — the per-bucket count is map-side
-   * combined into at most `n` partials per task.
+   * the same data. Two light shuffles: the bounds aggregate (broadcast
+   * back) and the final per-bucket count; the data itself never
+   * shuffles un-aggregated — the per-bucket count is map-side combined
+   * into at most groups·`n` partials per task.
    */
-  def histogram(df: DataFrame, column: String, n: Int): DataFrame = {
+  def histogram(df: DataFrame, column: String, n: Int,
+      keys: Seq[String] = Nil): DataFrame = {
     require(n > 0, "histogram needs a positive bucket count")
     val v = col(column)
-    val bounds = df.agg(min(v).as("__glo"), max(v).as("__ghi"))
-    df.crossJoin(broadcast(bounds))
-      .withColumn("bucket",
-        when(col("__ghi") === col("__glo"), 0L)
-          .otherwise(least(floor((v - col("__glo")) * n / (col("__ghi") - col("__glo"))), lit(n - 1L))))
-      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    Features.withGroupBounds(df, keys,
+      Seq(min(v).as("__glo"), max(v).as("__ghi"))) { joined =>
+      joined
+        .withColumn("bucket",
+          when(col("__ghi") === col("__glo"), 0L)
+            .otherwise(least(floor((v - col("__glo")) * n / (col("__ghi") - col("__glo"))), lit(n - 1L))))
+        .groupBy((keys :+ "bucket").map(col): _*).agg(count(lit(1)).as("cnt"))
+    }
   }
 
   /**

@@ -23,6 +23,23 @@ class CleaningSpec extends SparkSpec {
     assert(out.subsetOf(Set(10.0, 20.0, 30.0)))
   }
 
+  test("imputeWithMedians imputes N columns from one aggregate, matching per-column runs") {
+    val d2 = Seq(
+      (1L, 10.0, 1.0), (2L, 20.0, 2.0), (3L, 30.0, 3.0),
+      (4L, -1.0, -9.0), (5L, 0.0, 4.0),
+    ).toDF("id", "a", "b")
+    val both = Cleaning.imputeWithMedians(d2,
+      Seq("a" -> (col("a") > 0), "b" -> (col("b") > 0)))
+    val seq2 = Cleaning.imputeWithMedian(
+      Cleaning.imputeWithMedian(d2, "a", col("a") > 0), "b", col("b") > 0)
+    assert(both.orderBy("id").collect().toSeq == seq2.orderBy("id").collect().toSeq)
+    // one-pass claim: the source is scanned exactly twice (the medians
+    // aggregate + the main projection), independent of column count
+    val scans = both.queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("LocalTableScan"))
+    assert(scans == 2, s"expected 2 scans, plan had $scans")
+  }
+
   test("fillSentinel fills nulls by default and custom-invalid when given") {
     val withNull = Seq((1L, Some(5.0)), (2L, None)).toDF("id", "v")
     val filled = Cleaning.fillSentinel(withNull, "v", -1.0)

@@ -25,6 +25,48 @@ class CurationSpec extends SparkSpec {
     assert(out.forall(_.getDouble(2) >= 0.1))
   }
 
+  test("blocklistFilter drops exact sources, pattern hits, and null provenance") {
+    val docs = Seq(
+      (0L, Some("goodsite")), (1L, Some("badsite")),
+      (2L, Some("spam01")), (3L, Some("spam99")),
+      (4L, None), (5L, Some("spamless")), // "spamless" must NOT match ^spam[0-9]+$
+    ).toDF("doc_id", "source")
+    val kept = Curation.blocklistFilter(docs, "source",
+        blockedExact = Seq("badsite"), blockedPatterns = Seq("^spam[0-9]+$"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 5L))
+    // exact-only form keeps pattern-shaped sources
+    val exactOnly = Curation.blocklistFilter(docs, "source", Seq("badsite"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(exactOnly == Set(0L, 2L, 3L, 5L))
+  }
+
+  test("curate with a blocklist gates documents before scoring") {
+    val docs = Seq(
+      (0L, "the quick fox is a friend of the lazy dog and more", 50, "ok"),
+      (1L, "the quick fox is a friend of the lazy dog and more", 50, "blocked"),
+      (2L, "the slow fox is a friend of the lazy dog and more", 49, "ok"),
+    ).toDF("doc_id", "text", "n_chars", "source")
+    val out = Curation.curate(docs, "doc_id", "text", "n_chars",
+        stopwords = en, langs = Seq("en"), minQuality = 0.1,
+        blockedSources = Seq("blocked"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(0L, 2L)) // doc 1 gated by source, not by dedup
+  }
+
+  test("containsExcerptFlags counts verbatim excerpt hits per document") {
+    val docs = Seq(
+      (0L, "nothing to see here at all"),
+      (1L, "the SECRET PASSAGE hides in plain sight"),
+      (2L, "both the SECRET PASSAGE and the HIDDEN DOOR appear"),
+      (3L, "secret passage in lowercase must not match"),
+    ).toDF("doc_id", "text")
+    val excerpts = Seq("SECRET PASSAGE", "HIDDEN DOOR").toDF("excerpt")
+    val out = Curation.containsExcerptFlags(docs, "doc_id", col("text"), excerpts, "excerpt")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L))
+  }
+
   test("curate quality threshold drops low-quality docs") {
     val docs = Seq(
       (0L, "the of a", 8),                       // 3 tokens, tiny -> low quality

@@ -256,6 +256,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((2L, 3L, 1L))) // the null-key row just sits out
   }
 
+  test("fuzzy pairs resolve transitively through dedupClusters (record-linkage capstone)") {
+    val df = Seq(
+      (1L, "kettle black"), (2L, "kettle blank"), (3L, "kettle blanc"),
+      (9L, "teapot white"), // no pairs -> absent from the cluster output
+    ).toDF("id", "text")
+    val pairs = Dedup.editDistancePairs(df, "id", "text",
+      blockKey = element_at(split(col("text"), " "), 1), maxDist = 2)
+    // 1~2 (1 edit), 2~3 (1 edit), 1~3 (2 edits): one chain, keeper = 1
+    val clusters = Dedup.dedupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(clusters == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false)))
+  }
+
   test("editDistancePairs sub-blocks oversized blocks, never drops them (all-pairs parity)") {
     // one hot block (12 rows > maxBlockSize 5) with lengths spanning
     // several length bands — incl. pairs straddling a band boundary —

@@ -164,6 +164,22 @@ class RelationalSpec extends SparkSpec {
     assert(again == fromPartials, "rollup is layout-independent")
   }
 
+  test("exact distinct rollup of partials == direct COUNT(DISTINCT), any layout") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 2000).map { _ =>
+      (s"t${rnd.nextInt(3)}", rnd.nextInt(30), rnd.nextInt(200))
+    }.toDF("typ", "day", "user")
+    val partials = Relational.distinctPartials(df.repartition(7), Seq("typ", "day"), "user")
+    val rolled = Relational.exactDistinctRollup(partials, Seq("typ"), "user")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = df.groupBy("typ").agg(countDistinct(col("user")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rolled == direct)
+    // global grain from the same partials
+    val global = Relational.exactDistinctRollup(partials, Nil, "user").head.getLong(0)
+    assert(global == df.select("user").distinct().count())
+  }
+
   test("histogram buckets span [min,max]; edge values clamp into the last bucket") {
     val df = (0 to 100).map(_.toDouble).toDF("v")
     val out = Relational.histogram(df, "v", 10)
@@ -172,6 +188,22 @@ class RelationalSpec extends SparkSpec {
     assert(out == (0L to 9L).map(b => b -> (if (b == 9) 11L else 10L)).toMap)
     val flat = Seq(5.0, 5.0, 5.0).toDF("v")
     assert(Relational.histogram(flat, "v", 10).collect().toSeq.map(r => (r.getLong(0), r.getLong(1))) == Seq((0L, 3L)))
+  }
+
+  test("grouped histogram uses per-group bounds, not global ones") {
+    // group a spans [0,10], group b spans [100,300]: with GLOBAL bounds
+    // every a-row would land in bucket 0; per-group bounds spread both
+    val df = Seq(
+      ("a", 0.0), ("a", 5.0), ("a", 10.0),
+      ("b", 100.0), ("b", 200.0), ("b", 300.0), ("b", 300.0),
+      ("c", 7.0), ("c", 7.0), // degenerate group: hi == lo -> bucket 0
+    ).toDF("g", "v")
+    val out = Relational.histogram(df, "v", 2, keys = Seq("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("a", 0L) -> 1L, ("a", 1L) -> 2L,          // 0 | 5 (edge), 10 (clamped)
+      ("b", 0L) -> 1L, ("b", 1L) -> 3L,          // 100 | 200,300,300
+      ("c", 0L) -> 2L))
   }
 
   test("movingAvg frame sum is partition-order independent (exact decimal)") {

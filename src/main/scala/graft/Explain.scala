@@ -14,7 +14,7 @@ import org.apache.spark.sql.execution.FormattedMode
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val spark = SparkSession.builder()
+    val spark = graft.sources.Tables.configure(SparkSession.builder())
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.adaptive.enabled", "true")

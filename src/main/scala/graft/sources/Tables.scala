@@ -15,23 +15,20 @@ import org.apache.spark.sql.types.StructType
 final case class Tables(spark: SparkSession, dir: String) {
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
-  // Catalog-level session requirement, applied once at construction (NOT
-  // inside a table accessor — a getter that mutates session state
-  // surprises any second consumer of the session): the events table
-  // carries nanosecond parquet timestamps, which Spark's vectorized
-  // reader rejects unless `nanosAsLong` maps them to raw int64 at schema
-  // conversion. The conf must outlive the read (execution consults it
-  // again), so it cannot be save/restore-scoped around the accessor.
-  spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
   /**
    * The events table carries nanosecond parquet timestamps, which Spark's
    * vectorized reader rejects. Read them as raw int64 nanos
-   * (`nanosAsLong`, set at catalog construction) and truncate to a proper
-   * microsecond TimestampType — the same ns→µs truncation DuckDB and
-   * Arrow apply.
+   * (`nanosAsLong`, a session conf — see [[Tables.configure]]) and
+   * truncate to a proper microsecond TimestampType — the same ns→µs
+   * truncation DuckDB and Arrow apply.
    */
   private def withNanoTimestamp(name: String, tsCols: String*): DataFrame = {
+    // fail actionably BEFORE the read: without the conf, schema
+    // conversion rejects the file with an opaque vectorized-reader error
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      s"table '$name' has nanosecond timestamps; build the session via " +
+        "graft.sources.Tables.configure(builder) (or set " +
+        "spark.sql.legacy.parquet.nanosAsLong=true) before reading it")
     val df = table(name)
     tsCols.foldLeft(df) { (d, c) =>
       d.schema(c).dataType match {
@@ -52,6 +49,19 @@ final case class Tables(spark: SparkSession, dir: String) {
   def events: DataFrame    = withNanoTimestamp("events", "ts")
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
+}
+
+object Tables {
+  /** Session confs the catalog's tables require. Applied at session BUILD
+   *  time via [[configure]] — constructing a `Tables` has no side
+   *  effects, so a second consumer of a shared session is never
+   *  surprised by a conf it didn't set. */
+  val requiredConfs: Map[String, String] =
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  /** Apply every catalog-required conf to a session builder. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    requiredConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
 }
 
 /**

@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** One JVM-wide session shared by every suite (forked test JVM). */
 object SparkTestSession {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
+    val s = graft.sources.Tables.configure(SparkSession.builder())
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -302,6 +302,30 @@ class DedupSpec extends SparkSpec {
     assert(want.contains((11L, 12L, 1L)))
   }
 
+  test("editDistancePairs random-data parity with brute force (small alphabet, mixed block sizes)") {
+    // 3 blocks of ~40 rows each (all > maxBlockSize 10), texts over a
+    // 3-letter alphabet with lengths 3-14 -> dense near-matches across
+    // several length bands; parity against the unblocked per-block
+    // brute force must be exact
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 120L).map { i =>
+      val text = (1 to (3 + rnd.nextInt(12))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      (i, s"k${rnd.nextInt(3)}", text)
+    }
+    val df = rows.toDF("id", "blk", "text")
+    val got = Dedup.editDistancePairs(df, "id", "text",
+        blockKey = col("blk"), maxDist = 2, maxBlockSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = df.select(col("blk"), col("id").as("ia"), col("text").as("ta"))
+    val b = df.select(col("blk"), col("id").as("ib"), col("text").as("tb"))
+    val want = a.join(b, "blk").filter(col("ia") < col("ib"))
+      .withColumn("d", levenshtein(col("ta"), col("tb")))
+      .filter(col("d") <= 2)
+      .collect().map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib"), r.getAs[Int]("d").toLong))
+      .toSet
+    assert(want.nonEmpty && got == want)
+  }
+
   test("editDistancePairs: uniform-length oversized block still compares in full") {
     // all texts in one band -> sub-blocking cannot shrink the block;
     // pairs must still come back (the old policy returned zero here)

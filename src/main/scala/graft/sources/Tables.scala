@@ -101,6 +101,25 @@ object Sources {
   }
 
   /**
+   * ORC reader — the other columnar interchange format warehouses
+   * standardize on. Spark's native ORC source honors the same
+   * pushdown/pruning contract as parquet (predicates and column
+   * selection reach the reader; directory partitions prune), so every
+   * graft operator is format-agnostic over it.
+   */
+  def orc(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).orc(path)
+  }
+
+  /** ORC writer with optional directory partitioning (same partition
+   *  pruning semantics as the parquet layout the catalog reads). */
+  def writeOrc(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).orc(path)
+  }
+
+  /**
    * Bucketed table write: pre-partitions (and optionally sorts) the data
    * by the join/aggregation key at write time, so later equi-joins and
    * group-bys between tables bucketed on the same key run with ZERO

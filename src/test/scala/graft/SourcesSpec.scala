@@ -63,6 +63,20 @@ class SourcesSpec extends SparkSpec {
     assert(!scan.contains("year=2020") || scan.contains("PartitionFilters"))
   }
 
+  test("orc round-trips with partitioning and predicate pushdown") {
+    val dir = Files.createTempDirectory("graft_orc").resolve("t").toString
+    val df = Seq((1, "a", 2020), (2, "b", 2020), (3, "c", 2021)).toDF("id", "v", "year")
+    Sources.writeOrc(df, dir, partitionCols = Seq("year"))
+    val back = Sources.orc(spark, dir)
+    assert(back.count() == 3)
+    assert(back.filter(col("year") === 2021).select("id").as[Int].collect().toSeq == Seq(3))
+    // the same pushdown contract as parquet: the id predicate reaches
+    // the ORC scan instead of filtering post-read
+    val plan = back.filter(col("id") === 2).queryExecution.executedPlan
+      .collectLeaves().head.toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"), plan)
+  }
+
   test("csv write round-trips with the reference dialect") {
     val dir = Files.createTempDirectory("graft_csvw").resolve("out").toString
     Seq((1, "x;y"), (2, "plain")).toDF("id", "v")

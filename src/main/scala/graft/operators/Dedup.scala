@@ -489,10 +489,15 @@ object Dedup {
       ba.join(bb, Seq("__gblk", "__gband")).filter(col("id_a") < col("id_b")))
     // adjacent bands: band b vs band b+1 — the two sides are disjoint
     // row sets, so no id_a<id_b filter (it would drop pairs whose id
-    // order opposes the band order); normalize the id order instead
+    // order opposes the band order); normalize the id order instead.
+    // The explicit inequality mirrors the strict `<` of the same-band
+    // paths: two ROWS sharing one id value (duplicate ids in merged
+    // sources) must not surface as a degenerate (x, x) self-pair here
+    // when the other paths would drop them
     val adjPairs = compare(
       ba.withColumn("__gband", col("__gband") + 1)
-        .join(bb, Seq("__gblk", "__gband")))
+        .join(bb, Seq("__gblk", "__gband"))
+        .filter(col("id_a") =!= col("id_b")))
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
 

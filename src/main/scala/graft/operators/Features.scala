@@ -18,11 +18,16 @@ object Features {
 
   /**
    * Shared scaffold for bounds-frame operators ([[zscore]],
-   * [[minmaxScale]], [[Cleaning.winsorize]]): aggregate `stats` to one
-   * row per group, broadcast the tiny bounds frame back onto `df`, hand
-   * the joined frame to `post`, and drop the stat columns. The big
-   * table never shuffles — the only exchange is the aggregate's own
-   * partial/final pair.
+   * [[minmaxScale]], [[Cleaning.winsorize]], grouped histogram):
+   * aggregate `stats` to one row per group, broadcast the tiny bounds
+   * frame back onto `df`, hand the joined frame to `post`, and drop the
+   * stat columns. The big table never shuffles — the only exchange is
+   * the aggregate's own partial/final pair.
+   *
+   * The bounds join is NULL-SAFE (`<=>`): groupBy treats null as a
+   * group, so rows with a null key must rejoin their own bounds row
+   * rather than silently vanish through a null-rejecting equi-join —
+   * every input row appears in the output, matching the keyless path.
    */
   private[operators] def withGroupBounds(
       df: DataFrame, keys: Seq[String], stats: Seq[Column])(
@@ -32,7 +37,13 @@ object Features {
       else df.groupBy(keys.map(col): _*).agg(stats.head, stats.tail: _*)
     val joined =
       if (keys.isEmpty) df.crossJoin(broadcast(bounds))
-      else df.join(broadcast(bounds), keys)
+      else {
+        // rename the bounds-side keys before joining: both sides descend
+        // from `df`, so a df(k)/bounds(k) condition would be ambiguous
+        val renamed = keys.foldLeft(bounds)((b, k) => b.withColumnRenamed(k, s"__gbk_$k"))
+        val cond = keys.map(k => col(k) <=> col(s"__gbk_$k")).reduce(_ && _)
+        df.join(broadcast(renamed), cond).drop(keys.map(k => s"__gbk_$k"): _*)
+      }
     post(joined).drop(bounds.columns.filterNot(keys.contains).toIndexedSeq: _*)
   }
 

@@ -326,6 +326,18 @@ class DedupSpec extends SparkSpec {
     assert(want.nonEmpty && got == want)
   }
 
+  test("editDistancePairs never emits self-pairs for duplicate ids across adjacent bands") {
+    // two ROWS share id 1 with texts in adjacent length bands; the
+    // strict < of the same-band paths must be mirrored by the adjacent
+    // join, or (1, 1) would surface as a degenerate self-pair
+    val df = Seq((1L, "aa"), (1L, "aaab"), (2L, "aaa")).toDF("id", "text")
+    val pairs = Dedup.editDistancePairs(df, "id", "text",
+        blockKey = lit("hot"), maxDist = 3, maxBlockSize = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.forall { case (a, b, _) => a != b })
+    assert(pairs == Set((1L, 2L, 1L)))
+  }
+
   test("editDistancePairs: uniform-length oversized block still compares in full") {
     // all texts in one band -> sub-blocking cannot shrink the block;
     // pairs must still come back (the old policy returned zero here)

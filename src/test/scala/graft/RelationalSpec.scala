@@ -206,6 +206,19 @@ class RelationalSpec extends SparkSpec {
       ("c", 0L) -> 2L))
   }
 
+  test("grouped histogram keeps null-key rows (null-safe bounds join)") {
+    // groupBy treats null as a group; the bounds join must too, or the
+    // null-key rows silently vanish from the output
+    val df = Seq((Option("a"), 1.0), (Option("a"), 3.0),
+      (Option.empty[String], 10.0), (Option.empty[String], 30.0)).toDF("g", "v")
+    val out = Relational.histogram(df, "v", 2, keys = Seq("g"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (Some("a"), 0L) -> 1L, (Some("a"), 1L) -> 1L,
+      (None, 0L) -> 1L, (None, 1L) -> 1L))
+    assert(out.values.sum == 4L) // every input row is represented
+  }
+
   test("movingAvg frame sum is partition-order independent (exact decimal)") {
     val rnd = new scala.util.Random(3)
     val df = (1 to 500).map(i => (i % 5, i, rnd.nextInt(100000) / 100.0)).toDF("k", "t", "v")

@@ -968,6 +968,13 @@ object SparkEntry {
     Relational.exactDistinctRollup(partials, Seq("event_type"), "user_id")
   }
 
+  /** #101 overlapping document chunking (RAG/embedding prep): 400-char
+   *  windows advancing by 350, so consecutive chunks share 50 chars of
+   *  context. Pure per-row explode — zero shuffle. */
+  private def q101ChunkDocs(s: SparkSession, dir: String): DataFrame =
+    Features.chunkDocuments(t(s, dir).documents, "doc_id", "text",
+      chunkChars = 400, overlapChars = 50)
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1071,6 +1078,7 @@ object SparkEntry {
     "q98_fuzzy_clusters"    -> (q98FuzzyClusters _),
     "q99_decontam_exact"    -> (q99DecontamExact _),
     "q100_distinct_rollup"  -> (q100DistinctRollup _),
+    "q101_chunk_docs"       -> (q101ChunkDocs _),
   )
 
   private val monthCaseSql: String =
@@ -1638,6 +1646,11 @@ object SparkEntry {
     "q100_distinct_rollup" ->
       ("SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct " +
         "FROM events GROUP BY 1"),
+    "q101_chunk_docs" ->
+      ("WITH g AS (SELECT doc_id, text, " +
+        "unnest(generate_series(0, len(text)-1, 350)) AS gs FROM documents) " +
+        "SELECT doc_id, CAST(gs AS BIGINT) AS chunk_start, " +
+        "substr(text, CAST(gs AS INT)+1, 400) AS chunk FROM g"),
     "q96_impute_multi" ->
       ("WITH m AS (SELECT " +
         "CAST(median(CASE WHEN l_discount <> 0.0 THEN l_discount END) AS DOUBLE) AS md, " +

@@ -176,4 +176,35 @@ object Features {
         (col("__glo") - col("__gchunk")).as("seq_off"),
         (col("__ghi") - col("__glo")).as("len"))
   }
+
+  /**
+   * Overlapping document chunking — the RAG/embedding-pipeline prep
+   * step: slice each document into `chunkChars`-character windows whose
+   * starts advance by `chunkChars - overlapChars`, so consecutive
+   * chunks share `overlapChars` characters of context. Returns
+   * (id, chunk_start, chunk); the final chunk may be shorter; empty
+   * documents produce no chunks.
+   *
+   * Unlike [[packSequences]] (a GLOBAL stream cut needing a prefix
+   * sum), chunking is per-row: one `sequence` + `explode`, no shuffle
+   * at all — each document fans out into at most len/step + 1 rows on
+   * its own partition. Char-based (`substr` semantics identical across
+   * engines); a token-budget variant is `packSequences`.
+   */
+  def chunkDocuments(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkChars: Int, overlapChars: Int): DataFrame = {
+    require(chunkChars > 0, "chunkDocuments needs a positive chunk size")
+    require(overlapChars >= 0 && overlapChars < chunkChars,
+      "overlap must be in [0, chunkChars)")
+    val step = chunkChars - overlapChars
+    val text = col(textCol)
+    df.filter(length(text) > 0) // sequence(0, -1) is an ANSI error
+      .select(col(idCol),
+        explode(sequence(lit(0), length(text) - 1, lit(step))).as("chunk_start"),
+        text)
+      .select(col(idCol),
+        col("chunk_start").cast("long").as("chunk_start"),
+        text.substr(col("chunk_start") + 1, lit(chunkChars)).as("chunk"))
+  }
 }

@@ -71,15 +71,24 @@ object EventStreams {
    * needs a streaming twin: batch keep-first becomes a fingerprint
    * dedup within the watermark horizon (bounded state; an exact global
    * dedup over an unbounded stream is impossible with finite state, so
-   * the horizon IS the contract).
+   * the horizon IS the contract). The source blocklist
+   * ([[graft.operators.Curation.blocklistFilter]]) is likewise a
+   * stateless per-row gate, so batch and stream share it verbatim.
    */
   def curatedIntake(
       docs: DataFrame, idCol: String, tsCol: String, textCol: String,
       stopwords: Seq[String], langs: Seq[String], minQuality: Double,
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour",
+      blockedSources: Seq[String] = Nil,
+      blockedSourcePatterns: Seq[String] = Nil,
+      sourceCol: String = "source"): DataFrame = {
+    val admitted =
+      if (blockedSources.isEmpty && blockedSourcePatterns.isEmpty) docs
+      else graft.operators.Curation.blocklistFilter(
+        docs, sourceCol, blockedSources, blockedSourcePatterns)
     val text = col(textCol)
     val toks = graft.functions.TextFns.tokens(text)
-    docs.withWatermark(tsCol, watermark)
+    admitted.withWatermark(tsCol, watermark)
       .select(col(idCol), col(tsCol), text,
         graft.functions.TextFns.langId(toks).as("lang"),
         graft.functions.TextFns.qualityScore(

@@ -82,6 +82,30 @@ class FeaturesSpec extends SparkSpec {
     assert(kept == keptBig)
   }
 
+  test("chunkDocuments: coverage, overlap, tail clamp, empty docs dropped") {
+    val docs = Seq(
+      (0L, "abcdefghijklmnop"),   // 16 chars
+      (1L, "xy"),                 // shorter than one chunk
+      (2L, ""),                   // no chunks
+    ).toDF("doc_id", "text")
+    val out = Features.chunkDocuments(docs, "doc_id", "text", chunkChars = 6, overlapChars = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    // starts advance by step = 4; every chunk is 6 chars except the tail
+    assert(byDoc(0L) == Seq((0L, 0L, "abcdef"), (0L, 4L, "efghij"),
+      (0L, 8L, "ijklmn"), (0L, 12L, "mnop")))
+    // consecutive chunks share exactly overlap chars
+    byDoc(0L).sliding(2).foreach { case Seq((_, _, a), (_, s1, b)) =>
+      assert(a.drop(4) == b.take(a.length - 4))
+    case _ => }
+    assert(byDoc(1L) == Seq((1L, 0L, "xy")))
+    assert(!byDoc.contains(2L))
+    // dropping each chunk's leading overlap (after the first) rebuilds the doc
+    val rebuilt = byDoc(0L).zipWithIndex.map { case ((_, _, c), i) =>
+      if (i == 0) c else c.drop(2) }.mkString
+    assert(rebuilt == "abcdefghijklmnop")
+  }
+
   test("packSequences covers every document exactly, in order, within budget") {
     val docs = Seq((1L, 3L), (2L, 10L), (3L, 4L), (4L, 7L), (5L, 1L), (6L, 0L))
       .toDF("doc_id", "tok")

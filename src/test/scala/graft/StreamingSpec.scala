@@ -275,4 +275,25 @@ class StreamingSpec extends SparkSpec {
     assert(kept.size == 1 && kept.subsetOf(Set(0L, 1L)),
       s"one curated survivor from the dup pair expected, got $kept")
   }
+
+  test("curatedIntake applies the source blocklist gate on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Timestamp, String, String)]
+    val good = "the quick fox is a friend of the lazy dog and more"
+    val alsoGood = "the slow fox is a friend of the lazy dog and more"
+    mem.addData(
+      (0L, ts("2024-01-01 10:00:00"), good, "ok"),
+      (1L, ts("2024-01-01 10:01:00"), alsoGood, "blocked"),
+      (2L, ts("2024-01-01 10:02:00"), alsoGood, "spam07"))
+    val q = EventStreams.curatedIntake(
+        mem.toDF().toDF("doc_id", "ts", "text", "source"), "doc_id", "ts", "text",
+        stopwords = Seq("the", "a", "of", "and", "is"),
+        langs = Seq("en"), minQuality = 0.1, watermark = "10 minutes",
+        blockedSources = Seq("blocked"), blockedSourcePatterns = Seq("^spam[0-9]+$"))
+      .writeStream.format("memory").queryName("intake_bl").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("intake_bl").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L), s"blocked/spam sources must be gated, got $kept")
+  }
 }

@@ -26,6 +26,16 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(salted == direct)
   }
 
+  test("chunkDocuments plans with zero exchanges (pure per-row fan-out)") {
+    val docs = Seq((1L, "a" * 100), (2L, "b" * 10)).toDF("doc_id", "text")
+    val out = graft.operators.Features.chunkDocuments(docs, "doc_id", "text", 30, 5)
+    val shuffles = collect(out.queryExecution.executedPlan) {
+      case s: ShuffleExchangeLike => s
+    }
+    assert(shuffles.isEmpty, s"chunking must not shuffle, found $shuffles")
+    assert(out.count() == 4 + 1)
+  }
+
   test("saltedJoin is row-identical to the plain join on skewed keys") {
     // 90% of the big side shares one key; small side has duplicate keys
     // so replication must not multiply matches

@@ -975,6 +975,22 @@ object SparkEntry {
     Features.chunkDocuments(t(s, dir).documents, "doc_id", "text",
       chunkChars = 400, overlapChars = 50)
 
+  /** #102 deterministic per-source cap: at most 10 documents per
+   *  source, ranked by each doc's id hash — per-source balancing with
+   *  no RNG; WindowGroupLimit prunes to k rows per (task, group)
+   *  before the exchange. */
+  private def q102GroupSample(s: SparkSession, dir: String): DataFrame =
+    Features.sampleKPerGroup(
+      t(s, dir).documents.select("doc_id", "source"), Seq("source"), "doc_id", 10)
+
+  /** #103 deterministic train/val/test split (80/10/10): a row's label
+   *  comes from its own id hash, so the split is engine-portable and
+   *  stable under corpus growth — documents never migrate between
+   *  splits as data is added. */
+  private def q103HashSplit(s: SparkSession, dir: String): DataFrame =
+    Features.hashSplit(t(s, dir).documents.select("doc_id"), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1079,6 +1095,8 @@ object SparkEntry {
     "q99_decontam_exact"    -> (q99DecontamExact _),
     "q100_distinct_rollup"  -> (q100DistinctRollup _),
     "q101_chunk_docs"       -> (q101ChunkDocs _),
+    "q102_group_sample"     -> (q102GroupSample _),
+    "q103_hash_split"       -> (q103HashSplit _),
   )
 
   private val monthCaseSql: String =
@@ -1651,6 +1669,19 @@ object SparkEntry {
         "unnest(generate_series(0, len(text)-1, 350)) AS gs FROM documents) " +
         "SELECT doc_id, CAST(gs AS BIGINT) AS chunk_start, " +
         "substr(text, CAST(gs AS INT)+1, 400) AS chunk FROM g"),
+    "q102_group_sample" ->
+      ("SELECT doc_id, source FROM (SELECT doc_id, source, " +
+        "ROW_NUMBER() OVER (PARTITION BY source " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) " +
+        "WHERE rn <= 10"),
+    "q103_hash_split" ->
+      // thresholds computed by the SAME cumulative-double arithmetic as
+      // Features.hashSplit, so both engines compare identical literals
+      (s"SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < " +
+        s"'${graft.operators.Features.weightThresholdHex(0.8)}' THEN 'train' " +
+        s"WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < " +
+        s"'${graft.operators.Features.weightThresholdHex(0.8 + 0.1)}' THEN 'val' " +
+        "ELSE 'test' END AS split FROM documents"),
     "q96_impute_multi" ->
       ("WITH m AS (SELECT " +
         "CAST(median(CASE WHEN l_discount <> 0.0 THEN l_discount END) AS DOUBLE) AS md, " +

@@ -178,6 +178,53 @@ object Features {
   }
 
   /**
+   * Deterministic k-per-group cap (per-source balancing — "at most k
+   * documents from each source"): rank each group's rows by the md5 of
+   * their id (id itself as the total tie-break) and keep the first k.
+   * A uniform-without-replacement sample that any engine reproduces
+   * from the same data — no RNG, no seed plumbing. One shuffle (the
+   * group window); WindowGroupLimit prunes to ≤ k rows per group
+   * map-side before the exchange, so the shuffle moves caps, not
+   * groups.
+   */
+  def sampleKPerGroup(
+      df: DataFrame, keys: Seq[String], idCol: String, k: Int): DataFrame = {
+    require(k > 0, "sampleKPerGroup needs a positive k")
+    val order = Seq(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__grank", row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy(order: _*)))
+      .filter(col("__grank") <= k)
+      .drop("__grank")
+  }
+
+  /**
+   * Deterministic train/val/test split: a row's label is decided by
+   * the md5 of its OWN id against cumulative fraction thresholds
+   * ([[weightThresholdHex]]), so the assignment is reproducible on any
+   * engine/partitioning AND stable under corpus growth — a document
+   * never migrates between splits as data is added, the property that
+   * keeps eval sets honest across dataset versions. Pure per-row CASE:
+   * no shuffle, no join. The last split absorbs hash-rounding
+   * remainder (its threshold is the open upper bound).
+   */
+  def hashSplit(
+      df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+      out: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "hashSplit needs at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val h = md5(col(idCol).cast("string")).substr(1, 8)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val labeled = splits.init.zip(cum.init).foldLeft(Option.empty[Column]) {
+      case (acc, ((label, _), c)) =>
+        val cond = h < lit(weightThresholdHex(c))
+        Some(acc.fold(when(cond, label))(_.when(cond, label)))
+    }
+    val expr = labeled.fold(lit(splits.last._1))(_.otherwise(splits.last._1))
+    df.withColumn(out, expr)
+  }
+
+  /**
    * Overlapping document chunking — the RAG/embedding-pipeline prep
    * step: slice each document into `chunkChars`-character windows whose
    * starts advance by `chunkChars - overlapChars`, so consecutive

@@ -82,6 +82,35 @@ class FeaturesSpec extends SparkSpec {
     assert(kept == keptBig)
   }
 
+  test("sampleKPerGroup caps each group at k, identically on any layout") {
+    val df = (1L to 200L).map(i => (s"s${i % 5}", i)).toDF("src", "id")
+    val a = Features.sampleKPerGroup(df, Seq("src"), "id", 7)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a.groupBy(_._1).values.forall(_.size == 7))
+    val b = Features.sampleKPerGroup(df.repartition(13), Seq("src"), "id", 7)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b)
+    // a group smaller than k survives whole
+    val tiny = Features.sampleKPerGroup(
+      Seq(("only", 1L), ("only", 2L)).toDF("src", "id"), Seq("src"), "id", 7)
+    assert(tiny.count() == 2)
+  }
+
+  test("hashSplit: fractions near targets, labels stable under corpus growth") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Features.hashSplit((1L to 2000L).toDF("id"), "id", splits)
+    val frac = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(frac("train") / 2000.0 - 0.8) < 0.05, frac.toString)
+    assert(math.abs(frac("val") / 2000.0 - 0.1) < 0.03, frac.toString)
+    assert(math.abs(frac("test") / 2000.0 - 0.1) < 0.03, frac.toString)
+    // growth stability: rows 1-1000 keep their labels when 1000 more arrive
+    val small = Features.hashSplit((1L to 1000L).toDF("id"), "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val big = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(small.forall { case (k, v) => big(k) == v })
+  }
+
   test("chunkDocuments: coverage, overlap, tail clamp, empty docs dropped") {
     val docs = Seq(
       (0L, "abcdefghijklmnop"),   // 16 chars

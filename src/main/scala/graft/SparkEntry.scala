@@ -991,6 +991,17 @@ object SparkEntry {
     Features.hashSplit(t(s, dir).documents.select("doc_id"), "doc_id",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
 
+  /** #104 one-scan correlation matrix over three measures (quantity
+   *  normalized to ≤ 1 so decimal→double products stay below 2^53
+   *  scaled units — the q41 invariant). Every moment from ONE
+   *  aggregate; the pair rows unfold from the single 1-row frame. */
+  private def q104CorrMatrix(s: SparkSession, dir: String): DataFrame =
+    Relational.corrMatrix(
+      t(s, dir).lineitem.select(
+        col("l_discount").as("disc"), col("l_tax").as("tax"),
+        (col("l_quantity") / 50).as("qn")),
+      Seq("disc", "tax", "qn"))
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1097,6 +1108,7 @@ object SparkEntry {
     "q101_chunk_docs"       -> (q101ChunkDocs _),
     "q102_group_sample"     -> (q102GroupSample _),
     "q103_hash_split"       -> (q103HashSplit _),
+    "q104_corr_matrix"      -> (q104CorrMatrix _),
   )
 
   private val monthCaseSql: String =
@@ -1674,6 +1686,20 @@ object SparkEntry {
         "ROW_NUMBER() OVER (PARTITION BY source " +
         "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) " +
         "WHERE rn <= 10"),
+    "q104_corr_matrix" ->
+      ("WITH src AS (SELECT l_discount AS disc, l_tax AS tax, l_quantity / 50 AS qn FROM lineitem), " +
+        "m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, " +
+        Seq("disc", "tax", "qn").map(c =>
+          s"CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) AS s_$c, " +
+          s"CAST(SUM(CAST($c AS DECIMAL(22,4)) * CAST($c AS DECIMAL(22,4))) AS DOUBLE) AS q_$c").mkString(", ") + ", " +
+        Seq(("disc", "tax"), ("disc", "qn"), ("tax", "qn")).map { case (a, b) =>
+          s"CAST(SUM(CAST($a AS DECIMAL(22,4)) * CAST($b AS DECIMAL(22,4))) AS DOUBLE) AS p_${a}_$b" }.mkString(", ") +
+        " FROM src) " +
+        Seq(("disc", "tax"), ("disc", "qn"), ("tax", "qn")).map { case (a, b) =>
+          s"SELECT '$a' AS col_a, '$b' AS col_b, " +
+          s"(n * p_${a}_$b - s_$a * s_$b) / " +
+          s"(sqrt(n * q_$a - s_$a * s_$a) * sqrt(n * q_$b - s_$b * s_$b)) AS corr FROM m"
+        }.mkString(" UNION ALL ")),
     "q103_hash_split" ->
       // thresholds computed by the SAME cumulative-double arithmetic as
       // Features.hashSplit, so both engines compare identical literals

@@ -164,6 +164,25 @@ class RelationalSpec extends SparkSpec {
     assert(again == fromPartials, "rollup is layout-independent")
   }
 
+  test("corrMatrix == pairwise decCorr, bit-equal, from ONE scan") {
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 500).map(_ => (rnd.nextDouble(), rnd.nextDouble(), rnd.nextDouble()))
+      .toDF("a", "b", "c")
+    val m = Relational.corrMatrix(df, Seq("a", "b", "c"))
+    val got = m.collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    for ((x, y) <- got.keySet) {
+      val one = df.agg(graft.functions.Exact.decCorr(col(x), col(y))).head.getDouble(0)
+      assert(got((x, y)) == one, s"($x,$y)") // same sums, same op order -> bit-equal
+    }
+    // the one-scan claim: all moments come from a single pass (count
+    // logical scan nodes — AQE prints physical plans twice)
+    val scans = m.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.size
+    assert(scans == 1, s"expected 1 scan, got $scans")
+  }
+
   test("exact distinct rollup of partials == direct COUNT(DISTINCT), any layout") {
     val rnd = new scala.util.Random(11)
     val df = (1 to 2000).map { _ =>

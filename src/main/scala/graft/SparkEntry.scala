@@ -1677,8 +1677,11 @@ object SparkEntry {
       ("SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct " +
         "FROM events GROUP BY 1"),
     "q101_chunk_docs" ->
+      // starts stop at len - overlap - 1 (= len - 51): a later start
+      // would emit a tail chunk wholly contained in the previous one
       ("WITH g AS (SELECT doc_id, text, " +
-        "unnest(generate_series(0, len(text)-1, 350)) AS gs FROM documents) " +
+        "unnest(generate_series(0, greatest(len(text) - 51, 0), 350)) AS gs " +
+        "FROM documents WHERE len(text) > 0) " +
         "SELECT doc_id, CAST(gs AS BIGINT) AS chunk_start, " +
         "substr(text, CAST(gs AS INT)+1, 400) AS chunk FROM g"),
     "q102_group_sample" ->

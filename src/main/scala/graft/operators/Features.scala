@@ -124,7 +124,7 @@ object Features {
       case null => lit(weightThresholdHex(default))
       case c => c.otherwise(lit(weightThresholdHex(default)))
     }
-    df.filter(substring(md5(col(idCol).cast("string")), 1, 8) < threshold)
+    df.filter(idHashPrefix(idCol) < threshold)
   }
 
   /**
@@ -177,6 +177,17 @@ object Features {
         (col("__ghi") - col("__glo")).as("len"))
   }
 
+  /** The cross-engine id-hash key every deterministic sampling operator
+   *  shares: lowercase-hex md5 of the id's string form (DuckDB:
+   *  md5(CAST(id AS VARCHAR))). One definition — three operators
+   *  ([[mixtureSample]], [[sampleKPerGroup]], [[hashSplit]]) and their
+   *  oracles must never drift apart on it. */
+  private def idHash(idCol: String): Column = md5(col(idCol).cast("string"))
+
+  /** 8-hex-digit prefix of [[idHash]], the form [[weightThresholdHex]]
+   *  thresholds compare against. */
+  private def idHashPrefix(idCol: String): Column = substring(idHash(idCol), 1, 8)
+
   /**
    * Deterministic k-per-group cap (per-source balancing — "at most k
    * documents from each source"): rank each group's rows by the md5 of
@@ -188,9 +199,14 @@ object Features {
    * groups.
    */
   def sampleKPerGroup(
-      df: DataFrame, keys: Seq[String], idCol: String, k: Int): DataFrame = {
+      df: DataFrame, keys: Seq[String], idCol: String, k: Int,
+      tieBreak: Seq[String] = Nil): DataFrame = {
     require(k > 0, "sampleKPerGroup needs a positive k")
-    val order = Seq(md5(col(idCol).cast("string")), col(idCol))
+    // (hash(id), id) is total when ids are unique within a group;
+    // DUPLICATE ids tie on both keys and which physical row survives
+    // the cap would be partition-order dependent — callers with dup
+    // ids must pass tieBreak columns that totalize the order
+    val order = Seq(idHash(idCol), col(idCol)) ++ tieBreak.map(col)
     df.withColumn("__grank", row_number().over(
         Window.partitionBy(keys.map(col): _*).orderBy(order: _*)))
       .filter(col("__grank") <= k)
@@ -213,7 +229,7 @@ object Features {
     require(splits.nonEmpty, "hashSplit needs at least one split")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       "split fractions must sum to 1")
-    val h = md5(col(idCol).cast("string")).substr(1, 8)
+    val h = idHashPrefix(idCol)
     val cum = splits.scanLeft(0.0)(_ + _._2).tail
     val labeled = splits.init.zip(cum.init).foldLeft(Option.empty[Column]) {
       case (acc, ((label, _), c)) =>
@@ -230,7 +246,12 @@ object Features {
    * starts advance by `chunkChars - overlapChars`, so consecutive
    * chunks share `overlapChars` characters of context. Returns
    * (id, chunk_start, chunk); the final chunk may be shorter; empty
-   * documents produce no chunks.
+   * documents produce no chunks. Starts stop at len − overlap − 1: a
+   * start inside the previous chunk's overlap region would emit a tail
+   * chunk wholly CONTAINED in it — duplicate content that would embed/
+   * train twice. Every chunk past the first carries ≥ 1 new character,
+   * and coverage stays complete (a suppressed start's characters all
+   * fit inside the previous window).
    *
    * Unlike [[packSequences]] (a GLOBAL stream cut needing a prefix
    * sum), chunking is per-row: one `sequence` + `explode`, no shuffle
@@ -248,7 +269,8 @@ object Features {
     val text = col(textCol)
     df.filter(length(text) > 0) // sequence(0, -1) is an ANSI error
       .select(col(idCol),
-        explode(sequence(lit(0), length(text) - 1, lit(step))).as("chunk_start"),
+        explode(sequence(lit(0),
+          greatest(length(text) - overlapChars - 1, lit(0)), lit(step))).as("chunk_start"),
         text)
       .select(col(idCol),
         col("chunk_start").cast("long").as("chunk_start"),

@@ -336,28 +336,38 @@ object Relational {
    * and one reduce, not 190 passes; columns must keep |value|·10^scale
    * products below 2^53 for the decimal→double casts to be exact
    * (normalize wide columns first).
+   *
+   * Rows with a null in ANY profiled column are dropped first
+   * (listwise deletion, the standard correlation-matrix convention):
+   * n and every sum must share one support, or the assembled "corr"
+   * is the correlation of no row subset at all and can land outside
+   * [-1, 1].
    */
   def corrMatrix(df: DataFrame, cols: Seq[String], scale: Int = 4): DataFrame = {
     require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val clean = df.na.drop("any", cols)
     // products stay at (18,scale)×(18,scale) — Spark types that as
     // (37, 2·scale), inside the 38 cap, so no scale truncation; the
     // DuckDB oracle casts the FACTORS to DECIMAL(22,·) instead, which
-    // is its int128-promotion trick, not a Spark-side need (q41)
+    // is its int128-promotion trick, not a Spark-side need (q41).
+    // Aliases are POSITIONAL — name-derived aliases collide for
+    // underscore-bearing column names ((u, v_w) vs (u_v, w)).
     def d18(c: String) = col(c).cast(s"decimal(18,$scale)")
     val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
-      yield (cols(i), cols(j))
+      yield (i, j)
     val moments =
-      cols.map(c => sum(d18(c)).cast("double").as(s"__gs_$c")) ++
-      cols.map(c => sum(d18(c) * d18(c)).cast("double").as(s"__gq_$c")) ++
-      pairs.map { case (a, b) =>
-        sum(d18(a) * d18(b)).cast("double").as(s"__gp_${a}_$b") }
-    val m = df.agg(count(lit(1)).cast("double").as("__gn"), moments: _*)
-    val rows = pairs.map { case (a, b) =>
-      val num = col("__gn") * col(s"__gp_${a}_$b") - col(s"__gs_$a") * col(s"__gs_$b")
+      cols.indices.map(i => sum(d18(cols(i))).cast("double").as(s"__gs_$i")) ++
+      cols.indices.map(i =>
+        sum(d18(cols(i)) * d18(cols(i))).cast("double").as(s"__gq_$i")) ++
+      pairs.map { case (i, j) =>
+        sum(d18(cols(i)) * d18(cols(j))).cast("double").as(s"__gp_${i}_$j") }
+    val m = clean.agg(count(lit(1)).cast("double").as("__gn"), moments: _*)
+    val rows = pairs.map { case (i, j) =>
+      val num = col("__gn") * col(s"__gp_${i}_$j") - col(s"__gs_$i") * col(s"__gs_$j")
       val den =
-        sqrt(col("__gn") * col(s"__gq_$a") - col(s"__gs_$a") * col(s"__gs_$a")) *
-        sqrt(col("__gn") * col(s"__gq_$b") - col(s"__gs_$b") * col(s"__gs_$b"))
-      struct(lit(a).as("col_a"), lit(b).as("col_b"), (num / den).as("corr"))
+        sqrt(col("__gn") * col(s"__gq_$i") - col(s"__gs_$i") * col(s"__gs_$i")) *
+        sqrt(col("__gn") * col(s"__gq_$j") - col(s"__gs_$j") * col(s"__gs_$j"))
+      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"), (num / den).as("corr"))
     }
     m.select(explode(array(rows: _*)).as("__gr"))
       .select(col("__gr.col_a").as("col_a"), col("__gr.col_b").as("col_b"),

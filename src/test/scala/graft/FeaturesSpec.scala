@@ -116,6 +116,7 @@ class FeaturesSpec extends SparkSpec {
       (0L, "abcdefghijklmnop"),   // 16 chars
       (1L, "xy"),                 // shorter than one chunk
       (2L, ""),                   // no chunks
+      (3L, "uvwxyz"),             // 6 chars: start 4 would be a contained tail
     ).toDF("doc_id", "text")
     val out = Features.chunkDocuments(docs, "doc_id", "text", chunkChars = 6, overlapChars = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
@@ -129,6 +130,8 @@ class FeaturesSpec extends SparkSpec {
     case _ => }
     assert(byDoc(1L) == Seq((1L, 0L, "xy")))
     assert(!byDoc.contains(2L))
+    // the whole doc fits in chunk 0: no redundant tail chunk at start 4
+    assert(byDoc(3L) == Seq((3L, 0L, "uvwxyz")))
     // dropping each chunk's leading overlap (after the first) rebuilds the doc
     val rebuilt = byDoc(0L).zipWithIndex.map { case ((_, _, c), i) =>
       if (i == 0) c else c.drop(2) }.mkString

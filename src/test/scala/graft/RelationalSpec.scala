@@ -181,6 +181,14 @@ class RelationalSpec extends SparkSpec {
       case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
     }.size
     assert(scans == 1, s"expected 1 scan, got $scans")
+    // listwise deletion: a null row drops from EVERY moment, so the
+    // matrix equals the clean-subset matrix (not a mixed-support blend)
+    val withNull = df.unionByName(
+      Seq((Option.empty[Double], Option(0.5), Option(0.5)))
+        .toDF("a", "b", "c"))
+    val cleaned = Relational.corrMatrix(withNull, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(cleaned == got)
   }
 
   test("exact distinct rollup of partials == direct COUNT(DISTINCT), any layout") {

@@ -1002,6 +1002,68 @@ object SparkEntry {
         (col("l_quantity") / 50).as("qn")),
       Seq("disc", "tax", "qn"))
 
+  /** #105 intra-document repeated-line removal (the TRANSFORM behind
+   *  q61's duplicate-line-fraction signal). The synthetic corpus has no
+   *  newlines, so — q99-style — each doc plants two copies of its own
+   *  80-char prefix as extra lines; the dedup must keep exactly one.
+   *  Pure per-row codegen (`array_distinct` keeps first occurrences in
+   *  order) — ZERO shuffle, vs q71's corpus-global line dedup. */
+  private def q105IntradocDedup(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat_ws("\n",
+      col("text"), substring(col("text"), 1, 80), substring(col("text"), 1, 80))
+    val lines = split(planted, "\n")
+    t(s, dir).documents.select(
+      col("doc_id"),
+      TextFns.dedupLinesInDoc(planted).as("text_dedup"),
+      (size(lines) - size(array_distinct(lines))).cast("bigint").as("n_removed"))
+  }
+
+  /** #106 arbitrary grouping sets: the ((rf, ls), (ls), ()) grains —
+   *  NOT a rollup prefix chain and not the full cube — in ONE shuffle,
+   *  with grouping() indicators disambiguating subtotal rows. */
+  private def q106GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Relational.groupingSetsAgg(t(s, dir).lineitem,
+      Seq(Seq("l_returnflag", "l_linestatus"), Seq("l_linestatus"), Seq()),
+      Seq("l_returnflag", "l_linestatus"),
+      Seq(decSum(col("l_quantity")).as("sum_qty"), cnt.as("n")))
+
+  /** #107 overlapping-interval merge (gaps-and-islands union): each
+   *  event opens a 30-minute per-user window; overlapping windows merge.
+   *  Computed in the epoch-µs integer domain so island breaks are
+   *  engine-exact (Spark timestamps are µs, the parquet ts is ns). */
+  private def q107IntervalMerge(s: SparkSession, dir: String): DataFrame =
+    Events.mergeIntervals(
+      t(s, dir).events.select(
+        col("user_id"),
+        unix_micros(col("ts")).as("start_us"),
+        (unix_micros(col("ts")) + lit(1800000000L)).as("end_us")),
+      Seq("user_id"), "start_us", "end_us")
+
+  /** #108 ordered-step conversion funnel: users reaching view, then
+   *  click strictly after their first view, then purchase strictly
+   *  after that click. Timestamps compared in epoch-µs for the same
+   *  reason as q107. */
+  private def q108Funnel(s: SparkSession, dir: String): DataFrame =
+    Events.funnel(
+      t(s, dir).events.withColumn("ts_us", unix_micros(col("ts"))),
+      "user_id", "ts_us",
+      Seq("view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "purchase" -> (col("event_type") === "purchase")))
+
+  /** #109 robust outlier flags: |acctbal − median| > 3·MAD per market
+   *  segment — median/MAD survive the outliers they hunt, unlike the
+   *  mean/stddev z-score (q75). */
+  private def q109MadOutliers(s: SparkSession, dir: String): DataFrame =
+    Cleaning.madOutliers(t(s, dir).customer, "c_acctbal",
+        Seq("c_mktsegment"), k = 3.0)
+      .select("c_custkey", "c_mktsegment", "c_acctbal", "deviation", "is_outlier")
+
+  /** #110 longest consecutive-day activity streak per user (plus total
+   *  active days) — the daily-grain gaps-and-islands twin of q107. */
+  private def q110Streaks(s: SparkSession, dir: String): DataFrame =
+    Events.streaks(t(s, dir).events, "user_id", "ts")
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1109,6 +1171,12 @@ object SparkEntry {
     "q102_group_sample"     -> (q102GroupSample _),
     "q103_hash_split"       -> (q103HashSplit _),
     "q104_corr_matrix"      -> (q104CorrMatrix _),
+    "q105_intradoc_dedup"   -> (q105IntradocDedup _),
+    "q106_grouping_sets"    -> (q106GroupingSets _),
+    "q107_interval_merge"   -> (q107IntervalMerge _),
+    "q108_funnel"           -> (q108Funnel _),
+    "q109_mad_outliers"     -> (q109MadOutliers _),
+    "q110_streaks"          -> (q110Streaks _),
   )
 
   private val monthCaseSql: String =
@@ -1736,5 +1804,59 @@ object SparkEntry {
         "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a) " +
         "SELECT a AS id, CAST(least(a, min(b)) AS BIGINT) AS component " +
         "FROM reach GROUP BY a"),
+    "q105_intradoc_dedup" ->
+      // same planting as the Spark side: two extra copies of the doc's
+      // 80-char prefix; parallel unnest carries first-occurrence order
+      ("WITH p AS (SELECT doc_id, text || chr(10) || substr(text, 1, 80) || " +
+        "chr(10) || substr(text, 1, 80) AS t FROM documents), " +
+        "l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line, " +
+        "unnest(generate_series(1, len(string_split(t, chr(10))))) AS ord FROM p), " +
+        "d AS (SELECT doc_id, line, min(ord) AS o FROM l GROUP BY 1, 2), " +
+        "agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY o) AS text_dedup, " +
+        "COUNT(*) AS n_dist FROM d GROUP BY 1), " +
+        "tot AS (SELECT doc_id, COUNT(*) AS n_tot FROM l GROUP BY 1) " +
+        "SELECT a.doc_id, a.text_dedup, CAST(t.n_tot - a.n_dist AS BIGINT) AS n_removed " +
+        "FROM agg a JOIN tot t USING (doc_id)"),
+    "q106_grouping_sets" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(GROUPING(l_returnflag) AS INT) AS is_total_l_returnflag, " +
+        "CAST(GROUPING(l_linestatus) AS INT) AS is_total_l_linestatus, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, " +
+        "COUNT(*) AS n FROM lineitem " +
+        "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())"),
+    "q107_interval_merge" ->
+      ("WITH iv AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e " +
+        "FROM events), " +
+        "x AS (SELECT user_id, s, e, max(e) OVER (PARTITION BY user_id ORDER BY s, e " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv), " +
+        "y AS (SELECT user_id, s, e, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS brk FROM x), " +
+        "z AS (SELECT user_id, s, e, SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e " +
+        "ROWS UNBOUNDED PRECEDING) AS island FROM y) " +
+        "SELECT user_id, CAST(min(s) AS BIGINT) AS start_us, CAST(max(e) AS BIGINT) AS end_us, " +
+        "COUNT(*) AS n_merged FROM z GROUP BY user_id, island"),
+    "q108_funnel" ->
+      ("WITH u1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events " +
+        "WHERE event_type = 'view' GROUP BY 1), " +
+        "u2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e " +
+        "JOIN u1 USING (user_id) WHERE e.event_type = 'click' AND epoch_us(e.ts) > u1.t GROUP BY 1), " +
+        "u3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e " +
+        "JOIN u2 USING (user_id) WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > u2.t GROUP BY 1) " +
+        "SELECT CAST(1 AS INT) AS step, 'view' AS step_name, COUNT(*) AS n_users FROM u1 " +
+        "UNION ALL SELECT CAST(2 AS INT), 'click', COUNT(*) FROM u2 " +
+        "UNION ALL SELECT CAST(3 AS INT), 'purchase', COUNT(*) FROM u3"),
+    "q109_mad_outliers" ->
+      ("WITH m AS (SELECT c_mktsegment, median(c_acctbal) AS med FROM customer GROUP BY 1), " +
+        "d AS (SELECT c_custkey, c.c_mktsegment, c_acctbal, abs(c_acctbal - m.med) AS deviation " +
+        "FROM customer c JOIN m USING (c_mktsegment)), " +
+        "md AS (SELECT c_mktsegment, median(deviation) AS mad FROM d GROUP BY 1) " +
+        "SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal, d.deviation, " +
+        "d.deviation > 3.0 * md.mad AS is_outlier FROM d JOIN md USING (c_mktsegment)"),
+    "q110_streaks" ->
+      ("WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "r AS (SELECT user_id, day, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM a), " +
+        "g AS (SELECT user_id, day - CAST(rn AS INT) AS anchor FROM r), " +
+        "c AS (SELECT user_id, anchor, COUNT(*) AS run FROM g GROUP BY 1, 2) " +
+        "SELECT user_id, CAST(max(run) AS BIGINT) AS best_streak, " +
+        "CAST(sum(run) AS BIGINT) AS n_active_days FROM c GROUP BY 1"),
   )
 }

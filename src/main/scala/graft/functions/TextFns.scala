@@ -134,6 +134,19 @@ object TextFns {
   }
 
   /**
+   * Intra-document repeated-line REMOVAL (the transform behind the
+   * [[duplicateLineFraction]] signal): every line keeps its first
+   * occurrence, later repeats are dropped, first-occurrence order is
+   * preserved. `array_distinct` is specified to keep first occurrences
+   * in encounter order, so the whole transform is one per-row codegen
+   * projection — ZERO shuffle, unlike corpus-global line dedup
+   * ([[graft.operators.Dedup.globalLineDedup]]) which must hash-shuffle
+   * line content.
+   */
+  def dedupLinesInDoc(text: Column): Column =
+    array_join(array_distinct(split(text, "\n")), "\n")
+
+  /**
    * Fraction of all word n-grams taken by the single most frequent one —
    * the Gopher repetition gate. Computed per row with NO shuffle and NO
    * nested higher-order re-evaluation: the gram array is built once,

@@ -155,6 +155,35 @@ object Cleaning {
   }
 
   /**
+   * Robust outlier flagging via median absolute deviation: a row is an
+   * outlier when |v − median| > k · MAD, both statistics per group —
+   * the robust twin of z-score thresholds ([[graft.operators.Features]]),
+   * immune to the outliers it hunts (mean/stddev are not). The standard
+   * anomaly gate before aggregating sensor-like measures.
+   *
+   * Two bounds passes by construction (the MAD is the median OF the
+   * deviations from the first-pass median), each a one-row-per-group
+   * frame broadcast back by key; the data never shuffles. Medians and
+   * |v − m| are engine-portable (correctly-rounded IEEE ops, exact
+   * `median`); `approx = true` switches both passes to the
+   * Greenwald-Khanna sketch for 100 TB columns.
+   */
+  def madOutliers(df: DataFrame, column: String, keys: Seq[String],
+      k: Double, approx: Boolean = false): DataFrame = {
+    def med(c: Column) =
+      if (approx) percentile_approx(c, lit(0.5), lit(10000)).cast("double")
+      else median(c)
+    val withDev = Features.withGroupBounds(df, keys,
+      Seq(med(col(column)).as("__gmed"))) {
+      _.withColumn("deviation", abs(col(column) - col("__gmed")))
+    }
+    Features.withGroupBounds(withDev, keys,
+      Seq(med(col("deviation")).as("__gmad"))) {
+      _.withColumn("is_outlier", col("deviation") > lit(k) * col("__gmad"))
+    }
+  }
+
+  /**
    * k-anonymity enforcement over quasi-identifier columns: rows whose
    * QI combination appears fewer than `k` times are re-identifiable and
    * get their QIs suppressed (nulled) — the standard privacy gate before

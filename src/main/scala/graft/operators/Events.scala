@@ -207,4 +207,89 @@ object Events {
         .over(Window.partitionBy(keyCols: _*).orderBy(col("__gday"))))
     filled.withColumnRenamed("__gday", "day")
   }
+
+  /**
+   * Merge overlapping (or touching) `[start, end]` intervals per key —
+   * the gaps-and-islands union (availability windows, fixed-duration
+   * sessions, blackout calendars).
+   *
+   * One shuffle (by `keys`): a running max of `end` over the
+   * start-ordered window detects island breaks (a row starts a new
+   * island iff its start exceeds every earlier end), a running sum of
+   * the break flags numbers the islands, and one aggregate per island
+   * emits the merged interval. Both windows and the final groupBy share
+   * the same hash partitioning, so Catalyst plans a single exchange.
+   *
+   * Island numbers are value-deterministic for any total order on
+   * (start, end): ties in `start` cannot straddle an island break
+   * (the running max is monotone), so no extra tie-break is needed for
+   * the OUTPUT to be deterministic.
+   */
+  def mergeIntervals(df: DataFrame, keys: Seq[String],
+      start: String, end: String): DataFrame = {
+    val keyCols = keys.map(col)
+    val w = Window.partitionBy(keyCols: _*).orderBy(col(start), col(end))
+    val prevMax = max(col(end)).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val break = when(prevMax.isNull || col(start) > prevMax, 1L).otherwise(0L)
+    df.withColumn("__graft_island",
+        sum(break).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(keyCols :+ col("__graft_island"): _*)
+      .agg(min(col(start)).as(start), max(col(end)).as(end),
+        count(lit(1)).as("n_merged"))
+      .drop("__graft_island")
+  }
+
+  /**
+   * Ordered-step funnel: for each step, how many `user`s performed it
+   * AFTER strictly completing every earlier step (classic
+   * view → click → purchase conversion counting).
+   *
+   * Shape: step i's user frame joins step (i-1)'s reached-frame on
+   * `user` and keeps the earliest qualifying timestamp; every groupBy
+   * and join hashes on `user`, so the per-step frames reuse one
+   * partitioning and each added step costs one aligned join + aggregate
+   * over an ever-SHRINKING frame (funnels only narrow). The raw event
+   * table is scanned once per step with only that step's predicate —
+   * no per-user event-list collection, no cross-step window state.
+   */
+  def funnel(df: DataFrame, user: String, ts: String,
+      steps: Seq[(String, Column)]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val reached = steps.tail.scanLeft(
+      df.filter(steps.head._2).groupBy(col(user)).agg(min(col(ts)).as("__graft_t"))) {
+      case (prev, (_, cond)) =>
+        df.filter(cond)
+          .join(prev.select(col(user), col("__graft_t").as("__graft_prev")), user)
+          .filter(col(ts) > col("__graft_prev"))
+          .groupBy(col(user)).agg(min(col(ts)).as("__graft_t"))
+    }
+    steps.zip(reached).zipWithIndex.map { case (((name, _), frame), i) =>
+      frame.groupBy().agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).cast("int").as("step"), lit(name).as("step_name"),
+          col("n_users"))
+    }.reduce(_ union _)
+  }
+
+  /**
+   * Longest consecutive-day activity streak per user (plus total active
+   * days) — the gaps-and-islands twin of [[mergeIntervals]] on a daily
+   * grain.
+   *
+   * Shape: events collapse to distinct (user, day) first — the window
+   * and both aggregates run on at most span-days rows per user, all
+   * hash-partitioned by `user`. The island anchor is `day − row_number`:
+   * constant exactly over a run of consecutive days.
+   */
+  def streaks(df: DataFrame, user: String, ts: String): DataFrame = {
+    val days = df.select(col(user), to_date(col(ts)).as("__graft_day")).distinct()
+    val rn = row_number().over(
+      Window.partitionBy(col(user)).orderBy(col("__graft_day")))
+    days
+      .withColumn("__graft_anchor", date_sub(col("__graft_day"), rn))
+      .groupBy(col(user), col("__graft_anchor"))
+      .agg(count(lit(1)).as("__graft_run"))
+      .groupBy(col(user))
+      .agg(max(col("__graft_run")).as("best_streak"),
+        sum(col("__graft_run")).as("n_active_days"))
+  }
 }

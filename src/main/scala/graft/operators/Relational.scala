@@ -109,6 +109,23 @@ object Relational {
   }
 
   /**
+   * Arbitrary grouping sets in one pass: the general form of
+   * [[rollupAgg]] (prefix sets) and [[cubeAgg]] (power set) when the
+   * wanted grains are neither — e.g. ((region, segment), (segment),
+   * ()) without the (region)-only grain. One shuffle computes every
+   * grain (Spark expands the sets map-side and aggregates once);
+   * running N separate groupBys would scan the fact table N times.
+   * `grouping(c)` indicators disambiguate subtotal rows from genuine
+   * NULL dimension values, as in [[cubeAgg]].
+   */
+  def groupingSetsAgg(df: DataFrame, sets: Seq[Seq[String]],
+      groupCols: Seq[String], aggs: Seq[Column]): DataFrame = {
+    val indicators = groupCols.map(c => grouping(col(c)).cast("int").as(s"is_total_$c"))
+    df.groupingSets(sets.map(_.map(col)), groupCols.map(col): _*)
+      .agg((indicators ++ aggs).head, (indicators ++ aggs).tail: _*)
+  }
+
+  /**
    * Distinct cardinality: exact (two-phase partial distinct) or HLL++
    * sketch (`rsd` relative error) — the sketch is the 100 TB default:
    * fixed-size mergeable state instead of shuffling every distinct value.

@@ -127,4 +127,21 @@ class CleaningSpec extends SparkSpec {
     assert(Cleaning.assertParsed(dates.filter(col("id") =!= 2),
       "raw", "yyyy-MM-dd", "ts").count() == 3)
   }
+
+  test("madOutliers flags by per-group median absolute deviation") {
+    // group a: values 1..5 + a gross outlier. median = 3.5,
+    // deviations (2.5, 1.5, .5, .5, 1.5, 96.5) -> MAD = 1.5;
+    // only 100.0 exceeds 3 * 1.5 = 4.5. The outlier must NOT drag the
+    // threshold the way a mean/stddev z-score would.
+    val d = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0),
+      ("a", 100.0), ("b", 7.0), ("b", 7.0)).toDF("g", "v")
+    val out = Cleaning.madOutliers(d, "v", Seq("g"), k = 3.0)
+      .orderBy("g", "v").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      ("a", 1.0, false), ("a", 2.0, false), ("a", 3.0, false),
+      ("a", 4.0, false), ("a", 5.0, false), ("a", 100.0, true),
+      // constant group: MAD 0 -> deviation 0 is not > 0, no outliers
+      ("b", 7.0, false), ("b", 7.0, false)))
+  }
 }

@@ -213,4 +213,58 @@ class EventsSpec extends SparkSpec {
       (2L, "2024-01-02", 1L, 7.0),
     ))
   }
+
+  test("mergeIntervals unions overlapping and touching intervals per key") {
+    val iv = Seq(
+      (1L, 0L, 10L),   // chain: [0,10] + [10,15] touch, [12,20] overlaps
+      (1L, 10L, 15L),
+      (1L, 12L, 20L),
+      (1L, 30L, 40L),  // disjoint island
+      (2L, 5L, 6L),    // contained interval collapses
+      (2L, 5L, 5L),
+    ).toDF("k", "s", "e")
+    val out = Events.mergeIntervals(iv, Seq("k"), "s", "e")
+      .orderBy("k", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 20L, 3L),
+      (1L, 30L, 40L, 1L),
+      (2L, 5L, 6L, 2L)))
+  }
+
+  test("funnel counts users completing each step strictly after the previous") {
+    val e = Seq(
+      // u1 completes the full funnel
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "buy"),
+      // u2 clicks BEFORE viewing -> stops at view
+      (2L, 20L, "view"), (2L, 10L, "click"),
+      // u3 clicks at the SAME instant as the view -> strict > excludes it
+      (3L, 10L, "view"), (3L, 10L, "click"),
+      // u4 never views -> counted nowhere
+      (4L, 10L, "click"), (4L, 20L, "buy"),
+    ).toDF("user_id", "ts", "event_type")
+    val out = Events.funnel(e, "user_id", "ts",
+        Seq("view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "buy" -> (col("event_type") === "buy")))
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, "view", 3L), (2, "click", 1L), (3, "buy", 1L)))
+  }
+
+  test("streaks finds the longest consecutive-day run per user") {
+    val e = Seq(
+      // u1: 1-2-3 run, then 5, then 7-8 — best 3, active 6
+      (1L, "2024-01-01"), (1L, "2024-01-02"), (1L, "2024-01-03"),
+      (1L, "2024-01-05"), (1L, "2024-01-07"), (1L, "2024-01-08"),
+      (1L, "2024-01-08"), // same-day repeat must not inflate the run
+      // u2: single day
+      (2L, "2024-02-01"),
+    ).toDF("user_id", "raw")
+      .withColumn("ts", to_timestamp(col("raw"))).drop("raw")
+    val out = Events.streaks(e, "user_id", "ts")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 3L, 6L), (2L, 1L, 1L)))
+  }
 }

@@ -255,4 +255,20 @@ class RelationalSpec extends SparkSpec {
       .orderBy("k", "t").select("m").as[Double].collect().toSeq
     assert(a == b)
   }
+
+  test("groupingSetsAgg computes exactly the requested grains, one pass") {
+    val d = Seq(("r", "x", 1L), ("r", "y", 2L), ("s", "x", 4L)).toDF("a", "b", "v")
+    val out = Relational.groupingSetsAgg(d,
+        Seq(Seq("a", "b"), Seq("b"), Seq()), Seq("a", "b"),
+        Seq(sum(col("v")).as("s")))
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getInt(2), r.getInt(3), r.getLong(4))).toSet
+    assert(out == Set(
+      (Some("r"), Some("x"), 0, 0, 1L),   // (a, b) grain
+      (Some("r"), Some("y"), 0, 0, 2L),
+      (Some("s"), Some("x"), 0, 0, 4L),
+      (None, Some("x"), 1, 0, 5L),        // (b) grain — no (a)-only grain
+      (None, Some("y"), 1, 0, 2L),
+      (None, None, 1, 1, 7L)))            // grand total
+  }
 }

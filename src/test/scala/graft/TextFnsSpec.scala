@@ -160,6 +160,14 @@ class TextFnsSpec extends SparkSpec {
     assert(kept == Seq("this line ends with a period.", "is this a kept question?"))
   }
 
+  test("dedupLinesInDoc drops repeated lines, keeps first-occurrence order") {
+    assert(one[String](TextFns.dedupLinesInDoc(col("t")),
+      "b\na\nb\nc\na") == "b\na\nc")
+    // no repeats -> identity; empty doc -> empty
+    assert(one[String](TextFns.dedupLinesInDoc(col("t")), "x\ny") == "x\ny")
+    assert(one[String](TextFns.dedupLinesInDoc(col("t")), "") == "")
+  }
+
   test("symbolToWordRatio and meanWordLength") {
     assert(one[Double](TextFns.symbolToWordRatio(col("t")), "a b### c!") == 4.0 / 3.0)
     assert(one[Double](TextFns.symbolToWordRatio(col("t")), "clean words here") == 0.0)

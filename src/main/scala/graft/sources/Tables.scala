@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
 import org.apache.spark.sql.types.StructType
 
 /**
@@ -117,6 +117,29 @@ object Sources {
   def writeOrc(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).orc(path)
+  }
+
+  /**
+   * Raw-asset reader for multimodal ingest: each file (image/audio/
+   * video/any blob) becomes one row of (path, modificationTime, length,
+   * content BINARY) — the ingest edge that feeds
+   * [[graft.operators.Multimodal]]'s binary-column pipeline. Spark's
+   * `binaryFile` source is distributed and pushdown-aware in the ways a
+   * blob scan can be: `pathGlobFilter` prunes by name pattern at
+   * listing time, and a filter on `length` is pushed to skip oversized
+   * blobs WITHOUT reading their bytes (only `content` is lazily
+   * loaded). `maxBytes` guards the executor heap: one decoded asset
+   * must fit in task memory, so it is enforced as a pushed filter, not
+   * a post-read drop.
+   */
+  def binaryFiles(
+      spark: SparkSession, path: String,
+      glob: Option[String] = None,
+      maxBytes: Long = 256L << 20): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    glob.fold(r)(g => r.option("pathGlobFilter", g))
+      .load(path)
+      .filter(col("length") <= maxBytes)
   }
 
   /**

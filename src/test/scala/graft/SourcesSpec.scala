@@ -77,6 +77,25 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("id"), plan)
   }
 
+  test("binaryFiles reads raw assets as binary rows with glob + size pruning") {
+    val dir = Files.createTempDirectory("graft_bin")
+    Files.write(dir.resolve("a.jpg"), Array[Byte](1, 2, 3))
+    Files.write(dir.resolve("b.jpg"), Array.fill[Byte](64)(7))
+    Files.write(dir.resolve("c.txt"), Array[Byte](9))
+    val out = Sources.binaryFiles(spark, dir.toString,
+        glob = Some("*.jpg"), maxBytes = 16)
+      .select("path", "length", "content").collect()
+    // the glob drops c.txt at listing time; the length filter drops the
+    // 64-byte blob without materializing it
+    assert(out.map(_.getAs[Long]("length")).toSeq == Seq(3L))
+    assert(out.head.getAs[String]("path").endsWith("a.jpg"))
+    assert(out.head.getAs[Array[Byte]]("content").toSeq == Seq[Byte](1, 2, 3))
+    // the length guard is PUSHED to the source, not a post-read filter
+    val plan = Sources.binaryFiles(spark, dir.toString, maxBytes = 16)
+      .queryExecution.executedPlan.collectLeaves().head.toString
+    assert(plan.contains("PushedFilters") && plan.contains("length"), plan)
+  }
+
   test("csv write round-trips with the reference dialect") {
     val dir = Files.createTempDirectory("graft_csvw").resolve("out").toString
     Seq((1, "x;y"), (2, "plain")).toDF("id", "v")

@@ -1064,6 +1064,21 @@ object SparkEntry {
   private def q110Streaks(s: SparkSession, dir: String): DataFrame =
     Events.streaks(t(s, dir).events, "user_id", "ts")
 
+  /** #111 Jaro-Winkler record linkage over q84's blocked entities: the
+   *  prefix-weighted, transposition-tolerant scorer human-keyed name
+   *  variants need, as a codegen Catalyst expression (plans/
+   *  JaroWinkler.scala) bit-matching DuckDB's jaro_winkler_similarity
+   *  on ASCII (19,900/19,900 pairs in the parity sweep; on multi-byte
+   *  text DuckDB scores BYTES — ours scores code points, documented). */
+  private def q111JaroLinkage(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir).part.select(
+      col("p_partkey"),
+      concat_ws(" ", col("p_name"), col("p_brand"), col("p_type")).as("entity"),
+      concat_ws("\u0001", col("p_name"), col("p_brand")).as("blk"))
+    Dedup.scoredPairs(p, "p_partkey", "entity", col("blk"),
+      (a, b) => TextFns.jaroWinkler(s, a, b), minScore = 0.9, simName = "jw")
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1177,6 +1192,7 @@ object SparkEntry {
     "q108_funnel"           -> (q108Funnel _),
     "q109_mad_outliers"     -> (q109MadOutliers _),
     "q110_streaks"          -> (q110Streaks _),
+    "q111_jaro_linkage"     -> (q111JaroLinkage _),
   )
 
   private val monthCaseSql: String =
@@ -1858,5 +1874,14 @@ object SparkEntry {
         "c AS (SELECT user_id, anchor, COUNT(*) AS run FROM g GROUP BY 1, 2) " +
         "SELECT user_id, CAST(max(run) AS BIGINT) AS best_streak, " +
         "CAST(sum(run) AS BIGINT) AS n_active_days FROM c GROUP BY 1"),
+    "q111_jaro_linkage" ->
+      // bit-comparable on ASCII: graft's expression and DuckDB share the
+      // truncating transposition convention (mismatches / 2, integer)
+      ("WITH b AS (SELECT p_partkey AS id, " +
+        "p_name || ' ' || p_brand || ' ' || p_type AS t, " +
+        "p_name || chr(1) || p_brand AS blk FROM part) " +
+        "SELECT a.id AS id_a, x.id AS id_b, jaro_winkler_similarity(a.t, x.t) AS jw " +
+        "FROM b a JOIN b x ON a.blk = x.blk AND a.id < x.id " +
+        "WHERE jaro_winkler_similarity(a.t, x.t) >= 0.9"),
   )
 }

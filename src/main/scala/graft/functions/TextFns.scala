@@ -77,6 +77,18 @@ object TextFns {
     call_function(graft.plans.GraftFunctions.charGramJaccardName, a, b, lit(k))
   }
 
+  /**
+   * Jaro-Winkler similarity in [0,1] via the codegen
+   * [[graft.plans.JaroWinkler]] expression — the record-linkage scorer
+   * for short human-keyed strings (names, brands): prefix-weighted,
+   * transposition-tolerant, where Levenshtein counts raw edits.
+   */
+  def jaroWinkler(spark: org.apache.spark.sql.SparkSession,
+      a: Column, b: Column): Column = {
+    graft.plans.GraftFunctions.register(spark)
+    call_function(graft.plans.GraftFunctions.jaroWinklerName, a, b)
+  }
+
   /** Jaccard similarity of two pre-distinct sets: |∩| / |∪| (exact ints → exact double). */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))

@@ -211,6 +211,30 @@ object Dedup {
   }
 
   /**
+   * Generic blocked similarity pairs: self-join within `blockKey`
+   * blocks, score each (id_a < id_b) pair with `score`, keep pairs at
+   * or above `minScore` — the scorer-agnostic sibling of
+   * [[editDistancePairs]] for measures like Jaro-Winkler
+   * ([[graft.plans.JaroWinkler]]) that have no length-band lower bound
+   * (so oversized blocks cannot be sub-blocked EXACTLY the way
+   * Levenshtein's |len diff| bound allows — block growth is controlled
+   * by choosing a selective compound key instead).
+   */
+  def scoredPairs(
+      df: DataFrame, idCol: String, textCol: String, blockKey: Column,
+      score: (Column, Column) => Column, minScore: Double,
+      simName: String = "score"): DataFrame = {
+    val a = df.select(blockKey.as("__gblk"),
+      col(idCol).as("id_a"), col(textCol).as("__gta"))
+    val b = df.select(blockKey.as("__gblk"),
+      col(idCol).as("id_b"), col(textCol).as("__gtb"))
+    a.join(b, "__gblk").filter(col("id_a") < col("id_b"))
+      .withColumn(simName, score(col("__gta"), col("__gtb")))
+      .filter(col(simName) >= minScore)
+      .select(col("id_a"), col("id_b"), col(simName))
+  }
+
+  /**
    * C4's GLOBAL line deduplication (Raffel et al. 2020 §2.2: any line
    * occurring more than once in the corpus is kept exactly once): every
    * line keeps only its first occurrence — ordered by (doc id,

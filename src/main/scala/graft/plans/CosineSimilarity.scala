@@ -99,6 +99,7 @@ object GraftFunctions {
   val simhashName = "graft_simhash64"
   val winnowName = "graft_winnow"
   val topGramShareName = "graft_top_gram_share"
+  val jaroWinklerName = "graft_jaro_winkler"
 
   private[plans] def cosineBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2, s"$cosineName expects 2 arguments")
@@ -147,6 +148,11 @@ object GraftFunctions {
     TopGramShare(children.head, intLit(children(1), "n"))
   }
 
+  private[plans] def jaroWinklerBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 2, s"$jaroWinklerName expects (a, b)")
+    JaroWinkler(children.head, children(1))
+  }
+
   /**
    * The single source of truth for (identifier, info, builder) triples:
    * both the programmatic [[register]] path and the config-driven
@@ -179,6 +185,9 @@ object GraftFunctions {
     (FunctionIdentifier(topGramShareName),
       new ExpressionInfo(classOf[TopGramShare].getName, topGramShareName),
       topGramShareBuilder _),
+    (FunctionIdentifier(jaroWinklerName),
+      new ExpressionInfo(classOf[JaroWinkler].getName, jaroWinklerName),
+      jaroWinklerBuilder _),
   )
 
   /** Idempotent per-session registration (programmatic path). */

@@ -346,4 +346,17 @@ class DedupSpec extends SparkSpec {
       blockKey = lit("hot"), maxDist = 2, maxBlockSize = 10)
     assert(out.count() == 30L * 29 / 2) // every pair differs in <= 2 digit edits
   }
+
+  test("scoredPairs blocks, thresholds, and never pairs across blocks") {
+    val df = Seq(
+      (1L, "MARTHA", "x"), (2L, "MARHTA", "x"),   // jw 0.9611 -> kept
+      (3L, "DIXON", "x"),                          // vs both: far below 0.9
+      (4L, "MARTHA", "y"),                         // same text, other block
+    ).toDF("id", "text", "blk")
+    val got = Dedup.scoredPairs(df, "id", "text", col("blk"),
+        (a, b) => graft.functions.TextFns.jaroWinkler(spark, a, b),
+        minScore = 0.9, simName = "jw")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 0.9611111111111111)))
+  }
 }

@@ -168,6 +168,24 @@ class TextFnsSpec extends SparkSpec {
     assert(one[String](TextFns.dedupLinesInDoc(col("t")), "") == "")
   }
 
+  test("jaroWinkler matches the classic reference values") {
+    def jw(a: String, b: String): Double =
+      Seq((a, b)).toDF("a", "b")
+        .select(TextFns.jaroWinkler(spark, col("a"), col("b")))
+        .as[Double].head()
+    assert(jw("MARTHA", "MARHTA") == 0.9611111111111111)
+    assert(jw("DIXON", "DICKSONX") == 0.8133333333333332)
+    assert(jw("same", "same") == 1.0)
+    assert(jw("", "") == 1.0)
+    assert(jw("", "a") == 0.0)
+    assert(jw("ab", "ba") == 0.0)      // below the match window: no matches
+    // symmetric
+    assert(jw("DWAYNE", "DUANE") == jw("DUANE", "DWAYNE"))
+    // code-point semantics: 'é' is ONE char (DuckDB scores its two
+    // UTF-8 bytes separately — documented divergence on non-ASCII)
+    assert(jw("café", "cafe") == 0.8833333333333334)
+  }
+
   test("symbolToWordRatio and meanWordLength") {
     assert(one[Double](TextFns.symbolToWordRatio(col("t")), "a b### c!") == 4.0 / 3.0)
     assert(one[Double](TextFns.symbolToWordRatio(col("t")), "clean words here") == 0.0)

@@ -1079,6 +1079,78 @@ object SparkEntry {
       (a, b) => TextFns.jaroWinkler(s, a, b), minScore = 0.9, simName = "jw")
   }
 
+  /** #112 truncated exponential smoothing of each user's event values —
+   *  the distributable, engine-portable form of pandas `ewm` (weights
+   *  dyadic, so every multiply is exact; see Events.ewmaSmoothed). */
+  private def q112Ewma(s: SparkSession, dir: String): DataFrame =
+    Events.ewmaSmoothed(
+        t(s, dir).events.select("event_id", "user_id", "ts", "value"),
+        Seq("user_id"), Seq(col("ts"), col("event_id")),
+        "value", alpha = 0.5, depth = 8)
+      .select("event_id", "user_id", "value", "ewma")
+
+  /** #113 rolling-window anomaly flags over each user's event values:
+   *  |v − mean| > 3·σ over the 24 rows strictly before each event,
+   *  moments via exact windowed decimal sums. */
+  private def q113RollingAnomaly(s: SparkSession, dir: String): DataFrame =
+    Relational.rollingAnomalies(
+        t(s, dir).events.select("event_id", "user_id", "ts", "value"),
+        "value", Seq("user_id"), Seq(col("ts"), col("event_id")),
+        window = 24, k = 3.0)
+      .select("event_id", "user_id", "value", "roll_mean", "roll_std", "is_anomaly")
+
+  /** #114 event-type transition (Markov bigram) matrix with per-origin
+   *  probabilities — one lead window, no sequence self-join. */
+  private def q114Transitions(s: SparkSession, dir: String): DataFrame =
+    Events.transitions(t(s, dir).events, "user_id",
+      Seq(col("ts"), col("event_id")), "event_type")
+
+  /** #115 ABC / Pareto classification of parts by revenue within each
+   *  brand: exact-decimal cumulative shares over per-brand windows. */
+  private def q115AbcParts(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val rev = tt.lineitem
+      .groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+        .cast("decimal(18,4)").as("__grev"))
+      .join(broadcast(tt.part.select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+        "l_partkey")
+    Relational.abcClassify(rev, Seq("p_brand"), "__grev", Seq("l_partkey"))
+      .select(col("p_brand"), col("l_partkey"), col("__grev").cast("double").as("revenue"),
+        col("cum_share"), col("abc_class"))
+  }
+
+  /** #116 distribution-shape profile: exact, order-independent
+   *  population skewness and kurtosis of the discount per return flag
+   *  (the profiling stats pandas `.skew()/.kurt()` gives that a
+   *  streaming-merge `skewness()` can't reproduce bit-stably). */
+  private def q116ShapeStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        decSkewnessPop(col("l_discount")).as("skew_disc"),
+        decKurtosisPop(col("l_discount")).as("kurt_disc"),
+        cnt.as("n"))
+
+  /** #117 RFM customer segmentation from orders, scored within each
+   *  market segment (per-segment ntile windows parallelize; a global
+   *  ntile would funnel one partition). */
+  private def q117RfmScores(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val tx = tt.orders
+      .join(broadcast(tt.customer.select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment"))), "o_custkey")
+    Features.rfmScores(tx, "o_custkey", Seq("c_mktsegment"),
+      "o_orderdate", "o_totalprice")
+  }
+
+  /** #118 token document-frequency quality stats: per-doc mean token
+   *  DF and hapax share — the corpus-relative quality signal (high
+   *  hapax share = gibberish/OCR noise; see Curation.tokenDfStats). */
+  private def q118TokenDf(s: SparkSession, dir: String): DataFrame =
+    Curation.tokenDfStats(t(s, dir).documents, "doc_id", "text")
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1193,6 +1265,13 @@ object SparkEntry {
     "q109_mad_outliers"     -> (q109MadOutliers _),
     "q110_streaks"          -> (q110Streaks _),
     "q111_jaro_linkage"     -> (q111JaroLinkage _),
+    "q112_ewma"             -> (q112Ewma _),
+    "q113_rolling_anomaly"  -> (q113RollingAnomaly _),
+    "q114_transitions"      -> (q114Transitions _),
+    "q115_abc_parts"        -> (q115AbcParts _),
+    "q116_shape_stats"      -> (q116ShapeStats _),
+    "q117_rfm_scores"       -> (q117RfmScores _),
+    "q118_token_df"         -> (q118TokenDf _),
   )
 
   private val monthCaseSql: String =
@@ -1883,5 +1962,101 @@ object SparkEntry {
         "SELECT a.id AS id_a, x.id AS id_b, jaro_winkler_similarity(a.t, x.t) AS jw " +
         "FROM b a JOIN b x ON a.blk = x.blk AND a.id < x.id " +
         "WHERE jaro_winkler_similarity(a.t, x.t) >= 0.9"),
+    "q112_ewma" ->
+      // weight literals generated from the SAME dyadic sequence as the
+      // Spark side (exact plain-decimal strings of powers of two), and
+      // the +-chains associate left in both engines — identical IEEE
+      // op sequence, so the smoothed doubles hash-match
+      ("SELECT event_id, user_id, value, (" +
+        graft.operators.Events.ewmaWeights(0.5, 8).zipWithIndex.map { case (w, j) =>
+          val v = if (j == 0) "value" else s"lag(value, $j) OVER w"
+          s"CASE WHEN $v IS NOT NULL THEN CAST(${new java.math.BigDecimal(w).toPlainString} AS DOUBLE) * $v ELSE 0.0 END"
+        }.mkString(" + ") + ") / (" +
+        graft.operators.Events.ewmaWeights(0.5, 8).zipWithIndex.map { case (w, j) =>
+          val v = if (j == 0) "value" else s"lag(value, $j) OVER w"
+          s"CASE WHEN $v IS NOT NULL THEN CAST(${new java.math.BigDecimal(w).toPlainString} AS DOUBLE) ELSE 0.0 END"
+        }.mkString(" + ") + ") AS ewma FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
+    "q113_rolling_anomaly" ->
+      // same exact-decimal windowed moments + identical closed forms;
+      // the greatest(x, 0) clamp mirrors Exact.decStddevPop
+      ("WITH m AS (SELECT event_id, user_id, value, " +
+        "CAST(COUNT(value) OVER w AS DOUBLE) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sx, " +
+        "CAST(SUM(CAST(value AS DECIMAL(22,4)) * CAST(value AS DECIMAL(22,4))) OVER w AS DOUBLE) AS sxx " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) " +
+        "SELECT event_id, user_id, value, " +
+        "CASE WHEN n > 0 THEN sx / n END AS roll_mean, " +
+        "CASE WHEN n > 0 THEN sqrt(greatest(n * sxx - sx * sx, 0.0)) / n END AS roll_std, " +
+        "coalesce(abs(value - CASE WHEN n > 0 THEN sx / n END) > " +
+        "3.0 * (CASE WHEN n > 0 THEN sqrt(greatest(n * sxx - sx * sx, 0.0)) / n END), false) AS is_anomaly FROM m"),
+    "q114_transitions" ->
+      ("WITH p AS (SELECT event_type AS from_state, lead(event_type, 1) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS to_state FROM events), " +
+        "c AS (SELECT from_state, to_state, COUNT(*) AS n FROM p " +
+        "WHERE to_state IS NOT NULL GROUP BY 1, 2), " +
+        "t AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS tt FROM c GROUP BY 1) " +
+        "SELECT c.from_state, c.to_state, n, " +
+        "CAST(n AS DOUBLE) / CAST(tt AS DOUBLE) AS p FROM c JOIN t USING (from_state)"),
+    "q115_abc_parts" ->
+      // revenue is EXACTLY 4-decimal (2dp price x 2dp discount
+      // complement), so the DECIMAL(18,4) cum/total sums are exact and
+      // the share division + threshold compares are engine-identical
+      ("WITH rev AS (SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS grev " +
+        "FROM lineitem GROUP BY 1), " +
+        "j AS (SELECT p_brand, l_partkey, grev FROM rev JOIN part ON l_partkey = p_partkey), " +
+        "s AS (SELECT p_brand, l_partkey, grev, " +
+        "CAST(SUM(grev) OVER (PARTITION BY p_brand ORDER BY grev DESC, l_partkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / " +
+        "CAST(SUM(grev) OVER (PARTITION BY p_brand) AS DOUBLE) AS cum_share FROM j) " +
+        "SELECT p_brand, l_partkey, CAST(grev AS DOUBLE) AS revenue, cum_share, " +
+        "CASE WHEN cum_share <= 0.8 THEN 'A' WHEN cum_share <= 0.95 THEN 'B' " +
+        "ELSE 'C' END AS abc_class FROM s"),
+    "q116_shape_stats" ->
+      // raw moments with the SAME cast staging as Exact.rawMoments
+      // (x in (12,2), x^2 re-cast to (18,4)) and the SAME closed-form
+      // association order — so every double is bit-equal
+      ("WITH m AS (SELECT l_returnflag, " +
+        "CAST(COUNT(l_discount) AS DOUBLE) AS n, " +
+        "CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS s1, " +
+        "CAST(SUM(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS s2, " +
+        "CAST(SUM(CAST(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(18,4)) * " +
+        "CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS s3, " +
+        "CAST(SUM(CAST(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(18,4)) * " +
+        "CAST(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(18,4))) AS DOUBLE) AS s4, " +
+        "COUNT(*) AS cn FROM lineitem GROUP BY 1), " +
+        "c AS (SELECT l_returnflag, n, s1 / n AS mu, s2, s3, s4, cn FROM m), " +
+        "d AS (SELECT l_returnflag, n, mu, s2 / n - mu * mu AS m2, " +
+        "s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu * mu * mu AS m3, " +
+        "s4 / n - 4.0 * mu * (s3 / n) + 6.0 * mu * mu * (s2 / n) - 3.0 * mu * mu * mu * mu AS m4, " +
+        "cn FROM c) " +
+        "SELECT l_returnflag, " +
+        "CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END AS skew_disc, " +
+        "CASE WHEN m2 > 0 THEN m4 / (m2 * m2) END AS kurt_disc, " +
+        "cn AS n FROM d"),
+    "q117_rfm_scores" ->
+      // DuckDB's ntile returns BIGINT (Spark: INT) -> cast; the
+      // monetary ORDERING compares exact decimal sums in both engines
+      ("WITH per AS (SELECT c_mktsegment, o_custkey, max(o_orderdate) AS last_ts, " +
+        "COUNT(*) AS frequency, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS mon " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2), " +
+        "s AS (SELECT c_mktsegment, o_custkey, last_ts, frequency, " +
+        "CAST(ntile(5) OVER (PARTITION BY c_mktsegment ORDER BY last_ts, o_custkey) AS INT) AS r_score, " +
+        "CAST(ntile(5) OVER (PARTITION BY c_mktsegment ORDER BY frequency, o_custkey) AS INT) AS f_score, " +
+        "CAST(ntile(5) OVER (PARTITION BY c_mktsegment ORDER BY mon, o_custkey) AS INT) AS m_score, " +
+        "CAST(mon AS DOUBLE) AS monetary FROM per) " +
+        "SELECT c_mktsegment, o_custkey, last_ts, frequency, r_score, f_score, m_score, monetary, " +
+        "CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS rfm_cell FROM s"),
+    "q118_token_df" ->
+      // string_split(text, ' ') mirrors TextFns.tokens (q52's pattern)
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "d AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1), " +
+        "j AS (SELECT doc_id, df FROM tok JOIN d USING (tok)) " +
+        "SELECT doc_id, COUNT(*) AS n_tokens, " +
+        "CAST(SUM(df) AS DOUBLE) / COUNT(*) AS mean_token_df, " +
+        "CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS hapax_share " +
+        "FROM j GROUP BY 1"),
   )
 }

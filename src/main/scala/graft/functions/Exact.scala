@@ -57,6 +57,54 @@ object Exact {
     (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
   }
 
+  /**
+   * Order-independent population skewness: m₃ / m₂^1.5 from exact raw
+   * decimal moments (Σx, Σx², Σx³), combined in ONE fixed closed-form
+   * sequence — so the shape statistic is partition-order independent
+   * and engine-portable, unlike `skewness`' streaming central-moment
+   * merge.
+   *
+   * The power chain is cast-staged to dodge Spark's 38-precision
+   * multiply cap (which silently TRUNCATES scale): x ∈ dec(12,s),
+   * x² re-cast to dec(18,2s), so x³ = x²·x types (31,3s) and
+   * x⁴ = x²·x² types (37,4s) — all inside the cap, all exact.
+   * Requires |x| < 10¹⁰⁻ˢ and Σ|x|⁴·10^4s < 2^53 (normalize wide
+   * columns first; s defaults to 2, right for ≤2-decimal ratios).
+   * m₂^1.5 is written m₂·√m₂ — `pow` is not correctly rounded across
+   * libms, sqrt is. Zero-variance groups yield NULL (guarded — the
+   * ANSI 0/0 would error), mirrored verbatim in oracles.
+   */
+  def decSkewnessPop(x: Column, scale: Int = 2): Column = {
+    val (n, s1, s2, s3, _) = rawMoments(x, scale)
+    val mu = s1 / n
+    val m2 = s2 / n - mu * mu
+    val m3 = s3 / n - lit(3d) * mu * (s2 / n) + lit(2d) * mu * mu * mu
+    when(m2 > 0, m3 / (m2 * sqrt(m2)))
+  }
+
+  /** Order-independent population kurtosis (non-excess): m₄ / m₂² from
+   *  the same exact raw moments and staging as [[decSkewnessPop]]. */
+  def decKurtosisPop(x: Column, scale: Int = 2): Column = {
+    val (n, s1, s2, s3, s4) = rawMoments(x, scale)
+    val mu = s1 / n
+    val m2 = s2 / n - mu * mu
+    val m4 = s4 / n - lit(4d) * mu * (s3 / n) + lit(6d) * mu * mu * (s2 / n) -
+      lit(3d) * mu * mu * mu * mu
+    when(m2 > 0, m4 / (m2 * m2))
+  }
+
+  /** Exact raw moments (n, Σx, Σx², Σx³, Σx⁴) as doubles, cast-staged
+   *  per [[decSkewnessPop]]'s bound notes. */
+  private def rawMoments(x: Column, scale: Int) = {
+    val d1 = x.cast(s"decimal(12,$scale)")
+    val d2 = (d1 * d1).cast(s"decimal(18,${2 * scale})")
+    (count(x).cast("double"),
+      sum(d1).cast("double"),
+      sum(d1 * d1).cast("double"),
+      sum(d2 * d1).cast("double"),
+      sum(d2 * d2).cast("double"))
+  }
+
   /** Order-independent population standard deviation (same construction).
    *  The radicand is clamped at 0: for a zero-variance group the exact
    *  sums cancel only up to the decimal→double casts, and the residual

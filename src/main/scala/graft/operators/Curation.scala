@@ -192,6 +192,35 @@ object Curation {
       .select(col(id), col("rank"), col("term"), col("tf"), col("df"))
   }
 
+  /**
+   * Token document-frequency quality stats: for each document, how
+   * common are its tokens across the corpus — `mean_token_df` (average
+   * document frequency over token OCCURRENCES) and `hapax_share` (the
+   * fraction of occurrences whose token appears in no other document).
+   * A high hapax share marks gibberish/OCR noise; an extreme common-
+   * token share marks boilerplate — the corpus-relative complement of
+   * q61's per-row quality gates.
+   *
+   * Scale shape: the DF table is built from DISTINCT (token, doc)
+   * pairs — one dedup shuffle + one count, linear in corpus tokens,
+   * never quadratic. The join back is token-keyed; its right side is
+   * one row per vocabulary term (≪ corpus, broadcastable when the
+   * vocab fits) and the occurrence side's Zipf-head skew is exactly
+   * the shape AQE skew-join splitting handles. Final per-doc stats
+   * are exact-integer sums divided once — engine-identical.
+   */
+  def tokenDfStats(docs: DataFrame, id: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(id), explode(TextFns.tokens(col(textCol))).as("__gtok"))
+    val dfTab = tok.distinct()
+      .groupBy("__gtok").agg(count(lit(1)).as("__gdf"))
+    tok.join(dfTab, "__gtok")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum("__gdf").cast("double") / count(lit(1))).as("mean_token_df"),
+        (sum(when(col("__gdf") === 1, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("hapax_share"))
+  }
+
   /** Remove flagged-contaminated documents from the corpus (anti-join
    *  against the small flag set — broadcast in the common case). */
   def decontaminate(

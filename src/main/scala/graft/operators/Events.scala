@@ -271,6 +271,74 @@ object Events {
   }
 
   /**
+   * Finite-window exponential smoothing (truncated EWMA): the classic
+   * recursive `s_t = α·v_t + (1−α)·s_{t−1}` truncated to its `depth`
+   * largest terms — `ewma = Σ_j w_j·v_{t−j} / Σ_j w_j` over the lags
+   * present, `w_j = α(1−α)^j`. Truncation is what makes the smoothing
+   * distributable AND portable: the infinite recursion needs sequential
+   * per-key state, while the windowed form is one `lag` chain over a
+   * single per-key window (Catalyst plans ONE exchange + sort; all
+   * `depth` lags share it).
+   *
+   * Engine-exactness: with a dyadic `alpha` (0.5, 0.25, …) every weight
+   * is a power of two, so each `w_j·v` multiply is exponent-shift-exact,
+   * and the term additions associate left in BOTH this expression tree
+   * and the mirrored SQL — same op sequence, same doubles, so results
+   * hash-match any engine. Weights for missing lags (the first rows of
+   * each key, null values) drop out of numerator AND denominator.
+   *
+   * The `order` must be total (tie-break column) or frame membership
+   * itself is nondeterministic.
+   */
+  def ewmaSmoothed(
+      df: DataFrame, keys: Seq[String], order: Seq[Column],
+      valueCol: String, alpha: Double, depth: Int,
+      out: String = "ewma"): DataFrame = {
+    require(depth >= 1, "ewmaSmoothed needs depth >= 1")
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val base = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
+    val w = base.orderBy(order: _*)
+    val v = col(valueCol)
+    def lagged(j: Int): Column = if (j == 0) v else lag(v, j).over(w)
+    val weights = ewmaWeights(alpha, depth)
+    val terms = weights.zipWithIndex.map { case (wt, j) =>
+      when(lagged(j).isNotNull, lit(wt) * lagged(j)).otherwise(lit(0d)) }
+    val norms = weights.zipWithIndex.map { case (wt, j) =>
+      when(lagged(j).isNotNull, lit(wt)).otherwise(lit(0d)) }
+    df.withColumn(out, terms.reduce(_ + _) / norms.reduce(_ + _))
+  }
+
+  /** The truncated-EWMA weight sequence `α(1−α)^j`, j = 0..depth−1 —
+   *  exposed so SQL oracles embed the IDENTICAL literals. */
+  def ewmaWeights(alpha: Double, depth: Int): Seq[Double] =
+    (0 until depth).map(j => alpha * math.pow(1 - alpha, j))
+
+  /**
+   * State-transition (Markov bigram) matrix: per-entity consecutive
+   * `state` pairs under a total `order`, counted globally with the
+   * per-origin transition probability attached.
+   *
+   * Shape: one window shuffle (by `entity`) forms the bigrams with
+   * `lead` — no self-join of the event table against itself on
+   * adjacent sequence numbers; the count groupBy reduces to at most
+   * |states|² rows, and the per-origin totals frame is tiny by the
+   * same bound, so it broadcasts back. Probabilities are exact-integer
+   * divisions — engine-identical.
+   */
+  def transitions(df: DataFrame, entity: String, order: Seq[Column],
+      state: String): DataFrame = {
+    val w = Window.partitionBy(col(entity)).orderBy(order: _*)
+    val counts = df
+      .select(col(state).as("from_state"), lead(col(state), 1).over(w).as("to_state"))
+      .filter(col("to_state").isNotNull)
+      .groupBy("from_state", "to_state").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_state").agg(sum("n").as("__graft_tot"))
+    counts.join(broadcast(totals), "from_state")
+      .withColumn("p", col("n").cast("double") / col("__graft_tot").cast("double"))
+      .drop("__graft_tot")
+  }
+
+  /**
    * Longest consecutive-day activity streak per user (plus total active
    * days) — the gaps-and-islands twin of [[mergeIntervals]] on a daily
    * grain.

@@ -276,4 +276,46 @@ object Features {
         col("chunk_start").cast("long").as("chunk_start"),
         text.substr(col("chunk_start") + 1, lit(chunkChars)).as("chunk"))
   }
+
+  /**
+   * RFM (recency / frequency / monetary) scoring: collapse a
+   * transaction table to one row per `entity`, then quintile each
+   * dimension with `ntile` — the standard customer-value segmentation.
+   * Scores run 1..n with n = best (most recent / most frequent /
+   * highest spend), so ranking ASCENDING by each metric gives the
+   * conventional orientation directly — no anchor-date arithmetic.
+   *
+   * Scale shape: the raw transactions aggregate down to entity grain
+   * FIRST; the three ntile windows all partition by `keys` (score
+   * within segment), so they share one exchange of the already-small
+   * entity frame and parallelize across segments — an unkeyed global
+   * ntile would funnel the frame through one partition (the q51
+   * caveat; pass at least one segmentation key at scale).
+   *
+   * Exactness: the monetary ordering compares exact decimal sums, and
+   * `ntile` tie behavior is irrelevant because every ordering ends in
+   * the `entity` tie-break (total order). ntile semantics (first
+   * n mod k buckets take the extra row) match across engines.
+   */
+  def rfmScores(
+      df: DataFrame, entity: String, keys: Seq[String],
+      tsCol: String, amountCol: String, n: Int = 5,
+      scale: Int = 4): DataFrame = {
+    require(n > 1, "rfmScores needs at least two buckets")
+    val per = df
+      .groupBy((keys :+ entity).map(col): _*)
+      .agg(max(col(tsCol)).as("last_ts"),
+        count(lit(1)).as("frequency"),
+        sum(col(amountCol).cast(s"decimal(18,$scale)")).as("__gmon"))
+    val base = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
+    def score(order: Column) = ntile(n).over(base.orderBy(order, col(entity)))
+    per
+      .withColumn("r_score", score(col("last_ts")))
+      .withColumn("f_score", score(col("frequency")))
+      .withColumn("m_score", score(col("__gmon")))
+      .withColumn("monetary", col("__gmon").cast("double"))
+      .withColumn("rfm_cell", concat(col("r_score").cast("string"),
+        col("f_score").cast("string"), col("m_score").cast("string")))
+      .drop("__gmon")
+  }
 }

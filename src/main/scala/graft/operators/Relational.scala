@@ -460,4 +460,85 @@ object Relational {
       sum(col(column).cast(s"decimal(18,$scale)")).over(w).cast("double") /
         count(lit(1)).over(w))
   }
+
+  /**
+   * Rolling-window anomaly flags: mean and population stddev over the
+   * `window` rows STRICTLY BEFORE the current row, flagging rows where
+   * |v − mean| > k·stddev — the streaming-monitorable outlier test
+   * ([[graft.operators.Cleaning.madOutliers]] is its robust per-GROUP
+   * twin; this one is per-POSITION, so level shifts re-baseline).
+   * Excluding the current row matters: a genuine spike inside its own
+   * baseline inflates the stddev it is tested against and masks
+   * itself. Each key's first row has an empty frame and gets NULL
+   * stats (empty-frame SUM is NULL in Spark and DuckDB alike —
+   * portable by construction) and a FALSE flag: "no baseline yet" is
+   * not an anomaly, and a three-valued flag column would force every
+   * downstream filter to reason about NULL.
+   *
+   * Moments use the [[graft.functions.Exact]] construction windowed:
+   * framed decimal sums are order-independent (engines disagree on
+   * framed-DOUBLE-sum order — DuckDB segment tree vs Spark running
+   * accumulator), and the mean/stddev closed forms are then fixed IEEE
+   * sequences any engine reproduces. One shuffle; all three window
+   * aggregates share the frame. The radicand clamp mirrors
+   * [[graft.functions.Exact.decStddevPop]] (zero-variance frames can
+   * land ulps negative). `order` must be total.
+   */
+  def rollingAnomalies(
+      df: DataFrame, column: String, keys: Seq[String], order: Seq[Column],
+      window: Int, k: Double, scale: Int = 4): DataFrame = {
+    require(window > 1, "rollingAnomalies needs a window of at least 2 rows")
+    val base = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
+    val w = base.orderBy(order: _*).rowsBetween(-window, -1)
+    def dec(c: Column) = c.cast(s"decimal(18,$scale)")
+    val v = col(column)
+    val n = count(v).over(w).cast("double")
+    val sx = sum(dec(v)).over(w).cast("double")
+    val sxx = sum(dec(v) * dec(v)).over(w).cast("double")
+    // explicit n > 0 guards, not null-propagation: greatest() IGNORES
+    // nulls (both engines), so an empty frame would otherwise reach the
+    // division as sqrt(0)/0 — an ANSI error, not a NULL
+    df.withColumn("roll_mean", when(n > 0, sx / n))
+      .withColumn("roll_std",
+        when(n > 0, sqrt(greatest(n * sxx - sx * sx, lit(0d))) / n))
+      .withColumn("is_anomaly",
+        coalesce(abs(v - col("roll_mean")) > lit(k) * col("roll_std"), lit(false)))
+  }
+
+  /**
+   * Pareto / ABC classification: rank items by `weightCol` descending
+   * within each key group, attach the cumulative weight share, and
+   * classify A (head, cum share ≤ `aThreshold`), B (≤ `bThreshold`),
+   * C (tail) — the inventory-analysis standard, and the corpus-curation
+   * move for "which sources carry 80% of the tokens".
+   *
+   * Runs on an already-aggregated frame (one row per item), so the
+   * window is over item counts, not raw facts. With `keys` the windows
+   * partition per group and parallelize; keys = Nil is the global
+   * ranking and (like `topk`) funnels through one partition — only for
+   * item sets that fit one executor (aggregate first!).
+   *
+   * Exactness: cumulative and total sums run on the DECIMAL weight
+   * (order-independent, and the DESC ordering compares exact decimals,
+   * not doubles); the single share division and the threshold compares
+   * are engine-identical IEEE ops. `tieBreak` must make the DESC
+   * ordering total or cum shares of tied rows are partition-order
+   * dependent.
+   */
+  def abcClassify(
+      df: DataFrame, keys: Seq[String], weightCol: String,
+      tieBreak: Seq[String], aThreshold: Double = 0.8,
+      bThreshold: Double = 0.95, scale: Int = 4): DataFrame = {
+    require(aThreshold <= bThreshold, "A threshold must not exceed B threshold")
+    val wdec = col(weightCol).cast(s"decimal(18,$scale)")
+    val base = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
+    val ord = base.orderBy(wdec.desc +: tieBreak.map(col): _*)
+    val cum = sum(wdec).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val tot = sum(wdec).over(base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    df.withColumn("cum_share", cum.cast("double") / tot.cast("double"))
+      .withColumn("abc_class",
+        when(col("cum_share") <= aThreshold, "A")
+          .when(col("cum_share") <= bThreshold, "B")
+          .otherwise("C"))
+  }
 }

@@ -146,4 +146,16 @@ class CurationSpec extends SparkSpec {
       corpus, "doc_id", col("text"), benchmark, col("btext"), k = 12, w = 4)
     assert(clean.count() == 2)
   }
+
+  test("tokenDfStats computes occurrence-weighted DF stats and hapax share") {
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a a d")).toDF("doc_id", "text")
+    val out = Curation.tokenDfStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // df: a->3, b/c/d->1; d3's repeated "a" counts per OCCURRENCE
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2.0, 0.5),
+      (2L, 2L, 2.0, 0.5),
+      (3L, 3L, 7.0 / 3, 1.0 / 3)))
+  }
 }

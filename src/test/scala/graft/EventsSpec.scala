@@ -267,4 +267,42 @@ class EventsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq((1L, 3L, 6L), (2L, 1L, 1L)))
   }
+
+  test("ewmaSmoothed matches the hand-computed truncated recursion; null values drop out") {
+    val d = Seq((1, 1, Some(1.0)), (1, 2, Some(2.0)), (1, 3, Some(4.0)),
+        (1, 4, None), (2, 1, Some(7.0)))
+      .toDF("k", "t", "v")
+    val out = Events.ewmaSmoothed(d, Seq("k"), Seq(col("t")), "v",
+        alpha = 0.5, depth = 2)
+      .orderBy("k", "t").select("ewma").as[Option[Double]].collect().toSeq
+    // w = (0.5, 0.25); head rows renormalize over the weights present
+    assert(out == Seq(
+      Some(1.0),                          // only v0: 0.5*1 / 0.5
+      Some((0.5 * 2 + 0.25 * 1) / 0.75),
+      Some((0.5 * 4 + 0.25 * 2) / 0.75),
+      Some((0.25 * 4) / 0.25),            // current value null -> lag only
+      Some(7.0)))
+  }
+
+  test("ewmaSmoothed is partition-layout independent") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 400).map(i => (i % 7, i, rnd.nextInt(10000) / 100.0)).toDF("k", "t", "v")
+    val a = Events.ewmaSmoothed(df.repartition(13), Seq("k"), Seq(col("t")), "v", 0.5, 8)
+      .orderBy("k", "t").select("ewma").as[Double].collect().toSeq
+    val b = Events.ewmaSmoothed(df.coalesce(1), Seq("k"), Seq(col("t")), "v", 0.5, 8)
+      .orderBy("k", "t").select("ewma").as[Double].collect().toSeq
+    assert(a == b)
+  }
+
+  test("transitions counts consecutive state bigrams with per-origin probabilities") {
+    val e = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "c"))
+      .toDF("user_id", "t", "s")
+    val out = Events.transitions(e, "user_id", Seq(col("t")), "s")
+      .orderBy("from_state", "to_state").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("a", "b", 2L, 2.0 / 3), ("a", "c", 1L, 1.0 / 3), ("b", "a", 1L, 1.0)))
+  }
 }

@@ -41,6 +41,29 @@ class ExactSpec extends SparkSpec {
     assert(math.abs(sd - math.sqrt(2.0)) < 1e-12) // pop stddev of 1..5
   }
 
+  test("decSkewnessPop/decKurtosisPop track Spark's built-ins and are layout independent") {
+    val rnd = new scala.util.Random(7)
+    // 2-decimal values in [0, 1] — inside the scale-2 exactness bounds
+    val df = (1 to 2000).map(_ => rnd.nextInt(101) / 100.0).toDF("x")
+    val Array(sk, ku) = df.agg(
+        Exact.decSkewnessPop(col("x")).as("s"), Exact.decKurtosisPop(col("x")).as("k"))
+      .head.toSeq.map(_.asInstanceOf[Double]).toArray
+    val Array(skB, kuB) = df.agg(skewness(col("x")), kurtosis(col("x")))
+      .head.toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(math.abs(sk - skB) < 1e-9)
+    assert(math.abs(ku - (kuB + 3.0)) < 1e-9) // built-in reports EXCESS kurtosis
+    val again = df.repartition(17).agg(
+        Exact.decSkewnessPop(col("x")), Exact.decKurtosisPop(col("x")))
+      .head.toSeq.map(_.asInstanceOf[Double])
+    assert(again == Seq(sk, ku)) // bit-equal across layouts
+  }
+
+  test("decSkewnessPop is NULL (not an ANSI error) for zero-variance groups") {
+    val df = Seq(0.5, 0.5, 0.5).toDF("x")
+    val r = df.agg(Exact.decSkewnessPop(col("x")), Exact.decKurtosisPop(col("x"))).head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("decSum matches BigDecimal arithmetic on scalacheck-generated inputs") {
     val gen = Gen.listOfN(50, Gen.chooseNum(-1000.0, 1000.0))
     for (seed <- 1L to 5L) {

@@ -184,4 +184,17 @@ class FeaturesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(out.toSeq == expected)
   }
+
+  test("rfmScores quintiles each dimension per segment with entity tie-breaks") {
+    // 5 customers in one segment: metrics strictly increase with id, so
+    // with 5 rows and 5 buckets every score equals the customer's rank
+    val tx = (1 to 5).flatMap { c =>
+      (1 to c).map(i => ("SEG", c.toLong, java.sql.Date.valueOf(f"2024-01-$c%02d"), c * 100.0))
+    }.toDF("seg", "cust", "d", "amt")
+    val out = Features.rfmScores(tx, "cust", Seq("seg"), "d", "amt")
+      .orderBy("cust").collect()
+      .map(r => (r.getAs[Long]("cust"), r.getAs[Int]("r_score"),
+        r.getAs[Int]("f_score"), r.getAs[Int]("m_score"), r.getAs[String]("rfm_cell")))
+    assert(out.toSeq == (1 to 5).map(c => (c.toLong, c, c, c, s"$c$c$c")))
+  }
 }

@@ -271,4 +271,31 @@ class RelationalSpec extends SparkSpec {
       (None, Some("y"), 1, 0, 2L),
       (None, None, 1, 1, 7L)))            // grand total
   }
+
+  test("rollingAnomalies flags a spike against the PRIOR baseline; first row is NULL") {
+    val d = ((1 to 6).map(i => (1, i, 10.0)) :+ ((1, 7, 100.0)))
+      .map { case (k, t, v) => (k, t, v) }.toDF("k", "t", "v")
+    val out = Relational.rollingAnomalies(d, "v", Seq("k"), Seq(col("t")),
+        window = 5, k = 3.0)
+      .orderBy("t").collect()
+    assert(out.head.isNullAt(out.head.fieldIndex("roll_mean"))) // empty frame
+    assert(!out.head.getAs[Boolean]("is_anomaly")) // no baseline -> not flagged
+    val spike = out.last
+    assert(spike.getAs[Double]("roll_mean") == 10.0)
+    assert(spike.getAs[Double]("roll_std") == 0.0)  // constant baseline, clamped exact
+    assert(spike.getAs[Boolean]("is_anomaly"))
+    // the constant rows between are not flagged
+    assert(out.slice(1, 6).forall(!_.getAs[Boolean]("is_anomaly")))
+  }
+
+  test("abcClassify assigns cumulative-share classes with deterministic tie order") {
+    val d = Seq(("g", 1L, 50.0), ("g", 2L, 30.0), ("g", 3L, 15.0), ("g", 4L, 5.0))
+      .toDF("grp", "id", "w")
+    val out = Relational.abcClassify(d, Seq("grp"), "w", Seq("id"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(r.fieldIndex("id")), r.getAs[Double]("cum_share"),
+        r.getAs[String]("abc_class")))
+    assert(out.toSeq == Seq(
+      (1L, 0.5, "A"), (2L, 0.8, "A"), (3L, 0.95, "B"), (4L, 1.0, "C")))
+  }
 }

@@ -1151,6 +1151,42 @@ object SparkEntry {
   private def q118TokenDf(s: SparkSession, dir: String): DataFrame =
     Curation.tokenDfStats(t(s, dir).documents, "doc_id", "text")
 
+  /** #119 ordered group concatenation: each brand's distinct type
+   *  set as one sorted comma-joined string (layout-independent because
+   *  the SORT is inside the aggregate — collect order is not). */
+  private def q119OrderedConcat(s: SparkSession, dir: String): DataFrame =
+    Relational.orderedConcat(t(s, dir).part, Seq("p_brand"), "p_type",
+      distinct = true)
+
+  /** #120 referential-integrity audit in ONE fact scan: orphan counts
+   *  for lineitem→part and lineitem→orders (the part dim is filtered
+   *  to plant real orphans, q90-style). */
+  private def q120FkOrphans(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    Cleaning.fkIntegrity(tt.lineitem, Seq(
+      ("part", Seq("l_partkey"),
+        tt.part.filter(col("p_partkey") % 7 =!= 0), Seq("p_partkey")),
+      ("orders", Seq("l_orderkey"), tt.orders, Seq("o_orderkey"))))
+  }
+
+  /** #121 period-over-period revenue change: monthly decimal-exact
+   *  revenue per market segment, then pct_change over the month order
+   *  (first month NULL; ±Infinity on zero baselines, by design). */
+  private def q121PctChange(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val monthly = tt.orders
+      .join(broadcast(tt.customer.select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment"))), "o_custkey")
+      .groupBy(col("c_mktsegment"), trunc(col("o_orderdate"), "mm").as("month"))
+      .agg(decSum(col("o_totalprice")).as("revenue"))
+    Events.pctChange(monthly, Seq("c_mktsegment"), Seq(col("month")), "revenue")
+  }
+
+  /** #122 day-of-week seasonality profile per event type: counts and
+   *  the n·7/total index (dow 0 = Sunday, the DuckDB convention). */
+  private def q122DowSeasonality(s: SparkSession, dir: String): DataFrame =
+    Events.dowSeasonality(t(s, dir).events, Seq("event_type"), "ts")
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1272,6 +1308,10 @@ object SparkEntry {
     "q116_shape_stats"      -> (q116ShapeStats _),
     "q117_rfm_scores"       -> (q117RfmScores _),
     "q118_token_df"         -> (q118TokenDf _),
+    "q119_ordered_concat"   -> (q119OrderedConcat _),
+    "q120_fk_orphans"       -> (q120FkOrphans _),
+    "q121_pct_change"       -> (q121PctChange _),
+    "q122_dow_seasonality"  -> (q122DowSeasonality _),
   )
 
   private val monthCaseSql: String =
@@ -2058,5 +2098,32 @@ object SparkEntry {
         "CAST(SUM(df) AS DOUBLE) / COUNT(*) AS mean_token_df, " +
         "CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS hapax_share " +
         "FROM j GROUP BY 1"),
+    "q119_ordered_concat" ->
+      ("SELECT p_brand, string_agg(DISTINCT p_type, ',' ORDER BY p_type) AS joined, " +
+        "COUNT(p_type) AS n_values FROM part GROUP BY 1"),
+    "q120_fk_orphans" ->
+      ("WITH pk AS (SELECT DISTINCT p_partkey FROM part WHERE p_partkey % 7 <> 0), " +
+        "ok AS (SELECT DISTINCT o_orderkey FROM orders), " +
+        "m AS (SELECT COUNT(*) AS n, " +
+        "SUM(CASE WHEN pk.p_partkey IS NULL THEN 1 ELSE 0 END) AS g0, " +
+        "SUM(CASE WHEN ok.o_orderkey IS NULL THEN 1 ELSE 0 END) AS g1 " +
+        "FROM lineitem l LEFT JOIN pk ON l.l_partkey = pk.p_partkey " +
+        "LEFT JOIN ok ON l.l_orderkey = ok.o_orderkey) " +
+        "SELECT 'part' AS relation, n AS n_rows, CAST(g0 AS BIGINT) AS n_orphans, " +
+        "CAST(g0 AS DOUBLE) / n AS orphan_share FROM m " +
+        "UNION ALL SELECT 'orders', n, CAST(g1 AS BIGINT), CAST(g1 AS DOUBLE) / n FROM m"),
+    "q121_pct_change" ->
+      ("WITH mth AS (SELECT c_mktsegment, date_trunc('month', o_orderdate) AS month, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2) " +
+        "SELECT c_mktsegment, month, revenue, " +
+        "CASE WHEN lag(revenue, 1) OVER w <> 0 THEN " +
+        "revenue / lag(revenue, 1) OVER w - 1 END AS pct_change " +
+        "FROM mth WINDOW w AS (PARTITION BY c_mktsegment ORDER BY month)"),
+    "q122_dow_seasonality" ->
+      ("WITH c AS (SELECT event_type, dayofweek(ts) AS dow, COUNT(*) AS n " +
+        "FROM events GROUP BY 1, 2) " +
+        "SELECT event_type, CAST(dow AS INT) AS dow, n, " +
+        "CAST(n AS DOUBLE) * 7.0 / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS idx FROM c"),
   )
 }

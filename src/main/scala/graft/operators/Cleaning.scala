@@ -212,4 +212,42 @@ object Cleaning {
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
     df.agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
+
+  /**
+   * Referential-integrity audit: for each named FK relation, how many
+   * fact rows have no matching dimension row (NULL FK values count as
+   * orphans — they match nothing, exactly as the fact-build left join
+   * would leave them keyless). One row per relation:
+   * (relation, n_rows, n_orphans, orphan_share).
+   *
+   * Scale shape: ONE scan of the fact, however many relations — each
+   * dim contributes a distinct-key presence marker via a broadcast
+   * left join (dim keys ≪ fact by definition), all orphan counts fold
+   * into a single aggregate with map-side partials, and the per-
+   * relation rows unfold from that 1-row frame via inline explode
+   * ([[Relational.corrMatrix]]'s shape). N anti-joins would scan the
+   * fact N times.
+   */
+  def fkIntegrity(
+      fact: DataFrame,
+      relations: Seq[(String, Seq[String], DataFrame, Seq[String])]): DataFrame = {
+    require(relations.nonEmpty, "fkIntegrity needs at least one relation")
+    val marked = relations.zipWithIndex.foldLeft(fact) {
+      case (acc, ((_, fkCols, dim, dimCols), i)) =>
+        val keys = dim.select(dimCols.map(col): _*).distinct()
+        val renamed = dimCols.zip(fkCols).foldLeft(keys) {
+          case (d, (dk, fk)) => d.withColumnRenamed(dk, fk)
+        }.withColumn(s"__gfk_$i", lit(1))
+        acc.join(broadcast(renamed), fkCols, "left")
+    }
+    val aggs = relations.indices.map(i =>
+      sum(when(col(s"__gfk_$i").isNull, 1L).otherwise(0L)).as(s"__go_$i"))
+    val one = marked.agg(count(lit(1)).as("__gn"), aggs: _*)
+    val rows = relations.zipWithIndex.map { case ((name, _, _, _), i) =>
+      struct(lit(name).as("relation"), col("__gn").as("n_rows"),
+        col(s"__go_$i").as("n_orphans"),
+        (col(s"__go_$i").cast("double") / col("__gn")).as("orphan_share"))
+    }
+    one.select(explode(array(rows: _*)).as("__gr")).select(col("__gr.*"))
+  }
 }

@@ -156,6 +156,48 @@ object Events {
       Window.partitionBy(keys.map(col): _*).orderBy(order: _*)))
 
   /**
+   * Period-over-period relative change: `v / v_prev − 1` under a total
+   * per-key ordering (pandas `pct_change`, distributed). First row per
+   * key is NULL (nothing to compare), and so is a zero baseline:
+   * Spark 4's ANSI mode raises on division by zero even for doubles,
+   * and "change relative to nothing" has no meaningful magnitude
+   * anyway — NULL beats a fake ±Infinity. The guard short-circuits, so
+   * the division never evaluates on zero rows.
+   */
+  def pctChange(
+      df: DataFrame, keys: Seq[String], order: Seq[Column],
+      valueCol: String, out: String = "pct_change"): DataFrame = {
+    val base = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
+    val w = base.orderBy(order: _*)
+    val prev = lag(col(valueCol), 1).over(w)
+    df.withColumn(out, when(prev =!= 0, col(valueCol) / prev - 1))
+  }
+
+  /**
+   * Day-of-week seasonality profile: per (keys, dow) event counts and
+   * the seasonality index `n·7 / total` (1.0 = flat, 2.0 = twice the
+   * uniform share) — the notebook's per-group hour-distribution
+   * analysis at weekly grain. `dow` is 0 = Sunday .. 6 = Saturday
+   * (DuckDB's `dayofweek` convention; Spark's `dayofweek` is 1-based,
+   * shifted here).
+   *
+   * One count groupBy (map-side combined to ≤ 7·|groups| partials per
+   * task); the per-key totals come from a window over the tiny counts
+   * frame, sharing its partitioning — the raw events are scanned once
+   * and never shuffled un-aggregated.
+   */
+  def dowSeasonality(df: DataFrame, keys: Seq[String], ts: String): DataFrame = {
+    val keyCols = keys.map(col)
+    val counts = df
+      .groupBy(keyCols :+ (dayofweek(col(ts)) - 1).as("dow"): _*)
+      .agg(count(lit(1)).as("n"))
+    val base = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keyCols: _*)
+    counts
+      .withColumn("idx",
+        col("n").cast("double") * lit(7.0) / sum("n").over(base).cast("double"))
+  }
+
+  /**
    * Cohort retention: bucket each user by first-activity day, then
    * count distinct users active at each day offset from their cohort —
    * the standard retention triangle. Scale shape: activity first

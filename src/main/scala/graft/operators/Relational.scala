@@ -497,12 +497,35 @@ object Relational {
     val sxx = sum(dec(v) * dec(v)).over(w).cast("double")
     // explicit n > 0 guards, not null-propagation: greatest() IGNORES
     // nulls (both engines), so an empty frame would otherwise reach the
-    // division as sqrt(0)/0 — an ANSI error, not a NULL
-    df.withColumn("roll_mean", when(n > 0, sx / n))
-      .withColumn("roll_std",
-        when(n > 0, sqrt(greatest(n * sxx - sx * sx, lit(0d))) / n))
-      .withColumn("is_anomaly",
-        coalesce(abs(v - col("roll_mean")) > lit(k) * col("roll_std"), lit(false)))
+    // division as sqrt(0)/0 — an ANSI error, not a NULL. One select (not
+    // chained withColumn) so all three window aggregates land in ONE
+    // Window node — chaining planned a second Window pass re-running
+    // the frame aggregates over the sorted rows.
+    val mean = when(n > 0, sx / n)
+    val std = when(n > 0, sqrt(greatest(n * sxx - sx * sx, lit(0d))) / n)
+    df.select(col("*"), mean.as("roll_mean"), std.as("roll_std"),
+      coalesce(abs(v - mean) > lit(k) * std, lit(false)).as("is_anomaly"))
+  }
+
+  /**
+   * Ordered group concatenation: each group's values as ONE sorted,
+   * separator-joined string — the reporting/export staple (pandas
+   * `groupby.apply(','.join)`). Sorting inside the aggregate is what
+   * makes the result partition-layout independent: `collect_list`
+   * order is arrival order, so an unsorted join would differ run to
+   * run. Only for groups whose member set is BOUNDED (the
+   * [[distinctPartials]] caveat): the aggregation state is the member
+   * list itself. Duplicates are kept unless `distinct`.
+   */
+  def orderedConcat(
+      df: DataFrame, keys: Seq[String], valueCol: String,
+      sep: String = ",", distinct: Boolean = false,
+      out: String = "joined"): DataFrame = {
+    val collected = collect_list(col(valueCol))
+    val members = if (distinct) array_distinct(collected) else collected
+    df.groupBy(keys.map(col): _*)
+      .agg(array_join(array_sort(members), sep).as(out),
+        count(col(valueCol)).as("n_values"))
   }
 
   /**

@@ -144,4 +144,19 @@ class CleaningSpec extends SparkSpec {
       // constant group: MAD 0 -> deviation 0 is not > 0, no outliers
       ("b", 7.0, false), ("b", 7.0, false)))
   }
+
+  test("fkIntegrity counts orphans per relation in one pass; null FKs are orphans") {
+    val fact = Seq(
+      (Some(1L), 10L), (Some(2L), 10L), (Some(9L), 20L), (None, 30L))
+      .toDF("fk_a", "fk_b")
+    val dimA = Seq(1L, 2L).toDF("a_key")
+    val dimB = Seq(10L, 20L).toDF("b_key")
+    val out = Cleaning.fkIntegrity(fact, Seq(
+        ("a", Seq("fk_a"), dimA, Seq("a_key")),
+        ("b", Seq("fk_b"), dimB, Seq("b_key"))))
+      .orderBy("relation").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // a: 9L unmatched + NULL = 2 orphans; b: 30L unmatched = 1
+    assert(out.toSeq == Seq(("a", 4L, 2L, 0.5), ("b", 4L, 1L, 0.25)))
+  }
 }

@@ -294,6 +294,31 @@ class EventsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("pctChange computes v/prev - 1 per key; first row and zero baselines are NULL") {
+    val d = Seq((1, 1, 100.0), (1, 2, 110.0), (1, 3, 0.0), (1, 4, 5.0), (2, 1, 3.0))
+      .toDF("k", "t", "v")
+    val out = Events.pctChange(d, Seq("k"), Seq(col("t")), "v")
+      .orderBy("k", "t").select("pct_change").as[Option[Double]].collect().toSeq
+    assert(out(0).isEmpty && out(4).isEmpty)
+    assert(math.abs(out(1).get - 0.1) < 1e-12)
+    assert(out(2).get == -1.0)
+    assert(out(3).isEmpty) // zero baseline: NULL, not an ANSI error or fake Inf
+  }
+
+  test("dowSeasonality indexes each weekday count against the uniform share") {
+    // 2024-01-07 was a Sunday
+    val e = (0 until 7).flatMap { d =>
+      val reps = if (d == 0) 8 else 1 // Sunday 8x
+      Seq.fill(reps)(("t", f"2024-01-${7 + d}%02d 12:00:00"))
+    }.toDF("event_type", "raw").withColumn("ts", to_timestamp(col("raw")))
+    val out = Events.dowSeasonality(e, Seq("event_type"), "ts")
+      .orderBy("dow").collect()
+      .map(r => (r.getInt(r.fieldIndex("dow")), r.getLong(r.fieldIndex("n")),
+        r.getDouble(r.fieldIndex("idx"))))
+    assert(out.head == ((0, 8L, 8.0 * 7 / 14)))
+    assert(out.tail.forall { case (_, n, idx) => n == 1L && idx == 7.0 / 14 })
+  }
+
   test("transitions counts consecutive state bigrams with per-origin probabilities") {
     val e = Seq(
       (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),

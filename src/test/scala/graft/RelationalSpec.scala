@@ -288,6 +288,16 @@ class RelationalSpec extends SparkSpec {
     assert(out.slice(1, 6).forall(!_.getAs[Boolean]("is_anomaly")))
   }
 
+  test("orderedConcat joins sorted members layout-independently; distinct dedups") {
+    val d = Seq(("g", "b"), ("g", "a"), ("g", "b"), ("h", "z")).toDF("k", "v")
+    val out = Relational.orderedConcat(d.repartition(5), Seq("k"), "v", distinct = true)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("g", "a,b", 3L), ("h", "z", 1L)))
+    val dup = Relational.orderedConcat(d, Seq("k"), "v")
+      .filter(col("k") === "g").head.getString(1)
+    assert(dup == "a,b,b") // duplicates kept, still sorted
+  }
+
   test("abcClassify assigns cumulative-share classes with deterministic tie order") {
     val d = Seq(("g", 1L, 50.0), ("g", 2L, 30.0), ("g", 3L, 15.0), ("g", 4L, 5.0))
       .toDF("grp", "id", "w")

@@ -97,4 +97,42 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"filter not pushed:\n$scan")
     assert(!scan.contains("l_comment"), "unused columns must be pruned from ReadSchema")
   }
+
+  test("fkIntegrity audits N relations in ONE fact scan, dims broadcast") {
+    val q = SparkEntry.queries("q120_fk_orphans")(spark, sf0001)
+    val plan = q.queryExecution.executedPlan
+    val factScans = plan.collectLeaves().count(_.toString.contains("lineitem"))
+    assert(factScans == 1, s"fact must be scanned once, found $factScans:\n$plan")
+    val shuffles = collect(plan) { case s: ShuffleExchangeLike => s }
+    // dim-key dedups may shuffle their (tiny) sides; the fact never does —
+    // the only post-join exchange is the final single-row aggregate's
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      s"dims must broadcast:\n$plan")
+    assert(shuffles.size <= 3, s"unexpected shuffles:\n$plan")
+  }
+
+  test("runtime bloom-filter pruning injects might_contain for selective shuffled joins") {
+    // the posture for 100 TB fact↔filtered-dim joins too big to
+    // broadcast: Spark builds a bloom filter from the selective side
+    // and semi-prunes the fact BEFORE its shuffle
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val tt = graft.sources.Tables(spark, sf0001)
+      val joined = tt.lineitem.join(
+        tt.part.filter(col("p_retailprice") > 1500), // selective creation side
+        col("l_partkey") === col("p_partkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$optimized")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -1187,6 +1187,58 @@ object SparkEntry {
   private def q122DowSeasonality(s: SparkSession, dir: String): DataFrame =
     Events.dowSeasonality(t(s, dir).events, Seq("event_type"), "ts")
 
+  /** #124 Flesch reading-ease profile of the corpus: exact word /
+   *  sentence / vowel-group counts (RE2-portable regexes) and the
+   *  fixed-IEEE-sequence score — the readability band filter. */
+  private def q124Readability(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).documents.select(
+      col("doc_id"),
+      TextFns.tokenCount(col("text")).as("n_words"),
+      TextFns.sentenceCount(col("text")).as("n_sentences"),
+      TextFns.syllableEstimate(col("text")).as("n_syllables"),
+      TextFns.fleschReadability(col("text")).as("flesch"))
+
+  /** #125 leakage-safe lag features: per-user lags 1/2/7 and trailing
+   *  means over the 7 and 28 rows strictly before each event — the
+   *  supervised-training feature block (see Features.lagFeatures). */
+  private def q125LagFeatures(s: SparkSession, dir: String): DataFrame =
+    Features.lagFeatures(
+        t(s, dir).events.select("event_id", "user_id", "ts", "value"),
+        Seq("user_id"), Seq(col("ts"), col("event_id")),
+        "value", lags = Seq(1, 2, 7), meanWindows = Seq(7, 28))
+      .drop("ts")
+
+  /** #126 leave-one-out target encoding of suppliers by line price —
+   *  the high-cardinality categorical encoder, leak-free. */
+  private def q126TargetEncode(s: SparkSession, dir: String): DataFrame =
+    Features.targetEncodeLOO(
+        t(s, dir).lineitem.select("l_orderkey", "l_linenumber", "l_suppkey",
+          "l_extendedprice"),
+        "l_suppkey", "l_extendedprice")
+      .drop("l_extendedprice")
+
+  /** #127 session navigation paths: first 5 event types per 30-minute
+   *  session joined '>' — order-preserving bounded concat (struct sort
+   *  by the total (ts, event_id) prefix), one shuffle with sessionize. */
+  private def q127SessionPaths(s: SparkSession, dir: String): DataFrame =
+    Events.sessionPaths(t(s, dir).events, "user_id", "ts",
+      gapUs = 1800L * 1000000L, state = "event_type", n = 5,
+      tieBreak = Seq("event_id"))
+
+  /** #123 n-gram CONTAINMENT between adjacent docs, both directions —
+   *  the asymmetric near-dup score (|∩|/|grams(self)|): an excerpt
+   *  copied into a long doc scores ~1 where Jaccard (q31) vanishes.
+   *  Codegen expression, same gram semantics as q31. */
+  private def q123NgramContainment(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir).documents
+    val a = d.select(col("doc_id").as("id_a"), col("text").as("__ta"))
+    val b = d.select(col("doc_id").as("id_b"), col("text").as("__tb"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), col("id_b"),
+        TextFns.charGramContainment(s, col("__ta"), col("__tb"), 3).as("cont_ab"),
+        TextFns.charGramContainment(s, col("__tb"), col("__ta"), 3).as("cont_ba"))
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1312,6 +1364,11 @@ object SparkEntry {
     "q120_fk_orphans"       -> (q120FkOrphans _),
     "q121_pct_change"       -> (q121PctChange _),
     "q122_dow_seasonality"  -> (q122DowSeasonality _),
+    "q123_ngram_containment" -> (q123NgramContainment _),
+    "q124_readability"      -> (q124Readability _),
+    "q125_lag_features"     -> (q125LagFeatures _),
+    "q126_target_encode"    -> (q126TargetEncode _),
+    "q127_session_paths"    -> (q127SessionPaths _),
   )
 
   private val monthCaseSql: String =
@@ -2125,5 +2182,57 @@ object SparkEntry {
         "FROM events GROUP BY 1, 2) " +
         "SELECT event_type, CAST(dow AS INT) AS dow, n, " +
         "CAST(n AS DOUBLE) * 7.0 / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS idx FROM c"),
+    "q123_ngram_containment" ->
+      // q31's gram construction; containment divides by the SELF side
+      ("WITH g AS (SELECT doc_id, list_distinct(list_transform(" +
+        "range(1, greatest(length(text) - 2, 1) + 1), i -> substr(text, i, 3))) AS gr " +
+        "FROM documents) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) / len(a.gr) AS cont_ab, " +
+        "CAST(len(list_intersect(b.gr, a.gr)) AS DOUBLE) / len(b.gr) AS cont_ba " +
+        "FROM g a JOIN g b ON b.doc_id = a.doc_id + 1"),
+    "q124_readability" ->
+      // identical counts and the same left-associated IEEE sequence
+      ("WITH c AS (SELECT doc_id, " +
+        "CAST(len(string_split(text, ' ')) AS INT) AS n_words, " +
+        "CAST(greatest(len(regexp_extract_all(text, '[.!?]+', 0)), 1) AS INT) AS n_sentences, " +
+        "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS INT) AS n_syllables " +
+        "FROM documents) " +
+        "SELECT doc_id, n_words, n_sentences, n_syllables, " +
+        "CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * " +
+        "(CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) - CAST(84.6 AS DOUBLE) * " +
+        "(CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch FROM c"),
+    "q125_lag_features" ->
+      ("SELECT event_id, user_id, value, " +
+        "lag(value, 1) OVER w AS lag_1, lag(value, 2) OVER w AS lag_2, " +
+        "lag(value, 7) OVER w AS lag_7, " +
+        Seq(7, 28).map(win =>
+          s"CASE WHEN COUNT(value) OVER f$win > 0 THEN " +
+          s"CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER f$win AS DOUBLE) / " +
+          s"COUNT(value) OVER f$win END AS mean_$win").mkString(", ") +
+        " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id), " +
+        Seq(7, 28).map(win =>
+          s"f$win AS (PARTITION BY user_id ORDER BY ts, event_id " +
+          s"ROWS BETWEEN $win PRECEDING AND 1 PRECEDING)").mkString(", ")),
+    "q126_target_encode" ->
+      ("SELECT l_orderkey, l_linenumber, l_suppkey, " +
+        "CASE WHEN COUNT(l_extendedprice) OVER w > 1 THEN " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) OVER w - " +
+        "CAST(l_extendedprice AS DECIMAL(18,4)) AS DOUBLE) / " +
+        "(COUNT(l_extendedprice) OVER w - 1) END AS target_enc " +
+        "FROM lineitem WINDOW w AS (PARTITION BY l_suppkey)"),
+    "q127_session_paths" ->
+      // q37's sessionize construction at a 30-minute gap; the path is
+      // an ORDERED list slice, deterministic via the event_id tie-break
+      ("WITH x AS (SELECT user_id, ts, event_id, event_type, " +
+        "CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 THEN 1 ELSE 0 END AS ns " +
+        "FROM events), " +
+        "y AS (SELECT user_id, ts, event_id, event_type, " +
+        "CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM x) " +
+        "SELECT user_id, session_idx, " +
+        "array_to_string(list_slice(list(event_type ORDER BY ts, event_id), 1, 5), '>') AS path, " +
+        "COUNT(*) AS n_events, MIN(ts) AS start_ts FROM y GROUP BY 1, 2"),
   )
 }

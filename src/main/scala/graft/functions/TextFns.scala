@@ -78,6 +78,19 @@ object TextFns {
   }
 
   /**
+   * Containment of `a`'s char-k-gram set in `b`'s — |∩| / |grams(a)| —
+   * via the codegen [[graft.plans.CharGramContainment]] expression.
+   * The ASYMMETRIC near-dup score: a short excerpt copied into a long
+   * document scores ~1 while its Jaccard vanishes (union dominated by
+   * the long side) — the sub-document duplication metric.
+   */
+  def charGramContainment(spark: org.apache.spark.sql.SparkSession,
+      a: Column, b: Column, k: Int): Column = {
+    graft.plans.GraftFunctions.register(spark)
+    call_function(graft.plans.GraftFunctions.charGramContainmentName, a, b, lit(k))
+  }
+
+  /**
    * Jaro-Winkler similarity in [0,1] via the codegen
    * [[graft.plans.JaroWinkler]] expression — the record-linkage scorer
    * for short human-keyed strings (names, brands): prefix-weighted,
@@ -196,6 +209,32 @@ object TextFns {
   }
 
   /** Symbol-to-word ratio: non-letter/digit/space characters per token. */
+  /** Sentence count: runs of terminal punctuation, floored at 1 so the
+   *  readability division is total (fragment = one sentence). */
+  def sentenceCount(text: Column): Column =
+    greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+
+  /** Approximate syllable count: vowel-group runs (the standard cheap
+   *  estimator; exact syllabification needs a dictionary). */
+  def syllableEstimate(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+
+  /**
+   * Flesch reading-ease estimate: 206.835 − 1.015·(words/sentences) −
+   * 84.6·(syllables/words) — the readability band filter corpus
+   * pipelines use (too-low = legalese/OCR garble, too-high = listicle
+   * fragments). All three counts are exact ints from RE2-portable
+   * regexes; the score is a fixed IEEE sequence, engine-identical.
+   * `tokenCount ≥ 1` by split semantics, `sentenceCount ≥ 1` by its
+   * floor — both divisions total.
+   */
+  def fleschReadability(text: Column): Column = {
+    val w = tokenCount(text).cast("double")
+    val s = sentenceCount(text).cast("double")
+    val sy = syllableEstimate(text).cast("double")
+    lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (sy / w)
+  }
+
   def symbolToWordRatio(text: Column): Column =
     size(regexp_extract_all(text, lit("[^\\p{L}\\p{N} ]"), lit(0))).cast("double") /
       greatest(size(split(text, " ")), lit(1))

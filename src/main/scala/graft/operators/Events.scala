@@ -36,6 +36,36 @@ object Events {
       .drop("__graft_new")
   }
 
+  /**
+   * Session path strings: per session, the first `n` event states in
+   * time order joined with `>` — the clickstream navigation-analysis
+   * staple ("view>click>purchase"). Composes [[sessionize]] with an
+   * ORDER-PRESERVING bounded concat: events collect as
+   * (ts, tieBreak, state) structs, `array_sort` orders them by the
+   * total (ts, tieBreak) prefix — struct comparison is field-order
+   * lexicographic — and only then are states sliced and joined, so the
+   * path is partition-layout independent. Bounded by `n` only AFTER
+   * the collect: sessions are gap-bounded and human-scale, the
+   * documented bounded-member-set condition (q119's caveat).
+   *
+   * One shuffle total: the sessionize window and the session groupBy
+   * hash the same `user` prefix.
+   */
+  def sessionPaths(
+      df: DataFrame, user: String, ts: String, gapUs: Long,
+      state: String, n: Int, tieBreak: Seq[String]): DataFrame = {
+    require(n >= 1, "sessionPaths needs n >= 1")
+    val ordered = array_sort(collect_list(struct(
+      col(ts) +: tieBreak.map(col) :+ col(state): _*)))
+    sessionize(df, user, ts, gapUs, tieBreak)
+      .groupBy(col(user), col("session_idx"))
+      .agg(
+        array_join(slice(transform(ordered, x => x.getField(state)), 1, n), ">")
+          .as("path"),
+        count(lit(1)).as("n_events"),
+        min(col(ts)).as("start_ts"))
+  }
+
   /** Session summaries: one row per (user, session). */
   def sessionSummaries(df: DataFrame, user: String, ts: String, gapUs: Long,
       tieBreak: Seq[String] = Nil): DataFrame =

@@ -278,6 +278,59 @@ object Features {
   }
 
   /**
+   * Leakage-safe lag feature generation for supervised training data:
+   * `lag_N` columns plus trailing rolling means `mean_W` over the W
+   * rows STRICTLY BEFORE the current row — the current value never
+   * leaks into its own features, which is the whole point (a rolling
+   * mean including the target row is target leakage). One window
+   * partitioning serves every lag and frame; rolling sums go through
+   * the exact-decimal detour ([[graft.operators.Relational.movingAvg]]'s
+   * portability argument). `order` must be total.
+   */
+  def lagFeatures(
+      df: DataFrame, keys: Seq[String], order: Seq[Column],
+      valueCol: String, lags: Seq[Int], meanWindows: Seq[Int],
+      scale: Int = 4): DataFrame = {
+    require(lags.forall(_ >= 1) && meanWindows.forall(_ >= 1),
+      "lags and windows must be >= 1")
+    val base = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
+    val w = base.orderBy(order: _*)
+    val v = col(valueCol)
+    val withLags = lags.foldLeft(df) { (acc, n) =>
+      acc.withColumn(s"lag_$n", lag(v, n).over(w))
+    }
+    meanWindows.foldLeft(withLags) { (acc, win) =>
+      val frame = w.rowsBetween(-win, -1)
+      val n = count(v).over(frame)
+      acc.withColumn(s"mean_$win",
+        when(n > 0, sum(v.cast(s"decimal(18,$scale)")).over(frame).cast("double") / n))
+    }
+  }
+
+  /**
+   * Leave-one-out target encoding: each row's category encoded as the
+   * mean target of the OTHER rows in its category —
+   * `(Σ_cat − v) / (n_cat − 1)` — the high-cardinality-categorical
+   * encoder that plain mean encoding leaks on (a row seeing its own
+   * target memorizes it). Singleton categories get NULL (no other
+   * rows to average; also dodges the ANSI 0-division).
+   *
+   * One shuffle (window by category; unbounded cardinality is fine —
+   * it is a hash partition, not a collect). The subtraction happens in
+   * exact decimals BEFORE the one double division, so the encoding is
+   * order-independent and engine-portable.
+   */
+  def targetEncodeLOO(
+      df: DataFrame, category: String, target: String,
+      out: String = "target_enc", scale: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col(category))
+    val dec = col(target).cast(s"decimal(18,$scale)")
+    val n = count(dec).over(w)
+    df.withColumn(out,
+      when(n > 1, (sum(dec).over(w) - dec).cast("double") / (n - 1)))
+  }
+
+  /**
    * RFM (recency / frequency / monetary) scoring: collapse a
    * transaction table to one row per `entity`, then quintile each
    * dimension with `ntile` — the standard customer-value segmentation.

@@ -49,6 +49,48 @@ case class CharGramJaccard(left: Expression, right: Expression, k: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Native Catalyst expression: containment of `left`'s distinct char
+ * k-gram set in `right`'s — |grams(A) ∩ grams(B)| / |grams(A)|. The
+ * ASYMMETRIC near-dup score: a short excerpt fully copied into a long
+ * document scores ~1.0 here while its Jaccard vanishes (the union is
+ * dominated by the long side) — the sub-document duplication /
+ * decontamination metric. Same one-pass hash-set machinery as
+ * [[CharGramJaccard]]; |grams(A)| ≥ 1 by the whole-text-gram collapse,
+ * so the division is total.
+ */
+case class CharGramContainment(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) if k >= 1 => TypeCheckResult.TypeCheckSuccess
+      case (StringType, StringType) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs k >= 1 (got $k)")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two STRING arguments, got ${l.sql} and ${r.sql}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_chargram_containment"
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CharGramJaccard.computeContainment(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val cls = CharGramJaccard.getClass.getName.stripSuffix("$")
+      s"${ev.value} = $cls.computeContainment($a, $b, $k);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object CharGramJaccard {
   /** Shared by eval and codegen: one pass per side, sets of real substrings. */
   def compute(a: UTF8String, b: UTF8String, k: Int): Double = {
@@ -58,6 +100,15 @@ object CharGramJaccard {
     val inter = addGrams(b, k, setB, setA)
     val union = setA.size + setB.size - inter
     if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** Containment |grams(a) ∩ grams(b)| / |grams(a)| (total: |grams(a)| ≥ 1). */
+  def computeContainment(a: UTF8String, b: UTF8String, k: Int): Double = {
+    val setA = new java.util.HashSet[UTF8String]()
+    addGrams(a, k, setA, null)
+    val setB = new java.util.HashSet[UTF8String]()
+    val inter = addGrams(b, k, setB, setA)
+    inter.toDouble / setA.size
   }
 
   /** Adds s's k-grams to `into`; returns how many distinct ones are in `other`. */

@@ -95,6 +95,7 @@ object GraftFunctions {
   val hyperplanesName = "graft_hyperplanes"
   val minhashName = "graft_minhash"
   val charGramJaccardName = "graft_chargram_jaccard"
+  val charGramContainmentName = "graft_chargram_containment"
   val wordShinglesName = "graft_word_shingles"
   val simhashName = "graft_simhash64"
   val winnowName = "graft_winnow"
@@ -126,6 +127,11 @@ object GraftFunctions {
   private[plans] def charGramJaccardBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 3, s"$charGramJaccardName expects (a, b, k)")
     CharGramJaccard(children.head, children(1), intLit(children(2), "k"))
+  }
+
+  private[plans] def charGramContainmentBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 3, s"$charGramContainmentName expects (a, b, k)")
+    CharGramContainment(children.head, children(1), intLit(children(2), "k"))
   }
 
   private[plans] def wordShinglesBuilder(children: Seq[Expression]): Expression = {
@@ -173,6 +179,9 @@ object GraftFunctions {
     (FunctionIdentifier(charGramJaccardName),
       new ExpressionInfo(classOf[CharGramJaccard].getName, charGramJaccardName),
       charGramJaccardBuilder _),
+    (FunctionIdentifier(charGramContainmentName),
+      new ExpressionInfo(classOf[CharGramContainment].getName, charGramContainmentName),
+      charGramContainmentBuilder _),
     (FunctionIdentifier(wordShinglesName),
       new ExpressionInfo(classOf[WordShingles].getName, wordShinglesName),
       wordShinglesBuilder _),

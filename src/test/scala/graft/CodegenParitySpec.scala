@@ -79,4 +79,28 @@ class CodegenParitySpec extends SparkSpec {
       }
     }
   }
+
+  test("charGramContainment codegen == declarative; excerpt-in-document scores 1.0") {
+    for (seed <- 1L to 5L) {
+      val ts = texts(seed)
+      val pairs = ts.zip(ts.tail :+ ts.head).toDF("a", "b")
+      for (k <- Seq(2, 3, 5)) {
+        val out = pairs.select(
+          TextFns.charGramContainment(spark, col("a"), col("b"), k).as("fast"),
+          (size(array_intersect(TextFns.charGrams(col("a"), k),
+            TextFns.charGrams(col("b"), k))).cast("double") /
+            size(TextFns.charGrams(col("a"), k))).as("ref")).collect()
+        out.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+          s"seed=$seed k=$k: ${r.getDouble(0)} != ${r.getDouble(1)}"))
+      }
+    }
+    // the asymmetry this metric exists for: excerpt ⊂ document
+    val d = Seq(("ghijklmnop", "abcdefghijklmnopqrstuvwxyz")).toDF("a", "b")
+    val r = d.select(
+      TextFns.charGramContainment(spark, col("a"), col("b"), 3).as("ab"),
+      TextFns.charGramContainment(spark, col("b"), col("a"), 3).as("ba"),
+      TextFns.charGramJaccard(spark, col("a"), col("b"), 3).as("jac")).head
+    assert(r.getDouble(0) == 1.0)           // every excerpt gram is in the doc
+    assert(r.getDouble(1) < 0.5 && r.getDouble(2) < 0.5) // reverse + jaccard dilute
+  }
 }

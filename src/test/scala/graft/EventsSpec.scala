@@ -294,6 +294,23 @@ class EventsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("sessionPaths emits ordered, capped, layout-independent paths per session") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    val e = Seq(
+      (1L, at(0), 1L, "view"), (1L, at(10), 2L, "click"),   // session 0
+      (1L, at(70), 3L, "purchase"),                          // session 1 (gap 60m)
+      (2L, at(0), 4L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Events.sessionPaths(e.repartition(5), "user_id", "ts",
+        gapUs = 1800L * 1000000L, state = "event_type", n = 5,
+        tieBreak = Seq("event_id"))
+      .orderBy("user_id", "session_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, "view>click", 2L), (1L, 1L, "purchase", 1L), (2L, 0L, "view", 1L)))
+  }
+
   test("pctChange computes v/prev - 1 per key; first row and zero baselines are NULL") {
     val d = Seq((1, 1, 100.0), (1, 2, 110.0), (1, 3, 0.0), (1, 4, 5.0), (2, 1, 3.0))
       .toDF("k", "t", "v")

@@ -185,6 +185,25 @@ class FeaturesSpec extends SparkSpec {
     assert(out.toSeq == expected)
   }
 
+  test("lagFeatures never leaks the current row into its own features") {
+    val d = (1 to 10).map(i => (1, i, i.toDouble)).toDF("k", "t", "v")
+    val out = Features.lagFeatures(d, Seq("k"), Seq(col("t")), "v",
+        lags = Seq(1, 2), meanWindows = Seq(3))
+      .orderBy("t").collect()
+    val r4 = out(3)
+    assert(r4.getAs[Double]("lag_1") == 3.0 && r4.getAs[Double]("lag_2") == 2.0)
+    assert(r4.getAs[Double]("mean_3") == 2.0) // (1+2+3)/3 — v=4 excluded
+    assert(out.head.isNullAt(out.head.fieldIndex("mean_3"))) // no history
+  }
+
+  test("targetEncodeLOO excludes each row's own target; singletons are NULL") {
+    val d = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 9.0)).toDF("c", "y")
+    val out = Features.targetEncodeLOO(d, "c", "y")
+      .orderBy("c", "y").collect()
+      .map(r => Option(r.get(r.fieldIndex("target_enc"))).map(_.asInstanceOf[Double]))
+    assert(out.toSeq == Seq(Some(2.5), Some(2.0), Some(1.5), None))
+  }
+
   test("rfmScores quintiles each dimension per segment with entity tie-breaks") {
     // 5 customers in one segment: metrics strictly increase with id, so
     // with 5 rows and 5 buckets every score equals the customer's rank

@@ -192,4 +192,15 @@ class TextFnsSpec extends SparkSpec {
     assert(one[Double](TextFns.meanWordLength(TextFns.tokens(col("t"))), "ab cdef") == 3.0)
     assert(one[Double](TextFns.meanWordLength(TextFns.tokens(col("t"))), "") == 0.0)
   }
+
+  test("fleschReadability: exact counts, fragment floors to one sentence") {
+    // 5 words, 2 sentence runs, 5 vowel groups
+    val t = "The cat sat. It ran!"
+    assert(one[Int](TextFns.sentenceCount(col("t")), t) == 2)
+    assert(one[Int](TextFns.syllableEstimate(col("t")), t) == 5)
+    assert(one[Double](TextFns.fleschReadability(col("t")), t)
+      == 206.835 - 1.015 * (5.0 / 2.0) - 84.6 * (5.0 / 5.0))
+    // no terminal punctuation: one sentence, division still total
+    assert(one[Int](TextFns.sentenceCount(col("t")), "no punctuation") == 1)
+  }
 }

@@ -1160,18 +1160,24 @@ object SparkEntry {
 
   /** #120 referential-integrity audit in ONE fact scan: orphan counts
    *  for lineitem→part and lineitem→orders (the part dim is filtered
-   *  to plant real orphans, q90-style). */
+   *  to plant real orphans, q90-style). part is a true dimension →
+   *  broadcast hint; orders' key count is ~¼ of the fact rows, so its
+   *  presence join stays unhinted — AQE/bloom pick the strategy
+   *  (forcing a broadcast there OOMs at scale). */
   private def q120FkOrphans(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
     Cleaning.fkIntegrity(tt.lineitem, Seq(
-      ("part", Seq("l_partkey"),
-        tt.part.filter(col("p_partkey") % 7 =!= 0), Seq("p_partkey")),
-      ("orders", Seq("l_orderkey"), tt.orders, Seq("o_orderkey"))))
+      Cleaning.FkRelation("part", Seq("l_partkey"),
+        tt.part.filter(col("p_partkey") % 7 =!= 0), Seq("p_partkey"),
+        broadcastDim = true),
+      Cleaning.FkRelation("orders", Seq("l_orderkey"), tt.orders,
+        Seq("o_orderkey"))))
   }
 
   /** #121 period-over-period revenue change: monthly decimal-exact
    *  revenue per market segment, then pct_change over the month order
-   *  (first month NULL; ±Infinity on zero baselines, by design). */
+   *  (first month NULL; NULL on zero baselines, by design — see
+   *  Events.pctChange's ANSI note). */
   private def q121PctChange(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir)
     val monthly = tt.orders
@@ -1228,7 +1234,11 @@ object SparkEntry {
   /** #123 n-gram CONTAINMENT between adjacent docs, both directions —
    *  the asymmetric near-dup score (|∩|/|grams(self)|): an excerpt
    *  copied into a long doc scores ~1 where Jaccard (q31) vanishes.
-   *  Codegen expression, same gram semantics as q31. */
+   *  Codegen expression, same gram semantics as q31. The adjacent-id
+   *  self-join here is a deterministic ORACLE pairing scaffold (q31's
+   *  trick) — in production the candidate pairs come from the LSH /
+   *  banding paths (q29 Dedup.minhashLsh, q54 winnowing), and the
+   *  scorer composes with those unchanged. */
   private def q123NgramContainment(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir).documents
     val a = d.select(col("doc_id").as("id_a"), col("text").as("__ta"))
@@ -1238,6 +1248,110 @@ object SparkEntry {
         TextFns.charGramContainment(s, col("__ta"), col("__tb"), 3).as("cont_ab"),
         TextFns.charGramContainment(s, col("__tb"), col("__ta"), 3).as("cont_ba"))
   }
+
+  /** #128 accent/diacritic folding (DuckDB `strip_accents` semantics) —
+   *  the dedup canonicalization a latin-script corpus needs (the
+   *  reference corpus is latin1 pt-BR, dag.py:47). The corpus is
+   *  ASCII, so accented variants are planted by an invertible
+   *  `translate` spanning Latin-1 Supplement AND Extended-A (ogonek,
+   *  macron, double-acute, ring, cedilla, caron, dot-above İ) — the
+   *  fold must then recover the original text exactly (`roundtrip`),
+   *  and every byte is oracle-compared against DuckDB's NFD-based
+   *  `strip_accents` on the same planted text. */
+  private def q128StripAccents(s: SparkSession, dir: String): DataFrame = {
+    val accented = translate(col("text"),
+      "aeiouAEIOUcnszCNSZgty", "ąėīőůĂĘİŌŰçñšžĆŃŞŻģţÿ")
+    t(s, dir).documents.select(
+      col("doc_id"),
+      TextFns.stripAccents(accented).as("folded"),
+      (TextFns.stripAccents(accented) === col("text")).as("roundtrip"))
+  }
+
+  /** #129 image metadata extraction, construct-then-parse: per-doc
+   *  payloads are built NATIVELY as real container headers — PNG IHDR
+   *  (big-endian u32 dims), JPEG SOI + variable-length COM segment +
+   *  SOF0 (so the SOF offset differs per row and the segment walk is
+   *  genuinely exercised), GIF89a (little-endian u16 dims) — then the
+   *  codegen [[graft.plans.ImageDims]] expression parses dimensions
+   *  BACK from the bytes. The oracle states the planted values
+   *  directly: Spark must round-trip construction→parse exactly.
+   *  Construction (unhex/lpad/hex) and parsing (byte walk) share no
+   *  code. Zero shuffle, pure projection. */
+  private def q129ImageMeta(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir).documents
+    val w = (col("n_chars") % 1920 + 1).cast("int")
+    val h = (col("doc_id") % 1080 + 1).cast("int")
+    def be32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+    def be16(c: Column) = unhex(lpad(hex(c), 4, "0"))
+    def le16(c: Column) = {
+      val x = lpad(hex(c), 4, "0")
+      unhex(concat(substring(x, 3, 2), substring(x, 1, 2)))
+    }
+    val png = concat(
+      unhex(lit("89504E470D0A1A0A0000000D49484452")), // sig + len13 + IHDR
+      be32(w), be32(h),
+      unhex(lit("0806000000"))) // depth/color/compression/filter/interlace
+    val pad = (col("doc_id") % 7).cast("int") // COM body 0..6 extra bytes
+    val jpeg = concat(
+      unhex(lit("FFD8FFFE")), // SOI + COM marker
+      be16(pad + 2), // COM length includes its own 2 bytes
+      unhex(lit("41414141414141414141414141").substr(lit(1), pad * 2)),
+      unhex(lit("FFC0000B08")), // SOF0 + len + precision
+      be16(h), be16(w)) // SOF order: height first
+    val gif = concat(
+      unhex(lit("474946383961")), // "GIF89a"
+      le16(w), le16(h))
+    val payload = when(col("doc_id") % 3 === 0, png)
+      .when(col("doc_id") % 3 === 1, jpeg)
+      .otherwise(gif)
+    val dims = Multimodal.imageDims(s, payload)
+    d.select(col("doc_id"),
+      dims.getField("format").as("format"),
+      dims.getField("width").as("width"),
+      dims.getField("height").as("height"))
+  }
+
+  /** #130 per-segment price∼quantity trend: one-pass exact-moment OLS
+   *  (slope/intercept/R²) per return flag — the distributed
+   *  `linregress`. Moments are exact decimals; closed forms one fixed
+   *  IEEE sequence (q41's discipline). */
+  private def q130LinregTrend(s: SparkSession, dir: String): DataFrame =
+    Relational.linregGroups(t(s, dir).lineitem, Seq("l_returnflag"),
+      "l_quantity", "l_extendedprice")
+
+  /** #131 distribution drift per event type: two-sample KS statistic
+   *  between the first and second half of the month — the snapshot
+   *  drift gate. Sup-difference argmax runs in exact integer
+   *  arithmetic; ONE double division at the end. */
+  private def q131KsDrift(s: SparkSession, dir: String): DataFrame =
+    Cleaning.ksStatistic(t(s, dir).events, Seq("event_type"), "value",
+      col("ts") < lit("2024-01-16").cast("timestamp"))
+
+  /** #132 Benford leading-digit audit of order totals per priority —
+   *  the fabricated-amounts screen. Driver-computed log₁₀(1+1/d)
+   *  literals are embedded identically in plan and oracle. */
+  private def q132Benford(s: SparkSession, dir: String): DataFrame =
+    Cleaning.benfordAudit(t(s, dir).orders, Seq("o_orderpriority"),
+      "o_totalprice")
+
+  /** #133 sequence-gap audit over a planted-sparse key column: orders
+   *  missing every 13th key; two-level (in-bucket window ∥ per-bucket
+   *  boundary frame) so no global single-partition ordering ever
+   *  happens — the surrogate-key continuity check. */
+  private def q133SeqGaps(s: SparkSession, dir: String): DataFrame =
+    Relational.sequenceGaps(
+      t(s, dir).orders.filter(col("o_orderkey") % 13 =!= 0),
+      "o_orderkey", bucketSize = 100L)
+
+  /** #134 robust scaling of extended price within return flag:
+   *  (v − median)/IQR — outlier-immune standardization (q75's zscore
+   *  moves with the spikes; median/IQR do not). Exact percentiles are
+   *  the q40 DuckDB-parity surface. */
+  private def q134RobustScale(s: SparkSession, dir: String): DataFrame =
+    Features.robustScale(
+      t(s, dir).lineitem.select("l_orderkey", "l_linenumber", "l_returnflag",
+        "l_extendedprice"),
+      "l_extendedprice", Seq("l_returnflag"))
 
   // ------------------------------------------------------------ registry
 
@@ -1369,6 +1483,13 @@ object SparkEntry {
     "q125_lag_features"     -> (q125LagFeatures _),
     "q126_target_encode"    -> (q126TargetEncode _),
     "q127_session_paths"    -> (q127SessionPaths _),
+    "q128_strip_accents"    -> (q128StripAccents _),
+    "q129_image_meta"       -> (q129ImageMeta _),
+    "q130_linreg_trend"     -> (q130LinregTrend _),
+    "q131_ks_drift"         -> (q131KsDrift _),
+    "q132_benford"          -> (q132Benford _),
+    "q133_seq_gaps"         -> (q133SeqGaps _),
+    "q134_robust_scale"     -> (q134RobustScale _),
   )
 
   private val monthCaseSql: String =
@@ -1409,6 +1530,13 @@ object SparkEntry {
    */
   private def nkSql(c: String): String =
     s"(CASE WHEN $c IS NULL THEN chr(2) ELSE chr(3) END || coalesce($c, ''))"
+
+  /** DuckDB CASE mapping each leading digit to the driver's Benford
+   *  expected-share double, through the VARCHAR-literal detour so the
+   *  parse is correctly rounded (q132). */
+  private def benfordCaseSql: String =
+    "CASE digit " + Cleaning.benfordShares.zipWithIndex.map { case (s, i) =>
+      s"WHEN '${i + 1}' THEN CAST('$s' AS DOUBLE)" }.mkString(" ") + " END"
 
   def oracleSql: Map[String, String] = Map(
     "q01_group_agg" ->
@@ -2234,5 +2362,92 @@ object SparkEntry {
         "SELECT user_id, session_idx, " +
         "array_to_string(list_slice(list(event_type ORDER BY ts, event_id), 1, 5), '>') AS path, " +
         "COUNT(*) AS n_events, MIN(ts) AS start_ts FROM y GROUP BY 1, 2"),
+    "q128_strip_accents" ->
+      // DuckDB's NFD-based strip_accents vs graft's translate fold —
+      // byte parity over planted Latin-1 Supplement + Extended-A chars
+      ("SELECT doc_id, " +
+        "strip_accents(translate(text, 'aeiouAEIOUcnszCNSZgty', 'ąėīőůĂĘİŌŰçñšžĆŃŞŻģţÿ')) AS folded, " +
+        "strip_accents(translate(text, 'aeiouAEIOUcnszCNSZgty', 'ąėīőůĂĘİŌŰçñšžĆŃŞŻģţÿ')) = text AS roundtrip " +
+        "FROM documents"),
+    "q129_image_meta" ->
+      // the oracle states the PLANTED dimensions; Spark must recover
+      // them by actually parsing the container headers it constructed
+      ("SELECT doc_id, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format, " +
+        "CAST(n_chars % 1920 + 1 AS INT) AS width, " +
+        "CAST(doc_id % 1080 + 1 AS INT) AS height " +
+        "FROM documents"),
+    "q130_linreg_trend" ->
+      // q41's moment discipline: exact decimal sums (22-cast products =
+      // DuckDB's int128 trick), closed forms in the identical IEEE
+      // sequence, degenerate groups guarded by exact decimal min=max
+      // the price² sums exceed 2^53 scaled units, where DuckDB's direct
+      // DECIMAL→DOUBLE double-rounds — every sum goes through the
+      // VARCHAR detour (strtod parse is correctly rounded, matching
+      // Spark's Decimal.toDouble)
+      ("WITH m AS (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n, " +
+        "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sx, " +
+        "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sy, " +
+        "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(22,4)) * CAST(l_extendedprice AS DECIMAL(22,4))) AS VARCHAR) AS DOUBLE) AS sxy, " +
+        "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(22,4)) * CAST(l_quantity AS DECIMAL(22,4))) AS VARCHAR) AS DOUBLE) AS sxx, " +
+        "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,4)) * CAST(l_extendedprice AS DECIMAL(22,4))) AS VARCHAR) AS DOUBLE) AS syy, " +
+        "MIN(CAST(l_quantity AS DECIMAL(18,4))) = MAX(CAST(l_quantity AS DECIMAL(18,4))) AS cx, " +
+        "MIN(CAST(l_extendedprice AS DECIMAL(18,4))) = MAX(CAST(l_extendedprice AS DECIMAL(18,4))) AS cy " +
+        "FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL GROUP BY 1) " +
+        "SELECT l_returnflag, CAST(n AS BIGINT) AS n, " +
+        "CASE WHEN NOT cx THEN (n*sxy - sx*sy)/(n*sxx - sx*sx) END AS slope, " +
+        "CASE WHEN NOT cx THEN (sy - ((n*sxy - sx*sy)/(n*sxx - sx*sx))*sx)/n END AS intercept, " +
+        "CASE WHEN NOT cx AND NOT cy THEN ((n*sxy - sx*sy)*(n*sxy - sx*sy))/((n*sxx - sx*sx)*(n*syy - sy*sy)) END AS r2 " +
+        "FROM m"),
+    "q131_ks_drift" ->
+      // exact-integer sup-difference (Spark DECIMAL(38,0) ≡ DuckDB
+      // HUGEINT — both exact, so the argmax and the single final double
+      // division agree bit-for-bit)
+      ("WITH c AS (SELECT event_type, value AS v, " +
+        "SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS ca, " +
+        "SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END) AS cb " +
+        "FROM events WHERE value IS NOT NULL GROUP BY 1, 2), " +
+        "w AS (SELECT event_type, " +
+        "SUM(ca) OVER t AS na, SUM(cb) OVER t AS nb, " +
+        "ABS(CAST(SUM(ca) OVER cw AS HUGEINT) * CAST(SUM(cb) OVER t AS HUGEINT) - " +
+        "CAST(SUM(cb) OVER cw AS HUGEINT) * CAST(SUM(ca) OVER t AS HUGEINT)) AS diff " +
+        "FROM c WINDOW t AS (PARTITION BY event_type), " +
+        "cw AS (PARTITION BY event_type ORDER BY v ROWS UNBOUNDED PRECEDING)) " +
+        "SELECT event_type, CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b, " +
+        "CASE WHEN MAX(na) > 0 AND MAX(nb) > 0 THEN " +
+        "CAST(MAX(diff) AS DOUBLE) / (CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)) END AS ks " +
+        "FROM w GROUP BY 1"),
+    "q132_benford" ->
+      // expected-share literals are the DRIVER's doubles, rendered via
+      // Java's round-trip Double.toString and re-parsed through the
+      // VARCHAR detour (strtod is correctly rounded; DuckDB's direct
+      // DECIMAL literal → DOUBLE cast double-rounds) — bit-identical
+      // constants by construction
+      ("WITH c AS (SELECT o_orderpriority, " +
+        "substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS digit, COUNT(*) AS n " +
+        "FROM orders WHERE o_totalprice >= 1 GROUP BY 1, 2) " +
+        "SELECT o_orderpriority, digit, n, " +
+        "CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS share, " +
+        s"$benfordCaseSql AS benford, " +
+        "ABS(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY o_orderpriority) AS DOUBLE) - " +
+        benfordCaseSql + ") AS abs_dev FROM c"),
+    "q133_seq_gaps" ->
+      // the one-window reference form; Spark's two-level plan must
+      // produce the identical gap set
+      ("WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderkey % 13 != 0), " +
+        "l AS (SELECT k, LAG(k) OVER (ORDER BY k) AS prev FROM k) " +
+        "SELECT prev + 1 AS gap_start, k - 1 AS gap_end, k - prev - 1 AS n_missing " +
+        "FROM l WHERE k - prev > 1"),
+    "q134_robust_scale" ->
+      // quantile_cont ≡ Spark percentile bit-for-bit (q40 parity);
+      // subtraction and division are single IEEE ops
+      ("WITH b AS (SELECT l_returnflag, " +
+        "quantile_cont(l_extendedprice, 0.5) AS med, " +
+        "quantile_cont(l_extendedprice, 0.25) AS q1, " +
+        "quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem GROUP BY 1) " +
+        "SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, " +
+        "CASE WHEN b.q3 = b.q1 THEN 0.0 " +
+        "ELSE (l.l_extendedprice - b.med) / (b.q3 - b.q1) END AS l_extendedprice " +
+        "FROM lineitem l JOIN b USING (l_returnflag)"),
   )
 }

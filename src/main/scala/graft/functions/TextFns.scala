@@ -145,6 +145,45 @@ object TextFns {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(lower(text), "[ \t\n\f\r]+", " "))
 
+  /**
+   * [[normalizeText]] with optional accent folding BEFORE lowercasing —
+   * the dedup-canonicalization a latin-script corpus needs (the
+   * reference corpus is latin1 pt-BR, dag.py:47, where `não`/`nao`
+   * variants are the first dedup false-negative).
+   */
+  def normalizeText(text: Column, foldAccents: Boolean): Column =
+    normalizeText(if (foldAccents) stripAccents(text) else text)
+
+  // the NFD-decomposable Latin-1 Supplement + Latin Extended-A
+  // characters and their mark-stripped bases, as parallel code-point
+  // strings for `translate`
+  private val accentedChars =
+    "ÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝ" +
+    "àáâãäåçèéêëìíîïñòóôõöùúûüýÿ" +
+    "ĀāĂăĄąĆćĈĉĊċČčĎďĒēĔĕĖėĘęĚěĜĝĞğĠġĢģĤĥĨĩĪīĬĭĮįİ" +
+    "ĴĵĶķĹĺĻļĽľŃńŅņŇňŌōŎŏŐőŔŕŖŗŘřŚśŜŝŞşŠšŢţŤť" +
+    "ŨũŪūŬŭŮůŰűŲųŴŵŶŷŸŹźŻżŽž"
+  private val unaccentedChars =
+    "AAAAAACEEEEIIIINOOOOOUUUUY" +
+    "aaaaaaceeeeiiiinooooouuuuyy" +
+    "AaAaAaCcCcCcCcDdEeEeEeEeEeGgGgGgGgHhIiIiIiIiI" +
+    "JjKkLlLlLlNnNnNnOoOoOoRrRrRrSsSsSsSsTtTt" +
+    "UuUuUuUuUuUuWwYyYZzZzZz"
+
+  /**
+   * Accent/diacritic folding — DuckDB `strip_accents` semantics
+   * (NFD-decompose, drop combining marks): every Latin-1 Supplement and
+   * Latin Extended-A character WITH a canonical decomposition maps to
+   * its base letter via one codegen `translate` (both engines translate
+   * per code point). Characters with NO decomposition — Đđ ıŁł Øø Ææ ß
+   * Þþ Ðð — intentionally pass through unchanged, exactly as
+   * `strip_accents` leaves them (they are distinct letters, not
+   * accented variants). Pure per-row projection, zero shuffle,
+   * oracle-verified byte-identical to DuckDB (q128).
+   */
+  def stripAccents(text: Column): Column =
+    translate(text, accentedChars, unaccentedChars)
+
   // ----------------------- Gopher/C4-style repetition quality signals
   // (Rae et al. 2021 §A1.1; Raffel et al. 2020 §2.2) — all native
   // expressions, integer counts divided last so doubles are bit-stable

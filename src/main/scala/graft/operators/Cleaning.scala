@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -214,6 +215,22 @@ object Cleaning {
   }
 
   /**
+   * One FK relation for [[fkIntegrity]]: fact columns `fkCols` must
+   * match `dimCols` in `dim`. `broadcastDim` is a caller assertion
+   * that the dim's distinct key set is genuinely small (a real
+   * dimension table) — only then is a broadcast hint forced. Leave it
+   * false for fact-sized key sets (e.g. auditing lineitem→orders,
+   * where the key count is a constant fraction of the fact): the
+   * unhinted join lets AQE broadcast at runtime when the measured size
+   * allows and otherwise falls back to a shuffled join, with Spark 4's
+   * runtime bloom-filter pruning semi-filtering the fact before its
+   * shuffle — a forced broadcast there OOMs every executor at scale.
+   */
+  case class FkRelation(
+      name: String, fkCols: Seq[String], dim: DataFrame,
+      dimCols: Seq[String], broadcastDim: Boolean = false)
+
+  /**
    * Referential-integrity audit: for each named FK relation, how many
    * fact rows have no matching dimension row (NULL FK values count as
    * orphans — they match nothing, exactly as the fact-build left join
@@ -221,33 +238,116 @@ object Cleaning {
    * (relation, n_rows, n_orphans, orphan_share).
    *
    * Scale shape: ONE scan of the fact, however many relations — each
-   * dim contributes a distinct-key presence marker via a broadcast
-   * left join (dim keys ≪ fact by definition), all orphan counts fold
-   * into a single aggregate with map-side partials, and the per-
-   * relation rows unfold from that 1-row frame via inline explode
+   * dim contributes a distinct-key presence marker via a left join
+   * (broadcast only where the caller vouches the dim is small, see
+   * [[FkRelation.broadcastDim]]), all orphan counts fold into a single
+   * aggregate with map-side partials, and the per-relation rows unfold
+   * from that 1-row frame via inline explode
    * ([[Relational.corrMatrix]]'s shape). N anti-joins would scan the
    * fact N times.
    */
-  def fkIntegrity(
-      fact: DataFrame,
-      relations: Seq[(String, Seq[String], DataFrame, Seq[String])]): DataFrame = {
+  def fkIntegrity(fact: DataFrame, relations: Seq[FkRelation]): DataFrame = {
     require(relations.nonEmpty, "fkIntegrity needs at least one relation")
     val marked = relations.zipWithIndex.foldLeft(fact) {
-      case (acc, ((_, fkCols, dim, dimCols), i)) =>
-        val keys = dim.select(dimCols.map(col): _*).distinct()
-        val renamed = dimCols.zip(fkCols).foldLeft(keys) {
+      case (acc, (r, i)) =>
+        val keys = r.dim.select(r.dimCols.map(col): _*).distinct()
+        val renamed = r.dimCols.zip(r.fkCols).foldLeft(keys) {
           case (d, (dk, fk)) => d.withColumnRenamed(dk, fk)
         }.withColumn(s"__gfk_$i", lit(1))
-        acc.join(broadcast(renamed), fkCols, "left")
+        acc.join(if (r.broadcastDim) broadcast(renamed) else renamed,
+          r.fkCols, "left")
     }
     val aggs = relations.indices.map(i =>
       sum(when(col(s"__gfk_$i").isNull, 1L).otherwise(0L)).as(s"__go_$i"))
     val one = marked.agg(count(lit(1)).as("__gn"), aggs: _*)
-    val rows = relations.zipWithIndex.map { case ((name, _, _, _), i) =>
-      struct(lit(name).as("relation"), col("__gn").as("n_rows"),
+    val rows = relations.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.name).as("relation"), col("__gn").as("n_rows"),
         col(s"__go_$i").as("n_orphans"),
         (col(s"__go_$i").cast("double") / col("__gn")).as("orphan_share"))
     }
     one.select(explode(array(rows: _*)).as("__gr")).select(col("__gr.*"))
+  }
+
+  /**
+   * Two-sample Kolmogorov–Smirnov statistic per group — the
+   * distribution-drift detector a training pipeline runs between data
+   * snapshots (did this feature's distribution move?). `inSampleA`
+   * splits rows into the two samples; output is one row per group:
+   * (keys..., n_a, n_b, ks = max |F_a(v) − F_b(v)|).
+   *
+   * Scale shape: raw rows first collapse to per-(keys, value) counts
+   * (the groupBy bounds the windowed frame at the DISTINCT value count,
+   * not the row count); the ECDFs come from one cumulative window per
+   * key over that collapsed frame; totals share the same partitioning.
+   * The sup-difference is EXACT integer arithmetic until one final
+   * division: |cum_a·n_b − cum_b·n_a| compares as DECIMAL(38,0)
+   * (long×long needs 38 digits), so the argmax is unambiguous in any
+   * engine — comparing per-row double ECDF differences would make the
+   * max tie-break ulp-sensitive. Null values drop (they have no order
+   * position).
+   */
+  def ksStatistic(
+      df: DataFrame, keys: Seq[String], valueCol: String,
+      inSampleA: Column): DataFrame = {
+    val keyCols = keys.map(col)
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(keyCols :+ col(valueCol).as("__gv"): _*)
+      .agg(sum(when(inSampleA, 1L).otherwise(0L)).as("__gca"),
+        sum(when(inSampleA, 0L).otherwise(1L)).as("__gcb"))
+    val base = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keyCols: _*)
+    val cum = base.orderBy(col("__gv")).rowsBetween(Window.unboundedPreceding, 0)
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val stepped = counts
+      .withColumn("__gna", sum(col("__gca")).over(base))
+      .withColumn("__gnb", sum(col("__gcb")).over(base))
+      .withColumn("__gdiff",
+        abs(d38(sum(col("__gca")).over(cum)) * d38(col("__gnb")) -
+          d38(sum(col("__gcb")).over(cum)) * d38(col("__gna"))))
+    val grouped =
+      if (keys.isEmpty) stepped.agg(max(col("__gdiff")).as("__gd"),
+        max(col("__gna")).as("n_a"), max(col("__gnb")).as("n_b"))
+      else stepped.groupBy(keyCols: _*).agg(max(col("__gdiff")).as("__gd"),
+        max(col("__gna")).as("n_a"), max(col("__gnb")).as("n_b"))
+    grouped.select(keyCols ++ Seq(col("n_a"), col("n_b"),
+      when(col("n_a") > 0 && col("n_b") > 0,
+        col("__gd").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("ks")): _*)
+  }
+
+  /** Benford expected leading-digit shares log₁₀(1 + 1/d), d = 1..9 —
+   *  computed ONCE on the driver and embedded as literals in both the
+   *  Spark plan and (via Ryu shortest strings) the SQL oracle, so both
+   *  engines use bit-identical constants regardless of libm. */
+  val benfordShares: IndexedSeq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /**
+   * Benford's-law leading-digit audit — the fraud/fabrication screen
+   * for naturally-occurring positive amounts: observed share of each
+   * leading significant digit vs the Benford expectation, with the
+   * absolute deviation. Values below 1 are excluded (their leading
+   * significant digit needs magnitude normalization, and audited
+   * amounts are ≥ 1 by construction).
+   *
+   * One count groupBy (≤ 9·|groups| partials per task); shares come
+   * from a window over the 9-row-per-group counts frame; the digit is
+   * the first character of the value's canonical decimal rendering —
+   * identical across engines for DECIMAL-typed columns.
+   */
+  def benfordAudit(
+      df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    val keyCols = keys.map(col)
+    val digit = substring(col(valueCol).cast("string"), 1, 1)
+    val counts = df.filter(col(valueCol) >= 1)
+      .groupBy(keyCols :+ digit.as("digit"): _*)
+      .agg(count(lit(1)).as("n"))
+    val base = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keyCols: _*)
+    val expected = benfordShares.zipWithIndex
+      .foldLeft(lit(null).cast("double")) { case (acc, (share, i)) =>
+        when(col("digit") === (i + 1).toString, share).otherwise(acc) }
+    counts
+      .withColumn("share", col("n").cast("double") / sum(col("n")).over(base).cast("double"))
+      .withColumn("benford", expected)
+      .withColumn("abs_dev", abs(col("share") - expected))
   }
 }

@@ -60,7 +60,10 @@ object Events {
     sessionize(df, user, ts, gapUs, tieBreak)
       .groupBy(col(user), col("session_idx"))
       .agg(
-        array_join(slice(transform(ordered, x => x.getField(state)), 1, n), ">")
+        // slice BEFORE transform: only the first n structs have their
+        // state extracted, and the sorted array feeds one higher-order
+        // function instead of two nested ones
+        array_join(transform(slice(ordered, 1, n), x => x.getField(state)), ">")
           .as("path"),
         count(lit(1)).as("n_events"),
         min(col(ts)).as("start_ts"))
@@ -193,12 +196,18 @@ object Events {
    * and "change relative to nothing" has no meaningful magnitude
    * anyway — NULL beats a fake ±Infinity. The guard short-circuits, so
    * the division never evaluates on zero rows.
+   *
+   * `keys` must be non-empty: an unkeyed ordered window funnels the
+   * whole frame through one partition (the q51 caveat). For a single
+   * global series, aggregate to period grain first and tag it with a
+   * literal key.
    */
   def pctChange(
       df: DataFrame, keys: Seq[String], order: Seq[Column],
       valueCol: String, out: String = "pct_change"): DataFrame = {
-    val base = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
-    val w = base.orderBy(order: _*)
+    require(keys.nonEmpty,
+      "pctChange needs partition keys: an unkeyed window is a global single-partition funnel")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     val prev = lag(col(valueCol), 1).over(w)
     df.withColumn(out, when(prev =!= 0, col(valueCol) / prev - 1))
   }
@@ -221,6 +230,9 @@ object Events {
     val counts = df
       .groupBy(keyCols :+ (dayofweek(col(ts)) - 1).as("dow"): _*)
       .agg(count(lit(1)).as("n"))
+    // empty keys is safe HERE (unlike pctChange/lagFeatures): the window
+    // runs over the already-aggregated counts frame, which an unkeyed
+    // call bounds at 7 rows total — not a single-partition funnel
     val base = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keyCols: _*)
     counts
       .withColumn("idx",
@@ -368,8 +380,9 @@ object Events {
       out: String = "ewma"): DataFrame = {
     require(depth >= 1, "ewmaSmoothed needs depth >= 1")
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
-    val base = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
-    val w = base.orderBy(order: _*)
+    require(keys.nonEmpty,
+      "ewmaSmoothed needs partition keys: an unkeyed window is a global single-partition funnel")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     val v = col(valueCol)
     def lagged(j: Int): Column = if (j == 0) v else lag(v, j).over(w)
     val weights = ewmaWeights(alpha, depth)
@@ -377,7 +390,11 @@ object Events {
       when(lagged(j).isNotNull, lit(wt) * lagged(j)).otherwise(lit(0d)) }
     val norms = weights.zipWithIndex.map { case (wt, j) =>
       when(lagged(j).isNotNull, lit(wt)).otherwise(lit(0d)) }
-    df.withColumn(out, terms.reduce(_ + _) / norms.reduce(_ + _))
+    // a row whose value AND whole lag window are NULL zeroes every norm
+    // term; guard the division (ANSI raises on 0/0) and return NULL —
+    // rollingAnomalies' n > 0 guard, same reasoning
+    val norm = norms.reduce(_ + _)
+    df.withColumn(out, when(norm > 0, terms.reduce(_ + _) / norm))
   }
 
   /** The truncated-EWMA weight sequence `α(1−α)^j`, j = 0..depth−1 —

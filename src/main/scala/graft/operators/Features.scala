@@ -90,6 +90,30 @@ object Features {
   }
 
   /**
+   * Per-group robust scaling: (v − median) / IQR — the outlier-immune
+   * standardization ([[zscore]]'s mean/σ move with the spikes they
+   * should be insensitive to; median/IQR do not — the
+   * `sklearn.RobustScaler` semantics). Exact `percentile` matches
+   * DuckDB `quantile_cont` bit-for-bit (the q40 parity), and the
+   * subtraction + division are single IEEE ops — engine-portable with
+   * no decimal detour. Zero-IQR groups scale to 0.0 (at least half the
+   * group sits AT the median; same convention as [[minmaxScale]]'s
+   * degenerate guard). At 100 TB swap the exact percentiles for
+   * `percentile_approx` upstream (the q48 documented trade).
+   */
+  def robustScale(df: DataFrame, column: String, keys: Seq[String]): DataFrame = {
+    val v = col(column)
+    withGroupBounds(df, keys, Seq(
+      percentile(v, lit(0.5)).as("__gmed"),
+      percentile(v, lit(0.25)).as("__gq1"),
+      percentile(v, lit(0.75)).as("__gq3"))) {
+      _.withColumn(column,
+        when(col("__gq3") === col("__gq1"), 0d)
+          .otherwise((v - col("__gmed")) / (col("__gq3") - col("__gq1"))))
+    }
+  }
+
+  /**
    * Threshold literal for [[mixtureSample]]: an 8-hex-digit lowercase
    * string such that `md5(id).substr(0, 8) < threshold` keeps a
    * `w` fraction of uniformly-hashed ids. Weights ≥ 1 map to "g", which
@@ -293,8 +317,9 @@ object Features {
       scale: Int = 4): DataFrame = {
     require(lags.forall(_ >= 1) && meanWindows.forall(_ >= 1),
       "lags and windows must be >= 1")
-    val base = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
-    val w = base.orderBy(order: _*)
+    require(keys.nonEmpty,
+      "lagFeatures needs partition keys: an unkeyed window is a global single-partition funnel")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     val v = col(valueCol)
     val withLags = lags.foldLeft(df) { (acc, n) =>
       acc.withColumn(s"lag_$n", lag(v, n).over(w))
@@ -355,12 +380,14 @@ object Features {
       tsCol: String, amountCol: String, n: Int = 5,
       scale: Int = 4): DataFrame = {
     require(n > 1, "rfmScores needs at least two buckets")
+    require(keys.nonEmpty,
+      "rfmScores needs segmentation keys: an unkeyed ntile funnels the entity frame through one partition")
     val per = df
       .groupBy((keys :+ entity).map(col): _*)
       .agg(max(col(tsCol)).as("last_ts"),
         count(lit(1)).as("frequency"),
         sum(col(amountCol).cast(s"decimal(18,$scale)")).as("__gmon"))
-    val base = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
+    val base = Window.partitionBy(keys.map(col): _*)
     def score(order: Column) = ntile(n).over(base.orderBy(order, col(entity)))
     per
       .withColumn("r_score", score(col("last_ts")))

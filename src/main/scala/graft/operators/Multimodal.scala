@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -35,23 +35,46 @@ object Multimodal {
         md5(col("payload")).as("checksum")))
 
   /**
-   * The decode stub: deterministic fake features derived from the payload
-   * bytes. Production swaps in a real codec (`javax.imageio`, ffmpeg
-   * bindings, ...) by passing it to [[decodeFeatures]] — the decoder is
-   * a parameter (serialized with the closure), NOT mutable global state,
-   * because a driver-side `var` would never reach executor JVMs.
+   * The default decoder: REAL container-header parsing first — PNG IHDR,
+   * JPEG SOF segment walk, GIF logical screen, BMP InfoHeader, shared
+   * with the codegen [[graft.plans.ImageDims]] expression — with a
+   * deterministic stub fallback for payloads matching no magic (this
+   * container ships no pixel codec, so brightness stays a byte-mean
+   * proxy either way). Production swaps in a full codec
+   * (`javax.imageio`, ffmpeg bindings, ...) by passing it to
+   * [[decodeFeatures]] — the decoder is a parameter (serialized with
+   * the closure), NOT mutable global state, because a driver-side `var`
+   * would never reach executor JVMs.
    */
   val defaultDecoder: MediaRow => MediaFeatures = { row =>
     val bytes = row.payload
     var sum = 0L
     var i = 0
     while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+    val (w, h) = graft.plans.ImageDims.parse(bytes) match {
+      case Some((_, pw, ph)) => (pw, ph)
+      case None => // stub: deterministic fake dims for opaque payloads
+        (64 + (math.abs(bytes.length * 2654435761L) % 1024).toInt,
+          64 + (math.abs(bytes.length * 40503L) % 768).toInt)
+    }
     MediaFeatures(
       doc_id = row.doc_id,
       bytes = bytes.length.toLong,
-      width = 64 + (math.abs(bytes.length * 2654435761L) % 1024).toInt,
-      height = 64 + (math.abs(bytes.length * 40503L) % 768).toInt,
+      width = w,
+      height = h,
       brightness = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length)
+  }
+
+  /**
+   * Column-level header decode for declarative pipelines: a
+   * `struct(format, width, height)` column (NULL when no container
+   * magic matches) via the codegen [[graft.plans.ImageDims]]
+   * expression — metadata extraction with no mapPartitions detour and
+   * no codec library.
+   */
+  def imageDims(spark: SparkSession, payload: Column): Column = {
+    graft.plans.GraftFunctions.register(spark)
+    call_function(graft.plans.GraftFunctions.imageDimsName, payload)
   }
 
   /**

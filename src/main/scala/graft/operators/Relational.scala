@@ -392,6 +392,88 @@ object Relational {
   }
 
   /**
+   * Per-group simple linear regression (slope, intercept, R²) from
+   * exact decimal raw moments — the distributed `scipy.stats
+   * .linregress` / per-segment trend detector. ONE aggregation pass:
+   * n, Σx, Σy, Σxy, Σx², Σy² accumulate as exact decimals
+   * (order-independent, [[corrMatrix]]'s typing: (18,s)×(18,s)
+   * products stay inside Spark's 38-precision cap), then the closed
+   * forms run in ONE fixed IEEE sequence — engine-portable, unlike
+   * `regr_slope`'s streaming merge.
+   *
+   * Degenerate groups guard EXACTLY, not via the float residue: a
+   * constant-x group leaves n·Σx² − (Σx)² at ±few-ulp of either sign
+   * (the q75 clamp lesson), so slope/intercept/r² are NULLed from the
+   * decimal-cast min == max test. Constant-y groups keep their
+   * (residue-magnitude, engine-identical) slope but r² is NULLed —
+   * "fraction of variance explained" is meaningless at zero variance.
+   */
+  def linregGroups(
+      df: DataFrame, keys: Seq[String], xCol: String, yCol: String,
+      scale: Int = 4): DataFrame = {
+    def d18(c: String) = col(c).cast(s"decimal(18,$scale)")
+    val aggs = Seq(
+      count(lit(1)).cast("double").as("__gn"),
+      sum(d18(xCol)).cast("double").as("__gsx"),
+      sum(d18(yCol)).cast("double").as("__gsy"),
+      sum(d18(xCol) * d18(yCol)).cast("double").as("__gsxy"),
+      sum(d18(xCol) * d18(xCol)).cast("double").as("__gsxx"),
+      sum(d18(yCol) * d18(yCol)).cast("double").as("__gsyy"),
+      (min(d18(xCol)) === max(d18(xCol))).as("__gcx"),
+      (min(d18(yCol)) === max(d18(yCol))).as("__gcy"))
+    val m =
+      if (keys.isEmpty) df.na.drop("any", Seq(xCol, yCol)).agg(aggs.head, aggs.tail: _*)
+      else df.na.drop("any", Seq(xCol, yCol))
+        .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val num = col("__gn") * col("__gsxy") - col("__gsx") * col("__gsy")
+    val denx = col("__gn") * col("__gsxx") - col("__gsx") * col("__gsx")
+    val deny = col("__gn") * col("__gsyy") - col("__gsy") * col("__gsy")
+    val slope = when(!col("__gcx"), num / denx)
+    m.select(keys.map(col) ++ Seq(
+        col("__gn").cast("long").as("n"),
+        slope.as("slope"),
+        when(!col("__gcx"),
+          (col("__gsy") - slope * col("__gsx")) / col("__gn")).as("intercept"),
+        when(!col("__gcx") && !col("__gcy"),
+          (num * num) / (denx * deny)).as("r2")): _*)
+  }
+
+  /**
+   * Scale-aware sequence-gap detection (missing-key audit): the
+   * gaps-and-islands complement of [[graft.operators.Events.streaks]]
+   * for surrogate/sequence keys. A single global `lag` window would
+   * funnel every key through one partition, so the scan is TWO-LEVEL:
+   * keys bucket by `key div bucketSize` and in-bucket gaps come from a
+   * per-bucket window (parallel across buckets); cross-bucket gaps
+   * come from a second window over the per-bucket (min, max) frame —
+   * ≤ keyspace/bucketSize rows, aggregated before it is windowed, the
+   * bounded-frame condition that makes ITS single partition safe.
+   * Output rows are (gap_start, gap_end, n_missing), identical to the
+   * one-window form by construction: an entirely-missing bucket folds
+   * into the boundary gap between its non-empty neighbors.
+   */
+  def sequenceGaps(df: DataFrame, keyCol: String, bucketSize: Long): DataFrame = {
+    require(bucketSize > 1, "sequenceGaps needs bucketSize > 1")
+    val k = col("__gk")
+    val keyed = df.select(col(keyCol).cast("long").as("__gk")).na.drop().distinct()
+      .withColumn("__gb", expr(s"__gk DIV $bucketSize"))
+    val inB = Window.partitionBy(col("__gb")).orderBy(k)
+    val inner = keyed
+      .withColumn("__gprev", lag(k, 1).over(inB))
+      .filter(k - col("__gprev") > 1)
+      .select((col("__gprev") + 1).as("gap_start"), (k - 1).as("gap_end"))
+    val buckets = keyed.groupBy(col("__gb"))
+      .agg(min(k).as("__gmn"), max(k).as("__gmx"))
+    val acrossW = Window.orderBy(col("__gb")) // bounded: one row per bucket
+    val across = buckets
+      .withColumn("__gpmx", lag(col("__gmx"), 1).over(acrossW))
+      .filter(col("__gmn") - col("__gpmx") > 1)
+      .select((col("__gpmx") + 1).as("gap_start"), (col("__gmn") - 1).as("gap_end"))
+    inner.unionByName(across)
+      .withColumn("n_missing", col("gap_end") - col("gap_start") + 1)
+  }
+
+  /**
    * EXACT distinct-state partials — the precise twin of [[hllPartials]]
    * for grains whose member sets are bounded: store the per-fine-grain
    * DISTINCT members as (keys..., member) rows. Linear in the true

@@ -101,6 +101,7 @@ object GraftFunctions {
   val winnowName = "graft_winnow"
   val topGramShareName = "graft_top_gram_share"
   val jaroWinklerName = "graft_jaro_winkler"
+  val imageDimsName = "graft_image_dims"
 
   private[plans] def cosineBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2, s"$cosineName expects 2 arguments")
@@ -159,6 +160,11 @@ object GraftFunctions {
     JaroWinkler(children.head, children(1))
   }
 
+  private[plans] def imageDimsBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 1, s"$imageDimsName expects (payload)")
+    ImageDims(children.head)
+  }
+
   /**
    * The single source of truth for (identifier, info, builder) triples:
    * both the programmatic [[register]] path and the config-driven
@@ -197,6 +203,9 @@ object GraftFunctions {
     (FunctionIdentifier(jaroWinklerName),
       new ExpressionInfo(classOf[JaroWinkler].getName, jaroWinklerName),
       jaroWinklerBuilder _),
+    (FunctionIdentifier(imageDimsName),
+      new ExpressionInfo(classOf[ImageDims].getName, imageDimsName),
+      imageDimsBuilder _),
   )
 
   /** Idempotent per-session registration (programmatic path). */

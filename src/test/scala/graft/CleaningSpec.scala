@@ -152,11 +152,40 @@ class CleaningSpec extends SparkSpec {
     val dimA = Seq(1L, 2L).toDF("a_key")
     val dimB = Seq(10L, 20L).toDF("b_key")
     val out = Cleaning.fkIntegrity(fact, Seq(
-        ("a", Seq("fk_a"), dimA, Seq("a_key")),
-        ("b", Seq("fk_b"), dimB, Seq("b_key"))))
+        Cleaning.FkRelation("a", Seq("fk_a"), dimA, Seq("a_key"),
+          broadcastDim = true),
+        Cleaning.FkRelation("b", Seq("fk_b"), dimB, Seq("b_key"))))
       .orderBy("relation").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     // a: 9L unmatched + NULL = 2 orphans; b: 30L unmatched = 1
     assert(out.toSeq == Seq(("a", 4L, 2L, 0.5), ("b", 4L, 1L, 0.25)))
+  }
+
+  test("ksStatistic: identical samples 0, disjoint samples 1, interleaved 0.5") {
+    val rows =
+      Seq(1.0, 2.0, 3.0).map(v => ("same", v, true)) ++
+      Seq(1.0, 2.0, 3.0).map(v => ("same", v, false)) ++
+      Seq(1.0, 2.0).map(v => ("disj", v, true)) ++
+      Seq(3.0, 4.0).map(v => ("disj", v, false)) ++
+      Seq(1.0, 3.0).map(v => ("inter", v, true)) ++
+      Seq(2.0, 4.0).map(v => ("inter", v, false))
+    val d = rows.toDF("k", "v", "a")
+    val out = Cleaning.ksStatistic(d.repartition(5), Seq("k"), "v", col("a"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("disj", 2L, 2L, 1.0), ("inter", 2L, 2L, 0.5), ("same", 3L, 3L, 0.0)))
+  }
+
+  test("benfordAudit: exact digit counts/shares, driver-literal expectations, <1 excluded") {
+    val d = Seq(10.0, 1.5, 2.0, 30.0, 0.5).map(("g", _)).toDF("k", "v")
+    val out = Cleaning.benfordAudit(d, Seq("k"), "v")
+      .orderBy("digit").collect()
+      .map(r => (r.getAs[String]("digit"), r.getAs[Long]("n"),
+        r.getAs[Double]("share"), r.getAs[Double]("benford")))
+    assert(out.toSeq == Seq(
+      ("1", 2L, 0.5, Cleaning.benfordShares(0)),
+      ("2", 1L, 0.25, Cleaning.benfordShares(1)),
+      ("3", 1L, 0.25, Cleaning.benfordShares(2))))
   }
 }

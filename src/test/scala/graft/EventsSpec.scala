@@ -347,4 +347,26 @@ class EventsSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       ("a", "b", 2L, 2.0 / 3), ("a", "c", 1L, 1.0 / 3), ("b", "a", 1L, 1.0)))
   }
+
+  test("ewmaSmoothed returns NULL, not 0/0, when the value and its whole lag window are null") {
+    // key 9's FIRST row has a null value: every weight term drops out,
+    // so the norm sum is 0 — the guard must yield NULL, not DIVIDE_BY_ZERO
+    val d = Seq((9, 1, None), (9, 2, Some(4.0)))
+      .toDF("k", "t", "v")
+    val out = Events.ewmaSmoothed(d, Seq("k"), Seq(col("t")), "v", 0.5, 2)
+      .orderBy("t").select("ewma").as[Option[Double]].collect().toSeq
+    assert(out == Seq(None, Some(4.0)))
+  }
+
+  test("raw-frame per-key windows refuse empty keys (single-partition funnel guard)") {
+    val d = Seq((1, 1, 1.0)).toDF("k", "t", "v")
+    val exPct = intercept[IllegalArgumentException] {
+      Events.pctChange(d, Nil, Seq(col("t")), "v")
+    }
+    assert(exPct.getMessage.contains("single-partition"))
+    val exEwma = intercept[IllegalArgumentException] {
+      Events.ewmaSmoothed(d, Nil, Seq(col("t")), "v", 0.5, 2)
+    }
+    assert(exEwma.getMessage.contains("single-partition"))
+  }
 }

@@ -216,4 +216,29 @@ class FeaturesSpec extends SparkSpec {
         r.getAs[Int]("f_score"), r.getAs[Int]("m_score"), r.getAs[String]("rfm_cell")))
     assert(out.toSeq == (1 to 5).map(c => (c.toLong, c, c, c, s"$c$c$c")))
   }
+
+  test("robustScale centers on the median and scales by IQR; zero-IQR groups scale to 0") {
+    val d = (1 to 5).map(v => ("a", v.toDouble)) ++ Seq(("b", 7.0), ("b", 7.0))
+    val out = Features.robustScale(d.toDF("k", "v"), "v", Seq("k"))
+      .orderBy("k", "v").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    // a: med 3, q1 2, q3 4 -> (v-3)/2
+    assert(out.toSeq == Seq(
+      ("a", -1.0), ("a", -0.5), ("a", 0.0), ("a", 0.5), ("a", 1.0),
+      ("b", 0.0), ("b", 0.0)))
+  }
+
+  test("lagFeatures and rfmScores refuse empty keys (single-partition funnel guard)") {
+    val d = Seq((1, 1, 1.0)).toDF("k", "t", "v")
+    val exLag = intercept[IllegalArgumentException] {
+      Features.lagFeatures(d, Nil, Seq(col("t")), "v", Seq(1), Seq(2))
+    }
+    assert(exLag.getMessage.contains("single-partition"))
+    val tx = Seq(("s", 1L, java.sql.Date.valueOf("2024-01-01"), 1.0))
+      .toDF("seg", "cust", "d", "amt")
+    val exRfm = intercept[IllegalArgumentException] {
+      Features.rfmScores(tx, "cust", Nil, "d", "amt")
+    }
+    assert(exRfm.getMessage.contains("one partition"))
+  }
 }

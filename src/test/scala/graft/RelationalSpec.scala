@@ -308,4 +308,38 @@ class RelationalSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       (1L, 0.5, "A"), (2L, 0.8, "A"), (3L, 0.95, "B"), (4L, 1.0, "C")))
   }
+
+  test("linregGroups: exact OLS per group; constant-x NULLs, constant-y keeps slope, drops r2") {
+    val d = Seq(
+      ("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0), // y = 2x
+      ("b", 5.0, 1.0), ("b", 5.0, 9.0),                  // constant x
+      ("c", 1.0, 5.0), ("c", 2.0, 5.0))                  // constant y
+      .toDF("k", "x", "y")
+    val out = Relational.linregGroups(d, Seq("k"), "x", "y")
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(out(0) == (("a", 3L, Some(2.0), Some(0.0), Some(1.0))))
+    assert(out(1) == (("b", 2L, None, None, None)))
+    val (ck, cn, cSlope, _, cR2) = out(2)
+    assert(ck == "c" && cn == 2L && cR2.isEmpty)
+    assert(math.abs(cSlope.get) < 1e-9) // float residue magnitude, engine-identical
+  }
+
+  test("sequenceGaps: two-level plan matches the one-window gap set, empty buckets fold in") {
+    val keys = Seq(1L, 2L, 5L, 6L, 99L, 102L, 203L, 203L) // dup collapses
+    val out = Relational.sequenceGaps(keys.toDF("k").repartition(4), "k", 100L)
+      .orderBy("gap_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (3L, 4L, 2L), (7L, 98L, 92L),     // in-bucket (bucket 0)
+      (100L, 101L, 2L),                 // boundary bucket 0 → 1
+      (103L, 202L, 100L)))              // boundary bucket 1 → 2
+    // entirely-missing middle bucket folds into one boundary gap
+    val sparse = Relational.sequenceGaps(Seq(1L, 250L).toDF("k"), "k", 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sparse.toSeq == Seq((2L, 249L, 248L)))
+  }
 }

@@ -203,4 +203,24 @@ class TextFnsSpec extends SparkSpec {
     // no terminal punctuation: one sentence, division still total
     assert(one[Int](TextFns.sentenceCount(col("t")), "no punctuation") == 1)
   }
+
+  test("stripAccents folds decomposable accents, keeps distinct letters, ASCII is a no-op") {
+    // the pt-BR motivating case (dag.py:47): não/nao must collide
+    assert(one[String](TextFns.stripAccents(col("t")), "não é açúcar") == "nao e acucar")
+    // Latin Extended-A: ogonek, caron, double acute, ring, dot-above İ
+    assert(one[String](TextFns.stripAccents(col("t")), "ąŠőůİža") == "aSouIza")
+    // NON-decomposable letters are not accents — they must pass through
+    assert(one[String](TextFns.stripAccents(col("t")), "Øresund ßtraße Łódź") ==
+      "Øresund ßtraße Łodz")
+    val ascii = "plain ASCII text 123!"
+    assert(one[String](TextFns.stripAccents(col("t")), ascii) == ascii)
+  }
+
+  test("normalizeText with foldAccents canonicalizes accent variants to one key") {
+    val a = one[String](TextFns.normalizeText(col("t"), foldAccents = true), "  NÃO   aqui ")
+    val b = one[String](TextFns.normalizeText(col("t"), foldAccents = true), "nao aqui")
+    assert(a == "nao aqui" && a == b)
+    // default path unchanged: accents survive without the flag
+    assert(one[String](TextFns.normalizeText(col("t")), "NÃO aqui") == "não aqui")
+  }
 }

@@ -1353,6 +1353,47 @@ object SparkEntry {
         "l_extendedprice"),
       "l_extendedprice", Seq("l_returnflag"))
 
+  /** #135 EXACT set-similarity self-join (prefix filtering, PPJoin
+   *  family) on part-name token sets at Jaccard ≥ 3/5 — provably no
+   *  false negatives, unlike LSH (q29): the oracle is the full
+   *  brute-force pair set, and the prefix path must reproduce it
+   *  EXACTLY. All thresholds exact-integer (see Dedup
+   *  .setSimilarityJoin). */
+  private def q135SsjoinPrefix(s: SparkSession, dir: String): DataFrame =
+    Dedup.setSimilarityJoin(t(s, dir).part, "p_partkey",
+      split(col("p_name"), " "), num = 3, den = 5)
+
+  /** #136 χ² independence audit of return flag × line status as per-cell
+   *  contributions — counts/totals exact-integer, expected and (o−e)²/e
+   *  one fixed IEEE sequence each; the headline χ² is the caller's sum
+   *  (a float total would be the one order-dependent step). */
+  private def q136Chi2Cells(s: SparkSession, dir: String): DataFrame =
+    Relational.chiSquareCells(t(s, dir).lineitem, "l_returnflag", "l_linestatus")
+
+  /** #137 time-weighted average event value per type (TWAP): Σv·Δt/ΣΔt
+   *  with exact-decimal products over exact-µs intervals — the
+   *  irregular-sampling mean a plain avg over-weights bursts on. */
+  private def q137Twap(s: SparkSession, dir: String): DataFrame =
+    Events.timeWeightedAvg(t(s, dir).events, Seq("event_type"), "ts",
+      Seq("event_id"), "value")
+
+  /** #138 trailing-7-day rolling distinct active users per day (the
+   *  WAU curve): contribute-then-count — distinct (user, day) explodes
+   *  to its 7 visible report days, one count-distinct per day. */
+  private def q138RollingDau(s: SparkSession, dir: String): DataFrame =
+    Events.rollingDistinct(t(s, dir).events, "user_id", "ts", windowDays = 7)
+
+  /** #139 sorted-neighborhood (SNM) linkage pairs: rank by p_name
+   *  within brand blocks, window-3 neighbors, Jaro-Winkler ≥
+   *  0.92 (q111's codegen scorer, bit-equal to DuckDB on ASCII) —
+   *  the third blocking strategy next to hash blocks (q84) and LSH
+   *  banding (q29). */
+  private def q139SnmPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.sortedNeighborhoodPairs(t(s, dir).part, "p_partkey", "p_name",
+      sortKey = col("p_name"), blockKey = col("p_brand"), window = 3,
+      score = (a, b) => TextFns.jaroWinkler(s, a, b), minScore = 0.92,
+      simName = "jw")
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1490,6 +1531,11 @@ object SparkEntry {
     "q132_benford"          -> (q132Benford _),
     "q133_seq_gaps"         -> (q133SeqGaps _),
     "q134_robust_scale"     -> (q134RobustScale _),
+    "q135_ssjoin_prefix"    -> (q135SsjoinPrefix _),
+    "q136_chi2_cells"       -> (q136Chi2Cells _),
+    "q137_twap"             -> (q137Twap _),
+    "q138_rolling_dau"      -> (q138RollingDau _),
+    "q139_snm_pairs"        -> (q139SnmPairs _),
   )
 
   private val monthCaseSql: String =
@@ -2449,5 +2495,70 @@ object SparkEntry {
         "CASE WHEN b.q3 = b.q1 THEN 0.0 " +
         "ELSE (l.l_extendedprice - b.med) / (b.q3 - b.q1) END AS l_extendedprice " +
         "FROM lineitem l JOIN b USING (l_returnflag)"),
+    "q135_ssjoin_prefix" ->
+      // the FULL brute-force pair set — the prefix-filtered plan must
+      // reproduce it exactly (no false negatives); thresholds compare
+      // exact-integer on both engines (i·5 ≥ u·3)
+      ("WITH t AS (SELECT p_partkey AS id, " +
+        "list_distinct(string_split(p_name, ' ')) AS tok FROM part), " +
+        "p AS (SELECT a.id AS id_a, b.id AS id_b, " +
+        "len(list_intersect(a.tok, b.tok)) AS i, " +
+        "len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)) AS u " +
+        "FROM t a JOIN t b ON a.id < b.id) " +
+        "SELECT id_a, id_b, CAST(i AS DOUBLE) / u AS jaccard " +
+        "FROM p WHERE i * 5 >= u * 3"),
+    "q136_chi2_cells" ->
+      // full distinct×distinct grid with zero fills — unobserved cells
+      // still contribute e to the statistic
+      ("WITH o AS (SELECT l_returnflag, l_linestatus, COUNT(*) AS obs " +
+        "FROM lineitem GROUP BY 1, 2), " +
+        "c AS (SELECT g.l_returnflag, g.l_linestatus, COALESCE(o.obs, 0) AS n " +
+        "FROM ((SELECT DISTINCT l_returnflag FROM lineitem) " +
+        "CROSS JOIN (SELECT DISTINCT l_linestatus FROM lineitem)) g " +
+        "LEFT JOIN o USING (l_returnflag, l_linestatus)) " +
+        "SELECT l_returnflag, l_linestatus, n, " +
+        "CAST(SUM(n) OVER (PARTITION BY l_returnflag) AS DOUBLE) * " +
+        "CAST(SUM(n) OVER (PARTITION BY l_linestatus) AS DOUBLE) / " +
+        "CAST(SUM(n) OVER () AS DOUBLE) AS expected, " +
+        "(CAST(n AS DOUBLE) - (CAST(SUM(n) OVER (PARTITION BY l_returnflag) AS DOUBLE) * " +
+        "CAST(SUM(n) OVER (PARTITION BY l_linestatus) AS DOUBLE) / " +
+        "CAST(SUM(n) OVER () AS DOUBLE))) * " +
+        "(CAST(n AS DOUBLE) - (CAST(SUM(n) OVER (PARTITION BY l_returnflag) AS DOUBLE) * " +
+        "CAST(SUM(n) OVER (PARTITION BY l_linestatus) AS DOUBLE) / " +
+        "CAST(SUM(n) OVER () AS DOUBLE))) / " +
+        "(CAST(SUM(n) OVER (PARTITION BY l_returnflag) AS DOUBLE) * " +
+        "CAST(SUM(n) OVER (PARTITION BY l_linestatus) AS DOUBLE) / " +
+        "CAST(SUM(n) OVER () AS DOUBLE)) AS contribution FROM c"),
+    "q137_twap" ->
+      // exact decimal Σv·Δt and ΣΔt; sums exceed 2^53 scaled units →
+      // VARCHAR detour before the one double division
+      ("WITH x AS (SELECT event_type, value, " +
+        "lead(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id) " +
+        "- epoch_us(ts) AS dt FROM events) " +
+        "SELECT event_type, " +
+        "CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(dt AS DECIMAL(14,0))) AS VARCHAR) AS DOUBLE) / " +
+        "CAST(CAST(SUM(CAST(dt AS DECIMAL(14,0))) AS VARCHAR) AS DOUBLE) AS twap, " +
+        "COUNT(*) AS n_intervals " +
+        "FROM x WHERE dt IS NOT NULL AND value IS NOT NULL GROUP BY 1"),
+    "q138_rolling_dau" ->
+      ("WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d " +
+        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+        "mx AS (SELECT MAX(d) AS mx FROM d), " +
+        "e AS (SELECT user_id, " +
+        "unnest(generate_series(d, d + 6, INTERVAL 1 DAY))::DATE AS day FROM d) " +
+        "SELECT day, COUNT(DISTINCT user_id) AS n_active " +
+        "FROM e, mx WHERE day <= mx GROUP BY 1"),
+    "q139_snm_pairs" ->
+      // rank-adjacent pairs within brand blocks; DuckDB's
+      // jaro_winkler_similarity is bit-equal to graft's codegen scorer
+      // on ASCII (the q111 parity)
+      ("WITH r AS (SELECT p_brand, p_partkey, p_name, " +
+        "ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_name, p_partkey) AS rnk " +
+        "FROM part) " +
+        "SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, " +
+        "jaro_winkler_similarity(a.p_name, b.p_name) AS jw " +
+        "FROM r a JOIN r b ON a.p_brand = b.p_brand " +
+        "AND b.rnk - a.rnk BETWEEN 1 AND 3 " +
+        "WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.92"),
   )
 }

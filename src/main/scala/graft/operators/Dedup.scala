@@ -235,6 +235,123 @@ object Dedup {
   }
 
   /**
+   * Sorted-neighborhood candidate pairs (Hernández–Stolfo SNM): rank
+   * records by `sortKey` WITHIN each block, pair every record with the
+   * `window` records after it, score, threshold. The classic third
+   * blocking strategy next to hash blocks ([[scoredPairs]]) and LSH
+   * banding — it catches near-dups whose block keys differ but whose
+   * sort keys are adjacent (typo in the blocked field), at a
+   * guaranteed ≤ window·n candidate budget per block.
+   *
+   * Scale shape: the rank window partitions by `blockKey` (no global
+   * ordering funnel — the classic single-sort SNM does not distribute;
+   * blocked multi-pass SNM is the standard parallel form), the pair
+   * join is block-keyed with an exact rank-distance filter, and the
+   * scorer runs codegen on ≤ window·|block| pairs. The (sortKey, id)
+   * ordering is total, so ranks — and therefore the pair set — are
+   * partition-layout independent.
+   */
+  def sortedNeighborhoodPairs(
+      df: DataFrame, idCol: String, textCol: String, sortKey: Column,
+      blockKey: Column, window: Int, score: (Column, Column) => Column,
+      minScore: Double, simName: String = "score"): DataFrame = {
+    require(window >= 1, "sortedNeighborhoodPairs needs window >= 1")
+    val ranked = df.select(blockKey.as("__gblk"), sortKey.as("__gsk"),
+        col(idCol).as("__gid"), col(textCol).as("__gtxt"))
+      .withColumn("__grnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__gblk")).orderBy(col("__gsk"), col("__gid"))))
+    val a = ranked.select(col("__gblk"), col("__gid").as("id_a"),
+      col("__gtxt").as("__gta"), col("__grnk").as("__gra"))
+    val b = ranked.select(col("__gblk"), col("__gid").as("id_b"),
+      col("__gtxt").as("__gtb"), col("__grnk").as("__grb"))
+    a.join(b, "__gblk")
+      .filter((col("__grb") - col("__gra")).between(1, window))
+      .withColumn(simName, score(col("__gta"), col("__gtb")))
+      .filter(col(simName) >= minScore)
+      .select(col("id_a"), col("id_b"), col(simName))
+  }
+
+  /**
+   * EXACT set-similarity self-join via prefix filtering (the
+   * PPJoin/AllPairs family) — every pair with Jaccard ≥ num/den, NO
+   * false negatives, without LSH's probabilistic recall and without the
+   * all-pairs cross product. The third candidate-generation strategy
+   * next to hash blocking ([[editDistancePairs]]) and banding
+   * ([[minhashCandidates]]), for when the dedup audit must be provably
+   * complete.
+   *
+   * Theory: order each record's tokens rare-first (global document
+   * frequency); two sets with Jaccard ≥ t MUST share a token within
+   * each other's first `n − ⌈t·n⌉ + 1` ordered tokens, so only prefix
+   * tokens generate candidates. Everything stays EXACT-integer: the
+   * threshold is the rational num/den (⌈t·n⌉ computed with integer
+   * ceiling — a double `ceil(0.6·5)` rounds UP through FP error and
+   * silently drops pairs), the length filter is den·min ≥ num·max, and
+   * the final verify compares den·|∩| ≥ num·(|A|+|B|−|∩|). The output
+   * `jaccard` double is one exact-int division — engine-portable.
+   *
+   * Scale shape: the (token, df) vocabulary aggregates once and joins
+   * token-keyed (broadcastable at real vocab sizes; Zipf-head skew is
+   * the documented AQE skew-join shape, q118); per-record ordering is
+   * an `array_sort` of (df, token) structs — NO global rank window;
+   * candidates explode only ≤ prefix tokens per record and join
+   * token-keyed; verification re-joins the two bounded token arrays by
+   * id. Everything shuffles by hash key; nothing is all-pairs.
+   */
+  def setSimilarityJoin(
+      df: DataFrame, idCol: String, tokensCol: Column,
+      num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      "threshold num/den must sit in (0, 1]")
+    val recs = df.select(col(idCol).as("__gid"),
+      array_distinct(tokensCol).as("__gtok"))
+    val vocab = recs
+      .select(col("__gid"), explode(col("__gtok")).as("__gt"))
+      .groupBy(col("__gt")).agg(count(lit(1)).as("__gdf"))
+    // rare-first total order WITHOUT a global rank window: sort each
+    // record's tokens by the (df, token) struct (field-order
+    // lexicographic, total because the token tie-break is unique)
+    val ordered = recs
+      .select(col("__gid"), explode(col("__gtok")).as("__gt"))
+      .join(vocab, "__gt")
+      .groupBy(col("__gid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__gdf"), col("__gt")))),
+        x => x.getField("__gt")).as("__gsorted"))
+      .withColumn("__gn", size(col("__gsorted")))
+      // integer ceiling ⌈n·num/den⌉ = (n·num + den−1 − pmod) / den: pmod
+      // keeps the arithmetic exact-integer (a double ceil(t·n) rounds up
+      // through FP error and silently SHRINKS the prefix — dropped pairs)
+      .withColumn("__gpfx", {
+        val x = col("__gn") * num + (den - 1)
+        col("__gn") - ((x - pmod(x, lit(den))) / den).cast("int") + 1
+      })
+    val prefixes = ordered.select(col("__gid"), col("__gn"),
+      explode(slice(col("__gsorted"), lit(1), col("__gpfx"))).as("__gt"))
+    val cands = prefixes.select(col("__gt"), col("__gid").as("id_a"),
+        col("__gn").as("__gna"))
+      .join(prefixes.select(col("__gt"), col("__gid").as("id_b"),
+        col("__gn").as("__gnb")), "__gt")
+      .filter(col("id_a") < col("id_b") &&
+        least(col("__gna"), col("__gnb")) * den >=
+          greatest(col("__gna"), col("__gnb")) * num)
+      .select("id_a", "id_b").distinct()
+    val sets = ordered.select(col("__gid"), col("__gsorted"))
+    cands
+      .join(sets.withColumnRenamed("__gsorted", "__gta"),
+        col("id_a") === col("__gid")).drop("__gid")
+      .join(sets.withColumnRenamed("__gsorted", "__gtb"),
+        col("id_b") === col("__gid")).drop("__gid")
+      .withColumn("__gi", size(array_intersect(col("__gta"), col("__gtb"))))
+      .withColumn("__gu",
+        size(col("__gta")) + size(col("__gtb")) - col("__gi"))
+      .filter(col("__gi") * den >= col("__gu") * num)
+      .select(col("id_a"), col("id_b"),
+        (col("__gi").cast("double") / col("__gu")).as("jaccard"))
+  }
+
+  /**
    * C4's GLOBAL line deduplication (Raffel et al. 2020 §2.2: any line
    * occurring more than once in the corpus is kept exactly once): every
    * line keeps only its first occurrence — ordered by (doc id,

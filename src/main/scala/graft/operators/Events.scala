@@ -240,6 +240,67 @@ object Events {
   }
 
   /**
+   * Time-weighted average (TWAP): Σ vᵢ·Δtᵢ / Σ Δtᵢ per key, where Δtᵢ
+   * is the µs interval each value was "in effect" (until the next
+   * observation; the last observation has no duration and drops out) —
+   * the irregular-sampling mean a plain `avg` gets wrong (it
+   * over-weights bursts of closely-spaced readings).
+   *
+   * Exactness: values cast to fixed-scale decimal, intervals are exact
+   * µs longs, so every product and both sums are exact decimals —
+   * order-independent — and the single final division is one IEEE op.
+   * One window shuffle (the `lead`) + the groupBy share the `keys`
+   * hash partitioning. `order` must be total (tie-break).
+   */
+  def timeWeightedAvg(
+      df: DataFrame, keys: Seq[String], tsCol: String,
+      tieBreak: Seq[String], valueCol: String, scale: Int = 2,
+      out: String = "twap"): DataFrame = {
+    require(keys.nonEmpty,
+      "timeWeightedAvg needs partition keys: an unkeyed window is a global single-partition funnel")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol) +: tieBreak.map(col): _*)
+    val us = unix_micros(col(tsCol))
+    val dt = (lead(us, 1).over(w) - us).cast("decimal(14,0)")
+    val v = col(valueCol).cast(s"decimal(18,$scale)")
+    df.withColumn("__gwv", v * dt).withColumn("__gdt", dt)
+      .filter(col("__gdt").isNotNull && col(valueCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg((sum(col("__gwv")).cast("double") /
+        sum(col("__gdt")).cast("double")).as(out),
+        count(lit(1)).as("n_intervals"))
+  }
+
+  /**
+   * Rolling distinct-entity count (the DAU→WAU family): for each day in
+   * the data's span, how many distinct entities were active in the
+   * trailing `windowDays` window. Distinct-count-over-window has no
+   * mergeable state, so the shape is contribute-then-count: activity
+   * collapses to distinct (entity, day) rows FIRST, each contributes to
+   * the `windowDays` report days it is visible from (a per-row
+   * `sequence` explode — ×windowDays fan-out of the already-collapsed
+   * frame, not of raw events), and one count-distinct groupBy per
+   * report day finishes. Report days clamp to the observed span (the
+   * max-day bound is one broadcast scalar row, q04's pattern).
+   */
+  def rollingDistinct(
+      df: DataFrame, entity: String, tsCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "rollingDistinct needs windowDays >= 1")
+    val days = df.select(col(entity).as("__ge"),
+      to_date(col(tsCol)).as("__gd")).na.drop().distinct()
+    val span = days.agg(max(col("__gd")).as("__gmaxd"))
+    days
+      .select(col("__ge"), explode(sequence(col("__gd"),
+        date_add(col("__gd"), windowDays - 1),
+        expr("interval 1 day"))).as("day"))
+      .crossJoin(broadcast(span))
+      .filter(col("day") <= col("__gmaxd"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("__ge")).as("n_active"))
+  }
+
+  /**
    * Cohort retention: bucket each user by first-activity day, then
    * count distinct users active at each day offset from their cohort —
    * the standard retention triangle. Scale shape: activity first

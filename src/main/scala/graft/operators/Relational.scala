@@ -474,6 +474,45 @@ object Relational {
   }
 
   /**
+   * χ² independence audit as PER-CELL contributions — observed vs
+   * expected count and (o−e)²/e for every (a, b) category pair. The
+   * per-cell frame is the auditable artifact (which cells drive the
+   * dependence); the headline χ² is its sum, left to the caller
+   * because a float sum over cells would be the one
+   * order-dependent step — every value HERE is either exact-integer
+   * (counts, totals) or one fixed IEEE sequence from exact integers
+   * (expected = row·col/n, contribution) — engine-portable.
+   *
+   * One count groupBy over the fact (≤ |a|·|b| partials per task);
+   * row/col totals come from two windows over the tiny cells frame
+   * sharing its partitioning. Raw rows never shuffle un-aggregated.
+   * UNOBSERVED cells matter: a zero cell still contributes e to χ², so
+   * the frame is the full distinct(a) × distinct(b) grid (two tiny
+   * frames cross-joined) with absent counts as 0 — a groupBy alone
+   * would silently drop exactly the cells that signal dependence
+   * hardest.
+   */
+  def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val observed = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("__gobs"))
+    val grid = df.select(col(aCol)).distinct()
+      .crossJoin(df.select(col(bCol)).distinct())
+    val cells = grid.join(observed, Seq(aCol, bCol), "left")
+      .withColumn("n", coalesce(col("__gobs"), lit(0L))).drop("__gobs")
+    val rowT = sum(col("n")).over(Window.partitionBy(col(aCol)))
+    val colT = sum(col("n")).over(Window.partitionBy(col(bCol)))
+    val grandT = sum(col("n")).over(Window.partitionBy())
+    // cast each total to double BEFORE multiplying: a long×long product
+    // overflows at fact scale; the double sequence is engine-identical
+    val e = rowT.cast("double") * colT.cast("double") / grandT.cast("double")
+    cells
+      .withColumn("expected", e)
+      .withColumn("contribution", {
+        val d = col("n").cast("double") - col("expected")
+        d * d / col("expected")
+      })
+  }
+
+  /**
    * EXACT distinct-state partials — the precise twin of [[hllPartials]]
    * for grains whose member sets are bounded: store the per-fine-grain
    * DISTINCT members as (keys..., member) rows. Linear in the true

@@ -359,4 +359,48 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == Set((1L, 2L, 0.9611111111111111)))
   }
+
+  test("setSimilarityJoin finds exactly the brute-force pair set (no false negatives)") {
+    val d = Seq(
+      (1L, "a b"), (2L, "b c"), (3L, "a b c"))
+      .toDF("id", "t")
+    val got = Dedup.setSimilarityJoin(d, "id", split(col("t"), " "), 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // jac(1,2)=1/3 < 1/2; jac(1,3)=2/3; jac(2,3)=2/3
+    assert(got == Set((1L, 3L, 2.0 / 3), (2L, 3L, 2.0 / 3)))
+    // property: prefix-filtered == brute force on random token sets
+    val rnd = new scala.util.Random(7)
+    val vocab = ('a' to 'j').map(_.toString)
+    val recs = (1L to 60L).map(i =>
+      (i, rnd.shuffle(vocab).take(3 + rnd.nextInt(4)).mkString(" ")))
+      .toDF("id", "t")
+    for ((num, den) <- Seq((1, 2), (3, 5), (4, 5))) {
+      val fast = Dedup.setSimilarityJoin(recs, "id", split(col("t"), " "), num, den)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = recs.select(col("id"), array_distinct(split(col("t"), " ")).as("tok"))
+      val brute = sets.as("x").crossJoin(sets.as("y"))
+        .filter(col("x.id") < col("y.id"))
+        .withColumn("i", size(array_intersect(col("x.tok"), col("y.tok"))))
+        .withColumn("u", size(col("x.tok")) + size(col("y.tok")) - col("i"))
+        .filter(col("i") * den >= col("u") * num)
+        .select(col("x.id"), col("y.id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fast == brute, s"t=$num/$den: prefix filter lost/invented pairs")
+    }
+  }
+
+  test("sortedNeighborhoodPairs: rank-window pairs within blocks, layout independent") {
+    val d = Seq(
+      (1L, "aaaa", "M1"), (2L, "aaab", "M1"), (3L, "bbbb", "M1"), (4L, "aaac", "M1"),
+      (5L, "aaaa", "M2")) // other block: never pairs with M1
+      .toDF("id", "name", "mfgr")
+    val got = Dedup.sortedNeighborhoodPairs(d.repartition(4), "id", "name",
+        sortKey = col("name"), blockKey = col("mfgr"), window = 2,
+        score = (a, b) => TextFns.jaroWinkler(spark, a, b),
+        minScore = 0.85, simName = "jw")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // rank order in M1: aaaa(1) aaab(2) aaac(3) bbbb(4); window 2 pairs
+    // (1,2),(1,4),(2,4),(2,3),(4,3); only the aaa* trio scores >= 0.85
+    assert(got == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
 }

@@ -348,6 +348,30 @@ class EventsSpec extends SparkSpec {
       ("a", "b", 2L, 2.0 / 3), ("a", "c", 1L, 1.0 / 3), ("b", "a", 1L, 1.0)))
   }
 
+  test("timeWeightedAvg weights values by their exact-µs duration; last point drops") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val d = Seq(
+      ("k", at(0), 1L, 10.0), ("k", at(10), 2L, 20.0), ("k", at(30), 3L, 99.0))
+      .toDF("g", "ts", "event_id", "v")
+    val out = Events.timeWeightedAvg(d.repartition(3), Seq("g"), "ts",
+        Seq("event_id"), "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    // (10·10s + 20·20s) / 30s — the plain avg would say 43
+    assert(out.toSeq == Seq(("k", 500.0 / 30, 2L)))
+  }
+
+  test("rollingDistinct counts trailing-window distinct entities, clamped to the span") {
+    def d(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    val e = Seq((1L, d(1)), (1L, d(1)), (2L, d(3))).toDF("user_id", "ts")
+    val out = Events.rollingDistinct(e, "user_id", "ts", windowDays = 3)
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    // u1 visible days 1-3, u2 from day 3; days past max(day 3) clamp off
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 1L), ("2024-01-02", 1L), ("2024-01-03", 2L)))
+  }
+
   test("ewmaSmoothed returns NULL, not 0/0, when the value and its whole lag window are null") {
     // key 9's FIRST row has a null value: every weight term drops out,
     // so the norm sum is 0 — the guard must yield NULL, not DIVIDE_BY_ZERO

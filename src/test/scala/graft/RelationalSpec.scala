@@ -309,6 +309,21 @@ class RelationalSpec extends SparkSpec {
       (1L, 0.5, "A"), (2L, 0.8, "A"), (3L, 0.95, "B"), (4L, 1.0, "C")))
   }
 
+  test("chiSquareCells: exact grid totals, zero cells present with their full contribution") {
+    val d = Seq.fill(10)(("A", "X")) ++ Seq.fill(10)(("A", "Y")) ++
+      Seq.fill(20)(("B", "X")) // (B, Y) never observed
+    val out = Relational.chiSquareCells(d.toDF("a", "b"), "a", "b")
+      .orderBy("a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // row A=20 B=20, col X=30 Y=10, n=40
+    assert(out.toSeq == Seq(
+      ("A", "X", 10L, 15.0, 25.0 / 15),
+      ("A", "Y", 10L, 5.0, 5.0),
+      ("B", "X", 20L, 15.0, 25.0 / 15),
+      ("B", "Y", 0L, 5.0, 5.0))) // the unobserved cell still contributes
+  }
+
   test("linregGroups: exact OLS per group; constant-x NULLs, constant-y keeps slope, drops r2") {
     val d = Seq(
       ("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0), // y = 2x

@@ -1361,7 +1361,7 @@ object SparkEntry {
    *  .setSimilarityJoin). */
   private def q135SsjoinPrefix(s: SparkSession, dir: String): DataFrame =
     Dedup.setSimilarityJoin(t(s, dir).part, "p_partkey",
-      split(col("p_name"), " "), num = 3, den = 5)
+      split(col("p_name"), " "), num = 3, den = 5, cacheSets = true)
 
   /** #136 χ² independence audit of return flag × line status as per-cell
    *  contributions — counts/totals exact-integer, expected and (o−e)²/e

@@ -301,7 +301,7 @@ object Dedup {
    */
   def setSimilarityJoin(
       df: DataFrame, idCol: String, tokensCol: Column,
-      num: Int, den: Int): DataFrame = {
+      num: Int, den: Int, cacheSets: Boolean = false): DataFrame = {
     require(num > 0 && den > 0 && num <= den,
       "threshold num/den must sit in (0, 1]")
     val recs = df.select(col(idCol).as("__gid"),
@@ -312,7 +312,7 @@ object Dedup {
     // rare-first total order WITHOUT a global rank window: sort each
     // record's tokens by the (df, token) struct (field-order
     // lexicographic, total because the token tie-break is unique)
-    val ordered = recs
+    var ordered = recs
       .select(col("__gid"), explode(col("__gtok")).as("__gt"))
       .join(vocab, "__gt")
       .groupBy(col("__gid"))
@@ -327,6 +327,12 @@ object Dedup {
         val x = col("__gn") * num + (den - 1)
         col("__gn") - ((x - pmod(x, lit(den))) / den).cast("int") + 1
       })
+    // the ordered frame feeds FOUR plan branches (both candidate sides
+    // + both verify joins) — persist it or the vocab join and sort
+    // aggregate run four times ([[minhashNearDups]]' cacheSets
+    // contract: caller owns the lifetime via clearCache)
+    if (cacheSets)
+      ordered = ordered.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefixes = ordered.select(col("__gid"), col("__gn"),
       explode(slice(col("__gsorted"), lit(1), col("__gpfx"))).as("__gt"))
     val cands = prefixes.select(col("__gt"), col("__gid").as("id_a"),

@@ -115,6 +115,19 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"small dim must broadcast:\n$plan")
   }
 
+  test("setSimilarityJoin never goes all-pairs and computes the ordered frame once") {
+    try {
+      val q = SparkEntry.queries("q135_ssjoin_prefix")(spark, sf0001)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("Cross"),
+        s"prefix filtering must not fall back to a cross product:\n$plan")
+      // the 4-branch ordered frame must come from the persisted cache,
+      // not four vocab-join + sort-aggregate recomputations
+      assert(plan.contains("InMemoryTableScan"),
+        s"ordered token frame should be cached across branches:\n$plan")
+    } finally spark.catalog.clearCache()
+  }
+
   test("runtime bloom-filter pruning injects might_contain for selective shuffled joins") {
     // the posture for 100 TB fact↔filtered-dim joins too big to
     // broadcast: Spark builds a bloom filter from the selective side

@@ -1394,6 +1394,36 @@ object SparkEntry {
       score = (a, b) => TextFns.jaroWinkler(s, a, b), minScore = 0.92,
       simName = "jw")
 
+  /** #140 exact-dedup capstone: q135's provably-complete SSJoin pair
+   *  set resolved into clusters by the q59/q62/q98 connected-components
+   *  machinery — the third oracle-exercised pair source for the CC
+   *  layer (levenshtein q98, CTE-closure q62, now prefix-filtered
+   *  Jaccard). */
+  private def q140SsjoinClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupClusters(q135SsjoinPrefix(s, dir))
+
+  /** #141 cumulative-distinct growth curve: first-seen collapse (one
+   *  row per user), per-day new counts, running total over the bounded
+   *  day frame — "total unique users over time" without any
+   *  distinct-over-window state. */
+  private def q141CumulativeDistinct(s: SparkSession, dir: String): DataFrame =
+    Events.cumulativeDistinct(t(s, dir).events, "user_id", "ts")
+
+  /** #142 A/B conversion readout with Wilson 95% intervals (hash-split
+   *  variants, purchase conversion): exact trial/conversion counts,
+   *  exact-ratio rate, fixed-IEEE Wilson bounds — sqrt is correctly
+   *  rounded everywhere; no ln/pow in compared columns. */
+  private def q142AbLift(s: SparkSession, dir: String): DataFrame =
+    Events.abConversion(t(s, dir).events, pmod(col("user_id"), lit(2)),
+      "user_id", col("event_type") === "purchase")
+
+  /** #143 bigram language-model table with add-1 smoothing: zero-
+   *  shuffle per-row bigram generation (zip_with of shifted slices),
+   *  map-side-combined counts, broadcast (N, V) scalars, exact-int
+   *  probabilities. */
+  private def q143BigramLm(s: SparkSession, dir: String): DataFrame =
+    Curation.bigramCounts(t(s, dir).documents, "text")
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1536,6 +1566,10 @@ object SparkEntry {
     "q137_twap"             -> (q137Twap _),
     "q138_rolling_dau"      -> (q138RollingDau _),
     "q139_snm_pairs"        -> (q139SnmPairs _),
+    "q140_ssjoin_clusters"  -> (q140SsjoinClusters _),
+    "q141_cumulative_distinct" -> (q141CumulativeDistinct _),
+    "q142_ab_lift"          -> (q142AbLift _),
+    "q143_bigram_lm"        -> (q143BigramLm _),
   )
 
   private val monthCaseSql: String =
@@ -2560,5 +2594,61 @@ object SparkEntry {
         "FROM r a JOIN r b ON a.p_brand = b.p_brand " +
         "AND b.rnk - a.rnk BETWEEN 1 AND 3 " +
         "WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.92"),
+    "q140_ssjoin_clusters" ->
+      // q98's recursive-CTE closure pattern over the BRUTE-FORCE SSJoin
+      // pair set (q135's oracle edges)
+      ("WITH RECURSIVE " +
+        "t AS (SELECT p_partkey AS id, " +
+        "list_distinct(string_split(p_name, ' ')) AS tok FROM part), " +
+        "e0 AS (SELECT a.id AS a, b.id AS b FROM t a JOIN t b ON a.id < b.id " +
+        "WHERE len(list_intersect(a.tok, b.tok)) * 5 >= " +
+        "(len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) * 3), " +
+        "edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0), " +
+        "reach(a, b) AS (SELECT a, b FROM edges " +
+        "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a) " +
+        "SELECT CAST(a AS BIGINT) AS id, CAST(least(a, min(b)) AS BIGINT) AS cluster, " +
+        "a = least(a, min(b)) AS is_keeper FROM reach GROUP BY a"),
+    "q141_cumulative_distinct" ->
+      ("WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events " +
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1), " +
+        "c AS (SELECT day, COUNT(*) AS n_new FROM f GROUP BY 1) " +
+        "SELECT day, n_new, " +
+        "CAST(SUM(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_total " +
+        "FROM c"),
+    "q142_ab_lift" ->
+      // z routed through VARCHAR casts so DuckDB's DECIMAL literals
+      // never enter the float math; every op sequence mirrors the
+      // Column expression exactly
+      ("WITH a AS (SELECT user_id % 2 AS variant, " +
+        "COUNT(DISTINCT user_id) AS trials, " +
+        "COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS conversions " +
+        "FROM events GROUP BY 1) " +
+        "SELECT variant, trials, conversions, " +
+        "CAST(conversions AS DOUBLE) / CAST(trials AS DOUBLE) AS rate, " +
+        "(CAST(conversions AS DOUBLE) / CAST(trials AS DOUBLE) " +
+        "+ CAST('1.96' AS DOUBLE) * CAST('1.96' AS DOUBLE) / (CAST('2.0' AS DOUBLE) * CAST(trials AS DOUBLE)) " +
+        "- CAST('1.96' AS DOUBLE) * sqrt(" +
+        "CAST(conversions AS DOUBLE) / CAST(trials AS DOUBLE) * " +
+        "(CAST('1.0' AS DOUBLE) - CAST(conversions AS DOUBLE) / CAST(trials AS DOUBLE)) / CAST(trials AS DOUBLE) " +
+        "+ CAST('1.96' AS DOUBLE) * CAST('1.96' AS DOUBLE) / " +
+        "(CAST('4.0' AS DOUBLE) * CAST(trials AS DOUBLE) * CAST(trials AS DOUBLE)))) / " +
+        "(CAST('1.0' AS DOUBLE) + CAST('1.96' AS DOUBLE) * CAST('1.96' AS DOUBLE) / CAST(trials AS DOUBLE)) AS wilson_low, " +
+        "(CAST(conversions AS DOUBLE) / CAST(trials AS DOUBLE) " +
+        "+ CAST('1.96' AS DOUBLE) * CAST('1.96' AS DOUBLE) / (CAST('2.0' AS DOUBLE) * CAST(trials AS DOUBLE)) " +
+        "+ CAST('1.96' AS DOUBLE) * sqrt(" +
+        "CAST(conversions AS DOUBLE) / CAST(trials AS DOUBLE) * " +
+        "(CAST('1.0' AS DOUBLE) - CAST(conversions AS DOUBLE) / CAST(trials AS DOUBLE)) / CAST(trials AS DOUBLE) " +
+        "+ CAST('1.96' AS DOUBLE) * CAST('1.96' AS DOUBLE) / " +
+        "(CAST('4.0' AS DOUBLE) * CAST(trials AS DOUBLE) * CAST(trials AS DOUBLE)))) / " +
+        "(CAST('1.0' AS DOUBLE) + CAST('1.96' AS DOUBLE) * CAST('1.96' AS DOUBLE) / CAST(trials AS DOUBLE)) AS wilson_high " +
+        "FROM a"),
+    "q143_bigram_lm" ->
+      ("WITH t AS (SELECT string_split(text, ' ') AS w FROM documents), " +
+        "b AS (SELECT z[1] || ' ' || z[2] AS bigram FROM " +
+        "(SELECT unnest(list_zip(w[:len(w)-1], w[2:])) AS z FROM t)), " +
+        "c AS (SELECT bigram, COUNT(*) AS n FROM b GROUP BY 1), " +
+        "s AS (SELECT SUM(n) AS nn, COUNT(*) AS v FROM c) " +
+        "SELECT bigram, n, " +
+        "CAST(n + 1 AS DOUBLE) / CAST(nn + 1 * v AS DOUBLE) AS prob FROM c, s"),
   )
 }

@@ -221,6 +221,35 @@ object Curation {
           count(lit(1))).as("hapax_share"))
   }
 
+  /**
+   * Corpus bigram counts with add-k smoothed probabilities — the
+   * n-gram language-model table behind perplexity filtering and
+   * boilerplate detection. Bigrams generate per row with ZERO shuffle
+   * (`zip_with` of two shifted slices of the token array — no
+   * cross-row self-join on positions), counts map-side combine, and
+   * the (N, V) normalizing constants are one broadcast scalar row
+   * (the q04 pattern). `prob = (c + k) / (N + k·V)` is exact integers
+   * into one fixed IEEE sequence — engine-portable (probabilities,
+   * unlike log-probs, have no cross-libm exposure; rank on the prob,
+   * take logs downstream).
+   */
+  def bigramCounts(
+      docs: DataFrame, textCol: String, k: Long = 1L): DataFrame = {
+    require(k >= 0, "add-k smoothing needs k >= 0")
+    val w = split(col(textCol), " ")
+    val bigrams = docs
+      .select(explode(zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (x, y) => concat_ws(" ", x, y))).as("bigram"))
+    val counts = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("__gN"),
+      count(lit(1)).as("__gV"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("prob", (col("n") + k).cast("double") /
+        (col("__gN") + lit(k) * col("__gV")).cast("double"))
+      .drop("__gN", "__gV")
+  }
+
   /** Remove flagged-contaminated documents from the corpus (anti-join
    *  against the small flag set — broadcast in the common case). */
   def decontaminate(

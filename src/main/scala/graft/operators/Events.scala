@@ -301,6 +301,57 @@ object Events {
   }
 
   /**
+   * Cumulative-distinct growth curve: per day, how many entities were
+   * seen for the FIRST time (n_new) and how many distinct entities have
+   * been seen up to and including that day (n_total) — the "total
+   * unique users over time" chart. Distinct-so-far has no mergeable
+   * per-day state, but first-seen does: each entity collapses to ONE
+   * (entity → min day) row, days aggregate new-entity counts, and the
+   * running total is a window over the ≤ span-days frame — bounded, so
+   * its single partition is safe (dowSeasonality's argument). Raw
+   * events shuffle once (the entity groupBy).
+   */
+  def cumulativeDistinct(
+      df: DataFrame, entity: String, tsCol: String): DataFrame = {
+    val firstSeen = df.select(col(entity).as("__ge"),
+        to_date(col(tsCol)).as("__gd")).na.drop()
+      .groupBy(col("__ge")).agg(min(col("__gd")).as("day"))
+    firstSeen.groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+      .withColumn("n_total", sum(col("n_new")).over(
+        Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /**
+   * A/B conversion summary with Wilson score intervals: per variant,
+   * distinct trial entities, converted entities, the exact-ratio
+   * conversion rate, and the Wilson 95% bounds — the
+   * experiment-readout that a plain ±z·√(p(1−p)/n) Wald interval gets
+   * wrong near 0/1 or at small n. One aggregation over (variant,
+   * entity) distinct pairs; every output is either exact-integer or
+   * one fixed IEEE sequence from exact integers (z embedded as one
+   * double literal; `sqrt` is correctly rounded everywhere, unlike
+   * `pow`/`ln`).
+   */
+  def abConversion(
+      df: DataFrame, variantCol: Column, entity: String,
+      isConversion: Column, z: Double = 1.96): DataFrame = {
+    val agg = df
+      .groupBy(variantCol.as("variant"))
+      .agg(countDistinct(col(entity)).as("trials"),
+        countDistinct(when(isConversion, col(entity))).as("conversions"))
+    val n = col("trials").cast("double")
+    val p = col("conversions").cast("double") / n
+    val z2 = lit(z) * lit(z)
+    val denom = lit(1.0) + z2 / n
+    val center = p + z2 / (lit(2.0) * n)
+    val margin = lit(z) * sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))
+    agg
+      .withColumn("rate", p)
+      .withColumn("wilson_low", (center - margin) / denom)
+      .withColumn("wilson_high", (center + margin) / denom)
+  }
+
+  /**
    * Cohort retention: bucket each user by first-activity day, then
    * count distinct users active at each day offset from their cohort —
    * the standard retention triangle. Scale shape: activity first

@@ -158,4 +158,16 @@ class CurationSpec extends SparkSpec {
       (2L, 2L, 2.0, 0.5),
       (3L, 3L, 7.0 / 3, 1.0 / 3)))
   }
+
+  test("bigramCounts: zero-shuffle bigram generation, add-k smoothed probabilities") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = Curation.bigramCounts(docs, "text")
+      .orderBy("bigram").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // bigrams: d1 -> "a b","b a","a b"; d2 -> "a b"; single/empty-token
+    // docs contribute nothing. N=4, V=2 -> prob = (c+1)/(4+2)
+    assert(out.toSeq == Seq(
+      ("a b", 3L, 4.0 / 6), ("b a", 1L, 2.0 / 6)))
+  }
 }

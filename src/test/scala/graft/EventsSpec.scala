@@ -348,6 +348,41 @@ class EventsSpec extends SparkSpec {
       ("a", "b", 2L, 2.0 / 3), ("a", "c", 1L, 1.0 / 3), ("b", "a", 1L, 1.0)))
   }
 
+  test("cumulativeDistinct counts first-seen entities per day and the running total") {
+    def d(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 09:00:00")
+    val e = Seq((1L, d(1)), (1L, d(3)), (2L, d(1)), (3L, d(3)), (3L, d(4)))
+      .toDF("user_id", "ts")
+    val out = Events.cumulativeDistinct(e.repartition(4), "user_id", "ts")
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    // day1: u1,u2 new; day3: u3 new (u1's return does not re-count)
+    assert(out.toSeq == Seq(("2024-01-01", 2L, 2L), ("2024-01-03", 1L, 3L)))
+  }
+
+  test("abConversion: exact counts and hand-computed Wilson bounds") {
+    val e = Seq(
+      (1L, "view"), (1L, "purchase"), (2L, "view"),      // variant A: 1/2
+      (3L, "purchase"), (4L, "purchase"), (5L, "view"))  // variant B: 2/3
+      .toDF("user_id", "et")
+    val out = Events.abConversion(e,
+        when(col("user_id") <= 2, "A").otherwise("B"), "user_id",
+        col("et") === "purchase")
+      .orderBy("variant").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    def wilson(c: Long, n: Long, z: Double = 1.96): (Double, Double) = {
+      val nd = n.toDouble; val p = c.toDouble / nd
+      val denom = 1.0 + z * z / nd
+      val center = p + z * z / (2.0 * nd)
+      val margin = z * math.sqrt(p * (1.0 - p) / nd + z * z / (4.0 * nd * nd))
+      ((center - margin) / denom, (center + margin) / denom)
+    }
+    val (al, ah) = wilson(1, 2); val (bl, bh) = wilson(2, 3)
+    assert(out.toSeq == Seq(
+      ("A", 2L, 1L, 0.5, al, ah), ("B", 3L, 2L, 2.0 / 3, bl, bh)))
+    assert(al > 0 && ah < 1) // Wilson never escapes [0, 1], unlike Wald
+  }
+
   test("timeWeightedAvg weights values by their exact-µs duration; last point drops") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)

@@ -1354,14 +1354,19 @@ object SparkEntry {
       "l_extendedprice", Seq("l_returnflag"))
 
   /** #135 EXACT set-similarity self-join (prefix filtering, PPJoin
-   *  family) on part-name token sets at Jaccard ≥ 3/5 — provably no
-   *  false negatives, unlike LSH (q29): the oracle is the full
-   *  brute-force pair set, and the prefix path must reproduce it
-   *  EXACTLY. All thresholds exact-integer (see Dedup
-   *  .setSimilarityJoin). */
+   *  family) over document 3-word-shingle sets at Jaccard ≥ 1/2 —
+   *  provably no false negatives, unlike LSH (q29): the oracle is the
+   *  full brute-force pair set, and the prefix path must reproduce it
+   *  EXACTLY (it recovers precisely the corpus's 25 planted near-dup
+   *  pairs). Shingles, not unigram tokens: on a template-heavy corpus
+   *  unigram-set Jaccard saturates (≥70% of ALL pairs above 0.5) while
+   *  shingle sets isolate true near-dups — and their high cardinality
+   *  is what makes the rare-first prefix buckets shallow. All
+   *  thresholds exact-integer (see Dedup.setSimilarityJoin). */
   private def q135SsjoinPrefix(s: SparkSession, dir: String): DataFrame =
-    Dedup.setSimilarityJoin(t(s, dir).part, "p_partkey",
-      split(col("p_name"), " "), num = 3, den = 5, cacheSets = true)
+    Dedup.setSimilarityJoin(t(s, dir).documents, "doc_id",
+      TextFns.wordShingles(s, col("text"), 3), num = 1, den = 2,
+      cacheSets = true)
 
   /** #136 χ² independence audit of return flag × line status as per-cell
    *  contributions — counts/totals exact-integer, expected and (o−e)²/e
@@ -1394,11 +1399,11 @@ object SparkEntry {
       score = (a, b) => TextFns.jaroWinkler(s, a, b), minScore = 0.92,
       simName = "jw")
 
-  /** #140 exact-dedup capstone: q135's provably-complete SSJoin pair
-   *  set resolved into clusters by the q59/q62/q98 connected-components
-   *  machinery — the third oracle-exercised pair source for the CC
-   *  layer (levenshtein q98, CTE-closure q62, now prefix-filtered
-   *  Jaccard). */
+  /** #140 exact-dedup capstone: q135's provably-complete shingle-set
+   *  SSJoin pair set resolved into clusters by the q59/q62/q98
+   *  connected-components machinery — the third oracle-exercised pair
+   *  source for the CC layer (levenshtein q98, CTE-closure q62, now
+   *  prefix-filtered Jaccard). */
   private def q140SsjoinClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupClusters(q135SsjoinPrefix(s, dir))
 
@@ -1610,6 +1615,21 @@ object SparkEntry {
    */
   private def nkSql(c: String): String =
     s"(CASE WHEN $c IS NULL THEN chr(2) ELSE chr(3) END || coalesce($c, ''))"
+
+  /** Shared DuckDB CTE prefix for q135/q140: document 3-word-shingle
+   *  sets (mirroring [[TextFns.wordShingles]]' <k-token whole-text
+   *  fallback) and the brute-force qualifying-pair frame `p`. */
+  private val ssjoinDocShinglesSql: String =
+    "WITH RECURSIVE t AS (SELECT doc_id AS id, " +
+      "CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(" +
+      "list_zip(w[:len(w)-2], w[2:len(w)-1], w[3:]), " +
+      "z -> z[1] || ' ' || z[2] || ' ' || z[3])) " +
+      "ELSE [array_to_string(w, ' ')] END AS tok " +
+      "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)), " +
+      "p AS (SELECT a.id AS id_a, b.id AS id_b, " +
+      "len(list_intersect(a.tok, b.tok)) AS i, " +
+      "len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)) AS u " +
+      "FROM t a JOIN t b ON a.id < b.id) "
 
   /** DuckDB CASE mapping each leading digit to the driver's Benford
    *  expected-share double, through the VARCHAR-literal detour so the
@@ -2530,17 +2550,13 @@ object SparkEntry {
         "ELSE (l.l_extendedprice - b.med) / (b.q3 - b.q1) END AS l_extendedprice " +
         "FROM lineitem l JOIN b USING (l_returnflag)"),
     "q135_ssjoin_prefix" ->
-      // the FULL brute-force pair set — the prefix-filtered plan must
-      // reproduce it exactly (no false negatives); thresholds compare
-      // exact-integer on both engines (i·5 ≥ u·3)
-      ("WITH t AS (SELECT p_partkey AS id, " +
-        "list_distinct(string_split(p_name, ' ')) AS tok FROM part), " +
-        "p AS (SELECT a.id AS id_a, b.id AS id_b, " +
-        "len(list_intersect(a.tok, b.tok)) AS i, " +
-        "len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)) AS u " +
-        "FROM t a JOIN t b ON a.id < b.id) " +
+      // the FULL brute-force pair set over 3-shingle sets — the
+      // prefix-filtered plan must reproduce it exactly (no false
+      // negatives); thresholds compare exact-integer on both engines;
+      // the <3-token CASE mirrors wordShingles' whole-text fallback
+      (ssjoinDocShinglesSql +
         "SELECT id_a, id_b, CAST(i AS DOUBLE) / u AS jaccard " +
-        "FROM p WHERE i * 5 >= u * 3"),
+        "FROM p WHERE i * 2 >= u * 1"),
     "q136_chi2_cells" ->
       // full distinct×distinct grid with zero fills — unobserved cells
       // still contribute e to the statistic
@@ -2597,12 +2613,8 @@ object SparkEntry {
     "q140_ssjoin_clusters" ->
       // q98's recursive-CTE closure pattern over the BRUTE-FORCE SSJoin
       // pair set (q135's oracle edges)
-      ("WITH RECURSIVE " +
-        "t AS (SELECT p_partkey AS id, " +
-        "list_distinct(string_split(p_name, ' ')) AS tok FROM part), " +
-        "e0 AS (SELECT a.id AS a, b.id AS b FROM t a JOIN t b ON a.id < b.id " +
-        "WHERE len(list_intersect(a.tok, b.tok)) * 5 >= " +
-        "(len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) * 3), " +
+      (ssjoinDocShinglesSql +
+        ", e0 AS (SELECT id_a AS a, id_b AS b FROM p WHERE i * 2 >= u * 1), " +
         "edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0), " +
         "reach(a, b) AS (SELECT a, b FROM edges " +
         "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a) " +

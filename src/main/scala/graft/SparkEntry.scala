@@ -1429,6 +1429,41 @@ object SparkEntry {
   private def q143BigramLm(s: SparkSession, dir: String): DataFrame =
     Curation.bigramCounts(t(s, dir).documents, "text")
 
+  /** #144 last-touch conversion attribution: every purchase credited
+   *  to the user's most recent prior non-purchase event type via one
+   *  strictly-before window (`last` ignoreNulls skips other
+   *  conversions); first purchase with no prior touch → NULL
+   *  (organic). */
+  private def q144Attribution(s: SparkSession, dir: String): DataFrame =
+    Events.lastTouchAttribution(
+      t(s, dir).events.select("event_id", "user_id", "ts", "event_type"),
+      "user_id", "ts", Seq("event_id"), "event_type",
+      col("event_type") === "purchase")
+      .select("event_id", "user_id", "attributed_source")
+
+  /** #145 percent-rank (quantile) feature transform of price within
+   *  return flag — the monotone-distortion-immune scaler; ties share
+   *  ranks so equal inputs map equal, layout-independent with no
+   *  tie-break column. */
+  private def q145PercentRank(s: SparkSession, dir: String): DataFrame =
+    Features.percentRankScale(
+      t(s, dir).lineitem.select("l_orderkey", "l_linenumber", "l_returnflag",
+        "l_extendedprice"),
+      "l_extendedprice", Seq("l_returnflag"))
+
+  /** #146 near-dup graph degree distribution over q135's exact pair
+   *  set — isolated twins vs template clusters, the audit BEFORE a
+   *  resolution run. Linear explode + two count groupBys. */
+  private def q146DegreeStats(s: SparkSession, dir: String): DataFrame =
+    Dedup.degreeDistribution(q135SsjoinPrefix(s, dir))
+
+  /** #147 2-D equi-width histogram (quantity × price heatmap frame):
+   *  one broadcast bounds row, fixed-IEEE bucket arithmetic per axis,
+   *  map-side-combined cell counts. */
+  private def q147Hist2d(s: SparkSession, dir: String): DataFrame =
+    Relational.histogram2d(t(s, dir).lineitem, "l_quantity",
+      "l_extendedprice", nx = 10, ny = 8)
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1575,6 +1610,10 @@ object SparkEntry {
     "q141_cumulative_distinct" -> (q141CumulativeDistinct _),
     "q142_ab_lift"          -> (q142AbLift _),
     "q143_bigram_lm"        -> (q143BigramLm _),
+    "q144_attribution"      -> (q144Attribution _),
+    "q145_percent_rank"     -> (q145PercentRank _),
+    "q146_degree_stats"     -> (q146DegreeStats _),
+    "q147_hist2d"           -> (q147Hist2d _),
   )
 
   private val monthCaseSql: String =
@@ -2662,5 +2701,34 @@ object SparkEntry {
         "s AS (SELECT SUM(n) AS nn, COUNT(*) AS v FROM c) " +
         "SELECT bigram, n, " +
         "CAST(n + 1 AS DOUBLE) / CAST(nn + 1 * v AS DOUBLE) AS prob FROM c, s"),
+    "q144_attribution" ->
+      ("SELECT event_id, user_id, attributed_source FROM (" +
+        "SELECT event_id, user_id, event_type, " +
+        "last_value(CASE WHEN event_type != 'purchase' THEN event_type END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attributed_source " +
+        "FROM events) WHERE event_type = 'purchase'"),
+    "q145_percent_rank" ->
+      ("SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice, " +
+        "percent_rank() OVER (PARTITION BY l_returnflag " +
+        "ORDER BY l_extendedprice ASC NULLS FIRST) AS pct_rank FROM lineitem"),
+    "q146_degree_stats" ->
+      // degree histogram over the brute-force SSJoin edges
+      (ssjoinDocShinglesSql +
+        ", e AS (SELECT id_a, id_b FROM p WHERE i * 2 >= u * 1), " +
+        "d AS (SELECT id, COUNT(*) AS degree FROM " +
+        "(SELECT id_a AS id FROM e UNION ALL SELECT id_b FROM e) GROUP BY 1) " +
+        "SELECT degree, COUNT(*) AS n_nodes FROM d GROUP BY 1"),
+    "q147_hist2d" ->
+      ("WITH b AS (SELECT MIN(l_quantity) AS xlo, MAX(l_quantity) AS xhi, " +
+        "MIN(l_extendedprice) AS ylo, MAX(l_extendedprice) AS yhi " +
+        "FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) " +
+        "SELECT CASE WHEN xhi = xlo THEN 0 ELSE " +
+        "least(CAST(floor((l_quantity - xlo) * 10 / (xhi - xlo)) AS BIGINT), 9) END AS bx, " +
+        "CASE WHEN yhi = ylo THEN 0 ELSE " +
+        "least(CAST(floor((l_extendedprice - ylo) * 8 / (yhi - ylo)) AS BIGINT), 7) END AS by, " +
+        "COUNT(*) AS cnt FROM lineitem, b " +
+        "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL " +
+        "GROUP BY 1, 2"),
   )
 }

@@ -358,6 +358,20 @@ object Dedup {
   }
 
   /**
+   * Near-dup degree distribution — how tangled is the duplicate graph?
+   * Per node, its pair-graph degree; aggregated to (degree, n_nodes).
+   * The dedup-audit summary that distinguishes "isolated twin pairs"
+   * (degree 1) from "one giant template cluster" (high degrees) before
+   * committing to a resolution run. Linear: one explode of the pair
+   * list + two count groupBys, no joins.
+   */
+  def degreeDistribution(
+      pairs: DataFrame, idA: String = "id_a", idB: String = "id_b"): DataFrame =
+    pairs.select(explode(array(col(idA), col(idB))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+
+  /**
    * C4's GLOBAL line deduplication (Raffel et al. 2020 §2.2: any line
    * occurring more than once in the corpus is kept exactly once): every
    * line keeps only its first occurrence — ordered by (doc id,

@@ -301,6 +301,29 @@ object Events {
   }
 
   /**
+   * Last-touch attribution: each conversion event is credited to the
+   * most recent PRIOR non-conversion state of the same entity (the
+   * marketing-analytics staple; first-touch is the mirror with
+   * `first`). One window per entity over a strictly-before frame —
+   * `last(..., ignoreNulls)` skips the conversion events themselves, so
+   * back-to-back purchases attribute through to the same source; a
+   * conversion with no prior touch attributes NULL (organic). The
+   * ordering must be total (tie-break) or frame membership is
+   * layout-dependent.
+   */
+  def lastTouchAttribution(
+      df: DataFrame, entity: String, ts: String, tieBreak: Seq[String],
+      stateCol: String, isConversion: Column,
+      out: String = "attributed_source"): DataFrame = {
+    val w = Window.partitionBy(col(entity))
+      .orderBy(col(ts) +: tieBreak.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn(out,
+        last(when(!isConversion, col(stateCol)), ignoreNulls = true).over(w))
+      .filter(isConversion)
+  }
+
+  /**
    * Cumulative-distinct growth curve: per day, how many entities were
    * seen for the FIRST time (n_new) and how many distinct entities have
    * been seen up to and including that day (n_total) — the "total

@@ -114,6 +114,27 @@ object Features {
   }
 
   /**
+   * Per-group percent-rank (quantile) transform: each value mapped to
+   * its empirical CDF position in [0, 1] — the rank-based feature
+   * scaler that is immune to ANY monotone distortion of the input
+   * (zscore/minmax/robust all shift with outlier magnitude; ranks do
+   * not). Ties share a rank (`percent_rank` is value-ordered, no
+   * tie-break), so equal inputs ALWAYS map to equal outputs and the
+   * result is layout-independent by construction; nulls order FIRST
+   * on both engines by explicit spec. Singleton groups map to 0.0.
+   * One window shuffle per group set.
+   */
+  def percentRankScale(
+      df: DataFrame, column: String, keys: Seq[String],
+      out: String = "pct_rank"): DataFrame = {
+    require(keys.nonEmpty,
+      "percentRankScale needs partition keys: an unkeyed rank window is a global single-partition funnel")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(column).asc_nulls_first)
+    df.withColumn(out, percent_rank().over(w))
+  }
+
+  /**
    * Threshold literal for [[mixtureSample]]: an 8-hex-digit lowercase
    * string such that `md5(id).substr(0, 8) < threshold` keeps a
    * `w` fraction of uniformly-hashed ids. Weights ≥ 1 map to "g", which

@@ -563,6 +563,32 @@ object Relational {
   }
 
   /**
+   * 2-D equi-width histogram (the heatmap frame): nx × ny buckets over
+   * the observed [min, max] of each axis, returning (bx, by, cnt) for
+   * occupied cells. Same shape as [[histogram]]: one bounds aggregate
+   * broadcast back as a single row, bucket arithmetic a fixed IEEE
+   * sequence per axis, counts map-side combined to ≤ nx·ny partials
+   * per task — the raw data never shuffles un-aggregated. Degenerate
+   * axes (min == max) collapse to bucket 0.
+   */
+  def histogram2d(
+      df: DataFrame, xCol: String, yCol: String,
+      nx: Int, ny: Int): DataFrame = {
+    require(nx > 0 && ny > 0, "histogram2d needs positive bucket counts")
+    val x = col(xCol); val y = col(yCol)
+    val clean = df.filter(x.isNotNull && y.isNotNull)
+    val bounds = clean.agg(min(x).as("__gxlo"), max(x).as("__gxhi"),
+      min(y).as("__gylo"), max(y).as("__gyhi"))
+    def bucket(v: Column, lo: Column, hi: Column, n: Int) =
+      when(hi === lo, 0L)
+        .otherwise(least(floor((v - lo) * n / (hi - lo)), lit(n - 1L)))
+    clean.crossJoin(broadcast(bounds))
+      .withColumn("bx", bucket(x, col("__gxlo"), col("__gxhi"), nx))
+      .withColumn("by", bucket(y, col("__gylo"), col("__gyhi"), ny))
+      .groupBy(col("bx"), col("by")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
    * Rolling mean over an ordered per-key frame (`window` rows ending at
    * the current row). The frame sum goes through the exact-decimal
    * detour: engines disagree on framed-double-sum order (DuckDB uses a

@@ -389,6 +389,15 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("degreeDistribution summarizes the pair graph (twins vs clusters)") {
+    // pairs: 1-2, 1-3, 1-4 (hub), 5-6 (twin)
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.degreeDistribution(pairs)
+      .orderBy("degree").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // degree 1: nodes 2,3,4,5,6; degree 3: node 1
+    assert(out.toSeq == Seq((1L, 5L), (3L, 1L)))
+  }
+
   test("sortedNeighborhoodPairs: rank-window pairs within blocks, layout independent") {
     val d = Seq(
       (1L, "aaaa", "M1"), (2L, "aaab", "M1"), (3L, "bbbb", "M1"), (4L, "aaac", "M1"),

@@ -348,6 +348,21 @@ class EventsSpec extends SparkSpec {
       ("a", "b", 2L, 2.0 / 3), ("a", "c", 1L, 1.0 / 3), ("b", "a", 1L, 1.0)))
   }
 
+  test("lastTouchAttribution credits purchases to the latest prior non-conversion touch") {
+    val e = Seq(
+      (1L, 1L, "ad"), (1L, 2L, "email"), (1L, 3L, "purchase"),
+      (1L, 4L, "purchase"), // back-to-back: still credits email, not purchase
+      (2L, 1L, "purchase")) // organic: no prior touch -> NULL
+      .toDF("user_id", "t", "event_type")
+      .withColumn("ts", col("t").cast("timestamp"))
+    val out = Events.lastTouchAttribution(e.repartition(3), "user_id", "ts",
+        Seq("t"), "event_type", col("event_type") === "purchase")
+      .orderBy("user_id", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getAs[String]("attributed_source"))))
+    assert(out.toSeq == Seq(
+      (1L, 3L, Some("email")), (1L, 4L, Some("email")), (2L, 1L, None)))
+  }
+
   test("cumulativeDistinct counts first-seen entities per day and the running total") {
     def d(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 09:00:00")
     val e = Seq((1L, d(1)), (1L, d(3)), (2L, d(1)), (3L, d(3)), (3L, d(4)))

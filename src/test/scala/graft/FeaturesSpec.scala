@@ -228,6 +228,22 @@ class FeaturesSpec extends SparkSpec {
       ("b", 0.0), ("b", 0.0)))
   }
 
+  test("percentRankScale maps values to CDF positions; ties share ranks, layout independent") {
+    val d = Seq(("a", 10.0), ("a", 20.0), ("a", 20.0), ("a", 40.0), ("a", 50.0),
+      ("b", 7.0)).toDF("k", "v")
+    val out = Features.percentRankScale(d.repartition(4), "v", Seq("k"))
+      .orderBy("k", "v").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      ("a", 10.0, 0.0), ("a", 20.0, 0.25), ("a", 20.0, 0.25),
+      ("a", 40.0, 0.75), ("a", 50.0, 1.0),
+      ("b", 7.0, 0.0))) // singleton group -> 0.0
+    val ex = intercept[IllegalArgumentException] {
+      Features.percentRankScale(d, "v", Nil)
+    }
+    assert(ex.getMessage.contains("single-partition"))
+  }
+
   test("lagFeatures and rfmScores refuse empty keys (single-partition funnel guard)") {
     val d = Seq((1, 1, 1.0)).toDF("k", "t", "v")
     val exLag = intercept[IllegalArgumentException] {

@@ -309,6 +309,20 @@ class RelationalSpec extends SparkSpec {
       (1L, 0.5, "A"), (2L, 0.8, "A"), (3L, 0.95, "B"), (4L, 1.0, "C")))
   }
 
+  test("histogram2d buckets both axes over observed bounds; max values clamp to the last cell") {
+    val d = Seq((0.0, 0.0), (0.5, 0.0), (1.0, 10.0), (1.0, 10.0), (0.25, 5.0))
+      .toDF("x", "y")
+    val out = Relational.histogram2d(d, "x", "y", nx = 4, ny = 2)
+      .orderBy("bx", "by").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // x spans [0,1] -> width .25; y spans [0,10] -> width 5
+    assert(out.toSeq == Seq(
+      (0L, 0L, 1L),  // (0, 0)
+      (1L, 1L, 1L),  // (0.25, 5) -> bx=1, by=1
+      (2L, 0L, 1L),  // (0.5, 0)
+      (3L, 1L, 2L))) // (1, 10) x2: both maxes clamp into the last cell
+  }
+
   test("chiSquareCells: exact grid totals, zero cells present with their full contribution") {
     val d = Seq.fill(10)(("A", "X")) ++ Seq.fill(10)(("A", "Y")) ++
       Seq.fill(20)(("B", "X")) // (B, Y) never observed

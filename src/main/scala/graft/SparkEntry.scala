@@ -1464,6 +1464,38 @@ object SparkEntry {
     Relational.histogram2d(t(s, dir).lineitem, "l_quantity",
       "l_extendedprice", nx = 10, ny = 8)
 
+  /** #148 market-basket co-purchase support: unordered part pairs
+   *  sharing an order, support ≥ 2 — the frequent-itemset base table.
+   *  Fan-out bounded by basket size squared, never table-squared. */
+  private def q148Copurchase(s: SparkSession, dir: String): DataFrame =
+    Relational.copurchasePairs(
+      t(s, dir).lineitem.select("l_orderkey", "l_partkey"),
+      "l_orderkey", "l_partkey", minSupport = 2L)
+
+  /** #149 Pareto frontier of parts over (size, retail price), both
+   *  maximized: the non-dominated set via one running max over the
+   *  collapsed ≤|distinct size| frame — O(n log n) vs the oracle's
+   *  quadratic NOT EXISTS; comparisons only, floats never touched. */
+  private def q149Skyline(s: SparkSession, dir: String): DataFrame =
+    Relational.skyline2d(
+      t(s, dir).part.select("p_partkey", "p_size", "p_retailprice"),
+      "p_size", "p_retailprice")
+
+  /** #150 quantity-weighted median price per return flag: cumulative
+   *  exact-decimal weights in a ties-atomic RANGE frame, threshold test
+   *  2·cum ≥ total in exact integer arithmetic, output the untouched
+   *  input double. */
+  private def q150WeightedMedian(s: SparkSession, dir: String): DataFrame =
+    Relational.weightedMedian(
+      t(s, dir).lineitem.select("l_returnflag", "l_extendedprice", "l_quantity"),
+      "l_extendedprice", "l_quantity", Seq("l_returnflag"))
+
+  /** #151 triangle enumeration over q135's provably-complete near-dup
+   *  pair graph — the transitivity audit before a CC resolution run;
+   *  two key-partitioned joins, each triple emitted once (a<b<c). */
+  private def q151Triangles(s: SparkSession, dir: String): DataFrame =
+    Dedup.triangles(q135SsjoinPrefix(s, dir))
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1614,6 +1646,10 @@ object SparkEntry {
     "q145_percent_rank"     -> (q145PercentRank _),
     "q146_degree_stats"     -> (q146DegreeStats _),
     "q147_hist2d"           -> (q147Hist2d _),
+    "q148_copurchase"       -> (q148Copurchase _),
+    "q149_skyline"          -> (q149Skyline _),
+    "q150_weighted_median"  -> (q150WeightedMedian _),
+    "q151_triangles"        -> (q151Triangles _),
   )
 
   private val monthCaseSql: String =
@@ -2730,5 +2766,32 @@ object SparkEntry {
         "COUNT(*) AS cnt FROM lineitem, b " +
         "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL " +
         "GROUP BY 1, 2"),
+    "q148_copurchase" ->
+      ("WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem " +
+        "WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL) " +
+        "SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, COUNT(*) AS support " +
+        "FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING COUNT(*) >= 2"),
+    "q149_skyline" ->
+      // quadratic NOT-EXISTS dominance check — the semantic spec the
+      // O(n log n) window plan must reproduce exactly
+      ("SELECT p_partkey, p_size, p_retailprice FROM part p1 " +
+        "WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL " +
+        "AND NOT EXISTS (SELECT 1 FROM part p2 " +
+        "WHERE p2.p_size >= p1.p_size AND p2.p_retailprice >= p1.p_retailprice " +
+        "AND (p2.p_size > p1.p_size OR p2.p_retailprice > p1.p_retailprice))"),
+    "q150_weighted_median" ->
+      ("WITH c AS (SELECT l_returnflag, l_extendedprice AS v, " +
+        "SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (PARTITION BY l_returnflag " +
+        "ORDER BY l_extendedprice RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (PARTITION BY l_returnflag) AS tot " +
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL) " +
+        "SELECT l_returnflag, MIN(v) AS wmedian FROM c WHERE cum * 2 >= tot GROUP BY 1"),
+    "q151_triangles" ->
+      (ssjoinDocShinglesSql +
+        ", e AS (SELECT id_a, id_b FROM p WHERE i * 2 >= u * 1) " +
+        "SELECT ab.id_a AS id_a, ab.id_b AS id_b, bc.id_b AS id_c " +
+        "FROM e ab JOIN e bc ON ab.id_b = bc.id_a " +
+        "JOIN e ac ON ac.id_a = ab.id_a AND ac.id_b = bc.id_b"),
   )
 }

@@ -372,6 +372,33 @@ object Dedup {
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
 
   /**
+   * Triangle enumeration over an undirected pair graph: every vertex
+   * triple with all three edges present, emitted once as id_a < id_b <
+   * id_c. The transitivity audit on a near-dup graph — triangles mean
+   * the pairwise metric is locally consistent; wedges without closure
+   * mean threshold-boundary chains that a connected-components pass
+   * will glue into one cluster anyway (the motivation for checking
+   * BEFORE resolving). Two key-partitioned hash joins: wedges build on
+   * the shared middle vertex, closure probes the canonical edge set.
+   * Because edges are oriented a < b, every wedge/triangle is generated
+   * exactly once. On skewed degree distributions orient edges
+   * low-degree → high-degree first (the classic bound that caps wedge
+   * fan-out at O(m^1.5)); near-dup graphs from a thresholded SSJoin are
+   * degree-capped upstream, so the canonical orientation suffices here.
+   */
+  def triangles(
+      pairs: DataFrame, idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val e = pairs
+      .select(least(col(idA), col(idB)).as("a"), greatest(col(idA), col(idB)).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val ab = e.select(col("a").as("id_a"), col("b").as("id_b"))
+    val bc = e.select(col("a").as("id_b"), col("b").as("id_c"))
+    val ac = e.select(col("a").as("id_a"), col("b").as("id_c"))
+    ab.join(bc, Seq("id_b")).join(ac, Seq("id_a", "id_c"))
+      .select(col("id_a"), col("id_b"), col("id_c"))
+  }
+
+  /**
    * C4's GLOBAL line deduplication (Raffel et al. 2020 §2.2: any line
    * occurring more than once in the corpus is kept exactly once): every
    * line keeps only its first occurrence — ordered by (doc id,

@@ -589,6 +589,85 @@ object Relational {
   }
 
   /**
+   * Market-basket pairwise co-occurrence (the support table behind
+   * frequent-itemset mining): for every unordered item pair that shares
+   * a basket, the number of baskets containing both. Items are
+   * collapsed to distinct per basket first (a repeated line is one
+   * occurrence), then the basket-keyed self-join fans out C(k,2) pairs
+   * per basket — bounded by the square of the basket size, NOT the
+   * table size, so the join is a co-partitioned hash join on the basket
+   * key (both sides are the SAME distinct frame: Catalyst reuses one
+   * exchange). `minSupport` prunes the singleton-pair tail before it
+   * shuffles to the pair aggregation.
+   */
+  def copurchasePairs(
+      df: DataFrame, basket: String, item: String,
+      minSupport: Long = 2L): DataFrame = {
+    val items = df.filter(col(basket).isNotNull && col(item).isNotNull)
+      .select(col(basket).as("__gb"), col(item).as("__gi")).distinct()
+    items.select(col("__gb"), col("__gi").as("item_a"))
+      .join(items.select(col("__gb"), col("__gi").as("item_b")), Seq("__gb"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
+  /**
+   * 2-D Pareto frontier (skyline), maximizing both axes: rows not
+   * dominated by any other row (x' ≥ x AND y' ≥ y with one strict).
+   * O(n log n), no self-join: collapse ties of x to their max y (the
+   * only candidate at that x — anything lower is dominated by it), then
+   * one running max over the collapsed frame ordered by x descending —
+   * a row survives iff its y strictly exceeds every y at strictly
+   * greater x. The window is single-partition but runs over ≤
+   * |distinct x| rows (the collapsed frame, bounded like
+   * cumulativeDistinct's span-days frame — for wide-domain doubles,
+   * pre-bucket x first). A semi-join on (x, maxy) re-emits ALL original
+   * rows at a frontier point: equal points don't dominate each other.
+   */
+  def skyline2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol); val y = col(yCol)
+    val clean = df.filter(x.isNotNull && y.isNotNull)
+    val best = clean.groupBy(x.as("__gx")).agg(max(y).as("__gy"))
+    val w = Window.orderBy(col("__gx").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = best.withColumn("__gm", max(col("__gy")).over(w))
+      .filter(col("__gm").isNull || col("__gy") > col("__gm"))
+    clean.join(frontier,
+      x === col("__gx") && y === col("__gy"), "leftsemi")
+  }
+
+  /**
+   * Per-group weighted median (lower): the smallest value whose
+   * cumulative weight reaches half the group total — the robust center
+   * when rows carry unequal mass (quantity-weighted price, duration-
+   * weighted load). Both cumulative and total sums run in exact decimal
+   * (a double cumsum's tie-internal addition order is engine-dependent;
+   * decimal is order-independent), and the RANGE frame includes ties of
+   * the value so equal values accumulate atomically — the threshold
+   * test `2·cum ≥ total` is exact integer arithmetic, and the output is
+   * the untouched input value. One window + one groupBy, both
+   * partitioned by the group keys.
+   */
+  def weightedMedian(
+      df: DataFrame, valueCol: String, weightCol: String, keys: Seq[String],
+      out: String = "wmedian", scale: Int = 4): DataFrame = {
+    require(keys.nonEmpty,
+      "weightedMedian needs group keys: an unkeyed rank window is a global single-partition funnel")
+    val v = col(valueCol)
+    val wgt = col(weightCol).cast(s"decimal(18,$scale)")
+    val clean = df.filter(v.isNotNull && col(weightCol).isNotNull)
+    val cumW = Window.partitionBy(keys.map(col): _*).orderBy(v)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(keys.map(col): _*)
+    clean
+      .withColumn("__gc", sum(wgt).over(cumW))
+      .withColumn("__gt", sum(wgt).over(totW))
+      .filter(col("__gc") * 2 >= col("__gt"))
+      .groupBy(keys.map(col): _*).agg(min(v).as(out))
+  }
+
+  /**
    * Rolling mean over an ordered per-key frame (`window` rows ending at
    * the current row). The frame sum goes through the exact-decimal
    * detour: engines disagree on framed-double-sum order (DuckDB uses a

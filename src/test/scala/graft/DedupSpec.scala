@@ -398,6 +398,16 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 5L), (3L, 1L)))
   }
 
+  test("triangles enumerates each closed triple once, in canonical order, from unordered input") {
+    // 1-2-3 closed; 3-4 dangles; 5-6-7 is an open wedge; edges arrive
+    // in mixed orientation with a duplicate
+    val pairs = Seq((2L, 1L), (1L, 3L), (2L, 3L), (3L, 2L), (3L, 4L),
+      (5L, 6L), (6L, 7L)).toDF("id_a", "id_b")
+    val out = Dedup.triangles(pairs.repartition(3)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 3L)))
+  }
+
   test("sortedNeighborhoodPairs: rank-window pairs within blocks, layout independent") {
     val d = Seq(
       (1L, "aaaa", "M1"), (2L, "aaab", "M1"), (3L, "bbbb", "M1"), (4L, "aaac", "M1"),

@@ -323,6 +323,45 @@ class RelationalSpec extends SparkSpec {
       (3L, 1L, 2L))) // (1, 10) x2: both maxes clamp into the last cell
   }
 
+  test("copurchasePairs counts baskets per unordered pair; repeated lines collapse to one") {
+    val d = Seq(
+      (1L, 10L), (1L, 20L), (1L, 20L), (1L, 30L), // repeated 20 counts once
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (3L, 40L)).toDF("basket", "item")
+    val out = Relational.copurchasePairs(d, "basket", "item", minSupport = 2L)
+      .orderBy("item_a", "item_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // (10,20) in baskets 1,2,3; every other pair appears once
+    assert(out.toSeq == Seq((10L, 20L, 3L)))
+  }
+
+  test("skyline2d keeps exactly the non-dominated set; equal frontier points both survive") {
+    val d = Seq(
+      ("a", 1, 10.0), ("b", 2, 8.0), ("c", 3, 5.0),  // frontier
+      ("d", 1, 9.0),  // dominated by a (same x, lower y)
+      ("e", 2, 5.0),  // dominated by b and c
+      ("f", 3, 5.0),  // duplicate of c's point -> both kept
+      ("g", 2, 8.0)). // duplicate of b's point -> both kept
+      toDF("id", "x", "y")
+    val out = Relational.skyline2d(d.repartition(3), "x", "y")
+      .select("id").collect().map(_.getString(0)).sorted
+    assert(out.toSeq == Seq("a", "b", "c", "f", "g"))
+  }
+
+  test("weightedMedian: smallest value whose cumulative weight reaches half the total") {
+    val d = Seq(
+      ("k", 1.0, 1.0), ("k", 2.0, 1.0), ("k", 3.0, 10.0), // mass sits at 3.0
+      ("m", 5.0, 2.0), ("m", 7.0, 2.0)). // even split: lower median 5.0
+      toDF("g", "v", "w")
+    val out = Relational.weightedMedian(d.repartition(3), "v", "w", Seq("g"))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(out.toSeq == Seq(("k", 3.0), ("m", 5.0)))
+    val ex = intercept[IllegalArgumentException] {
+      Relational.weightedMedian(d, "v", "w", Nil)
+    }
+    assert(ex.getMessage.contains("single-partition"))
+  }
+
   test("chiSquareCells: exact grid totals, zero cells present with their full contribution") {
     val d = Seq.fill(10)(("A", "X")) ++ Seq.fill(10)(("A", "Y")) ++
       Seq.fill(20)(("B", "X")) // (B, Y) never observed

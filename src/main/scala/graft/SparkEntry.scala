@@ -1496,6 +1496,96 @@ object SparkEntry {
   private def q151Triangles(s: SparkSession, dir: String): DataFrame =
     Dedup.triangles(q135SsjoinPrefix(s, dir))
 
+  /** #152 audio container metadata (q129's audio sibling): WAV payloads
+   *  built with a variable-length JUNK chunk before `fmt ` (the parser
+   *  must actually walk chunks) and a headers-only `data` chunk; FLAC
+   *  STREAMINFO bit-packed fields computed by integer arithmetic.
+   *  Construction and parser share no code; the oracle states the
+   *  planted values, which Spark must recover by parsing. */
+  private def q152AudioMeta(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir).documents
+    val id = col("doc_id")
+    val ch = (id % 3 + 1).cast("int")
+    val rate = when(id % 3 === 0, 8000).when(id % 3 === 1, 16000)
+      .otherwise(44100).cast("int")
+    val bits = when(id % 3 === 0, 8).when(id % 3 === 1, 16)
+      .otherwise(24).cast("int")
+    val block = (ch * bits / lit(8)).cast("int")
+    val frames = col("n_chars").cast("long")
+    def le16(c: Column) = {
+      val x = lpad(hex(c), 4, "0")
+      unhex(concat(substring(x, 3, 2), substring(x, 1, 2)))
+    }
+    def le32(c: Column) = {
+      val x = lpad(hex(c), 8, "0")
+      unhex(concat(substring(x, 7, 2), substring(x, 5, 2),
+        substring(x, 3, 2), substring(x, 1, 2)))
+    }
+    def byte(c: Column) = unhex(lpad(hex(c), 2, "0"))
+    val pad = (id % 5).cast("int") // JUNK body 0..4 bytes (+1 when odd)
+    val wav = concat(
+      unhex(lit("52494646")), le32(lit(0)), unhex(lit("57415645")),
+      unhex(lit("4A554E4B")), le32(pad), // JUNK before fmt: forces the walk
+      unhex(lit("4141414141").substr(lit(1), pad * 2)),
+      unhex(when(pad % 2 === 1, "00").otherwise("")), // even-size padding
+      unhex(lit("666D742010000000")), le16(lit(1)), le16(ch),
+      le32(rate), le32(rate * block), le16(block), le16(bits),
+      unhex(lit("64617461")), le32(frames * block)) // size only, no body
+    val flac = concat(
+      unhex(lit("664C6143")), // "fLaC"
+      unhex(lit("80000022")), // last-block flag + type 0 + len 34
+      unhex(lit("10001000")), // min/max blocksize 4096
+      unhex(lit("000000000000")), // min/max framesize (unset)
+      byte(shiftright(rate, 12)),
+      byte(shiftright(rate, 4).bitwiseAND(lit(255))),
+      byte(shiftleft(rate.bitwiseAND(lit(15)), 4)
+        .bitwiseOR(shiftleft(ch - 1, 1))
+        .bitwiseOR(shiftright(bits - 1, 4))),
+      byte(shiftleft((bits - 1).bitwiseAND(lit(15)), 4)
+        .bitwiseOR(shiftright(frames, 32).bitwiseAND(lit(15L)))),
+      byte(shiftright(frames, 24).bitwiseAND(lit(255L))),
+      byte(shiftright(frames, 16).bitwiseAND(lit(255L))),
+      byte(shiftright(frames, 8).bitwiseAND(lit(255L))),
+      byte(frames.bitwiseAND(lit(255L))),
+      unhex(lit("00000000000000000000000000000000"))) // MD5 (unset)
+    val payload = when(id % 2 === 0, wav).otherwise(flac)
+    val meta = Multimodal.audioMeta(s, payload)
+    d.select(id,
+      meta.getField("format").as("format"),
+      meta.getField("channels").as("channels"),
+      meta.getField("sample_rate").as("sample_rate"),
+      meta.getField("bits").as("bits"),
+      meta.getField("n_frames").as("n_frames"))
+  }
+
+  /** #153 URL canonicalization: messy crawl URLs (mixed-case scheme and
+   *  host, default ports, tracking params out of order, fragments,
+   *  trailing slashes) built per row, then canonicalized; the oracle
+   *  states the clean form directly. */
+  private def q153UrlCanon(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir).documents
+    val id = col("doc_id")
+    val messy = concat(
+      when(id % 2 === 0, "HTTP").otherwise("HTTPS"),
+      lit("://WWW.Site"), (id % 7).cast("string"), lit(".COM"),
+      when(id % 2 === 0, ":80").otherwise(":443"),
+      lit("/Products/item"), id.cast("string"),
+      when(id % 3 === 0, "/").otherwise(""),
+      lit("?utm_source=news&z=9&utm_campaign=c&a="), (id % 3).cast("string"),
+      lit("#sec"), (id % 4).cast("string"))
+    d.select(id, TextFns.canonicalizeUrl(messy).as("url_canon"))
+  }
+
+  /** #154 equal-count quartile bucketing of price within return flag —
+   *  ntile is row-position based, so the (price, orderkey, linenumber)
+   *  ordering is total by construction. */
+  private def q154Ntile(s: SparkSession, dir: String): DataFrame =
+    Features.ntileBuckets(
+      t(s, dir).lineitem.select("l_orderkey", "l_linenumber", "l_returnflag",
+        "l_extendedprice"),
+      "l_extendedprice", Seq("l_returnflag"), n = 4,
+      tieBreak = Seq("l_orderkey", "l_linenumber"))
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1650,6 +1740,9 @@ object SparkEntry {
     "q149_skyline"          -> (q149Skyline _),
     "q150_weighted_median"  -> (q150WeightedMedian _),
     "q151_triangles"        -> (q151Triangles _),
+    "q152_audio_meta"       -> (q152AudioMeta _),
+    "q153_url_canon"        -> (q153UrlCanon _),
+    "q154_ntile"            -> (q154Ntile _),
   )
 
   private val monthCaseSql: String =
@@ -2793,5 +2886,26 @@ object SparkEntry {
         "SELECT ab.id_a AS id_a, ab.id_b AS id_b, bc.id_b AS id_c " +
         "FROM e ab JOIN e bc ON ab.id_b = bc.id_a " +
         "JOIN e ac ON ac.id_a = ab.id_a AND ac.id_b = bc.id_b"),
+    "q152_audio_meta" ->
+      // the oracle states the PLANTED audio parameters; Spark must
+      // recover them by walking the WAV chunks / unpacking the FLAC
+      // STREAMINFO bits it constructed
+      ("SELECT doc_id, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS format, " +
+        "CAST(doc_id % 3 + 1 AS INT) AS channels, " +
+        "CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS INT) AS sample_rate, " +
+        "CAST(CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 24 END AS INT) AS bits, " +
+        "CAST(n_chars AS BIGINT) AS n_frames FROM documents"),
+    "q153_url_canon" ->
+      // the oracle states the clean canonical form the messy construct
+      // must normalize to
+      ("SELECT doc_id, 'http' || CASE WHEN doc_id % 2 = 0 THEN '' ELSE 's' END || " +
+        "'://www.site' || CAST(doc_id % 7 AS VARCHAR) || '.com/Products/item' || " +
+        "CAST(doc_id AS VARCHAR) || '?a=' || CAST(doc_id % 3 AS VARCHAR) || '&z=9' " +
+        "AS url_canon FROM documents"),
+    "q154_ntile" ->
+      ("SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice, " +
+        "ntile(4) OVER (PARTITION BY l_returnflag " +
+        "ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket FROM lineitem"),
   )
 }

@@ -305,6 +305,34 @@ object TextFns {
         ipv4Pattern, token),
       phonePattern, token)
 
+  /**
+   * URL canonicalization — the dedup key normalizer for web-crawled
+   * corpora, where the same page arrives as `HTTP://Site.COM:80/a/?utm_
+   * source=x#top` and `http://site.com/a`. Rules (each a standard crawl
+   * canonicalization): lowercase scheme+host only (paths are
+   * case-significant), strip the scheme's default port (:80 http, :443
+   * https), drop the fragment, strip trailing path slashes, drop
+   * tracking parameters (utm_*, fbclid), and sort the surviving query
+   * parameters. The parameter pass is split → filter → array_sort →
+   * array_join (ONE lambda HOF; sort/join evaluate their input once) —
+   * a single-pass regexp_replace can't delete consecutive tracking
+   * params. `concat_ws` + `nullif` re-attach the '?' only when
+   * parameters survive. Pure per-row column ops, zero shuffle.
+   */
+  def canonicalizeUrl(url: Column): Column = {
+    val schemeHost = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
+    val canonHost = regexp_replace(
+      regexp_replace(lower(schemeHost), "^(http://[^:]*):80$", "$1"),
+      "^(https://[^:]*):443$", "$1")
+    val rest = url.substr(length(schemeHost) + 1, length(url))
+    val noFrag = regexp_replace(rest, "#.*", "")
+    val path = regexp_replace(regexp_replace(noFrag, "\\?.*", ""), "/+$", "")
+    val params = filter(split(regexp_extract(noFrag, "\\?(.*)", 1), "&"),
+      p => p =!= "" && !p.startsWith("utm_") && !p.startsWith("fbclid="))
+    concat_ws("?", concat(canonHost, path),
+      nullif(array_join(array_sort(params), "&"), lit("")))
+  }
+
   // ------------------------------------- C4-style line filtering (q69)
 
   /**

@@ -135,6 +135,28 @@ object Features {
   }
 
   /**
+   * Equal-count quantile bucketing (`ntile`): rows split into n buckets
+   * of near-equal size per group — the discretizer behind quartile/
+   * decile features and stratified downstream sampling. Unlike
+   * [[percentRankScale]], ntile is ROW-position based: ties can land in
+   * different buckets, so the ordering must be total (`tieBreak`) or
+   * bucket assignment is partition-layout dependent. One window shuffle
+   * per group set.
+   */
+  def ntileBuckets(
+      df: DataFrame, column: String, keys: Seq[String], n: Int,
+      tieBreak: Seq[String], out: String = "bucket"): DataFrame = {
+    require(n > 0, "ntileBuckets needs a positive bucket count")
+    require(keys.nonEmpty,
+      "ntileBuckets needs partition keys: an unkeyed rank window is a global single-partition funnel")
+    require(tieBreak.nonEmpty,
+      "ntileBuckets needs tie-break columns: ntile is row-position based and a non-total ordering is layout-dependent")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((column +: tieBreak).map(col): _*)
+    df.withColumn(out, ntile(n).over(w))
+  }
+
+  /**
    * Threshold literal for [[mixtureSample]]: an 8-hex-digit lowercase
    * string such that `md5(id).substr(0, 8) < threshold` keeps a
    * `w` fraction of uniformly-hashed ids. Weights ≥ 1 map to "g", which

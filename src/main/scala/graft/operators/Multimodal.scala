@@ -77,6 +77,13 @@ object Multimodal {
     call_function(graft.plans.GraftFunctions.imageDimsName, payload)
   }
 
+  /** Audio container metadata (WAV chunk walk, FLAC STREAMINFO bit
+   *  unpack) as a codegen struct column — see [[graft.plans.AudioMeta]]. */
+  def audioMeta(spark: SparkSession, payload: Column): Column = {
+    graft.plans.GraftFunctions.register(spark)
+    call_function(graft.plans.GraftFunctions.audioMetaName, payload)
+  }
+
   /**
    * Decode stage: per-partition batch iteration (`mapPartitions`), the
    * correct shape for codec work — the decoder amortizes setup once per

@@ -102,6 +102,7 @@ object GraftFunctions {
   val topGramShareName = "graft_top_gram_share"
   val jaroWinklerName = "graft_jaro_winkler"
   val imageDimsName = "graft_image_dims"
+  val audioMetaName = "graft_audio_meta"
 
   private[plans] def cosineBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2, s"$cosineName expects 2 arguments")
@@ -165,6 +166,11 @@ object GraftFunctions {
     ImageDims(children.head)
   }
 
+  private[plans] def audioMetaBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 1, s"$audioMetaName expects (payload)")
+    AudioMeta(children.head)
+  }
+
   /**
    * The single source of truth for (identifier, info, builder) triples:
    * both the programmatic [[register]] path and the config-driven
@@ -206,6 +212,9 @@ object GraftFunctions {
     (FunctionIdentifier(imageDimsName),
       new ExpressionInfo(classOf[ImageDims].getName, imageDimsName),
       imageDimsBuilder _),
+    (FunctionIdentifier(audioMetaName),
+      new ExpressionInfo(classOf[AudioMeta].getName, audioMetaName),
+      audioMetaBuilder _),
   )
 
   /** Idempotent per-session registration (programmatic path). */

@@ -244,6 +244,27 @@ class FeaturesSpec extends SparkSpec {
     assert(ex.getMessage.contains("single-partition"))
   }
 
+  test("ntileBuckets splits groups into near-equal buckets; guards demand a total order") {
+    val d = (1 to 10).map(i => ("a", i, i.toDouble)) :+ (("b", 1, 5.0))
+    val out = Features.ntileBuckets(d.toDF("k", "id", "v").repartition(3),
+        "v", Seq("k"), n = 4, tieBreak = Seq("id"))
+      .orderBy("k", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(3)))
+    // 10 rows into 4 buckets: sizes 3,3,2,2
+    assert(out.toSeq == Seq(
+      ("a", 1, 1), ("a", 2, 1), ("a", 3, 1), ("a", 4, 2), ("a", 5, 2),
+      ("a", 6, 2), ("a", 7, 3), ("a", 8, 3), ("a", 9, 4), ("a", 10, 4),
+      ("b", 1, 1)))
+    val noTie = intercept[IllegalArgumentException] {
+      Features.ntileBuckets(d.toDF("k", "id", "v"), "v", Seq("k"), 4, Nil)
+    }
+    assert(noTie.getMessage.contains("tie-break"))
+    val noKeys = intercept[IllegalArgumentException] {
+      Features.ntileBuckets(d.toDF("k", "id", "v"), "v", Nil, 4, Seq("id"))
+    }
+    assert(noKeys.getMessage.contains("single-partition"))
+  }
+
   test("lagFeatures and rfmScores refuse empty keys (single-partition funnel guard)") {
     val d = Seq((1, 1, 1.0)).toDF("k", "t", "v")
     val exLag = intercept[IllegalArgumentException] {

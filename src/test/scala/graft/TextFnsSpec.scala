@@ -216,6 +216,25 @@ class TextFnsSpec extends SparkSpec {
     assert(one[String](TextFns.stripAccents(col("t")), ascii) == ascii)
   }
 
+  test("canonicalizeUrl: case, default ports, tracking params, fragments, slashes") {
+    def canon(u: String) = one[String](TextFns.canonicalizeUrl(col("t")), u)
+    // the full mess at once: mixed case, default port, unsorted params
+    // with consecutive tracking keys, fragment, trailing slash
+    assert(canon("HTTP://WWW.Site.COM:80/A/b/?z=9&utm_source=x&utm_medium=y&a=1#frag") ==
+      "http://www.site.com/A/b?a=1&z=9")
+    // https strips :443 but keeps a NON-default port
+    assert(canon("HTTPS://X.org:443/p") == "https://x.org/p")
+    assert(canon("https://x.org:8443/p") == "https://x.org:8443/p")
+    // http does NOT strip :443
+    assert(canon("http://x.org:443/p") == "http://x.org:443/p")
+    // all params tracking -> no '?' at all; fbclid covered
+    assert(canon("http://a.com/p?utm_a=1&fbclid=xyz") == "http://a.com/p")
+    // bare host with root slash canonicalizes to no path
+    assert(canon("http://a.com/") == "http://a.com")
+    // path case is significant and preserved
+    assert(canon("http://a.com/CaseSensitive") == "http://a.com/CaseSensitive")
+  }
+
   test("normalizeText with foldAccents canonicalizes accent variants to one key") {
     val a = one[String](TextFns.normalizeText(col("t"), foldAccents = true), "  NÃO   aqui ")
     val b = one[String](TextFns.normalizeText(col("t"), foldAccents = true), "nao aqui")

@@ -1586,6 +1586,31 @@ object SparkEntry {
       "l_extendedprice", Seq("l_returnflag"), n = 4,
       tieBreak = Seq("l_orderkey", "l_linenumber"))
 
+  /** #155 per-document LM score from the corpus's own add-1 bigram
+   *  counts: exact-rational to the last step (shared smoothing
+   *  denominator ⇒ mean prob = (Σc+k)/(k·(N+V)), one double division).
+   *  Sub-2-token documents have no bigrams and drop out. */
+  private def q155LmScore(s: SparkSession, dir: String): DataFrame =
+    Curation.lmScore(t(s, dir).documents, "doc_id", "text")
+
+  /** #156 LOCF fill of a sensor-style series: nulls planted
+   *  deterministically (event_id % 5), carried forward per user in
+   *  (ts, event_id) total order; leading nulls stay null. */
+  private def q156Locf(s: SparkSession, dir: String): DataFrame =
+    Cleaning.locf(
+      t(s, dir).events.select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value"))
+          .as("masked")),
+      "masked", Seq("user_id"), Seq("ts", "event_id"), out = "value_filled")
+      .select("event_id", "user_id", "value_filled")
+
+  /** #157 distinctive vocabulary per source (χ² keywords): top-5
+   *  over-represented tokens per source vs the rest of the corpus —
+   *  exact-integer cells, q136's fixed IEEE marginal sequence, total
+   *  (contribution desc, token) ranking. */
+  private def q157SourceKeywords(s: SparkSession, dir: String): DataFrame =
+    Curation.distinctiveTokens(t(s, dir).documents, "source", "text", k = 5)
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1743,6 +1768,9 @@ object SparkEntry {
     "q152_audio_meta"       -> (q152AudioMeta _),
     "q153_url_canon"        -> (q153UrlCanon _),
     "q154_ntile"            -> (q154Ntile _),
+    "q155_lm_score"         -> (q155LmScore _),
+    "q156_locf"             -> (q156Locf _),
+    "q157_source_keywords"  -> (q157SourceKeywords _),
   )
 
   private val monthCaseSql: String =
@@ -2907,5 +2935,39 @@ object SparkEntry {
       ("SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice, " +
         "ntile(4) OVER (PARTITION BY l_returnflag " +
         "ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket FROM lineitem"),
+    "q155_lm_score" ->
+      // shared add-1 denominator keeps the mean probability exact-
+      // rational: (sum(c)+k) / (k*(N+V)), one double division
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "b AS (SELECT doc_id, z[1] || ' ' || z[2] AS bigram FROM " +
+        "(SELECT doc_id, unnest(list_zip(w[:len(w)-1], w[2:])) AS z FROM t)), " +
+        "c AS (SELECT bigram, COUNT(*) AS n FROM b GROUP BY 1), " +
+        "s AS (SELECT SUM(n) AS nn, COUNT(*) AS v FROM c), " +
+        "d AS (SELECT doc_id, SUM(n) + COUNT(*) AS hits, COUNT(*) AS k " +
+        "FROM b JOIN c USING (bigram) GROUP BY 1) " +
+        "SELECT doc_id, CAST(hits AS DOUBLE) / CAST(k * (nn + v) AS DOUBLE) " +
+        "AS lm_score FROM d, s"),
+    "q156_locf" ->
+      ("SELECT event_id, user_id, " +
+        "last_value(CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled " +
+        "FROM events"),
+    "q157_source_keywords" ->
+      // q136's marginal discipline: expected = row*col/grand in one
+      // fixed IEEE sequence, computed once per cell and reused
+      ("WITH cells AS (SELECT source, token, COUNT(*) AS obs FROM " +
+        "(SELECT source, unnest(string_split(text, ' ')) AS token FROM documents) " +
+        "WHERE token != '' GROUP BY 1, 2), " +
+        "g AS (SELECT SUM(obs) AS grand FROM cells), " +
+        "e AS (SELECT source, token, obs, " +
+        "CAST(SUM(obs) OVER (PARTITION BY source) AS DOUBLE) * " +
+        "CAST(SUM(obs) OVER (PARTITION BY token) AS DOUBLE) / " +
+        "CAST(grand AS DOUBLE) AS exp FROM cells, g), " +
+        "r AS (SELECT source, token, obs, " +
+        "(obs - exp) * (obs - exp) / exp AS contribution FROM e WHERE obs > exp) " +
+        "SELECT source, token, obs, contribution FROM (" +
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY source " +
+        "ORDER BY contribution DESC, token) AS rn FROM r) WHERE rn <= 5"),
   )
 }

@@ -192,6 +192,27 @@ object Cleaning {
    * window over the QI columns (equivalently a groupBy + join, but the
    * window reuses a single shuffle); everything else is per-row.
    */
+  /**
+   * Last-observation-carried-forward (LOCF) null imputation: each null
+   * takes the most recent non-null value of the same key in event
+   * order — the standard fill for sensor/price series where a missing
+   * reading means "unchanged", complementing [[imputeWithMedian]]
+   * (cross-sectional) and Events.gapFill (which INSERTS calendar rows;
+   * this fills nulls in EXISTING rows). One strictly-ordered window per
+   * key; leading nulls stay null (no observation to carry). The
+   * ordering must be total or the carried value is layout-dependent.
+   */
+  def locf(
+      df: DataFrame, column: String, keys: Seq[String], order: Seq[String],
+      out: String): DataFrame = {
+    require(keys.nonEmpty,
+      "locf needs partition keys: an unkeyed fill window is a global single-partition funnel")
+    require(order.nonEmpty, "locf needs ordering columns")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(out, last(col(column), ignoreNulls = true).over(w))
+  }
+
   def kAnonymize(df: DataFrame, quasiIds: Seq[String], k: Long): DataFrame = {
     require(quasiIds.nonEmpty, "kAnonymize needs at least one quasi-identifier")
     val n = count(lit(1)).over(

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -248,6 +249,73 @@ object Curation {
       .withColumn("prob", (col("n") + k).cast("double") /
         (col("__gN") + lit(k) * col("__gV")).cast("double"))
       .drop("__gN", "__gV")
+  }
+
+  /**
+   * Per-document language-model score from the corpus's own add-1
+   * bigram counts: the mean smoothed bigram probability, the filter
+   * statistic behind perplexity-style quality gating (documents whose
+   * bigrams the corpus has never seen score near 1/(N+V); boilerplate
+   * scores high). The mean stays EXACT-RATIONAL until the last step:
+   * with add-1 smoothing every bigram's probability shares the
+   * denominator (N+V), so mean prob = (Σc + k) / (k·(N+V)) where Σc
+   * and the doc's bigram count k are exact integers — ONE final double
+   * division, engine-portable with no per-bigram float sums. One
+   * explode → one vocab-keyed join (the q118 AQE skew shape; the
+   * shuffled bigram frame is the same subplan on both join sides, so
+   * Catalyst reuses the exchange) → one per-doc aggregation. Documents
+   * with fewer than two tokens have no bigrams and drop out.
+   */
+  def lmScore(docs: DataFrame, id: String, textCol: String): DataFrame = {
+    val w = split(col(textCol), " ")
+    val docBigrams = docs.select(col(id), explode(zip_with(
+      slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+      (x, y) => concat_ws(" ", x, y))).as("bigram"))
+    val counts = docBigrams.groupBy(col("bigram")).agg(count(lit(1)).as("__gn"))
+    val totals = counts.agg(sum(col("__gn")).as("__gN"), count(lit(1)).as("__gV"))
+    docBigrams.join(counts, "bigram")
+      .groupBy(col(id))
+      .agg((sum(col("__gn")) + count(lit(1))).as("__ghits"),
+        count(lit(1)).as("__gk"))
+      .crossJoin(broadcast(totals))
+      .select(col(id), (col("__ghits").cast("double") /
+        (col("__gk") * (col("__gN") + col("__gV"))).cast("double")).as("lm_score"))
+  }
+
+  /**
+   * Distinctive vocabulary per group (χ² keyword extraction): the top-k
+   * OVER-represented tokens of each group vs the rest of the corpus —
+   * the domain-signature / topic-drift audit for a multi-source corpus.
+   * Observed cell counts are exact integers; expected = row·col/grand
+   * marginals combine in ONE fixed IEEE sequence (q136's discipline);
+   * only cells with obs > expected rank (under-representation is not a
+   * keyword). Marginals come from two key-partitioned windows over the
+   * AGGREGATED cells frame (≤ |groups|·|vocab| rows, never raw tokens)
+   * plus one broadcast grand-total scalar — no global window over an
+   * unaggregated frame. Ranking is total via the (contribution desc,
+   * token) tie-break.
+   */
+  def distinctiveTokens(
+      docs: DataFrame, groupCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "distinctiveTokens needs a positive k")
+    val cells = docs
+      .select(col(groupCol), explode(TextFns.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("obs"))
+    val grand = cells.agg(sum(col("obs")).as("__gg"))
+    val byGrp = Window.partitionBy(col(groupCol))
+    val byTok = Window.partitionBy(col("token"))
+    val scored = cells.crossJoin(broadcast(grand))
+      .withColumn("__ge", sum(col("obs")).over(byGrp).cast("double") *
+        sum(col("obs")).over(byTok).cast("double") / col("__gg").cast("double"))
+      .filter(col("obs") > col("__ge"))
+      .withColumn("contribution",
+        (col("obs") - col("__ge")) * (col("obs") - col("__ge")) / col("__ge"))
+    scored.withColumn("__gr", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col("contribution").desc, col("token"))))
+      .filter(col("__gr") <= k)
+      .select(col(groupCol), col("token"), col("obs"), col("contribution"))
   }
 
   /** Remove flagged-contaminated documents from the corpus (anti-join

@@ -161,6 +161,23 @@ class CleaningSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", 4L, 2L, 0.5), ("b", 4L, 1L, 0.25)))
   }
 
+  test("locf carries the last non-null forward per key; leading nulls stay null") {
+    val d = Seq(
+      ("u1", 1, Some(10.0)), ("u1", 2, None), ("u1", 3, None), ("u1", 4, Some(40.0)),
+      ("u2", 1, None), ("u2", 2, Some(5.0))).toDF("k", "t", "v")
+    val out = Cleaning.locf(d.repartition(3), "v", Seq("k"), Seq("t"), out = "filled")
+      .orderBy("k", "t").collect()
+      .map(r => (r.getString(0), r.getInt(1), Option(r.getAs[java.lang.Double]("filled")).map(_.toDouble)))
+    assert(out.toSeq == Seq(
+      ("u1", 1, Some(10.0)), ("u1", 2, Some(10.0)), ("u1", 3, Some(10.0)),
+      ("u1", 4, Some(40.0)),
+      ("u2", 1, None), ("u2", 2, Some(5.0))))
+    val ex = intercept[IllegalArgumentException] {
+      Cleaning.locf(d, "v", Nil, Seq("t"), "filled")
+    }
+    assert(ex.getMessage.contains("single-partition"))
+  }
+
   test("ksStatistic: identical samples 0, disjoint samples 1, interleaved 0.5") {
     val rows =
       Seq(1.0, 2.0, 3.0).map(v => ("same", v, true)) ++

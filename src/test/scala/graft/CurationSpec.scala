@@ -170,4 +170,31 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       ("a b", 3L, 4.0 / 6), ("b a", 1L, 2.0 / 6)))
   }
+
+  test("lmScore: mean smoothed bigram probability via the shared-denominator rational form") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = Curation.lmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // corpus bigrams: "a b"x3, "b a"x1 -> N=4, V=2, denom N+V=6
+    // doc1: bigrams [a b, b a, a b], hits = (3+1)+(1+1)+(3+1)=10, k=3 -> 10/18
+    // doc2: [a b], hits = 4, k=1 -> 4/6; doc3: no bigrams -> absent
+    assert(out.toSeq == Seq((1L, 10.0 / 18), (2L, 4.0 / 6)))
+  }
+
+  test("distinctiveTokens ranks over-represented tokens per group; shared tokens excluded") {
+    // 'common' is uniform across groups (obs == expected -> excluded);
+    // each group over-represents its own marker token
+    val docs = Seq(
+      ("s1", "common alpha alpha alpha"), ("s1", "common alpha beta"),
+      ("s2", "common gamma gamma"), ("s2", "common gamma beta beta")).toDF("source", "text")
+    val out = Curation.distinctiveTokens(docs, "source", "text", k = 2)
+      .orderBy("source", "token").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("s1", "alpha", 4L), ("s2", "beta", 2L), ("s2", "gamma", 3L)))
+    // s1's beta (1 obs vs expected 7*3/14 = 1.5) is under-represented
+    // and excluded, so s1 keeps only alpha and k=2 caps nothing
+  }
 }

@@ -128,6 +128,27 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     } finally spark.catalog.clearCache()
   }
 
+  test("copurchase/lmScore self-joins reuse one exchange when both sides shuffle") {
+    // at scale neither side broadcasts; the join's two branches are the
+    // SAME subplan shuffled on the same key, so AQE must plan the second
+    // as a ReusedExchange (one scan + one shuffle of the big frame, not
+    // two) — the claim both operators' Scaladocs make
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Seq("q148_copurchase", "q155_lm_score").foreach { name =>
+        val q = SparkEntry.queries(name)(spark, sf0001)
+        q.collect()
+        val plan = q.queryExecution.executedPlan
+        val reused = collect(plan) {
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+        }
+        assert(reused.nonEmpty,
+          s"$name: the self-join's duplicate exchange must be reused:\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("runtime bloom-filter pruning injects might_contain for selective shuffled joins") {
     // the posture for 100 TB fact↔filtered-dim joins too big to
     // broadcast: Spark builds a bloom filter from the selective side

@@ -1611,6 +1611,30 @@ object SparkEntry {
   private def q157SourceKeywords(s: SparkSession, dir: String): DataFrame =
     Curation.distinctiveTokens(t(s, dir).documents, "source", "text", k = 5)
 
+  /** #158 l-diversity suppression on customers: (nation, segment)
+   *  groups whose account balances carry fewer than 12 distinct values
+   *  lose their quasi-identifiers — k-anonymity's uniform-sensitive
+   *  complement. */
+  private def q158LDiversity(s: SparkSession, dir: String): DataFrame =
+    Cleaning.lDiversify(
+      t(s, dir).customer.select("c_custkey", "c_nationkey", "c_mktsegment",
+        "c_acctbal"),
+      Seq("c_nationkey", "c_mktsegment"), "c_acctbal", l = 12L)
+      .select("c_custkey", "c_nationkey", "c_mktsegment", "qi_suppressed")
+
+  /** #159 CUSUM drift scores over daily event-value totals per type,
+   *  against a 50-per-event reference level: deviation, prefix, and
+   *  running extrema all exact-decimal; days are unique per key after
+   *  the aggregation, so the window order is total. */
+  private def q159Cusum(s: SparkSession, dir: String): DataFrame =
+    Events.cusumScores(
+      t(s, dir).events
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,4)")).as("__gsx"), cnt.as("n")),
+      Seq("event_type"), Seq(col("day")),
+      valueCol = col("__gsx"), targetCol = col("n") * 50)
+      .select("event_type", "day", "dev", "cusum_pos", "cusum_neg")
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1771,6 +1795,8 @@ object SparkEntry {
     "q155_lm_score"         -> (q155LmScore _),
     "q156_locf"             -> (q156Locf _),
     "q157_source_keywords"  -> (q157SourceKeywords _),
+    "q158_l_diversity"      -> (q158LDiversity _),
+    "q159_cusum"            -> (q159Cusum _),
   )
 
   private val monthCaseSql: String =
@@ -2969,5 +2995,33 @@ object SparkEntry {
         "SELECT source, token, obs, contribution FROM (" +
         "SELECT *, ROW_NUMBER() OVER (PARTITION BY source " +
         "ORDER BY contribution DESC, token) AS rn FROM r) WHERE rn <= 5"),
+    "q158_l_diversity" ->
+      ("WITH g AS (SELECT c_nationkey, c_mktsegment, " +
+        "COUNT(DISTINCT c_acctbal) AS ld FROM customer GROUP BY 1, 2) " +
+        "SELECT c_custkey, " +
+        "CASE WHEN ld < 12 THEN NULL ELSE c.c_nationkey END AS c_nationkey, " +
+        "CASE WHEN ld < 12 THEN NULL ELSE c.c_mktsegment END AS c_mktsegment, " +
+        "ld < 12 AS qi_suppressed " +
+        "FROM customer c JOIN g USING (c_nationkey, c_mktsegment)"),
+    "q159_cusum" ->
+      // prefix/extrema in exact decimal; the running extrema include
+      // the EMPTY prefix (S_0 = 0) via a zero clamp
+      ("WITH d AS (SELECT event_type, date_trunc('day', ts) AS day, " +
+        "SUM(CAST(value AS DECIMAL(18,4))) - 50 * COUNT(*) AS dev FROM events GROUP BY 1, 2), " +
+        "p AS (SELECT event_type, day, dev, " +
+        "SUM(dev) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre FROM d), " +
+        // zero-clamping must use CASE, not LEAST/GREATEST: DuckDB's
+        // LEAST over decimals returns DOUBLE (even decimal-vs-decimal),
+        // silently de-exactifying the whole chain
+        "m AS (SELECT event_type, day, dev, pre, " +
+        "MIN(pre) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn, " +
+        "MAX(pre) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx FROM p) " +
+        "SELECT event_type, day, CAST(dev AS DOUBLE) AS dev, " +
+        "CAST(pre - CASE WHEN mn < 0 THEN mn ELSE CAST(0 AS DECIMAL(38,4)) END AS DOUBLE) AS cusum_pos, " +
+        "CAST(CASE WHEN mx > 0 THEN mx ELSE CAST(0 AS DECIMAL(38,4)) END - pre AS DOUBLE) AS cusum_neg " +
+        "FROM m"),
   )
 }

@@ -224,6 +224,30 @@ object Cleaning {
   }
 
   /**
+   * l-diversity suppression — [[kAnonymize]]'s stronger sibling: a
+   * quasi-identifier group is unsafe not when it is SMALL but when its
+   * SENSITIVE values are uniform (a k-anonymous group of 50 rows that
+   * all share one diagnosis still leaks it). Groups with fewer than `l`
+   * distinct sensitive values get their quasi-identifiers suppressed.
+   * Distinct-per-group can't be a window (`countDistinct` has no window
+   * form), so it's one aggregation joined back on the quasi-id key —
+   * the aggregated side is ≤ |groups| rows and broadcastable; the join
+   * reuses the fact's quasi-id partitioning otherwise. Null sensitive
+   * values carry no diversity (countDistinct skips them).
+   */
+  def lDiversify(
+      df: DataFrame, quasiIds: Seq[String], sensitive: String,
+      l: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "lDiversify needs at least one quasi-identifier")
+    val groups = df.groupBy(quasiIds.map(col): _*)
+      .agg(countDistinct(col(sensitive)).as("__gl"))
+    val joined = df.join(groups, quasiIds)
+    quasiIds.foldLeft(joined) { (acc, q) =>
+      acc.withColumn(q, when(col("__gl") < l, lit(null)).otherwise(col(q)))
+    }.withColumn("qi_suppressed", col("__gl") < l).drop("__gl")
+  }
+
+  /**
    * Null profile: one pass over the table computing the row count and a
    * null count per listed column (the reference notebook's
    * `df.isnull().sum()` profiling cell) — a single aggregation, however

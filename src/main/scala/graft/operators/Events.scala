@@ -202,6 +202,45 @@ object Events {
    * global series, aggregate to period grain first and tag it with a
    * literal key.
    */
+  /**
+   * CUSUM changepoint scores (Page 1954): per key, the one-sided
+   * cumulative sums `pos = prefix − min(prefix so far)` and `neg =
+   * max(prefix so far) − prefix` of the deviation from a target level —
+   * the sequential drift detector that fires on small persistent shifts
+   * long before a per-point outlier test ([[graft.operators.Relational]]
+   * rollingAnomalies) or a distribution snapshot (ksStatistic) notices.
+   * The recursive textbook form S_i = max(0, S_{i-1} + dev_i) equals
+   * the prefix-minus-running-min closed form, which IS window-
+   * expressible. Deviation, prefix and the running extrema all stay in
+   * EXACT decimal (a double cumsum is engine/frame-order dependent —
+   * DuckDB segment tree vs Spark running accumulator); only the output
+   * casts to double. Three windows share one partitioning + sort. The
+   * ordering must be total per key (aggregate to unique time buckets
+   * first, as q159 does).
+   */
+  def cusumScores(
+      df: DataFrame, keys: Seq[String], order: Seq[Column],
+      valueCol: Column, targetCol: Column, scale: Int = 4): DataFrame = {
+    require(keys.nonEmpty,
+      "cusumScores needs partition keys: an unkeyed window is a global single-partition funnel")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dev = valueCol.cast(s"decimal(18,$scale)") -
+      targetCol.cast(s"decimal(18,$scale)")
+    df.withColumn("__gdev", dev)
+      .withColumn("__gpre", sum(col("__gdev")).over(w))
+      .withColumn("dev", col("__gdev").cast("double"))
+      // the recursion starts at S_0 = 0, so the running extrema include
+      // the EMPTY prefix: clamp with least/greatest against zero
+      .withColumn("cusum_pos",
+        (col("__gpre") - least(min(col("__gpre")).over(w), lit(0)))
+          .cast("double"))
+      .withColumn("cusum_neg",
+        (greatest(max(col("__gpre")).over(w), lit(0)) - col("__gpre"))
+          .cast("double"))
+      .drop("__gdev", "__gpre")
+  }
+
   def pctChange(
       df: DataFrame, keys: Seq[String], order: Seq[Column],
       valueCol: String, out: String = "pct_change"): DataFrame = {

@@ -161,6 +161,23 @@ class CleaningSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", 4L, 2L, 0.5), ("b", 4L, 1L, 0.25)))
   }
 
+  test("lDiversify suppresses quasi-ids of low-diversity groups, not merely small ones") {
+    val d = Seq(
+      // group (A, x): 3 rows but only 1 distinct sensitive value -> unsafe
+      ("A", "x", 10.0), ("A", "x", 10.0), ("A", "x", 10.0),
+      // group (B, y): 2 rows, 2 distinct -> safe at l=2
+      ("B", "y", 1.0), ("B", "y", 2.0),
+      // group (C, z): nulls carry no diversity -> 1 distinct -> unsafe
+      ("C", "z", 5.0), ("C", "z", Double.NaN)).toDF("q1", "q2", "s")
+      .withColumn("s", when(isnan(col("s")), lit(null)).otherwise(col("s")))
+    val out = Cleaning.lDiversify(d.repartition(3), Seq("q1", "q2"), "s", l = 2L)
+      .orderBy("s").collect()
+      .map(r => (Option(r.getString(0)), r.getAs[Boolean]("qi_suppressed")))
+    assert(out.count(_._2) == 5) // A-group (3) + C-group (2) suppressed
+    assert(out.filter(_._2).forall(_._1.isEmpty)) // suppressed -> qi nulled
+    assert(out.filterNot(_._2).forall(_._1 == Some("B")))
+  }
+
   test("locf carries the last non-null forward per key; leading nulls stay null") {
     val d = Seq(
       ("u1", 1, Some(10.0)), ("u1", 2, None), ("u1", 3, None), ("u1", 4, Some(40.0)),

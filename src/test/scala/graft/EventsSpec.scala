@@ -348,6 +348,21 @@ class EventsSpec extends SparkSpec {
       ("a", "b", 2L, 2.0 / 3), ("a", "c", 1L, 1.0 / 3), ("b", "a", 1L, 1.0)))
   }
 
+  test("cusumScores equals the textbook max(0, S+dev) recursion, both sides") {
+    // key k: devs +1, +1, -3, +1, +1 around target 10
+    val d = Seq(("k", 1, 11.0), ("k", 2, 11.0), ("k", 3, 7.0),
+      ("k", 4, 11.0), ("k", 5, 11.0)).toDF("g", "t", "v")
+    val out = Events.cusumScores(d.repartition(3), Seq("g"), Seq(col("t")),
+        col("v"), lit(10.0))
+      .orderBy("t").collect()
+      .map(r => (r.getInt(1), r.getDouble(r.fieldIndex("cusum_pos")),
+        r.getDouble(r.fieldIndex("cusum_neg"))))
+    // textbook: pos = max(0, prev + dev); neg = max(0, prev - dev)
+    // pos: 1, 2, 0, 1, 2   neg: 0, 0, 3, 2, 1
+    assert(out.toSeq == Seq((1, 1.0, 0.0), (2, 2.0, 0.0), (3, 0.0, 3.0),
+      (4, 1.0, 2.0), (5, 2.0, 1.0)))
+  }
+
   test("lastTouchAttribution credits purchases to the latest prior non-conversion touch") {
     val e = Seq(
       (1L, 1L, "ad"), (1L, 2L, "email"), (1L, 3L, "purchase"),

@@ -1635,6 +1635,50 @@ object SparkEntry {
       valueCol = col("__gsx"), targetCol = col("n") * 50)
       .select("event_type", "day", "dev", "cusum_pos", "cusum_neg")
 
+  /** #160 5–95% trimmed mean price per return flag: exact percentile
+   *  band (q40 parity) + exact-decimal conditional mean — the robust
+   *  KPI where a plain mean follows the tails. */
+  private def q160TrimmedMean(s: SparkSession, dir: String): DataFrame =
+    Relational.trimmedMean(
+      t(s, dir).lineitem.select("l_returnflag", "l_extendedprice"),
+      "l_extendedprice", Seq("l_returnflag"))
+
+  /** #161 Gini coefficient of revenue per return flag — exact decimal
+   *  Σi·x / Σx moments into one fixed IEEE closed form; tie order
+   *  provably cancels in the sum. */
+  private def q161Gini(s: SparkSession, dir: String): DataFrame =
+    Relational.gini(
+      t(s, dir).lineitem.select("l_returnflag", "l_extendedprice"),
+      "l_extendedprice", Seq("l_returnflag"))
+
+  /** #162 user-concentration HHI per event type — the "one user
+   *  dominates this segment" abuse audit; exact-rational Σc²/T². */
+  private def q162Hhi(s: SparkSession, dir: String): DataFrame =
+    Relational.hhi(t(s, dir).events.select("event_type", "user_id"),
+      "event_type", "user_id")
+
+  /** #163 full corpus-prep capstone — the reference pipeline a real
+   *  user runs end-to-end in ONE plan: blocklist/lang/quality curation
+   *  + exact dedup (q55) → exact-substring decontamination against the
+   *  q99 benchmark excerpts (anti-join) → deterministic hash split
+   *  (q103). Output is the training manifest (doc_id, lang, quality,
+   *  split). */
+  private def q163FullPrep(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir).documents
+    val curated = Curation.curate(d, "doc_id", "text", "n_chars",
+      stopwords = enStop, langs = Seq("en"), minQuality = 0.35)
+    val excerpts = d.filter(col("doc_id") % 97 === 0)
+      .select(substring(col("text"), 10, 40).as("excerpt"))
+      .filter(length(col("excerpt")) === 40).distinct()
+    val flagged = Curation.containsExcerptFlags(d, "doc_id", col("text"),
+        excerpts, "excerpt")
+      .select(col("doc_id").as("__gflag"))
+    val clean = Relational.antiJoin(curated, flagged,
+      col("doc_id") === col("__gflag"))
+    Features.hashSplit(clean, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1797,6 +1841,10 @@ object SparkEntry {
     "q157_source_keywords"  -> (q157SourceKeywords _),
     "q158_l_diversity"      -> (q158LDiversity _),
     "q159_cusum"            -> (q159Cusum _),
+    "q160_trimmed_mean"     -> (q160TrimmedMean _),
+    "q161_gini"             -> (q161Gini _),
+    "q162_hhi"              -> (q162Hhi _),
+    "q163_full_prep"        -> (q163FullPrep _),
   )
 
   private val monthCaseSql: String =
@@ -3023,5 +3071,51 @@ object SparkEntry {
         "CAST(pre - CASE WHEN mn < 0 THEN mn ELSE CAST(0 AS DECIMAL(38,4)) END AS DOUBLE) AS cusum_pos, " +
         "CAST(CASE WHEN mx > 0 THEN mx ELSE CAST(0 AS DECIMAL(38,4)) END - pre AS DOUBLE) AS cusum_neg " +
         "FROM m"),
+    "q160_trimmed_mean" ->
+      ("WITH b AS (SELECT l_returnflag, " +
+        "quantile_cont(l_extendedprice, 0.05) AS lo, " +
+        "quantile_cont(l_extendedprice, 0.95) AS hi " +
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1) " +
+        "SELECT l.l_returnflag, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) " +
+        "AS trimmed_mean FROM lineitem l JOIN b USING (l_returnflag) " +
+        "WHERE l_extendedprice >= lo AND l_extendedprice <= hi GROUP BY 1"),
+    "q161_gini" ->
+      // rank x value products exceed 2^53 scaled units -> VARCHAR
+      // detour on both sums; the closed form mirrors Spark's exact
+      // IEEE sequence
+      ("WITH r AS (SELECT l_returnflag, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) " +
+        "AS DECIMAL(13,0)) AS rk, CAST(l_extendedprice AS DECIMAL(18,4)) AS xd " +
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
+        "m AS (SELECT l_returnflag, SUM(rk * xd) AS s1, SUM(xd) AS s0, " +
+        "COUNT(*) AS n FROM r GROUP BY 1) " +
+        "SELECT l_returnflag, CASE WHEN s0 > 0 THEN " +
+        "(2 * CAST(CAST(s1 AS VARCHAR) AS DOUBLE) - " +
+        "CAST(n + 1 AS DOUBLE) * CAST(CAST(s0 AS VARCHAR) AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE) * CAST(CAST(s0 AS VARCHAR) AS DOUBLE)) END AS gini FROM m"),
+    "q162_hhi" ->
+      ("WITH c AS (SELECT event_type, user_id, " +
+        "CAST(COUNT(*) AS DECIMAL(18,0)) AS n FROM events GROUP BY 1, 2) " +
+        "SELECT event_type, " +
+        "CAST(CAST(SUM(n * n) AS VARCHAR) AS DOUBLE) / " +
+        "(CAST(CAST(SUM(n) AS VARCHAR) AS DOUBLE) * CAST(CAST(SUM(n) AS VARCHAR) AS DOUBLE)) " +
+        "AS hhi FROM c GROUP BY 1"),
+    "q163_full_prep" ->
+      // the end-to-end training manifest: q55's curation CTE, q99's
+      // excerpt flags as an anti-join, q103's hash-split literals
+      ("WITH c AS (" + curationOracleSql("") + "), " +
+        "e AS (SELECT DISTINCT substr(text, 10, 40) AS excerpt " +
+        "FROM documents WHERE doc_id % 97 = 0), " +
+        "f AS (SELECT excerpt FROM e WHERE len(excerpt) = 40), " +
+        "fl AS (SELECT DISTINCT d.doc_id FROM documents d " +
+        "JOIN f ON contains(d.text, f.excerpt)) " +
+        "SELECT doc_id, lang, quality, " +
+        s"CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < " +
+        s"'${graft.operators.Features.weightThresholdHex(0.8)}' THEN 'train' " +
+        s"WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < " +
+        s"'${graft.operators.Features.weightThresholdHex(0.8 + 0.1)}' THEN 'val' " +
+        "ELSE 'test' END AS split FROM c " +
+        "WHERE NOT EXISTS (SELECT 1 FROM fl WHERE fl.doc_id = c.doc_id)"),
   )
 }

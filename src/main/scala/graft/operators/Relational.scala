@@ -589,6 +589,88 @@ object Relational {
   }
 
   /**
+   * Per-group trimmed mean: the mean of values inside the [lo, hi]
+   * percentile band — the robust KPI that survives fat tails where a
+   * plain mean follows the outliers (winsorize's aggregate cousin:
+   * winsorize CLAMPS tails into the band, this EXCLUDES them). Exact
+   * percentile bounds broadcast back per group (Features.withGroupBounds
+   * — `percentile_approx` is the documented 100 TB swap, q48), then one
+   * exact-decimal conditional mean; boundary values are included, so
+   * the band test is pure comparison with no rank arithmetic.
+   */
+  def trimmedMean(
+      df: DataFrame, column: String, keys: Seq[String],
+      lo: Double = 0.05, hi: Double = 0.95,
+      out: String = "trimmed_mean", scale: Int = 4): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, "trimmedMean needs 0 <= lo < hi <= 1")
+    val v = col(column)
+    Features.withGroupBounds(df.filter(v.isNotNull), keys, Seq(
+      percentile(v, lit(lo)).as("__glo"),
+      percentile(v, lit(hi)).as("__ghi"))) { j =>
+      j.filter(v >= col("__glo") && v <= col("__ghi"))
+        .groupBy(keys.map(col): _*)
+        .agg(graft.functions.Exact.decAvg(v, scale).as(out))
+    }
+  }
+
+  /**
+   * Per-group Gini coefficient of a non-negative measure — the
+   * inequality/concentration summary (revenue concentration, token
+   * ownership) complementing [[abcClassify]]'s banding: G = (2·Σi·xᵢ −
+   * (n+1)·Σx) / (n·Σx) with x ascending, i = 1..n. Σi·x and Σx are
+   * EXACT decimals (rank × value products stay inside the 38-precision
+   * cap: (13,0)×(18,s)→(32,s)); the closed form combines them in ONE
+   * fixed IEEE sequence. Ties: any tie order yields the same Σi·x
+   * (equal values commute across consecutive ranks), so row_number
+   * without a tie-break is still layout-independent HERE — do not copy
+   * this reasoning to per-row rank outputs. Zero-total groups yield
+   * NULL (0/0 would be an ANSI error).
+   */
+  def gini(
+      df: DataFrame, column: String, keys: Seq[String],
+      out: String = "gini", scale: Int = 4): DataFrame = {
+    require(keys.nonEmpty,
+      "gini needs group keys: an unkeyed rank window is a global single-partition funnel")
+    val v = col(column)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(v)
+    val xd = v.cast(s"decimal(18,$scale)")
+    df.filter(v.isNotNull)
+      .withColumn("__gix", row_number().over(w).cast("decimal(13,0)") * xd)
+      .withColumn("__gxd", xd)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__gix")).as("__gs1"), sum(col("__gxd")).as("__gs0"),
+        count(lit(1)).as("__gn"))
+      .select((keys.map(col) :+
+        when(col("__gs0") > 0,
+          (lit(2d) * col("__gs1").cast("double") -
+            (col("__gn") + 1).cast("double") * col("__gs0").cast("double")) /
+            (col("__gn").cast("double") * col("__gs0").cast("double")))
+          .as(out)): _*)
+  }
+
+  /**
+   * Herfindahl–Hirschman concentration index per group: Σ shareᵢ² of
+   * each member's row count — the "is one user/supplier/domain
+   * dominating this segment" audit (1/n uniform → 1 monopolized).
+   * Exact-rational: HHI = Σcᵢ² / T², with Σc² an exact decimal (counts
+   * cast to (18,0) so squares type (37,0), inside the cap) and T²
+   * squared in double AFTER the exact count exits (T² itself would
+   * overflow int64 at fact scale). Two aggregations, the second over
+   * the ≤ |groups|·|members| cells frame.
+   */
+  def hhi(
+      df: DataFrame, groupCol: String, memberCol: String,
+      out: String = "hhi"): DataFrame = {
+    val cells = df.groupBy(col(groupCol), col(memberCol))
+      .agg(count(lit(1)).cast("decimal(18,0)").as("__gc"))
+    cells.groupBy(col(groupCol))
+      .agg(sum(col("__gc") * col("__gc")).as("__gs2"), sum(col("__gc")).as("__gt"))
+      .select(col(groupCol),
+        (col("__gs2").cast("double") /
+          (col("__gt").cast("double") * col("__gt").cast("double"))).as(out))
+  }
+
+  /**
    * Market-basket pairwise co-occurrence (the support table behind
    * frequent-itemset mining): for every unordered item pair that shares
    * a basket, the number of baskets containing both. Items are

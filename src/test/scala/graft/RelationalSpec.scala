@@ -323,6 +323,38 @@ class RelationalSpec extends SparkSpec {
       (3L, 1L, 2L))) // (1, 10) x2: both maxes clamp into the last cell
   }
 
+  test("trimmedMean averages inside the percentile band; outliers excluded not clamped") {
+    // group a: 1..10 plus a 1000 outlier; [0.05, 0.95] band keeps 1..10
+    val d = ((1 to 10).map(i => ("a", i.toDouble)) :+ (("a", 1000.0))) ++
+      Seq(("b", 5.0), ("b", 6.0), ("b", 7.0))
+    val out = Relational.trimmedMean(d.toDF("k", "v").repartition(3), "v", Seq("k"),
+        lo = 0.05, hi = 0.9)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1)))
+    // a: p05 of 1..1000 set = 1.5, p90 = 10 -> keeps 2..10, mean 6
+    assert(out(0)._1 == "a" && out(0)._2 == 6.0)
+    assert(out(1) == ("b", 6.0))
+  }
+
+  test("gini: uniform group 0-ish, fully concentrated approaches 1, scale invariant") {
+    val d = (Seq.fill(4)(("u", 10.0)) ++ Seq(("c", 0.0), ("c", 0.0), ("c", 0.0), ("c", 100.0)) ++
+      Seq(("z", 0.0), ("z", 0.0))).toDF("k", "v")
+    val out = Relational.gini(d.repartition(3), "v", Seq("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    // uniform n=4: G = (2*(1+2+3+4)*10 - 5*40)/(4*40) = 0
+    // concentrated n=4: G = (2*4*100 - 5*100)/(4*100) = 0.75 = (n-1)/n
+    assert(out.toSeq == Seq(
+      ("c", Some(0.75)), ("u", Some(0.0)), ("z", None))) // zero-total -> NULL
+  }
+
+  test("hhi: uniform members 1/n, monopoly 1") {
+    val d = Seq(("m1", "a"), ("m1", "b"), ("m1", "c"), ("m1", "d"),
+      ("m2", "a"), ("m2", "a"), ("m2", "a")).toDF("g", "m")
+    val out = Relational.hhi(d.repartition(3), "g", "m")
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(out.toSeq == Seq(("m1", 0.25), ("m2", 1.0)))
+  }
+
   test("copurchasePairs counts baskets per unordered pair; repeated lines collapse to one") {
     val d = Seq(
       (1L, 10L), (1L, 20L), (1L, 20L), (1L, 30L), // repeated 20 counts once

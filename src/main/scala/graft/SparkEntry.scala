@@ -1679,6 +1679,38 @@ object SparkEntry {
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
   }
 
+  /** #164 period-over-period contribution: which order priority drove
+   *  the 1996→1997 revenue change — per-segment exact-decimal deltas,
+   *  one broadcast overall-delta scalar, shares sum to 1. */
+  private def q164Contribution(s: SparkSession, dir: String): DataFrame =
+    Relational.deltaContribution(
+      t(s, dir).orders.select("o_orderpriority", "o_orderdate", "o_totalprice"),
+      Seq("o_orderpriority"), col("o_totalprice"),
+      isCurrent = year(col("o_orderdate")) === 1997,
+      isPrior = year(col("o_orderdate")) === 1996)
+
+  /** #165 rolling 7-row median event value per type — the robust
+   *  rolling smoother; quantile interpolation parity is the q40-pinned
+   *  bit contract, ordering total via (ts, event_id). */
+  private def q165RollingQuantile(s: SparkSession, dir: String): DataFrame =
+    Relational.rollingQuantile(
+      t(s, dir).events.select("event_id", "event_type", "ts", "value"),
+      "value", Seq("event_type"), Seq(col("ts"), col("event_id")),
+      window = 7, p = 0.5)
+      .select("event_id", "event_type", "value", "rolling_q")
+
+  /** #166 the rank family in one window: rank / dense_rank / cume_dist
+   *  of price within return flag — all value-deterministic under ties
+   *  (no tie-break needed), cume_dist an exact two-integer division. */
+  private def q166RankFamily(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    t(s, dir).lineitem.select(col("l_orderkey"), col("l_linenumber"),
+      col("l_returnflag"), col("l_extendedprice"),
+      rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"),
+      cume_dist().over(w).as("cd"))
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1845,6 +1877,9 @@ object SparkEntry {
     "q161_gini"             -> (q161Gini _),
     "q162_hhi"              -> (q162Hhi _),
     "q163_full_prep"        -> (q163FullPrep _),
+    "q164_contribution"     -> (q164Contribution _),
+    "q165_rolling_quantile" -> (q165RollingQuantile _),
+    "q166_rank_family"      -> (q166RankFamily _),
   )
 
   private val monthCaseSql: String =
@@ -3117,5 +3152,27 @@ object SparkEntry {
         s"'${graft.operators.Features.weightThresholdHex(0.8 + 0.1)}' THEN 'val' " +
         "ELSE 'test' END AS split FROM c " +
         "WHERE NOT EXISTS (SELECT 1 FROM fl WHERE fl.doc_id = c.doc_id)"),
+    "q164_contribution" ->
+      ("WITH p AS (SELECT o_orderpriority, " +
+        "SUM(CASE WHEN year(o_orderdate) = 1997 THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS cur, " +
+        "SUM(CASE WHEN year(o_orderdate) = 1996 THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS pri " +
+        "FROM orders GROUP BY 1), " +
+        "d AS (SELECT o_orderpriority, cur, pri, " +
+        "COALESCE(cur, CAST(0 AS DECIMAL(18,4))) - COALESCE(pri, CAST(0 AS DECIMAL(18,4))) AS dd FROM p), " +
+        "t AS (SELECT SUM(dd) AS tot FROM d) " +
+        "SELECT o_orderpriority, CAST(cur AS DOUBLE) AS cur_total, " +
+        "CAST(pri AS DOUBLE) AS prior_total, CAST(dd AS DOUBLE) AS delta, " +
+        "CASE WHEN tot <> 0 THEN CAST(dd AS DOUBLE) / CAST(tot AS DOUBLE) END AS delta_share " +
+        "FROM d, t"),
+    "q165_rolling_quantile" ->
+      ("SELECT event_id, event_type, value, " +
+        "quantile_cont(value, 0.5) OVER (PARTITION BY event_type " +
+        "ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) " +
+        "AS rolling_q FROM events"),
+    "q166_rank_family" ->
+      ("SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice, " +
+        "rank() OVER w AS rnk, dense_rank() OVER w AS drnk, " +
+        "cume_dist() OVER w AS cd FROM lineitem " +
+        "WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_extendedprice)"),
   )
 }

@@ -213,6 +213,62 @@ object Relational {
   }
 
   /**
+   * Period-over-period contribution decomposition — "which segment
+   * drove the change": per segment, the current and prior totals, the
+   * delta, and the segment's share of the OVERALL delta (shares sum to
+   * 1 across segments; a segment moving against the trend gets a
+   * negative share). One scan with two conditional exact-decimal sums
+   * per segment; the overall delta is one broadcast scalar row; share
+   * is one double division of exact decimals. Zero overall delta (the
+   * degenerate "nothing changed" frame) yields NULL shares rather than
+   * an ANSI 0/0 error.
+   */
+  def deltaContribution(
+      df: DataFrame, segments: Seq[String], measure: Column,
+      isCurrent: Column, isPrior: Column, scale: Int = 4): DataFrame = {
+    require(segments.nonEmpty, "deltaContribution needs segment columns")
+    val dec = measure.cast(s"decimal(18,$scale)")
+    val per = df.groupBy(segments.map(col): _*)
+      .agg(sum(when(isCurrent, dec)).as("__gcur"),
+        sum(when(isPrior, dec)).as("__gpri"))
+      .withColumn("__gd",
+        coalesce(col("__gcur"), lit(0).cast(s"decimal(18,$scale)")) -
+          coalesce(col("__gpri"), lit(0).cast(s"decimal(18,$scale)")))
+    val total = per.agg(sum(col("__gd")).as("__gtot"))
+    per.crossJoin(broadcast(total))
+      .select((segments.map(col) :+
+        col("__gcur").cast("double").as("cur_total") :+
+        col("__gpri").cast("double").as("prior_total") :+
+        col("__gd").cast("double").as("delta") :+
+        when(col("__gtot") =!= 0,
+          col("__gd").cast("double") / col("__gtot").cast("double"))
+          .as("delta_share")): _*)
+  }
+
+  /**
+   * Rolling exact quantile over an ordered per-key frame (`window` rows
+   * ending at the current row) — the robust rolling smoother a rolling
+   * MEAN cannot be (one spike pollutes a mean for `window` rows; a
+   * median shrugs it off). `percentile` runs as a window aggregate over
+   * the bounded frame — per-row cost O(window log window), the right
+   * trade below ~10³ frame rows (beyond that, pre-bucket values the
+   * q131 way). Interpolation parity with DuckDB `quantile_cont` is the
+   * q40-pinned bit contract. The ordering must be total or frame
+   * membership is layout-dependent.
+   */
+  def rollingQuantile(
+      df: DataFrame, column: String, keys: Seq[String], order: Seq[Column],
+      window: Int, p: Double, out: String = "rolling_q"): DataFrame = {
+    require(window > 0, "rollingQuantile needs a positive window")
+    require(p >= 0 && p <= 1, "rollingQuantile needs p in [0, 1]")
+    require(keys.nonEmpty,
+      "rollingQuantile needs partition keys: an unkeyed window is a global single-partition funnel")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    df.withColumn(out, percentile(col(column), lit(p)).over(w))
+  }
+
+  /**
    * Idempotent-load filter: rows of `incoming` whose `keys` already exist
    * in `existing` are dropped — the Spark-first re-expression of the
    * reference's `INSERT ... ON CONFLICT DO NOTHING` warehouse load

@@ -323,6 +323,30 @@ class RelationalSpec extends SparkSpec {
       (3L, 1L, 2L))) // (1, 10) x2: both maxes clamp into the last cell
   }
 
+  test("deltaContribution: shares sum to 1, counter-trend segments go negative, missing periods coalesce") {
+    val d = Seq(
+      ("s1", 1, 100.0), ("s1", 2, 160.0), // +60
+      ("s2", 1, 50.0), ("s2", 2, 30.0),   // -20
+      ("s3", 2, 10.0)).toDF("seg", "per", "v") // new segment: +10
+    val out = Relational.deltaContribution(d.repartition(3), Seq("seg"), col("v"),
+        isCurrent = col("per") === 2, isPrior = col("per") === 1)
+      .orderBy("seg").collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4)))
+    // total delta = 60 - 20 + 10 = 50
+    assert(out.toSeq == Seq(
+      ("s1", 60.0, 1.2), ("s2", -20.0, -0.4), ("s3", 10.0, 0.2)))
+  }
+
+  test("rollingQuantile: frame-bounded median shrugs off a spike a mean would follow") {
+    val d = Seq(("k", 1, 1.0), ("k", 2, 2.0), ("k", 3, 100.0), ("k", 4, 3.0),
+      ("k", 5, 4.0)).toDF("g", "t", "v")
+    val out = Relational.rollingQuantile(d.repartition(2), "v", Seq("g"),
+        Seq(col("t")), window = 3, p = 0.5)
+      .orderBy("t").collect().map(r => (r.getInt(1), r.getDouble(3)))
+    // frames: [1] [1,2] [1,2,100] [2,100,3] [100,3,4]
+    assert(out.toSeq == Seq((1, 1.0), (2, 1.5), (3, 2.0), (4, 3.0), (5, 4.0)))
+  }
+
   test("trimmedMean averages inside the percentile band; outliers excluded not clamped") {
     // group a: 1..10 plus a 1000 outlier; [0.05, 0.95] band keeps 1..10
     val d = ((1 to 10).map(i => ("a", i.toDouble)) :+ (("a", 1000.0))) ++

@@ -1711,6 +1711,21 @@ object SparkEntry {
       cume_dist().over(w).as("cd"))
   }
 
+  /** #167 k-NN majority-vote labels for the q32 query set — the
+   *  label-propagation primitive over the exact neighbor order;
+   *  deterministic (count desc, label) vote. */
+  private def q167KnnLabel(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir).embeddings
+    Similarity.knnClassify(s, e, e.filter(col("vec_id") < 8),
+      "vec_id", "embedding", "label", k = 5)
+  }
+
+  /** #168 embedding hygiene audit: dimension count + exact NaN/zero
+   *  flags per vector — the malformed-vector screen before any cosine
+   *  math; zero shuffle, no floats in the output. */
+  private def q168EmbeddingAudit(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingAudit(t(s, dir).embeddings, "vec_id", "embedding")
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1880,6 +1895,8 @@ object SparkEntry {
     "q164_contribution"     -> (q164Contribution _),
     "q165_rolling_quantile" -> (q165RollingQuantile _),
     "q166_rank_family"      -> (q166RankFamily _),
+    "q167_knn_label"        -> (q167KnnLabel _),
+    "q168_embedding_audit"  -> (q168EmbeddingAudit _),
   )
 
   private val monthCaseSql: String =
@@ -3174,5 +3191,25 @@ object SparkEntry {
         "rank() OVER w AS rnk, dense_rank() OVER w AS drnk, " +
         "cume_dist() OVER w AS cd FROM lineitem " +
         "WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_extendedprice)"),
+    "q167_knn_label" ->
+      // q32's rank-collapsed cosine order + a deterministic majority
+      // vote (count desc, label asc)
+      ("WITH nn AS (SELECT query_id, neighbor_id FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, " +
+        "c.vec_id) AS rank " +
+        "FROM embeddings c JOIN embeddings q ON q.vec_id < 8 AND c.vec_id <> q.vec_id) " +
+        "WHERE rank <= 5), " +
+        "v AS (SELECT nn.query_id, e.label, COUNT(*) AS n FROM nn " +
+        "JOIN embeddings e ON e.vec_id = nn.neighbor_id GROUP BY 1, 2) " +
+        "SELECT query_id, label AS predicted_label FROM (" +
+        "SELECT query_id, label, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY n DESC, label) AS rn FROM v) WHERE rn = 1"),
+    "q168_embedding_audit" ->
+      ("SELECT vec_id, len(embedding) AS n_dims, " +
+        "len(list_filter(embedding, x -> isnan(x))) > 0 AS has_nan, " +
+        "len(list_filter(embedding, x -> isnan(x) OR x <> 0)) = 0 AS all_zero " +
+        "FROM embeddings"),
   )
 }

@@ -42,6 +42,44 @@ object Similarity {
   }
 
   /**
+   * k-NN majority-vote classification — the label-propagation / weak-
+   * supervision primitive: each query vector takes the most common
+   * label among its k nearest corpus neighbors (cosine). The vote is
+   * deterministic: ties break on (count desc, label asc), and the
+   * neighbor set itself is the [[bruteForceTopK]] total order. The
+   * label join touches only k·|queries| rows; swap the neighbor stage
+   * for [[lshTopK]]/IVF when the corpus outgrows the broadcast query
+   * pattern — the voting tail is unchanged.
+   */
+  def knnClassify(
+      spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, labelCol: String, k: Int): DataFrame = {
+    val nn = bruteForceTopK(spark, corpus, queries, id, vec, k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__gc").desc, col("__glab"))
+    nn.join(corpus.select(col(id).as("neighbor_id"), col(labelCol).as("__glab")),
+        "neighbor_id")
+      .groupBy(col("query_id"), col("__glab")).agg(count(lit(1)).as("__gc"))
+      .withColumn("__gr", row_number().over(w))
+      .filter(col("__gr") === 1)
+      .select(col("query_id"), col("__glab").as("predicted_label"))
+  }
+
+  /**
+   * Embedding hygiene audit — the malformed-vector screen BEFORE any
+   * cosine math (a NaN poisons every similarity it touches; a zero
+   * vector has no direction; a wrong-width vector breaks fixed-dim
+   * kernels): per vector, its dimension count and exact boolean flags.
+   * Pure per-row higher-order expressions, zero shuffle, no floats in
+   * the output.
+   */
+  def embeddingAudit(df: DataFrame, id: String, vec: String): DataFrame =
+    df.select(col(id),
+      size(col(vec)).as("n_dims"),
+      exists(col(vec), x => isnan(x)).as("has_nan"),
+      forall(col(vec), x => !isnan(x) && x === 0f).as("all_zero"))
+
+  /**
    * Random-hyperplane signature: bit j = sign(v · h_j) where h_j is a
    * Rademacher (±1) vector derived deterministically from xxhash64(j, i).
    * Computed per-row with higher-order expressions — no stored model, no

@@ -90,6 +90,42 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq(1L, 2L)) // 1 is closest, then orthogonal 2, never -1 direction 3
   }
 
+  test("knnClassify takes the majority neighbor label; ties break on label order") {
+    val corpus = Seq(
+      (0L, Seq(1f, 0f), "?"),
+      (1L, Seq(0.95f, 0.05f), "A"), (2L, Seq(0.9f, 0.1f), "A"),
+      (3L, Seq(0.8f, 0.2f), "B"),
+      (4L, Seq(-1f, 0f), "B"), (5L, Seq(-0.9f, -0.1f), "B"),
+    ).toDF("vec_id", "embedding", "label")
+    val queries = corpus.filter(col("vec_id") === 0L)
+    val got = Similarity.knnClassify(spark, corpus, queries,
+        "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // 3-NN of q0: ids 1, 2 (A) and 3 (B) -> majority A
+    assert(got.toSeq == Seq((0L, "A")))
+    // with k=4 the vote is 2 A vs 2 B -> tie breaks to 'A' (label asc)
+    val tied = Similarity.knnClassify(spark, corpus, queries,
+        "vec_id", "embedding", "label", k = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(tied.toSeq == Seq((0L, "A")))
+  }
+
+  test("embeddingAudit flags NaN and zero vectors with exact booleans, zero shuffle") {
+    val d = Seq(
+      (1L, Seq(1f, 2f)), (2L, Seq(0f, 0f)), (3L, Seq(Float.NaN, 1f)),
+      (4L, Seq.empty[Float])).toDF("vec_id", "embedding")
+    val out = Similarity.embeddingAudit(d.repartition(2), "vec_id", "embedding")
+    val shuffles = out.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+    }
+    assert(shuffles.isEmpty, "audit must not shuffle")
+    val got = out.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2, false, false), (2L, 2, false, true),
+      (3L, 2, true, false), (4L, 0, false, true)))
+  }
+
   test("lshTopK respects bucket boundaries and never pairs a query with itself") {
     val e = sources.Tables(spark, sf0001).embeddings
     val res = Similarity.lshTopK(spark, e, e.filter(col("vec_id") < 4), "vec_id", "embedding", 3, bits = 4)

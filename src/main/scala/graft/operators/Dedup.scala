@@ -304,8 +304,14 @@ object Dedup {
       num: Int, den: Int, cacheSets: Boolean = false): DataFrame = {
     require(num > 0 && den > 0 && num <= den,
       "threshold num/den must sit in (0, 1]")
-    val recs = df.select(col(idCol).as("__gid"),
+    var recs = df.select(col(idCol).as("__gid"),
       array_distinct(tokensCol).as("__gtok"))
+    // the shingle/tokenize expression is the per-row hot cost and recs
+    // feeds BOTH the vocab aggregate and the ordered-frame join —
+    // persist it alongside `ordered` or the tokenizer runs twice
+    // (caller owns the lifetime via clearCache, as with `ordered`)
+    if (cacheSets)
+      recs = recs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = recs
       .select(col("__gid"), explode(col("__gtok")).as("__gt"))
       .groupBy(col("__gt")).agg(count(lit(1)).as("__gdf"))

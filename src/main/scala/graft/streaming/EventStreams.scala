@@ -227,6 +227,42 @@ object EventStreams {
         }
       }
 
+  final case class DriftState(prefix: Double, lo: Double, hi: Double)
+  final case class DriftScore(key: String, prefix: Double,
+      cusum_pos: Double, cusum_neg: Double, n_seen: Long)
+
+  /**
+   * Streaming CUSUM drift monitor — the unbounded twin of
+   * Events.cusumScores: per key, maintains the running deviation
+   * prefix and its extrema (three doubles of state, CONSTANT per key
+   * forever — the ideal streaming-state shape), and emits the current
+   * one-sided scores after each micro-batch. Within-batch order follows
+   * the batch's row order, so feed pre-bucketed/ordered micro-batches
+   * (foreachBatch sorting) when exact tie order matters; the alarm
+   * use-case (has the score crossed h·σ?) is threshold-level and
+   * insensitive to within-batch ties. State never times out: drift
+   * monitoring is indefinite by design; cap the key domain upstream.
+   */
+  def driftMonitor(
+      values: Dataset[(String, Double)], target: Double): Dataset[DriftScore] = {
+    values.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: String, rows: Iterator[(String, Double)], state: GroupState[DriftState]) => {
+          val prev = state.getOption.getOrElse(DriftState(0d, 0d, 0d))
+          var prefix = prev.prefix; var lo = prev.lo; var hi = prev.hi
+          var n = 0L
+          rows.foreach { case (_, v) =>
+            prefix += v - target
+            if (prefix < lo) lo = prefix
+            if (prefix > hi) hi = prefix
+            n += 1
+          }
+          state.update(DriftState(prefix, lo, hi))
+          Iterator.single(DriftScore(key, prefix, prefix - lo, hi - prefix, n))
+        })(Encoders.product[DriftState], Encoders.product[DriftScore])
+  }
+
   /**
    * Custom-state sessionization via flatMapGroupsWithState with a
    * processing-time timeout: emits a summary when a user goes quiet.

@@ -32,6 +32,29 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
   }
 
+  test("driftMonitor accumulates CUSUM state across micro-batches like the batch closed form") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, Double)]
+    val q = EventStreams.driftMonitor(mem.toDS(), target = 10.0)
+      .writeStream.format("memory").queryName("drift").outputMode("append").start()
+    try {
+      // batch 1: devs +1, +1 -> prefix 2, pos 2, neg 0
+      mem.addData(("k", 11.0), ("k", 11.0))
+      q.processAllAvailable()
+      // batch 2: devs -3, +1 -> prefix 0, lo -1 -> pos 1, hi 2 -> neg 2
+      mem.addData(("k", 7.0), ("k", 11.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("drift")
+      .select("key", "prefix", "cusum_pos", "cusum_neg", "n_seen").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toSet
+    assert(rows == Set(
+      ("k", 2.0, 2.0, 0.0, 2L),
+      ("k", 0.0, 1.0, 2.0, 2L)))
+  }
+
   test("stream-stream interval join pairs events on key within the window only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -1726,6 +1726,39 @@ object SparkEntry {
   private def q168EmbeddingAudit(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingAudit(t(s, dir).embeddings, "vec_id", "embedding")
 
+  /** #169 decile lift / gains table: do high-value events concentrate
+   *  purchases? Rank by value desc into 10 buckets; per-bucket positive
+   *  rate and lift vs the overall rate — exact counts, one division
+   *  each. */
+  private def q169DecileLift(s: SparkSession, dir: String): DataFrame =
+    Features.decileLift(
+      t(s, dir).events.select("event_id", "event_type", "value"),
+      "value", positive = col("event_type") === "purchase", keys = Nil,
+      n = 10, tieBreak = Seq("event_id"))
+
+  /** #170 reciprocal-rank fusion of the cosine and inner-product
+   *  rankings (the two orders genuinely disagree on unnormalized
+   *  embeddings): 1/(60+ra) + 1/(60+rb), top-5 per query. */
+  private def q170RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir).embeddings
+    val q = e.filter(col("vec_id") < 8)
+    Similarity.rrfFusion(
+      Similarity.bruteForceTopK(s, e, q, "vec_id", "embedding", k = 20),
+      Similarity.dotTopK(e, q, "vec_id", "embedding", k = 20),
+      k = 5)
+  }
+
+  /** #171 k-NN evaluation loop closed: confusion matrix of q167's
+   *  majority-vote predictions against the queries' true labels. */
+  private def q171KnnConfusion(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir).embeddings
+    q167KnnLabel(s, dir)
+      .join(e.select(col("vec_id").as("query_id"), col("label").as("true_label")),
+        "query_id")
+      .groupBy(col("true_label"), col("predicted_label"))
+      .agg(cnt.as("n"))
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1897,6 +1930,9 @@ object SparkEntry {
     "q166_rank_family"      -> (q166RankFamily _),
     "q167_knn_label"        -> (q167KnnLabel _),
     "q168_embedding_audit"  -> (q168EmbeddingAudit _),
+    "q169_decile_lift"      -> (q169DecileLift _),
+    "q170_rrf_fusion"       -> (q170RrfFusion _),
+    "q171_knn_confusion"    -> (q171KnnConfusion _),
   )
 
   private val monthCaseSql: String =
@@ -3211,5 +3247,55 @@ object SparkEntry {
         "len(list_filter(embedding, x -> isnan(x))) > 0 AS has_nan, " +
         "len(list_filter(embedding, x -> isnan(x) OR x <> 0)) = 0 AS all_zero " +
         "FROM embeddings"),
+    "q169_decile_lift" ->
+      ("WITH b AS (SELECT event_id, value, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p, " +
+        "ntile(10) OVER (ORDER BY value DESC, event_id) AS bucket FROM events), " +
+        "c AS (SELECT bucket, COUNT(*) AS n_rows, CAST(SUM(p) AS BIGINT) AS n_pos FROM b GROUP BY 1), " +
+        "t AS (SELECT SUM(n_rows) AS tn, SUM(n_pos) AS tp FROM c) " +
+        "SELECT bucket, n_rows, n_pos, " +
+        "CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE) AS pos_rate, " +
+        "CASE WHEN tp > 0 THEN CAST(n_pos * tn AS DOUBLE) / CAST(n_rows * tp AS DOUBLE) END AS lift " +
+        "FROM c, t"),
+    "q170_rrf_fusion" ->
+      // cosine and inner-product top-20s, fused 1/(60+ra) + 1/(60+rb)
+      // — two exact reciprocals in a fixed order, so the fused order
+      // is engine-identical (ties on neighbor id)
+      ("WITH a AS (SELECT query_id, neighbor_id, rank FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, " +
+        "c.vec_id) AS rank " +
+        "FROM embeddings c JOIN embeddings q ON q.vec_id < 8 AND c.vec_id <> q.vec_id) " +
+        "WHERE rank <= 20), " +
+        "b AS (SELECT query_id, neighbor_id, rank FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, " +
+        "c.vec_id) AS rank " +
+        "FROM embeddings c JOIN embeddings q ON q.vec_id < 8 AND c.vec_id <> q.vec_id) " +
+        "WHERE rank <= 20), " +
+        "f AS (SELECT query_id, neighbor_id, " +
+        "COALESCE(1.0 / (60 + a.rank), 0.0) + COALESCE(1.0 / (60 + b.rank), 0.0) AS s " +
+        "FROM a FULL OUTER JOIN b USING (query_id, neighbor_id)) " +
+        "SELECT query_id, rank, neighbor_id FROM (" +
+        "SELECT query_id, neighbor_id, ROW_NUMBER() OVER (" +
+        "PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank FROM f) " +
+        "WHERE rank <= 5"),
+    "q171_knn_confusion" ->
+      ("WITH nn AS (SELECT query_id, neighbor_id FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, " +
+        "c.vec_id) AS rank " +
+        "FROM embeddings c JOIN embeddings q ON q.vec_id < 8 AND c.vec_id <> q.vec_id) " +
+        "WHERE rank <= 5), " +
+        "v AS (SELECT nn.query_id, e.label, COUNT(*) AS n FROM nn " +
+        "JOIN embeddings e ON e.vec_id = nn.neighbor_id GROUP BY 1, 2), " +
+        "pred AS (SELECT query_id, label AS predicted_label FROM (" +
+        "SELECT query_id, label, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY n DESC, label) AS rn FROM v) WHERE rn = 1) " +
+        "SELECT t.label AS true_label, p.predicted_label, COUNT(*) AS n " +
+        "FROM pred p JOIN embeddings t ON t.vec_id = p.query_id GROUP BY 1, 2"),
   )
 }

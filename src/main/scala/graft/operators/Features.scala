@@ -157,6 +157,51 @@ object Features {
   }
 
   /**
+   * Decile lift / gains table — the model-evaluation staple: rank rows
+   * by a score, cut into n equal-count buckets (best scores = bucket
+   * 1), and report each bucket's positive rate against the overall
+   * rate. A useful model concentrates positives in the top buckets
+   * (lift > 1). Counts are exact integers; rate and lift are each ONE
+   * double division of exact ints (lift = bucket_pos·total / (bucket_n·
+   * total_pos) would stay exact-rational, but the rate is wanted in the
+   * output anyway, so both divide once). Zero-positive frames yield
+   * NULL lift rather than 0/0. One rank window + one aggregation + one
+   * broadcast totals row.
+   *
+   * With empty `keys` the rank window is GLOBAL — acceptable here by
+   * design (a gains table is computed over an eval-sized scored frame,
+   * the dowSeasonality bounded-safe precedent), keyed otherwise.
+   */
+  def decileLift(
+      df: DataFrame, scoreCol: String, positive: Column, keys: Seq[String],
+      n: Int, tieBreak: Seq[String]): DataFrame = {
+    require(n > 0, "decileLift needs a positive bucket count")
+    require(tieBreak.nonEmpty,
+      "decileLift needs tie-break columns: ntile is row-position based")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(scoreCol).desc +: tieBreak.map(col(_).asc): _*)
+    val bucketed = df.withColumn("__gb", ntile(n).over(w))
+      .withColumn("__gp", when(positive, 1L).otherwise(0L))
+    val cells = bucketed.groupBy((keys.map(col) :+ col("__gb")): _*)
+      .agg(count(lit(1)).as("n_rows"), sum(col("__gp")).as("n_pos"))
+    val totals =
+      if (keys.isEmpty) {
+        val t = cells.agg(sum(col("n_rows")).as("__gtn"), sum(col("n_pos")).as("__gtp"))
+        cells.crossJoin(broadcast(t))
+      } else {
+        val wt = Window.partitionBy(keys.map(col): _*)
+        cells.withColumn("__gtn", sum(col("n_rows")).over(wt))
+          .withColumn("__gtp", sum(col("n_pos")).over(wt))
+      }
+    totals.select((keys.map(col) :+ col("__gb").as("bucket") :+
+      col("n_rows") :+ col("n_pos") :+
+      (col("n_pos").cast("double") / col("n_rows").cast("double")).as("pos_rate") :+
+      when(col("__gtp") > 0,
+        (col("n_pos") * col("__gtn")).cast("double") /
+          (col("n_rows") * col("__gtp")).cast("double")).as("lift")): _*)
+  }
+
+  /**
    * Threshold literal for [[mixtureSample]]: an 8-hex-digit lowercase
    * string such that `md5(id).substr(0, 8) < threshold` keeps a
    * `w` fraction of uniformly-hashed ids. Weights ≥ 1 map to "g", which

@@ -42,6 +42,59 @@ object Similarity {
   }
 
   /**
+   * Brute-force top-k by raw INNER PRODUCT — the second ranker for
+   * fusion experiments: unlike cosine it rewards magnitude, so the two
+   * orders genuinely disagree on unnormalized embeddings. Same
+   * broadcast-queries shape as [[bruteForceTopK]]; the dot product is
+   * a left-to-right double fold over the casted arrays (matching
+   * DuckDB's list_dot_product evaluation order, the q32 parity
+   * contract).
+   */
+  def dotTopK(
+      corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("query_id"), col(vec).as("__qvec"))
+    val dot = aggregate(
+      zip_with(col(vec).cast("array<double>"), col("__qvec").cast("array<double>"),
+        (x, y) => x * y),
+      lit(0.0d), (acc, x) => acc + x)
+    val w = Window.partitionBy("query_id").orderBy(col("__gsim").desc, col(id).asc)
+    corpus
+      .join(broadcast(q), col(id) =!= col("query_id"))
+      .withColumn("__gsim", dot)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(id).as("neighbor_id"))
+  }
+
+  /**
+   * Reciprocal-rank fusion (Cormack et al. 2009): combine two rankings
+   * of the same query set into one, scoring each item 1/(c+rankA) +
+   * 1/(c+rankB) (0 for a list it missed) — the standard no-training
+   * way to merge heterogeneous retrievers (cosine + inner-product,
+   * dense + sparse). Both inputs are (query_id, rank, neighbor_id)
+   * frames. The score is two exact reciprocals added in a fixed order,
+   * so the fused order is engine-identical; ties break on neighbor id.
+   * One key-partitioned full-outer join + one rank window.
+   */
+  def rrfFusion(
+      a: DataFrame, b: DataFrame, k: Int, c: Int = 60): DataFrame = {
+    require(k > 0 && c >= 0, "rrfFusion needs k > 0 and c >= 0")
+    val ra = a.select(col("query_id"), col("neighbor_id"), col("rank").as("__gra"))
+    val rb = b.select(col("query_id"), col("neighbor_id"), col("rank").as("__grb"))
+    val score =
+      coalesce(lit(1.0d) / (lit(c) + col("__gra")), lit(0.0d)) +
+        coalesce(lit(1.0d) / (lit(c) + col("__grb")), lit(0.0d))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__gs").desc, col("neighbor_id"))
+    ra.join(rb, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("__gs", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /**
    * k-NN majority-vote classification — the label-propagation / weak-
    * supervision primitive: each query vector takes the most common
    * label among its k nearest corpus neighbors (cosine). The vote is

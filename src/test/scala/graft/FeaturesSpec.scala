@@ -265,6 +265,19 @@ class FeaturesSpec extends SparkSpec {
     assert(noKeys.getMessage.contains("single-partition"))
   }
 
+  test("decileLift: positives concentrated up top give lift > 1 there, exact counts") {
+    // 10 rows, scores 10..1; positives are the top 2 scores
+    val d = (1 to 10).map(i => (i.toLong, (11 - i).toDouble, i <= 2)).toDF("id", "score", "pos")
+    val out = Features.decileLift(d.repartition(3), "score", col("pos"), Nil,
+        n = 5, tieBreak = Seq("id"))
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    // bucket 1 holds the 2 best scores -> both positives; overall rate 0.2
+    assert(out(0) == ((1, 2L, 2L, 1.0, 5.0)))
+    assert(out.drop(1).forall(b => b._3 == 0L && b._5 == 0.0))
+  }
+
   test("lagFeatures and rfmScores refuse empty keys (single-partition funnel guard)") {
     val d = Seq((1, 1, 1.0)).toDF("k", "t", "v")
     val exLag = intercept[IllegalArgumentException] {

@@ -90,6 +90,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq(1L, 2L)) // 1 is closest, then orthogonal 2, never -1 direction 3
   }
 
+  test("rrfFusion: consensus items outrank single-list items; missed lists score 0") {
+    val a = Seq((0L, 1, 10L), (0L, 2, 11L), (0L, 3, 12L)).toDF("query_id", "rank", "neighbor_id")
+    val b = Seq((0L, 1, 11L), (0L, 2, 13L)).toDF("query_id", "rank", "neighbor_id")
+    val got = Similarity.rrfFusion(a.repartition(2), b, k = 4, c = 60)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    // 11 is in both lists (1/62 + 1/61) and must beat 10 (1/61 alone);
+    // 10 (1/61) beats 13 (1/62) beats 12 (1/63)
+    assert(got.toSeq == Seq((1, 11L), (2, 10L), (3, 13L), (4, 12L)))
+  }
+
+  test("dotTopK ranks by inner product — magnitude matters, unlike cosine") {
+    val corpus = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.5f, 0f)), (2L, Seq(3f, 0.5f)),
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 0L)
+    val got = Similarity.dotTopK(corpus, queries, "vec_id", "embedding", k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    // dot: id2 = 3.0 beats id1 = 0.5; cosine would prefer id1 (aligned)
+    assert(got == Seq(2L, 1L))
+  }
+
   test("knnClassify takes the majority neighbor label; ties break on label order") {
     val corpus = Seq(
       (0L, Seq(1f, 0f), "?"),

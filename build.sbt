@@ -26,6 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Keep the heap at 8g: this box is a microVM where FIRST-TOUCH of
+  // cold heap pages is kernel-expensive — a 32g heap measured q135 at
+  // 98s vs 2.6s at 8g on identical code (G1 keeps evacuating into
+  // never-touched regions, each fault a host page allocation). A small
+  // heap the GC churns WITHIN beats a big one it wanders ACROSS.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // 54 codegen-heavy queries (x warmup) overflow the default 240m code
   // cache; once full the JIT disables itself and late queries run
@@ -34,5 +39,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 69 codegen-heavy queries in one Bench JVM: 54 overflowed the 240m
   // default (JIT disables itself -> random 3-8x spikes on late queries,
   // q41 the usual victim); headroom scaled with the query count
-  "-XX:ReservedCodeCacheSize=768m",
+  // 176 queries now: 768m left no margin; 1g.
+  "-XX:ReservedCodeCacheSize=1024m",
 )
+// ad-hoc JVM flags for perf triage (GC logs etc.) without editing the build
+javaOptions ++= sys.env.get("SPARK_GRAFT_EXTRA_JVM").toSeq
+  .flatMap(_.split(" ").filter(_.nonEmpty))

@@ -32,13 +32,25 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         -1.0
       }
-      finally
+      finally {
         // queries that persist intermediates (e.g. q29's shingle sets)
-        // must not hold memory while later queries are measured
+        // must not hold memory while later queries are measured.
+        // clearCache misses localCheckpoint blocks (connectedComponents)
+        // — they sit in SparkContext.persistentRdds until GC'd — so
+        // unpersist those explicitly (blocking: the next measurement
+        // must not race block eviction), then nudge the ContextCleaner
+        // to sweep dead broadcasts
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        System.gc()
+      }
     }
 
+    // optional comma-separated subset for quick regression triage
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       names.foreach(materialize(_, warmDir))

@@ -1759,6 +1759,55 @@ object SparkEntry {
       .agg(cnt.as("n"))
   }
 
+  /** #172 Cohen's kappa over q171's confusion matrix — chance-corrected
+   *  agreement of the k-NN labeler with ground truth; exact marginals,
+   *  one fixed IEEE division sequence. */
+  private def q172CohensKappa(s: SparkSession, dir: String): DataFrame =
+    Features.cohensKappa(q171KnnConfusion(s, dir),
+      "true_label", "predicted_label", "n")
+
+  /** #173 cross-source duplication matrix. The corpus has no natural
+   *  cross-source duplicate lines at this sf, so the entry synthesizes
+   *  them deterministically (the q71 boilerplate precedent, mirrored in
+   *  the oracle): each doc carries a 'shared block (doc_id mod 7)' line
+   *  plus its unique text line; sources sharing a block line overlap.
+   *  The operator itself is generic over any line-structured corpus. */
+  private def q173SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir).documents.select(col("doc_id"), col("source"),
+      concat(lit("shared block "), col("doc_id") % 7, lit("\n"), col("text"))
+        .as("text"))
+    Curation.sourceOverlap(d, "source", "text")
+  }
+
+  /** #174 per-source boilerplate stripping: banner/footer lines planted
+   *  in every doc of a source (the q71 synthesis precedent) are removed
+   *  corpus-wide; each doc's unique middle line survives. */
+  private def q174BoilerplateStrip(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir).documents.select(col("doc_id"), col("source"),
+      concat(lit("banner for "), col("source"), lit("\n"), col("text"),
+        lit("\nfooter for "), col("source")).as("text"))
+    Curation.boilerplateStrip(d, "doc_id", "source", "text", minDocs = 5)
+  }
+
+  /** #175 feature hashing (the hashing trick): token → md5-hex bucket
+   *  mod 64, per-doc bucket counts in exploded sparse form — no
+   *  vocabulary pass, bounded width, engine-portable hash. */
+  private def q175FeatureHashing(s: SparkSession, dir: String): DataFrame =
+    Features.hashingTrick(t(s, dir).documents, "doc_id", "text", nBuckets = 64)
+
+  /** #176 dedup impact accounting per source: every fifth doc is
+   *  collapsed onto one shared payload (deterministic synthesis — the
+   *  corpus has no natural exact dups at this sf), so the report shows
+   *  each source's doc/char counts, keep-first survivors, and duplicate
+   *  fraction, with cross-source dups charged to every source but the
+   *  first. */
+  private def q176DedupImpact(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir).documents.select(col("doc_id"), col("source"),
+      when(col("doc_id") % 5 === 0, lit("common duplicate payload"))
+        .otherwise(col("text")).as("text"))
+    Dedup.dedupImpact(d, "doc_id", "source", "text")
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1933,6 +1982,11 @@ object SparkEntry {
     "q169_decile_lift"      -> (q169DecileLift _),
     "q170_rrf_fusion"       -> (q170RrfFusion _),
     "q171_knn_confusion"    -> (q171KnnConfusion _),
+    "q172_cohens_kappa"     -> (q172CohensKappa _),
+    "q173_source_overlap"   -> (q173SourceOverlap _),
+    "q174_boilerplate_strip" -> (q174BoilerplateStrip _),
+    "q175_feature_hashing"  -> (q175FeatureHashing _),
+    "q176_dedup_impact"     -> (q176DedupImpact _),
   )
 
   private val monthCaseSql: String =
@@ -3297,5 +3351,72 @@ object SparkEntry {
         "ORDER BY n DESC, label) AS rn FROM v) WHERE rn = 1) " +
         "SELECT t.label AS true_label, p.predicted_label, COUNT(*) AS n " +
         "FROM pred p JOIN embeddings t ON t.vec_id = p.query_id GROUP BY 1, 2"),
+    "q172_cohens_kappa" ->
+      // q171's confusion matrix -> kappa; marginal products in
+      // DECIMAL(22,0) (int128 promotion), VARCHAR detour to DOUBLE,
+      // one fixed IEEE division sequence
+      ("WITH nn AS (SELECT query_id, neighbor_id FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, " +
+        "c.vec_id) AS rank " +
+        "FROM embeddings c JOIN embeddings q ON q.vec_id < 8 AND c.vec_id <> q.vec_id) " +
+        "WHERE rank <= 5), " +
+        "v AS (SELECT nn.query_id, e.label, COUNT(*) AS n FROM nn " +
+        "JOIN embeddings e ON e.vec_id = nn.neighbor_id GROUP BY 1, 2), " +
+        "pred AS (SELECT query_id, label AS predicted_label FROM (" +
+        "SELECT query_id, label, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY n DESC, label) AS rn FROM v) WHERE rn = 1), " +
+        "conf AS (SELECT t.label AS true_label, p.predicted_label, COUNT(*) AS n " +
+        "FROM pred p JOIN embeddings t ON t.vec_id = p.query_id GROUP BY 1, 2), " +
+        "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN true_label = predicted_label THEN n ELSE 0 END) AS BIGINT) AS trace FROM conf), " +
+        "r AS (SELECT true_label AS lab, CAST(SUM(n) AS DECIMAL(22,0)) AS rt FROM conf GROUP BY 1), " +
+        "c2 AS (SELECT predicted_label AS lab, CAST(SUM(n) AS DECIMAL(22,0)) AS ct FROM conf GROUP BY 1), " +
+        "p2 AS (SELECT SUM(rt * ct) AS pen FROM r JOIN c2 USING (lab)) " +
+        "SELECT n, po, pe, CASE WHEN pe < 1 THEN (po - pe) / (1 - pe) END AS kappa FROM (" +
+        "SELECT n, CAST(trace AS DOUBLE) / CAST(n AS DOUBLE) AS po, " +
+        "CAST(CAST(pen AS VARCHAR) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe " +
+        "FROM tot, p2)"),
+    "q173_source_overlap" ->
+      ("WITH d AS (SELECT doc_id, source, " +
+        "'shared block ' || (doc_id % 7) || chr(10) || text AS text FROM documents), " +
+        "l AS (SELECT DISTINCT source, line FROM (" +
+        "SELECT source, unnest(string_split(text, chr(10))) AS line FROM d) " +
+        "WHERE trim(line) <> '') " +
+        "SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared " +
+        "FROM l a JOIN l b ON a.line = b.line AND a.source < b.source GROUP BY 1, 2"),
+    "q174_boilerplate_strip" ->
+      ("WITH d AS (SELECT doc_id, source, " +
+        "'banner for ' || source || chr(10) || text || chr(10) || 'footer for ' || source AS text " +
+        "FROM documents), " +
+        "l AS (SELECT doc_id, source, " +
+        "unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos, " +
+        "unnest(string_split(text, chr(10))) AS line FROM d), " +
+        "b AS (SELECT source, line FROM (" +
+        "SELECT source, line, COUNT(DISTINCT doc_id) AS nd FROM l " +
+        "WHERE trim(line) <> '' GROUP BY 1, 2) WHERE nd >= 5) " +
+        "SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean, " +
+        "CAST(COUNT(*) AS INT) AS n_lines FROM l " +
+        "WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.source = l.source AND b.line = l.line) " +
+        "GROUP BY doc_id"),
+    "q175_feature_hashing" ->
+      // bucket = first 8 md5 hex digits mod 64 — Spark conv(,16,10) and
+      // DuckDB CAST('0x'||hex AS BIGINT) parse the same 32-bit value
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS INT) AS bucket, " +
+        "COUNT(*) AS cnt FROM tok WHERE tok <> '' GROUP BY 1, 2"),
+    "q176_dedup_impact" ->
+      ("WITH d AS (SELECT doc_id, source, " +
+        "CASE WHEN doc_id % 5 = 0 THEN 'common duplicate payload' ELSE text END AS text " +
+        "FROM documents), " +
+        "r AS (SELECT doc_id, source, text, " +
+        "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM d) " +
+        "SELECT source, COUNT(*) AS n_docs, CAST(SUM(len(text)) AS BIGINT) AS n_chars, " +
+        "CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept, " +
+        "CAST(SUM(CASE WHEN rn = 1 THEN len(text) ELSE 0 END) AS BIGINT) AS chars_kept, " +
+        "CAST(COUNT(*) - SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_frac " +
+        "FROM r GROUP BY 1"),
   )
 }

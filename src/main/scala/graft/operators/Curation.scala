@@ -318,6 +318,77 @@ object Curation {
       .select(col(groupCol), col("token"), col("obs"), col("contribution"))
   }
 
+  /**
+   * Per-source boilerplate-line stripping (the CCNet/C4 refinement of
+   * global line dedup, dag.py:47's cleaning step taken cross-document):
+   * a line occurring in at least `minDocs` DISTINCT documents of the
+   * SAME source is boilerplate — a navigation bar, a license banner, a
+   * cookie notice — and is removed from EVERY document of that source
+   * (unlike [[graft.operators.Dedup.globalLineDedup]], which keeps the
+   * first occurrence). Documents are reassembled from their surviving
+   * lines in original order; documents reduced to zero lines drop out.
+   *
+   * Scale shape: posexplode → distinct (source, line, doc) → count per
+   * (source, line) → join back on (source, line) → reassembly groupBy
+   * doc. Two hash shuffles on line-keyed frames plus the reassembly —
+   * all linear, no self-join. The counts frame is |distinct lines| rows,
+   * too big to broadcast at corpus scale, so the back-join stays a
+   * shuffle join on the same (source, line) key the counts aggregation
+   * already partitioned by. Blank lines never count as boilerplate.
+   * Returns (id, clean, n_lines).
+   */
+  def boilerplateStrip(
+      docs: DataFrame, id: String, sourceCol: String, textCol: String,
+      minDocs: Int): DataFrame = {
+    require(minDocs >= 2, "boilerplateStrip needs minDocs >= 2")
+    val lines = docs.select(col(id), col(sourceCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__gpos", "__gline")))
+    val boiler = lines
+      .filter(trim(col("__gline")) =!= "")
+      .select(col(sourceCol), col("__gline"), col(id)).distinct()
+      .groupBy(col(sourceCol), col("__gline"))
+      .agg(count(lit(1)).as("__gnd"))
+      .filter(col("__gnd") >= minDocs)
+      .select(col(sourceCol), col("__gline"), lit(true).as("__gboiler"))
+    lines.join(boiler, Seq(sourceCol, "__gline"), "left")
+      .filter(col("__gboiler").isNull)
+      .groupBy(col(id))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("__gpos"), col("__gline")))),
+            p => p.getField("__gline")), "\n").as("clean"),
+        count(lit(1)).cast("int").as("n_lines"))
+  }
+
+  /**
+   * Cross-source duplication matrix — "how much of source A also
+   * appears in source B": for every unordered source pair, the number
+   * of distinct non-blank lines present in both. The diagnostic that
+   * catches a crawl ingested twice under two names, or a mirror site,
+   * BEFORE corpus-wide dedup quietly deletes half of one source.
+   *
+   * Scale shape: distinct (source, line) — one hash shuffle, the frame
+   * is ≤ |distinct lines|·|sources touching them| — then a self-join on
+   * the line. The join key's fan-out per line is the number of SOURCES
+   * carrying it (≤ 20 here, bounded by the source count — never the
+   * document count), so the join output is |shared lines|·O(sources²)
+   * worst case and the pair aggregation map-side combines to at most
+   * |sources|² rows. `source_a < source_b` keeps each pair once.
+   */
+  def sourceOverlap(
+      docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val sl = docs.select(col(sourceCol).as("__gsrc"),
+        explode(split(col(textCol), "\n")).as("__gline"))
+      .filter(trim(col("__gline")) =!= "")
+      .distinct()
+    val a = sl.select(col("__gsrc").as("source_a"), col("__gline"))
+    val b = sl.select(col("__gsrc").as("source_b"), col("__gline"))
+    a.join(b, Seq("__gline"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Remove flagged-contaminated documents from the corpus (anti-join
    *  against the small flag set — broadcast in the common case). */
   def decontaminate(

@@ -304,23 +304,22 @@ object Dedup {
       num: Int, den: Int, cacheSets: Boolean = false): DataFrame = {
     require(num > 0 && den > 0 && num <= den,
       "threshold num/den must sit in (0, 1]")
-    var recs = df.select(col(idCol).as("__gid"),
-      array_distinct(tokensCol).as("__gtok"))
-    // the shingle/tokenize expression is the per-row hot cost and recs
-    // feeds BOTH the vocab aggregate and the ordered-frame join —
-    // persist it alongside `ordered` or the tokenizer runs twice
-    // (caller owns the lifetime via clearCache, as with `ordered`)
-    if (cacheSets)
-      recs = recs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vocab = recs
-      .select(col("__gid"), explode(col("__gtok")).as("__gt"))
-      .groupBy(col("__gt")).agg(count(lit(1)).as("__gdf"))
+    // the shingle/tokenize expression is the per-row hot cost: explode
+    // ONCE and take each token's document frequency from a count window
+    // over the exploded frame — one linear pipeline, no vocab aggregate
+    // to join back, no second evaluation of the tokenizer. (A persist of
+    // the tokenized frame was tried instead and reverted: it halved this
+    // query but poisoned every LATER query in the same session with
+    // order-dependent 2-5x slowdowns — plan-fragment caches are session
+    // state, and a window is free by comparison.)
+    val toks = df.select(col(idCol).as("__gid"),
+      explode(array_distinct(tokensCol)).as("__gt"))
+    val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("__gt"))
     // rare-first total order WITHOUT a global rank window: sort each
     // record's tokens by the (df, token) struct (field-order
     // lexicographic, total because the token tie-break is unique)
-    var ordered = recs
-      .select(col("__gid"), explode(col("__gtok")).as("__gt"))
-      .join(vocab, "__gt")
+    var ordered = toks
+      .withColumn("__gdf", count(lit(1)).over(wdf))
       .groupBy(col("__gid"))
       .agg(transform(
         array_sort(collect_list(struct(col("__gdf"), col("__gt")))),
@@ -696,5 +695,38 @@ object Dedup {
         greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
 
     smallPairs.unionByName(samePairs).unionByName(adjPairs)
+  }
+
+  /**
+   * Dedup impact accounting — the before/after report a corpus owner
+   * reads before signing off on a dedup run: per group (source), how
+   * many documents and characters exist, how many survive exact
+   * text-dedup (first occurrence by id, the dag.py:49 keep-first
+   * semantics applied corpus-wide), and the duplicate fraction.
+   *
+   * Scale shape: one ROW_NUMBER window partitioned by the text
+   * fingerprint (md5 — the same hash shuffle exact dedup itself needs;
+   * the window ranks GLOBALLY so a cross-source duplicate is charged to
+   * every group but its first), then one map-side-combinable
+   * aggregation by group. Counts and char sums are exact integers; the
+   * duplicate fraction is one double division.
+   * Returns (group, n_docs, n_chars, docs_kept, chars_kept, dup_frac).
+   */
+  def dedupImpact(
+      docs: DataFrame, id: String, groupCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val first = docs.withColumn("__grn", row_number().over(
+      Window.partitionBy(md5(col(textCol))).orderBy(col(id))))
+    first.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col(textCol))).as("n_chars"),
+        sum(when(col("__grn") === 1, 1L).otherwise(0L)).as("docs_kept"),
+        sum(when(col("__grn") === 1, length(col(textCol))).otherwise(0))
+          .as("chars_kept"))
+      .withColumn("dup_frac",
+        (col("n_docs") - col("docs_kept")).cast("double") /
+          col("n_docs").cast("double"))
   }
 }

@@ -486,4 +486,74 @@ object Features {
         col("f_score").cast("string"), col("m_score").cast("string")))
       .drop("__gmon")
   }
+
+  /**
+   * Feature hashing (the "hashing trick", Weinberger et al. 2009):
+   * map each token to a fixed bucket in [0, nBuckets) by hashing, and
+   * emit per-document bucket counts — a bounded-width sparse feature
+   * representation that needs NO vocabulary pass, no dictionary
+   * broadcast, and no retraining when new tokens appear. The output is
+   * the exploded sparse form (id, bucket, cnt); pivoting to a dense
+   * vector is a downstream choice.
+   *
+   * The bucket hash is the first 8 hex digits of md5 reduced mod
+   * nBuckets — the library's engine-portable hash idiom ([[mixtureSample]],
+   * hashSplit): Spark `conv(hex, 16, 10)` and DuckDB
+   * `CAST('0x'||hex AS BIGINT)` parse the same 32-bit value exactly.
+   * One explode + one map-side-combinable aggregation; zero joins,
+   * zero driver state. Empty tokens are dropped.
+   */
+  def hashingTrick(
+      docs: DataFrame, id: String, textCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, "hashingTrick needs a positive bucket count")
+    docs
+      .select(col(id),
+        explode(graft.functions.TextFns.tokens(col(textCol))).as("__gtok"))
+      .filter(col("__gtok") =!= "")
+      .withColumn("bucket",
+        (conv(substring(md5(col("__gtok")), 1, 8), 16, 10).cast("long")
+          % nBuckets).cast("int"))
+      .groupBy(col(id), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
+   * Cohen's kappa from a confusion-matrix frame (true label, predicted
+   * label, count) — chance-corrected agreement, the standard check that
+   * a labeler (q171's k-NN, a weak-supervision rule, a second annotator)
+   * beats majority-class guessing. kappa = (po − pe) / (1 − pe) with
+   * po = trace/N and pe = Σ_label rowTotal·colTotal / N².
+   *
+   * Exactness: N, trace, and every marginal are exact integers; the
+   * marginal products accumulate in DECIMAL (they are N²-scale, past
+   * int64 at fact cardinalities), and the three divisions run in ONE
+   * fixed IEEE sequence both engines replay identically (the q142
+   * Wilson-interval contract). Perfect chance agreement (pe = 1) yields
+   * NULL, not 0/0. The confusion frame is |labels|² rows, so every
+   * aggregate here is bounded — the heavy lifting happened upstream.
+   * Returns one row: (n, po, pe, kappa).
+   */
+  def cohensKappa(
+      confusion: DataFrame, trueCol: String, predCol: String,
+      nCol: String): DataFrame = {
+    val totals = confusion.agg(
+      sum(col(nCol)).as("n"),
+      sum(when(col(trueCol) === col(predCol), col(nCol)).otherwise(0L))
+        .as("__gtrace"))
+    val rows = confusion.groupBy(col(trueCol).as("__glab"))
+      .agg(sum(col(nCol)).cast("decimal(18,0)").as("__grt"))
+    val cols = confusion.groupBy(col(predCol).as("__glab"))
+      .agg(sum(col(nCol)).cast("decimal(18,0)").as("__gct"))
+    val peNum = rows.join(cols, "__glab")
+      .agg(sum(col("__grt") * col("__gct")).as("__gpe"))
+    val po = col("__gtrace").cast("double") / col("n").cast("double")
+    val pe = col("__gpe").cast("string").cast("double") /
+      (col("n").cast("double") * col("n").cast("double"))
+    totals.crossJoin(broadcast(peNum))
+      .withColumn("po", po)
+      .withColumn("pe", pe)
+      .withColumn("kappa",
+        when(col("pe") < 1.0d, (col("po") - col("pe")) / (lit(1.0d) - col("pe"))))
+      .select(col("n"), col("po"), col("pe"), col("kappa"))
+  }
 }

@@ -197,4 +197,42 @@ class CurationSpec extends SparkSpec {
     // s1's beta (1 obs vs expected 7*3/14 = 1.5) is under-represented
     // and excluded, so s1 keeps only alpha and k=2 caps nothing
   }
+
+  test("boilerplateStrip removes lines shared by >= minDocs docs of a source, keeps the rest") {
+    val docs = Seq(
+      (0L, "s1", "BANNER\nalpha\nfooter"),
+      (1L, "s1", "BANNER\nbeta\nfooter"),
+      (2L, "s1", "BANNER\nfooter"),            // reduced to zero lines -> drops out
+      (3L, "s2", "BANNER\ngamma"),             // s2's BANNER is below threshold -> kept
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.boilerplateStrip(docs.repartition(3), "doc_id", "source", "text",
+        minDocs = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.toSeq == Seq(
+      (0L, "alpha", 1), (1L, "beta", 1), (3L, "BANNER\ngamma", 2)))
+  }
+
+  test("boilerplateStrip counts DISTINCT docs (in-doc repeats don't fake boilerplate) and spares blanks") {
+    val docs = Seq(
+      (0L, "s1", "echo\necho\necho\n\nkeep me"),  // echo repeats in ONE doc only
+      (1L, "s1", "\n\nother"),                    // blank lines shared but never stripped
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.boilerplateStrip(docs, "doc_id", "source", "text", minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq(
+      (0L, "echo\necho\necho\n\nkeep me"), (1L, "\n\nother")))
+  }
+
+  test("sourceOverlap counts distinct shared lines per unordered source pair") {
+    val docs = Seq(
+      ("s1", "x\ny\nz"), ("s1", "x\nw"),      // s1's lines: {x,y,z,w} (x deduped)
+      ("s2", "x\ny"), ("s3", "y\n \n"),       // blanks excluded
+    ).toDF("source", "text")
+    val out = Curation.sourceOverlap(docs.repartition(2), "source", "text")
+      .orderBy("source_a", "source_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("s1", "s2", 2L), ("s1", "s3", 1L), ("s2", "s3", 1L)))
+  }
 }

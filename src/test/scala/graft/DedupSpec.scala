@@ -422,4 +422,19 @@ class DedupSpec extends SparkSpec {
     // (1,2),(1,4),(2,4),(2,3),(4,3); only the aaa* trio scores >= 0.85
     assert(got == Set((1L, 2L), (1L, 4L), (2L, 4L)))
   }
+
+  test("dedupImpact: cross-source dup charged to every source but the first; exact counts") {
+    val docs = Seq(
+      (1L, "s1", "same"), (2L, "s1", "alpha"), (3L, "s2", "same"),
+      (4L, "s2", "same"), (5L, "s2", "be"),
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.dedupImpact(docs.repartition(3), "doc_id", "source", "text")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // 'same' keeps doc 1 (s1); docs 3,4 in s2 are duplicates
+    assert(out.toSeq == Seq(
+      ("s1", 2L, 9L, 2L, 9L, 0.0),
+      ("s2", 3L, 10L, 1L, 2L, 2.0 / 3.0)))
+  }
 }

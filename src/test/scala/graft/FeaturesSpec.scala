@@ -278,6 +278,34 @@ class FeaturesSpec extends SparkSpec {
     assert(out.drop(1).forall(b => b._3 == 0L && b._5 == 0.0))
   }
 
+  test("hashingTrick: buckets match the md5 formula, counts exact, layout-independent") {
+    def bucket(tok: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (BigInt(d.substring(0, 8), 16) % 64).toInt
+    }
+    val docs = Seq((1L, "a b a  c"), (2L, "a")).toDF("doc_id", "text")
+    val out = Features.hashingTrick(docs.repartition(3), "doc_id", "text", nBuckets = 64)
+    val rows = out.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val expected = Seq( // empty token from the double space is dropped
+      (1L, bucket("a"), 2L), (1L, bucket("b"), 1L), (1L, bucket("c"), 1L),
+      (2L, bucket("a"), 1L))
+    assert(rows.toSet == expected.toSet)
+    assert(Features.hashingTrick(docs, "doc_id", "text", 64).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet == rows.toSet)
+  }
+
+  test("cohensKappa: hand-checked 2x2 matrix; degenerate pe=1 yields NULL") {
+    val conf = Seq(("A", "A", 20L), ("A", "B", 5L), ("B", "A", 10L), ("B", "B", 15L))
+      .toDF("t", "p", "n")
+    val r = Features.cohensKappa(conf.repartition(2), "t", "p", "n").collect()(0)
+    assert(r.getLong(0) == 50L && r.getDouble(1) == 0.7 && r.getDouble(2) == 0.5)
+    assert(math.abs(r.getDouble(3) - 0.4) < 1e-15)
+    val degen = Seq(("A", "A", 5L)).toDF("t", "p", "n")
+    val d = Features.cohensKappa(degen, "t", "p", "n").collect()(0)
+    assert(d.getDouble(1) == 1.0 && d.getDouble(2) == 1.0 && d.isNullAt(3))
+  }
+
   test("lagFeatures and rfmScores refuse empty keys (single-partition funnel guard)") {
     val d = Seq((1, 1, 1.0)).toDF("k", "t", "v")
     val exLag = intercept[IllegalArgumentException] {

@@ -1808,6 +1808,56 @@ object SparkEntry {
     Dedup.dedupImpact(d, "doc_id", "source", "text")
   }
 
+  /** #177 exact ROC AUC of event value as a purchase classifier —
+   *  Mann-Whitney over the value-aggregated distribution, no per-row
+   *  rank window; one IEEE division at the end. */
+  private def q177AucExact(s: SparkSession, dir: String): DataFrame =
+    Features.aucExact(
+      t(s, dir).events.select("event_type", "value"),
+      "value", positive = col("event_type") === "purchase")
+
+  /** #178 Spearman rank correlation of quantity vs price — average-rank
+   *  ties via value-aggregated closed form, Pearson on doubled ranks
+   *  through exact decimal moments. */
+  private def q178Spearman(s: SparkSession, dir: String): DataFrame =
+    Features.spearmanRho(
+      t(s, dir).lineitem.select("l_quantity", "l_extendedprice"),
+      "l_quantity", "l_extendedprice")
+
+  /** #179 exact two-sample KS statistic: purchase vs non-purchase event
+   *  values — integer numerator maxed over the aggregated value frame,
+   *  one final division. */
+  private def q179KsTest(s: SparkSession, dir: String): DataFrame =
+    Features.ksStatistic(
+      t(s, dir).events.select("event_type", "value"),
+      "value", inA = col("event_type") === "purchase")
+
+  /** #180 temperature-scaled (T=2) source mixing weights over the
+   *  document corpus — √share, decimal-summed normalizer, the
+   *  mixtureSample feeder. */
+  private def q180MixWeights(s: SparkSession, dir: String): DataFrame =
+    Curation.mixtureWeights(t(s, dir).documents, "source")
+
+  /** #181 bloom-prefiltered incremental-ingest dedup. Baseline =
+   *  doc_id < 100 carrying payloads keyed by doc_id mod 10 (all ten in
+   *  baseline); batch = doc_id ≥ 100, where multiples of 4 repeat a
+   *  baseline payload (true dups → bloom hit → anti-joined away) and
+   *  the rest carry fresh unique text (mostly bloom misses → zero-join
+   *  keep; fpp hits take the join and survive it). Exact semantics =
+   *  the oracle's plain anti-join, independent of fpp. */
+  private def q181IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir).documents
+    val base = docs.filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("source"),
+        concat(lit("payload "), col("doc_id") % 10).as("text"))
+    val fresh = docs.filter(col("doc_id") >= 100)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 4 === 0, concat(lit("payload "), col("doc_id") % 10))
+          .otherwise(concat(lit("fresh "), col("doc_id"))).as("text"))
+    Dedup.incrementalDedup(fresh, base, "text",
+      expectedItems = 1000L, fpp = 0.03)
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1987,6 +2037,11 @@ object SparkEntry {
     "q174_boilerplate_strip" -> (q174BoilerplateStrip _),
     "q175_feature_hashing"  -> (q175FeatureHashing _),
     "q176_dedup_impact"     -> (q176DedupImpact _),
+    "q177_auc_exact"        -> (q177AucExact _),
+    "q178_spearman"         -> (q178Spearman _),
+    "q179_ks_test"          -> (q179KsTest _),
+    "q180_mix_weights"      -> (q180MixWeights _),
+    "q181_incremental_dedup" -> (q181IncrementalDedup _),
   )
 
   private val monthCaseSql: String =
@@ -3418,5 +3473,84 @@ object SparkEntry {
         "CAST(SUM(CASE WHEN rn = 1 THEN len(text) ELSE 0 END) AS BIGINT) AS chars_kept, " +
         "CAST(COUNT(*) - SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_frac " +
         "FROM r GROUP BY 1"),
+    "q177_auc_exact" ->
+      // 2U = Σ_v pos(v)·(2·cumneg(<v)+neg(v)) exact; products in
+      // DECIMAL(22,0) (int128 promotion), VARCHAR detour to DOUBLE,
+      // one fixed division sequence (2.0·np)·nn
+      ("WITH c AS (SELECT value AS s, " +
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p, " +
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS BIGINT) AS n " +
+        "FROM events WHERE value IS NOT NULL GROUP BY 1), " +
+        "cum AS (SELECT p, n, COALESCE(CAST(SUM(n) OVER (ORDER BY s " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cn FROM c), " +
+        "t AS (SELECT CAST(SUM(p) AS BIGINT) AS n_pos, CAST(SUM(n) AS BIGINT) AS n_neg, " +
+        "SUM(CAST(p AS DECIMAL(22,0)) * CAST(2*cn + n AS DECIMAL(22,0))) AS u2 FROM cum) " +
+        "SELECT n_pos, n_neg, CASE WHEN n_pos > 0 AND n_neg > 0 THEN " +
+        "CAST(CAST(u2 AS VARCHAR) AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) " +
+        "END AS auc FROM t"),
+    "q178_spearman" ->
+      // 2·avgrank(v) = 2·cum(<v)+cnt(v)+1; Pearson on doubled ranks via
+      // exact decimal moments, VARCHAR detours, fixed IEEE sequence
+      ("WITH b AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem " +
+        "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL), " +
+        "rx AS (SELECT x, 2*COALESCE(CAST(SUM(cnt) OVER (ORDER BY x " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) + cnt + 1 AS r2x " +
+        "FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1)), " +
+        "ry AS (SELECT y, 2*COALESCE(CAST(SUM(cnt) OVER (ORDER BY y " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) + cnt + 1 AS r2y " +
+        "FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1)), " +
+        "j AS (SELECT r2x, r2y FROM b JOIN rx USING (x) JOIN ry USING (y)), " +
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        "SUM(CAST(r2x AS DECIMAL(22,0))) AS sx, SUM(CAST(r2y AS DECIMAL(22,0))) AS sy, " +
+        "SUM(CAST(r2x AS DECIMAL(22,0)) * CAST(r2y AS DECIMAL(22,0))) AS sxy, " +
+        "SUM(CAST(r2x AS DECIMAL(22,0)) * CAST(r2x AS DECIMAL(22,0))) AS sxx, " +
+        "SUM(CAST(r2y AS DECIMAL(22,0)) * CAST(r2y AS DECIMAL(22,0))) AS syy FROM j) " +
+        "SELECT n, CASE WHEN d1 > 0 AND d2 > 0 THEN num / (sqrt(d1) * sqrt(d2)) END AS rho FROM (" +
+        "SELECT n, " +
+        "CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - " +
+        "CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS num, " +
+        "CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - " +
+        "CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS d1, " +
+        "CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE) - " +
+        "CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS d2 FROM m)"),
+    "q179_ks_test" ->
+      // D numerator |ca·nb − cb·na| exact in DECIMAL; max over the
+      // aggregated value frame; one division at the end
+      ("WITH c AS (SELECT value AS s, " +
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS a, " +
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS BIGINT) AS b " +
+        "FROM events WHERE value IS NOT NULL GROUP BY 1), " +
+        "cum AS (SELECT CAST(SUM(a) OVER w AS BIGINT) AS ca, CAST(SUM(b) OVER w AS BIGINT) AS cb " +
+        "FROM c WINDOW w AS (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "t AS (SELECT MAX(ca) AS n_a, MAX(cb) AS n_b FROM cum), " +
+        "d AS (SELECT MAX(ABS(CAST(ca AS DECIMAL(22,0)) * CAST(n_b AS DECIMAL(22,0)) - " +
+        "CAST(cb AS DECIMAL(22,0)) * CAST(n_a AS DECIMAL(22,0)))) AS dn FROM cum, t) " +
+        "SELECT n_a, n_b, CASE WHEN n_a > 0 AND n_b > 0 THEN " +
+        "CAST(CAST(dn AS VARCHAR) AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) " +
+        "END AS ks FROM t, d"),
+    "q180_mix_weights" ->
+      // √share is IEEE-correctly-rounded (the reason T is fixed at 2);
+      // the normalizer sums DECIMAL(28,18) string images of each √ —
+      // order-independent — and the final division round-trips both
+      // operands through VARCHAR
+      ("WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1), " +
+        "t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot FROM c), " +
+        "w AS (SELECT source, n_docs, CAST(n_docs AS DOUBLE) / CAST(tot AS DOUBLE) AS share, " +
+        "CAST(CAST(sqrt(CAST(n_docs AS DOUBLE) / CAST(tot AS DOUBLE)) AS VARCHAR) AS DECIMAL(28,18)) AS wd " +
+        "FROM c, t), " +
+        "nrm AS (SELECT SUM(wd) AS s FROM w) " +
+        "SELECT source, n_docs, share, " +
+        "CAST(CAST(wd AS VARCHAR) AS DOUBLE) / CAST(CAST(s AS VARCHAR) AS DOUBLE) AS weight " +
+        "FROM w, nrm"),
+    "q181_incremental_dedup" ->
+      // semantics = the plain anti-join; the Spark side's bloom filter
+      // is a prefilter only and cannot change the result set
+      ("WITH base AS (SELECT 'payload ' || (doc_id % 10) AS text FROM documents WHERE doc_id < 100), " +
+        "fresh AS (SELECT doc_id, source, " +
+        "CASE WHEN doc_id % 4 = 0 THEN 'payload ' || (doc_id % 10) " +
+        "ELSE 'fresh ' || doc_id END AS text " +
+        "FROM documents WHERE doc_id >= 100) " +
+        "SELECT f.doc_id, f.source, f.text FROM fresh f " +
+        "WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.text = f.text)"),
   )
 }

@@ -389,6 +389,42 @@ object Curation {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /**
+   * Temperature-scaled source mixing weights (the multilingual/
+   * multi-source rebalancing rule of Lample & Conneau 2019 and the
+   * Pile): sampling weight w_s ∝ share_s^(1/T) with T = 2, i.e.
+   * √share — upweights small sources, tempering the head without
+   * flattening to uniform. The output feeds [[Features.mixtureSample]]
+   * as its per-source keep probability (scaled by the caller's target
+   * epoch budget).
+   *
+   * T is FIXED at 2 because √ is the one power IEEE 754 requires to be
+   * correctly rounded — `pow(x, 1/T)` for general T differs between
+   * libms in the last ulp and could not be oracle-verified. Exactness:
+   * counts are exact ints; share is one exact-int division; the
+   * normalizing sum accumulates the Ryu-shortest-string DECIMAL(28,18)
+   * image of each √share (order-independent — a plain double sum of
+   * √shares would be partition-order dependent); the final weight is
+   * one division of string-round-tripped doubles. |sources| rows,
+   * everything after the one count aggregation is broadcast-sized.
+   * Returns (source, n_docs, share, weight).
+   */
+  def mixtureWeights(docs: DataFrame, sourceCol: String): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("__gtot"))
+    val scored = counts.crossJoin(broadcast(total))
+      .withColumn("share",
+        col("n_docs").cast("double") / col("__gtot").cast("double"))
+      .withColumn("__gw",
+        sqrt(col("share")).cast("string").cast("decimal(28,18)"))
+    val norm = scored.agg(sum(col("__gw")).as("__gnorm"))
+    scored.crossJoin(broadcast(norm))
+      .select(col("source"), col("n_docs"), col("share"),
+        (col("__gw").cast("string").cast("double") /
+          col("__gnorm").cast("string").cast("double")).as("weight"))
+  }
+
   /** Remove flagged-contaminated documents from the corpus (anti-join
    *  against the small flag set — broadcast in the common case). */
   def decontaminate(

@@ -729,4 +729,51 @@ object Dedup {
         (col("n_docs") - col("docs_kept")).cast("double") /
           col("n_docs").cast("double"))
   }
+
+  /**
+   * Incremental-ingest dedup: keep only the rows of `fresh` whose text
+   * is NOT already in `baseline` — the daily-crawl-vs-historical-corpus
+   * join, where the baseline is orders of magnitude larger than the
+   * batch. Semantics are EXACTLY the anti-join on the md5 fingerprint;
+   * the bloom filter only short-circuits it.
+   *
+   * Scale shape: the baseline's fingerprints fold into a fixed-size
+   * bloom filter via a distributed `stat.bloomFilter` tree-aggregate
+   * (driver holds one bounded sketch — the k-means-centroid contract,
+   * sized by `expectedItems`/`fpp`, NOT by the data). The batch then
+   * splits per-row on `might_contain`: a bloom MISS is definitely new
+   * (no false negatives) and ships straight to the output with ZERO
+   * join — at a 3% fpp that is ~97% of genuinely-new rows — while the
+   * hits (true duplicates + fpp of the new rows) are the only rows that
+   * pay the exact anti-join shuffle. The probe side of that join
+   * carries fingerprints only. The two batch scans are parquet re-reads
+   * of the SMALL side; the baseline is scanned once for the sketch and
+   * once for the join build.
+   *
+   * The bloom probe is [[graft.plans.GraftFunctions.mightContainName]]
+   * — Spark's own codegen `BloomFilterMightContain` over `xxhash64`
+   * (the pairing `BloomFilterAggregate` itself uses), registered by
+   * graft because Spark 4 exposes it to the optimizer but not the
+   * FunctionRegistry.
+   */
+  def incrementalDedup(
+      fresh: DataFrame, baseline: DataFrame, textCol: String,
+      expectedItems: Long, fpp: Double): DataFrame = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      "incrementalDedup needs expectedItems > 0 and fpp in (0,1)")
+    GraftFunctions.register(fresh.sparkSession)
+    val baseFps = baseline.select(md5(col(textCol)).as("__gfp"))
+    val bf = baseFps.select(xxhash64(col("__gfp")).as("__gh"))
+      .stat.bloomFilter("__gh", expectedItems, fpp)
+    val baos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(baos)
+    val mightContain = call_function(GraftFunctions.mightContainName,
+      lit(baos.toByteArray), xxhash64(md5(col(textCol))))
+    val definitelyNew = fresh.filter(!mightContain)
+    val candidates = fresh.filter(mightContain)
+      .withColumn("__gfp", md5(col(textCol)))
+      .join(baseFps, Seq("__gfp"), "left_anti")
+      .drop("__gfp")
+    definitelyNew.unionByName(candidates)
+  }
 }

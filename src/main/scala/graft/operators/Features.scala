@@ -518,6 +518,129 @@ object Features {
   }
 
   /**
+   * Exact ROC AUC via the Mann-Whitney rank statistic, computed over
+   * the VALUE-AGGREGATED score distribution — never a global per-row
+   * rank window. AUC = P(score⁺ > score⁻) + ½P(score⁺ = score⁻):
+   * grouping rows by distinct score value into (pos, neg) counts, then
+   * 2·U = Σ_v pos(v)·(2·cumneg(<v) + neg(v)) counts every
+   * positive/negative pair won twice and every tied pair once — all
+   * integer arithmetic, so the statistic is exact and
+   * partition-order independent; the only float op is ONE final
+   * division 2U / (2·n⁺·n⁻) in a fixed IEEE sequence.
+   *
+   * Scale shape: one map-side-combinable aggregation by score value,
+   * then the cumulative window runs over the AGGREGATED frame
+   * (|distinct scores| rows — the q115 ABC precedent), not the fact.
+   * Products accumulate in DECIMAL: pair counts are N²-scale, past
+   * int64 at fact cardinalities. Null scores are excluded (they rank
+   * nowhere). Degenerate frames (no positives or no negatives) yield
+   * NULL AUC, not 0/0. Returns one row (n_pos, n_neg, auc).
+   * Counts stay exact-in-double below 2^53 rows per class.
+   */
+  def aucExact(df: DataFrame, scoreCol: String, positive: Column): DataFrame = {
+    val cells = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).as("__gs"))
+      .agg(sum(when(positive, 1L).otherwise(0L)).as("__gp"),
+        sum(when(positive, 0L).otherwise(1L)).as("__gn"))
+    val below = Window.orderBy(col("__gs"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = cells.withColumn("__gcn",
+      coalesce(sum(col("__gn")).over(below), lit(0L)))
+    cum.agg(
+      sum(col("__gp")).as("n_pos"),
+      sum(col("__gn")).as("n_neg"),
+      sum(col("__gp").cast("decimal(18,0)") *
+        (col("__gcn") * 2 + col("__gn")).cast("decimal(18,0)")).as("__gu2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("__gu2").cast("string").cast("double") /
+            (lit(2.0d) * col("n_pos").cast("double") *
+              col("n_neg").cast("double"))).as("auc"))
+  }
+
+  /**
+   * Spearman rank correlation with average-rank tie handling — the
+   * monotone-association check between two columns (two quality
+   * scorers, a heuristic vs a model) that Pearson's linearity
+   * assumption gets wrong. Per-row ranks are NEVER computed with a
+   * global row window: each column's average rank is a closed form
+   * over its value-aggregated counts — avgrank(v) = cum(<v) +
+   * (cnt(v)+1)/2 — kept integral as 2·rank, joined back to the rows by
+   * value (an ordinary hash shuffle both engines replay), then Pearson
+   * runs on the doubled ranks through exact decimal moments
+   * ([[graft.functions.Exact.decCorr]]'s contract; products are
+   * N³-scale so factors cast to DECIMAL(18,0) before multiplying).
+   * The closed-form combination is a fixed IEEE sequence; zero-variance
+   * columns (all one value) yield NULL. Returns one row
+   * (n, rho). Both-null-free rows only.
+   */
+  def spearmanRho(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).as("__gx"), col(yCol).as("__gy"))
+    def rankMap(c: String, out: String): DataFrame = {
+      val cells = base.groupBy(col(c)).agg(count(lit(1)).as("__gcnt"))
+      val below = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cells.select(col(c),
+        (coalesce(sum(col("__gcnt")).over(below), lit(0L)) * 2 +
+          col("__gcnt") + 1).as(out))
+    }
+    val ranked = base
+      .join(rankMap("__gx", "__gr2x"), "__gx")
+      .join(rankMap("__gy", "__gr2y"), "__gy")
+    val dx = col("__gr2x").cast("decimal(18,0)")
+    val dy = col("__gr2y").cast("decimal(18,0)")
+    val m = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(dx).as("__gsx"), sum(dy).as("__gsy"),
+      sum(dx * dy).as("__gsxy"),
+      sum(dx * dx).as("__gsxx"),
+      sum(dy * dy).as("__gsyy"))
+    def d(c: String) = col(c).cast("string").cast("double")
+    val nD = col("n").cast("double")
+    val num = nD * d("__gsxy") - d("__gsx") * d("__gsy")
+    val den1 = nD * d("__gsxx") - d("__gsx") * d("__gsx")
+    val den2 = nD * d("__gsyy") - d("__gsy") * d("__gsy")
+    m.select(col("n"),
+      when(den1 > 0 && den2 > 0, num / (sqrt(den1) * sqrt(den2)))
+        .as("rho"))
+  }
+
+  /**
+   * Exact two-sample Kolmogorov-Smirnov statistic — the standard
+   * distribution-drift test between two score samples (train vs
+   * holdout, last week vs this week). D = max_v |F_A(v) − F_B(v)| is
+   * computed WITHOUT floats: at each distinct value the numerator
+   * |cumA·n_B − cumB·n_A| is exact integer (DECIMAL — products are
+   * N²-scale), the max is taken over exact values, and the single
+   * division by n_A·n_B runs once at the end in a fixed IEEE sequence.
+   * Same scale shape as [[aucExact]]: one aggregation by value, a
+   * cumulative window over the aggregated frame only, one broadcast
+   * totals row. Null scores excluded; an empty side yields NULL.
+   * Returns one row (n_a, n_b, ks).
+   */
+  def ksStatistic(df: DataFrame, scoreCol: String, inA: Column): DataFrame = {
+    val cells = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).as("__gs"))
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("__ga"),
+        sum(when(inA, 0L).otherwise(1L)).as("__gb"))
+    val upto = Window.orderBy(col("__gs"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells.select(
+      sum(col("__ga")).over(upto).as("__gca"),
+      sum(col("__gb")).over(upto).as("__gcb"))
+    val totals = cum.agg(max(col("__gca")).as("n_a"), max(col("__gcb")).as("n_b"))
+    val dNum = cum.crossJoin(broadcast(totals))
+      .agg(max(abs(col("__gca").cast("decimal(18,0)") * col("n_b").cast("decimal(18,0)") -
+        col("__gcb").cast("decimal(18,0)") * col("n_a").cast("decimal(18,0)"))).as("__gd"))
+    totals.crossJoin(broadcast(dNum))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("__gd").cast("string").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double"))).as("ks"))
+  }
+
+  /**
    * Cohen's kappa from a confusion-matrix frame (true label, predicted
    * label, count) — chance-corrected agreement, the standard check that
    * a labeler (q171's k-NN, a weak-supervision rule, a second annotator)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.SparkSessionExtensions
@@ -103,6 +103,7 @@ object GraftFunctions {
   val jaroWinklerName = "graft_jaro_winkler"
   val imageDimsName = "graft_image_dims"
   val audioMetaName = "graft_audio_meta"
+  val mightContainName = "graft_might_contain"
 
   private[plans] def cosineBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2, s"$cosineName expects 2 arguments")
@@ -171,6 +172,18 @@ object GraftFunctions {
     AudioMeta(children.head)
   }
 
+  /** Spark 4 ships `BloomFilterMightContain` for its runtime-filter
+   *  optimizer but does not register it as a callable function; graft
+   *  exposes it for explicit bloom-prefilter plans
+   *  ([[graft.operators.Dedup.incrementalDedup]]). The bloom child must
+   *  be a foldable binary (a serialized `util.sketch.BloomFilter`), the
+   *  value child an xxhash64 long — both enforced by the expression's
+   *  own checkInputDataTypes. */
+  private[plans] def mightContainBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 2, s"$mightContainName expects (bloom, xxhash64)")
+    BloomFilterMightContain(children.head, children(1))
+  }
+
   /**
    * The single source of truth for (identifier, info, builder) triples:
    * both the programmatic [[register]] path and the config-driven
@@ -215,6 +228,9 @@ object GraftFunctions {
     (FunctionIdentifier(audioMetaName),
       new ExpressionInfo(classOf[AudioMeta].getName, audioMetaName),
       audioMetaBuilder _),
+    (FunctionIdentifier(mightContainName),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, mightContainName),
+      mightContainBuilder _),
   )
 
   /** Idempotent per-session registration (programmatic path). */

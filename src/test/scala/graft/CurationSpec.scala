@@ -235,4 +235,18 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(out.toSeq == Seq(("s1", "s2", 2L), ("s1", "s3", 1L), ("s2", "s3", 1L)))
   }
+
+  test("mixtureWeights: T=2 tempering upweights the tail; weights sum to ~1") {
+    // 9:16 docs -> shares .36/.64, sqrt .6/.8 -> weights 3/7 and 4/7:
+    // the small source rises from 36% to ~42.9%
+    val docs = (Seq.fill(9)("small") ++ Seq.fill(16)("big")).toDF("source")
+    val out = Curation.mixtureWeights(docs.repartition(3), "source")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq(("big", 16L, 0.64), ("small", 9L, 0.36)))
+    assert(math.abs(out(0)._4 - 4.0 / 7.0) < 1e-15)
+    assert(math.abs(out(1)._4 - 3.0 / 7.0) < 1e-15)
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-12)
+  }
 }

@@ -437,4 +437,22 @@ class DedupSpec extends SparkSpec {
       ("s1", 2L, 9L, 2L, 9L, 0.0),
       ("s2", 3L, 10L, 1L, 2L, 2.0 / 3.0)))
   }
+
+  test("incrementalDedup equals the exact anti-join at any fpp (bloom is a prefilter only)") {
+    val baseline = (0 until 50).map(i => (i.toLong, s"doc ${i % 7}"))
+      .toDF("doc_id", "text")
+    val fresh = (100 until 160).map(i =>
+      (i.toLong, if (i % 3 == 0) s"doc ${i % 7}" else s"new $i"))
+      .toDF("doc_id", "text")
+    val expected = (100 until 160).filter(_ % 3 != 0).map(_.toLong).toSet
+    // tight filter (few false positives) and a saturated one (1-item
+    // sizing at fpp .5: nearly every probe collides, so nearly every
+    // row takes the confirm join) must give identical results
+    for ((items, fpp) <- Seq((1000L, 0.03), (1L, 0.5))) {
+      val got = Dedup.incrementalDedup(
+        fresh.repartition(3), baseline.repartition(2), "text", items, fpp)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == expected, s"items=$items fpp=$fpp")
+    }
+  }
 }

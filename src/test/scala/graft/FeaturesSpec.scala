@@ -306,6 +306,65 @@ class FeaturesSpec extends SparkSpec {
     assert(d.getDouble(1) == 1.0 && d.getDouble(2) == 1.0 && d.isNullAt(3))
   }
 
+  test("aucExact: hand-checked separable, tied, and degenerate frames") {
+    // perfectly separable: all positives above all negatives -> 1.0
+    val sep = Seq((3.0, true), (4.0, true), (1.0, false), (2.0, false))
+      .toDF("s", "pos")
+    val r1 = Features.aucExact(sep.repartition(3), "s", col("pos")).collect()(0)
+    assert(r1.getLong(0) == 2 && r1.getLong(1) == 2 && r1.getDouble(2) == 1.0)
+    // all tied at one value -> 0.5 exactly (every pair counts half)
+    val tied = Seq((1.0, true), (1.0, false), (1.0, true)).toDF("s", "pos")
+    assert(Features.aucExact(tied, "s", col("pos")).collect()(0).getDouble(2) == 0.5)
+    // mixed with ties: pos {1,2,2}, neg {2,3}; wins: (1:0)+(2:0.5+0.5)*2...
+    // pairs: p1-n2 win? 1<2 loss(0), 1<3 0; 2 vs 2 tie .5 x2, 2 vs 3 0 x2
+    // U = 0+0 + .5+0 + .5+0 = 1; AUC = 1/6
+    val mixed = Seq((1.0, true), (2.0, true), (2.0, true), (2.0, false), (3.0, false))
+      .toDF("s", "pos")
+    val r3 = Features.aucExact(mixed.repartition(2), "s", col("pos")).collect()(0)
+    assert(r3.getDouble(2) == 1.0 / 6.0)
+    // degenerate: no negatives -> NULL
+    val deg = Seq((1.0, true)).toDF("s", "pos")
+    assert(Features.aucExact(deg, "s", col("pos")).collect()(0).isNullAt(2))
+    // null scores are excluded entirely
+    val withNull = Seq((Some(3.0), true), (None, true), (Some(1.0), false))
+      .toDF("s", "pos")
+    val r4 = Features.aucExact(withNull, "s", col("pos")).collect()(0)
+    assert(r4.getLong(0) == 1 && r4.getLong(1) == 1 && r4.getDouble(2) == 1.0)
+  }
+
+  test("spearmanRho: perfect monotone = 1, reversed = -1, ties averaged, constant = NULL") {
+    // |rho| lands within an ulp of 1, not exactly: the fixed closed-form
+    // sequence ends in num/(sqrt(d1)*sqrt(d2)) — deterministic, not 1.0
+    val up = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 25.0)).toDF("x", "y")
+    val r1 = Features.spearmanRho(up.repartition(2), "x", "y").collect()(0).getDouble(1)
+    assert(math.abs(r1 - 1.0) < 1e-12, s"rho=$r1")
+    val down = Seq((1.0, 9.0), (2.0, 5.0), (3.0, 1.0)).toDF("x", "y")
+    val r2 = Features.spearmanRho(down, "x", "y").collect()(0).getDouble(1)
+    assert(math.abs(r2 + 1.0) < 1e-12, s"rho=$r2")
+    // ties: x=(1,2,2,3) avg ranks (1,2.5,2.5,4), doubled (2,5,5,8);
+    // y=(1,2,3,4) doubled (2,4,6,8). num = 4*118-400 = 72 = d1, d2 = 80
+    // -> rho = 72/(sqrt(72)*sqrt(80)) = sqrt(0.9)
+    val tied = Seq((1.0, 1.0), (2.0, 2.0), (2.0, 3.0), (3.0, 4.0)).toDF("x", "y")
+    val rho = Features.spearmanRho(tied.repartition(3), "x", "y").collect()(0).getDouble(1)
+    assert(math.abs(rho - math.sqrt(0.9)) < 1e-15, s"rho=$rho")
+    // constant column -> NULL (zero rank variance)
+    val const = Seq((1.0, 1.0), (1.0, 2.0)).toDF("x", "y")
+    assert(Features.spearmanRho(const, "x", "y").collect()(0).isNullAt(1))
+  }
+
+  test("ksStatistic: disjoint samples = 1, identical = 0, hand-checked mix") {
+    val disjoint = Seq((1.0, true), (2.0, true), (10.0, false), (11.0, false))
+      .toDF("s", "a")
+    val r = Features.ksStatistic(disjoint.repartition(3), "s", col("a")).collect()(0)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2 && r.getDouble(2) == 1.0)
+    val same = Seq((1.0, true), (1.0, false), (2.0, true), (2.0, false)).toDF("s", "a")
+    assert(Features.ksStatistic(same, "s", col("a")).collect()(0).getDouble(2) == 0.0)
+    // A={1,2}, B={2,3}: at v=1 |1*2-0*2|=2; v=2 |2*2-1*2|=2; v=3 |2*2-2*2|=0
+    // D = 2/4 = 0.5
+    val mix = Seq((1.0, true), (2.0, true), (2.0, false), (3.0, false)).toDF("s", "a")
+    assert(Features.ksStatistic(mix, "s", col("a")).collect()(0).getDouble(2) == 0.5)
+  }
+
   test("lagFeatures and rfmScores refuse empty keys (single-partition funnel guard)") {
     val d = Seq((1, 1, 1.0)).toDF("k", "t", "v")
     val exLag = intercept[IllegalArgumentException] {

@@ -393,9 +393,15 @@ object Dedup {
    */
   def triangles(
       pairs: DataFrame, idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    // The edge list feeds THREE join branches; without materialization
+    // the upstream pair generator (an ssjoin here) would execute once
+    // per branch. Persist the (tiny relative to the corpus) canonical
+    // edge frame — the setSimilarityJoin ordered-frame precedent;
+    // Bench/callers sweep the cache between queries.
     val e = pairs
       .select(least(col(idA), col(idB)).as("a"), greatest(col(idA), col(idB)).as("b"))
       .filter(col("a") < col("b")).distinct()
+      .persist()
     val ab = e.select(col("a").as("id_a"), col("b").as("id_b"))
     val bc = e.select(col("a").as("id_b"), col("b").as("id_c"))
     val ac = e.select(col("a").as("id_a"), col("b").as("id_c"))

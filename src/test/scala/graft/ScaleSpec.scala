@@ -173,4 +173,29 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("incrementalDedup's bloom prefilter reaches both scans; only bloom hits join") {
+    val q = SparkEntry.queries("q181_incremental_dedup")(spark, sf0001)
+    q.collect()
+    val optimized = q.queryExecution.optimizedPlan
+    // the batch splits on might_contain: the no-join branch carries the
+    // negation, the join branch the positive — both next to the scan
+    val filters = optimized.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.toString.contains("might_contain") => f
+    }
+    assert(filters.size >= 2,
+      s"expected bloom prefilters on both batch branches:\n$optimized")
+    val antiJoins = optimized.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.joinType.toString == "LeftAnti" => j
+    }
+    assert(antiJoins.size == 1, s"exactly one confirm anti-join:\n$optimized")
+    // and the anti-join's probe child must sit ABOVE a bloom filter
+    // (only candidates pay the join), not the raw batch
+    assert(antiJoins.head.left.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.toString.contains("might_contain") => f
+    }.nonEmpty, s"anti-join probe side is not bloom-prefiltered:\n$optimized")
+  }
 }

@@ -1858,6 +1858,43 @@ object SparkEntry {
       expectedItems = 1000L, fpp = 0.03)
   }
 
+  /** #182 reliability/calibration bins: does a high event value predict
+   *  purchases at a proportionally higher rate? Fixed-width bins over
+   *  [0, 500), exact counts, one division per bin. */
+  private def q182Calibration(s: SparkSession, dir: String): DataFrame =
+    Features.calibrationBins(
+      t(s, dir).events.select("event_type", "value"),
+      "value", positive = col("event_type") === "purchase",
+      nBins = 10, lo = 0.0, hi = 500.0)
+
+  /** #183 vocabulary growth over the doc-id axis (10 range buckets):
+   *  first-appearance counts + running vocabulary — the "is new data
+   *  novel?" curve; token → min(doc) is the only data shuffle. */
+  private def q183VocabGrowth(s: SparkSession, dir: String): DataFrame =
+    Curation.vocabGrowth(t(s, dir).documents, "doc_id", "text", nBuckets = 10)
+
+  /** #184 Gopher-style unique-word fraction per doc: the repetition
+   *  screen (near-zero fraction = TEMPLATE/degenerate text). Pure
+   *  per-row array ops — zero shuffle; token list staged ONCE then
+   *  referenced, never recomputed through nested HOFs. */
+  private def q184UniqueWords(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).documents
+      .withColumn("__gtoks",
+        filter(TextFns.tokens(col("text")), t => t =!= lit("")))
+      .select(col("doc_id"),
+        size(col("__gtoks")).as("n_tokens"),
+        size(array_distinct(col("__gtoks"))).as("n_distinct"))
+      .withColumn("uniq_frac",
+        when(col("n_tokens") > 0,
+          col("n_distinct").cast("double") / col("n_tokens").cast("double")))
+
+  /** #185 token-budget allocation: 1M-token target split by T=2
+   *  tempered TOKEN share; epochs = alloc/available flags oversampling.
+   *  The q180 weights applied to the measure that feeds the model. */
+  private def q185TokenBudget(s: SparkSession, dir: String): DataFrame =
+    Curation.tokenBudget(t(s, dir).documents, "source", "text",
+      targetTokens = 1000000L)
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2042,6 +2079,10 @@ object SparkEntry {
     "q179_ks_test"          -> (q179KsTest _),
     "q180_mix_weights"      -> (q180MixWeights _),
     "q181_incremental_dedup" -> (q181IncrementalDedup _),
+    "q182_calibration"      -> (q182Calibration _),
+    "q183_vocab_growth"     -> (q183VocabGrowth _),
+    "q184_unique_words"     -> (q184UniqueWords _),
+    "q185_token_budget"     -> (q185TokenBudget _),
   )
 
   private val monthCaseSql: String =
@@ -3552,5 +3593,52 @@ object SparkEntry {
         "FROM documents WHERE doc_id >= 100) " +
         "SELECT f.doc_id, f.source, f.text FROM fresh f " +
         "WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.text = f.text)"),
+    "q182_calibration" ->
+      // w = 500/10 = 50.0 is the same literal division in both engines;
+      // bin and bin_lo are fixed double sequences; counts exact
+      ("SELECT bucket, 0.0 + bucket * 50.0 AS bin_lo, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, " +
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "CAST(COUNT(*) AS DOUBLE) AS pos_rate FROM (" +
+        "SELECT event_type, LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 50.0) AS INT), 0), 9) AS bucket " +
+        "FROM events WHERE value IS NOT NULL) GROUP BY 1"),
+    "q183_vocab_growth" ->
+      // integer range-bucketing of each token's first doc; cumulative
+      // over <= 10 rows; all-integer output
+      ("WITH f AS (SELECT tok, MIN(doc_id) AS fd FROM (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "WHERE tok <> '' GROUP BY 1), " +
+        "b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents), " +
+        "g AS (SELECT CAST(((fd - lo) * 10) // (hi - lo + 1) AS INT) AS bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_new_tokens FROM f, b GROUP BY 1) " +
+        "SELECT bucket, n_new_tokens, CAST(SUM(n_new_tokens) OVER (ORDER BY bucket " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab FROM g"),
+    "q184_unique_words" ->
+      ("SELECT doc_id, n_tokens, n_distinct, " +
+        "CASE WHEN n_tokens > 0 THEN CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS uniq_frac " +
+        "FROM (SELECT doc_id, " +
+        "CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT) AS n_tokens, " +
+        "CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS INT) AS n_distinct " +
+        "FROM documents)"),
+    "q185_token_budget" ->
+      // q180's tempered-weight contract on TOKEN share + two more fixed
+      // double steps: alloc = floor(1e6·w), epochs = alloc/available
+      ("WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_tokens " +
+        "FROM documents GROUP BY 1), " +
+        "t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM c), " +
+        "w AS (SELECT source, n_docs, n_tokens, " +
+        "CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS share, " +
+        "CAST(CAST(sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)) AS VARCHAR) AS DECIMAL(28,18)) AS wd " +
+        "FROM c, t), " +
+        "nrm AS (SELECT SUM(wd) AS s FROM w), " +
+        "k AS (SELECT source, n_docs, n_tokens, share, " +
+        "CAST(CAST(wd AS VARCHAR) AS DOUBLE) / CAST(CAST(s AS VARCHAR) AS DOUBLE) AS weight " +
+        "FROM w, nrm), " +
+        "a AS (SELECT *, CAST(FLOOR(1000000.0 * weight) AS BIGINT) AS alloc_tokens FROM k) " +
+        "SELECT source, n_docs, n_tokens, share, weight, alloc_tokens, " +
+        "CASE WHEN n_tokens > 0 THEN CAST(alloc_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS epochs " +
+        "FROM a"),
   )
 }

@@ -412,18 +412,101 @@ object Curation {
   def mixtureWeights(docs: DataFrame, sourceCol: String): DataFrame = {
     val counts = docs.groupBy(col(sourceCol).as("source"))
       .agg(count(lit(1)).as("n_docs"))
-    val total = counts.agg(sum(col("n_docs")).as("__gtot"))
+    temperedWeights(counts, "n_docs")
+      .select(col("source"), col("n_docs"), col("share"), col("weight"))
+  }
+
+  /** The √share → decimal-normalized weight core shared by
+   *  [[mixtureWeights]] (doc-count measure) and [[tokenBudget]]
+   *  (token-count measure): appends `share` and `weight` to a per-source
+   *  counts frame. All frames involved are |sources| rows. */
+  private def temperedWeights(counts: DataFrame, measure: String): DataFrame = {
+    val total = counts.agg(sum(col(measure)).as("__gtot"))
     val scored = counts.crossJoin(broadcast(total))
       .withColumn("share",
-        col("n_docs").cast("double") / col("__gtot").cast("double"))
+        col(measure).cast("double") / col("__gtot").cast("double"))
       .withColumn("__gw",
         sqrt(col("share")).cast("string").cast("decimal(28,18)"))
     val norm = scored.agg(sum(col("__gw")).as("__gnorm"))
     scored.crossJoin(broadcast(norm))
-      .select(col("source"), col("n_docs"), col("share"),
-        (col("__gw").cast("string").cast("double") /
-          col("__gnorm").cast("string").cast("double")).as("weight"))
+      .withColumn("weight",
+        col("__gw").cast("string").cast("double") /
+          col("__gnorm").cast("string").cast("double"))
   }
+
+  /**
+   * Token-budget allocation per source — the planning table for a
+   * training run: exact per-source token counts, T=2 tempered weights
+   * over TOKEN share (the [[mixtureWeights]] rule on the measure that
+   * actually feeds the model), each source's allocation out of a target
+   * token budget, and the implied epoch count (allocation / available —
+   * epochs > 1 means the source repeats; the number a data lead reads
+   * before approving oversampling).
+   *
+   * One scan: per-row token counts (a per-row array op, no explode),
+   * one aggregation to |sources| rows, then broadcast-sized arithmetic.
+   * alloc = floor(target·weight) and epochs = alloc/available are fixed
+   * double sequences; counts are exact ints. Token-less sources yield
+   * NULL epochs.
+   */
+  def tokenBudget(
+      docs: DataFrame, sourceCol: String, textCol: String,
+      targetTokens: Long): DataFrame = {
+    require(targetTokens > 0, "tokenBudget needs a positive target")
+    val toks = filter(TextFns.tokens(col(textCol)), t => t =!= lit(""))
+    val counts = docs
+      .select(col(sourceCol).as("source"), size(toks).as("__gnt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__gnt").cast("long")).as("n_tokens"))
+    temperedWeights(counts, "n_tokens")
+      .withColumn("alloc_tokens",
+        floor(lit(targetTokens.toDouble) * col("weight")).cast("long"))
+      .withColumn("epochs",
+        when(col("n_tokens") > 0,
+          col("alloc_tokens").cast("double") / col("n_tokens").cast("double")))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("share"),
+        col("weight"), col("alloc_tokens"), col("epochs"))
+  }
+
+  /**
+   * Vocabulary growth curve (the Heaps'-law / corpus-novelty check):
+   * bucket the doc-id axis into `nBuckets` equal-width ranges and count
+   * how many DISTINCT tokens make their first corpus appearance in each
+   * bucket, plus the running vocabulary size. A flattening curve means
+   * new data is mostly re-treading known vocabulary — the cheap signal
+   * for "more of the same crawl adds nothing".
+   *
+   * Scale shape: one explode → one (token → min id) aggregation — the
+   * same shuffle a vocabulary build needs anyway — then bucket
+   * assignment is pure integer arithmetic against two broadcast scalars
+   * (min/max id), and the cumulative window runs over ≤ nBuckets rows.
+   * Everything is exact integer; buckets are id-RANGE based (stable
+   * under re-partitioning, no global row window; callers with
+   * time-ordered ids get the time curve for free).
+   */
+  def vocabGrowth(
+      docs: DataFrame, id: String, textCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, "vocabGrowth needs a positive bucket count")
+    val firsts = docs
+      .select(col(id).as("__gdoc"),
+        explode(TextFns.tokens(col(textCol))).as("__gtok"))
+      .filter(col("__gtok") =!= "")
+      .groupBy(col("__gtok"))
+      .agg(min(col("__gdoc")).as("__gfirst"))
+    val bounds = docs.agg(min(col(id)).as("__glo"), max(col(id)).as("__ghi"))
+    val bucketed = firsts.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        expr(s"CAST(((__gfirst - __glo) * $nBuckets) DIV (__ghi - __glo + 1) AS INT)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_new_tokens"))
+    bucketed.withColumn("cum_vocab",
+      sum(col("n_new_tokens")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Remove flagged-contaminated documents from the corpus (anti-join
+   *  against the small flag set — broadcast in the common case). */
 
   /** Remove flagged-contaminated documents from the corpus (anti-join
    *  against the small flag set — broadcast in the common case). */

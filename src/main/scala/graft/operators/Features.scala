@@ -641,6 +641,38 @@ object Features {
   }
 
   /**
+   * Calibration / reliability bins: cut the score axis into `nBins`
+   * FIXED-WIDTH bins over [lo, hi) and report each bin's exact count
+   * and positive rate — the table behind a reliability diagram ("when
+   * the model says 0.8, is it right 80% of the time?"). Fixed edges
+   * (not quantiles) keep the operator one aggregation with no window
+   * at all, and make bins comparable across runs/days.
+   *
+   * Determinism: bin = clamp(floor((s−lo)/w)) and bin_lo = lo + bin·w
+   * are fixed double sequences both engines replay identically (w is
+   * the same literal division); counts are exact; pos_rate is one
+   * division. Scores outside [lo, hi] clamp into the edge bins (a
+   * drifted score still lands somewhere visible); null scores drop.
+   * Empty-range/degenerate input yields zero rows, never 0/0.
+   */
+  def calibrationBins(
+      df: DataFrame, scoreCol: String, positive: Column,
+      nBins: Int, lo: Double, hi: Double): DataFrame = {
+    require(nBins > 0 && hi > lo, "calibrationBins needs nBins > 0 and hi > lo")
+    val w = (hi - lo) / nBins
+    val raw = floor((col(scoreCol) - lit(lo)) / lit(w)).cast("int")
+    val bin = least(greatest(raw, lit(0)), lit(nBins - 1))
+    df.filter(col(scoreCol).isNotNull)
+      .groupBy(bin.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(positive, 1L).otherwise(0L)).as("n_pos"))
+      .select(col("bucket"),
+        (lit(lo) + col("bucket") * lit(w)).as("bin_lo"),
+        col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"))
+  }
+
+  /**
    * Cohen's kappa from a confusion-matrix frame (true label, predicted
    * label, count) — chance-corrected agreement, the standard check that
    * a labeler (q171's k-NN, a weak-supervision rule, a second annotator)

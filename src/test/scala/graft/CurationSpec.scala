@@ -249,4 +249,40 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(out(1)._4 - 3.0 / 7.0) < 1e-15)
     assert(math.abs(out.map(_._4).sum - 1.0) < 1e-12)
   }
+
+  test("vocabGrowth: first-appearance buckets by id range; cumulative vocabulary") {
+    // ids 0..9, 2 buckets of 5; 'a' first at 0, 'b' at 1, 'c' at 5, 'd' at 9
+    val docs = Seq(
+      (0L, "a"), (1L, "b a"), (2L, "a b"), (3L, "b"), (4L, "a"),
+      (5L, "c a"), (6L, "c"), (7L, "b"), (8L, "c"), (9L, "d  c"),
+    ).toDF("doc_id", "text")
+    val out = Curation.vocabGrowth(docs.repartition(3), "doc_id", "text", nBuckets = 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0, 2L, 2L), (1, 2L, 4L)))
+  }
+
+  test("tokenBudget: token-share tempering, floor allocation, epoch flag") {
+    // tokens: s1 = 4, s2 = 16 -> shares .2/.8, sqrt ~ .447/.894,
+    // weights 1/3 and 2/3 exactly? sqrt(.2)/(sqrt(.2)+sqrt(.8)) = 1/3
+    // since sqrt(.8) = 2*sqrt(.2)
+    val docs = Seq(
+      ("s1", "t t t t"),
+      ("s2", ("t " * 16).trim),
+    ).toDF("source", "text")
+    val out = Curation.tokenBudget(docs.repartition(2), "source", "text",
+      targetTokens = 900L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(4),
+        r.getLong(5), r.getDouble(6)))
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq(("s1", 1L, 4L), ("s2", 1L, 16L)))
+    assert(math.abs(out(0)._4 - 1.0 / 3.0) < 1e-12)
+    assert(math.abs(out(1)._4 - 2.0 / 3.0) < 1e-12)
+    // floor(900·w): 299 or 300 and 599 or 600 depending on the ulp —
+    // pin the exact values the fixed sequence produces
+    assert(out(0)._5 + out(1)._5 <= 900L)
+    assert(out(0)._5 == math.floor(900.0 * out(0)._4).toLong)
+    assert(math.abs(out(0)._6 - out(0)._5 / 4.0) < 1e-12)
+  }
 }

@@ -365,6 +365,24 @@ class FeaturesSpec extends SparkSpec {
     assert(Features.ksStatistic(mix, "s", col("a")).collect()(0).getDouble(2) == 0.5)
   }
 
+  test("calibrationBins: fixed-width binning, edge clamping, null drop, exact rates") {
+    val df = Seq(
+      (0.5, true), (0.9, true), (0.1, false),   // bin 0 of [0,1) w=0.2 -> no:
+      (-1.0, true),                              // below lo -> clamps to 0
+      (2.5, false),                              // above hi -> clamps to 4
+    ).toDF("s", "pos")
+      .union(Seq((Option.empty[Double], true)).toDF("s", "pos"))
+    val out = Features.calibrationBins(df.repartition(3), "s", col("pos"),
+      nBins = 5, lo = 0.0, hi = 1.0)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // w=0.2: 0.5->bin2, 0.9->bin4, 0.1->bin0, -1->bin0, 2.5->bin4; null dropped
+    assert(out.toSeq == Seq(
+      (0, 0.0, 2L, 1L, 0.5),
+      (2, 0.4, 1L, 1L, 1.0),
+      (4, 0.8, 2L, 1L, 0.5)))
+  }
+
   test("lagFeatures and rfmScores refuse empty keys (single-partition funnel guard)") {
     val d = Seq((1, 1, 1.0)).toDF("k", "t", "v")
     val exLag = intercept[IllegalArgumentException] {

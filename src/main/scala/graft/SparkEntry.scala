@@ -1895,6 +1895,31 @@ object SparkEntry {
     Curation.tokenBudget(t(s, dir).documents, "source", "text",
       targetTokens = 1000000L)
 
+  /** #186 per-source quality report card: q26's per-doc quality recipe
+   *  rolled up to exact percentiles per source — the ingest-review
+   *  one-pager. */
+  private def q186QualityReport(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val perDoc = t(s, dir).documents.select(
+      col("source"),
+      TextFns.tokenCount(col("text")).as("n_toks"),
+      TextFns.qualityScore(
+        TextFns.tokenCount(col("text")),
+        TextFns.stopwordHits(toks, enStop),
+        col("n_chars")).as("q"))
+    Curation.sourceQualityReport(perDoc, "source", "n_toks", "q")
+  }
+
+  /** #187 dedup threshold operating curve over q135's ssjoin pairs
+   *  (computed once at the lowest cutoff 0.7): pairs fired and docs
+   *  touched at 0.7 / 0.8 / 0.9 — the evidence behind a cutoff choice. */
+  private def q187ThresholdSweep(s: SparkSession, dir: String): DataFrame =
+    Dedup.thresholdSweep(
+      Dedup.setSimilarityJoin(t(s, dir).documents, "doc_id",
+        TextFns.wordShingles(s, col("text"), 3), num = 7, den = 10,
+        cacheSets = true),
+      "jaccard", thresholds = Seq(0.7, 0.8, 0.9))
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2083,6 +2108,8 @@ object SparkEntry {
     "q183_vocab_growth"     -> (q183VocabGrowth _),
     "q184_unique_words"     -> (q184UniqueWords _),
     "q185_token_budget"     -> (q185TokenBudget _),
+    "q186_quality_report"   -> (q186QualityReport _),
+    "q187_threshold_sweep"  -> (q187ThresholdSweep _),
   )
 
   private val monthCaseSql: String =
@@ -3640,5 +3667,35 @@ object SparkEntry {
         "SELECT source, n_docs, n_tokens, share, weight, alloc_tokens, " +
         "CASE WHEN n_tokens > 0 THEN CAST(alloc_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS epochs " +
         "FROM a"),
+    "q186_quality_report" ->
+      // q26's per-doc quality verbatim, then exact quantile_cont (the
+      // q40 bit contract) per source
+      ("WITH s AS (SELECT source, n_chars, " +
+        "len(string_split(text, ' ')) AS n_toks, " +
+        s"len(list_filter(string_split(text, ' '), t -> t IN $enStopSql)) AS n_stop " +
+        "FROM documents), " +
+        "q AS (SELECT source, n_toks, " +
+        "0.5::DOUBLE * least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) " +
+        "+ 0.3::DOUBLE * (CAST(n_stop AS DOUBLE) / greatest(n_toks, 1)) " +
+        "+ 0.2::DOUBLE * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS q FROM s) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(n_toks) AS BIGINT) AS n_tokens, " +
+        "quantile_cont(n_toks, 0.5) AS med_tokens, " +
+        "quantile_cont(q, 0.1) AS p10_quality, " +
+        "quantile_cont(q, 0.5) AS p50_quality, " +
+        "quantile_cont(q, 0.9) AS p90_quality FROM q GROUP BY 1"),
+    "q187_threshold_sweep" ->
+      // the same brute-force pair CTE as q135, swept at three literal
+      // cutoffs; jaccard is the identical i/u double in both engines
+      (ssjoinDocShinglesSql.replace("WITH RECURSIVE t AS",
+        "WITH RECURSIVE th AS (SELECT unnest([0.7, 0.8, 0.9]) AS threshold), t AS") +
+        ", j AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / u AS s FROM p WHERE i * 10 >= u * 7), " +
+        "f AS (SELECT threshold, id_a, id_b FROM j, th WHERE s >= threshold), " +
+        "pc AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM f GROUP BY 1), " +
+        "dc AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (" +
+        "SELECT DISTINCT threshold, id FROM (" +
+        "SELECT threshold, id_a AS id FROM f UNION ALL SELECT threshold, id_b AS id FROM f)) " +
+        "GROUP BY 1) " +
+        "SELECT threshold, n_pairs, n_docs FROM pc JOIN dc USING (threshold)"),
   )
 }

@@ -508,6 +508,31 @@ object Curation {
   /** Remove flagged-contaminated documents from the corpus (anti-join
    *  against the small flag set — broadcast in the common case). */
 
+  /**
+   * Per-source quality report card: doc/token totals plus exact
+   * percentiles of a length and a quality column — the one-page summary
+   * a corpus owner reads per ingest ("source X's p10 quality collapsed
+   * this week"). Callers derive the per-doc columns with the library's
+   * per-row builders ([[graft.functions.TextFns.qualityScore]] et al.)
+   * so the report composes with any scoring recipe.
+   *
+   * One aggregation; `percentile` is the exact sort-based aggregate
+   * (the q40 bit contract with DuckDB `quantile_cont`) — the scale
+   * default for monitoring dashboards is its `approx_percentile`
+   * sibling (q48), traded off exactly as documented there.
+   */
+  def sourceQualityReport(
+      perDoc: DataFrame, sourceCol: String, tokensCol: String,
+      qualityCol: String): DataFrame =
+    perDoc.groupBy(col(sourceCol).as("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokensCol).cast("long")).as("n_tokens"),
+        percentile(col(tokensCol), lit(0.5)).as("med_tokens"),
+        percentile(col(qualityCol), lit(0.1)).as("p10_quality"),
+        percentile(col(qualityCol), lit(0.5)).as("p50_quality"),
+        percentile(col(qualityCol), lit(0.9)).as("p90_quality"))
+
   /** Remove flagged-contaminated documents from the corpus (anti-join
    *  against the small flag set — broadcast in the common case). */
   def decontaminate(

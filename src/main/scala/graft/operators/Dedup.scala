@@ -737,6 +737,38 @@ object Dedup {
   }
 
   /**
+   * Dedup threshold sweep — the operating curve behind choosing a
+   * similarity cutoff: for each candidate threshold, how many pairs
+   * fire and how many documents are touched. Run once on the LOWEST
+   * threshold's pair output (e.g. [[setSimilarityJoin]] at 0.7) and
+   * read the marginal impact of tightening; the table that turns "0.8
+   * felt right" into a reviewed decision.
+   *
+   * The pair frame fans out by |thresholds| (a literal array explode,
+   * ≤ a handful) and the doc side by 2 — bounded multipliers on a frame
+   * that is already ≪ corpus-sized. Counts exact; thresholds compare
+   * against the same score doubles both engines computed identically.
+   * Thresholds no pair reaches simply don't appear (their row would be
+   * all-zero).
+   */
+  def thresholdSweep(
+      pairs: DataFrame, scoreCol: String, thresholds: Seq[Double],
+      idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    require(thresholds.nonEmpty, "thresholdSweep needs thresholds")
+    val fanned = pairs
+      .select(col(idA), col(idB), col(scoreCol).as("__gs"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .filter(col("__gs") >= col("threshold"))
+    val nPairs = fanned.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = fanned
+      .select(col("threshold"), explode(array(col(idA), col(idB))).as("__gid"))
+      .distinct()
+      .groupBy(col("threshold")).agg(count(lit(1)).as("n_docs"))
+    nPairs.join(nDocs, Seq("threshold"))
+  }
+
+  /**
    * Incremental-ingest dedup: keep only the rows of `fresh` whose text
    * is NOT already in `baseline` — the daily-crawl-vs-historical-corpus
    * join, where the baseline is orders of magnitude larger than the

@@ -250,6 +250,22 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(out.map(_._4).sum - 1.0) < 1e-12)
   }
 
+  test("sourceQualityReport: exact percentiles per source (interpolated median)") {
+    val perDoc = Seq(
+      ("s1", 10, 0.2), ("s1", 20, 0.4), ("s1", 30, 0.9),
+      ("s2", 5, 0.5), ("s2", 7, 0.7),
+    ).toDF("source", "n_toks", "q")
+    val out = Curation.sourceQualityReport(perDoc.repartition(3), "source", "n_toks", "q")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(5)))
+    // s1: median tokens 20, p50 quality 0.4; s2: interpolated 6.0 / ~0.6
+    assert(out.map(t => (t._1, t._2, t._3, t._4)).toSeq == Seq(
+      ("s1", 3L, 60L, 20.0), ("s2", 2L, 12L, 6.0)))
+    assert(out(0)._5 == 0.4)
+    assert(math.abs(out(1)._5 - 0.6) < 1e-15)
+  }
+
   test("vocabGrowth: first-appearance buckets by id range; cumulative vocabulary") {
     // ids 0..9, 2 buckets of 5; 'a' first at 0, 'b' at 1, 'c' at 5, 'd' at 9
     val docs = Seq(

@@ -438,6 +438,20 @@ class DedupSpec extends SparkSpec {
       ("s2", 3L, 10L, 1L, 2L, 2.0 / 3.0)))
   }
 
+  test("thresholdSweep: per-cutoff pair and touched-doc counts; empty cutoffs vanish") {
+    val pairs = Seq(
+      (1L, 2L, 0.95), (2L, 3L, 0.85), (4L, 5L, 0.72), (5L, 6L, 0.71),
+    ).toDF("id_a", "id_b", "jaccard")
+    val out = Dedup.thresholdSweep(pairs.repartition(2), "jaccard",
+      Seq(0.7, 0.8, 0.9, 0.99))
+      .orderBy("threshold").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    // 0.99 catches nothing -> no row; 0.9 -> 1 pair {1,2}; 0.8 -> 2 pairs
+    // {1,2,3}; 0.7 -> all 4 pairs, docs {1..6}
+    assert(out.toSeq == Seq(
+      (0.7, 4L, 6L), (0.8, 2L, 3L), (0.9, 1L, 2L)))
+  }
+
   test("incrementalDedup equals the exact anti-join at any fpp (bloom is a prefilter only)") {
     val baseline = (0 until 50).map(i => (i.toLong, s"doc ${i % 7}"))
       .toDF("doc_id", "text")

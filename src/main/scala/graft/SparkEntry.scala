@@ -1920,6 +1920,24 @@ object SparkEntry {
         cacheSets = true),
       "jaccard", thresholds = Seq(0.7, 0.8, 0.9))
 
+  /** #188 cluster-size histogram over q140's resolved near-dup
+   *  clusters: twins vs template families — decides keep-first vs
+   *  strip-first. */
+  private def q188ClusterSizes(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusterSizeHistogram(q140SsjoinClusters(s, dir))
+
+  /** #189 functional-dependency audit with planted violations: region
+   *  is derived from the customer key (the FD holds) except on orders
+   *  whose key is divisible by 101 (deterministic corruption, the q176
+   *  synthesis precedent) — the audit must surface exactly those
+   *  customers. */
+  private def q189FdAudit(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir).orders.select(col("o_custkey"),
+      when(col("o_orderkey") % 101 === 0, lit("r_corrupt"))
+        .otherwise(concat(lit("r"), col("o_custkey") % 5)).as("region"))
+    Cleaning.fdAudit(d, "o_custkey", "region")
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2110,6 +2128,8 @@ object SparkEntry {
     "q185_token_budget"     -> (q185TokenBudget _),
     "q186_quality_report"   -> (q186QualityReport _),
     "q187_threshold_sweep"  -> (q187ThresholdSweep _),
+    "q188_cluster_sizes"    -> (q188ClusterSizes _),
+    "q189_fd_audit"         -> (q189FdAudit _),
   )
 
   private val monthCaseSql: String =
@@ -3697,5 +3717,22 @@ object SparkEntry {
         "SELECT threshold, id_a AS id FROM f UNION ALL SELECT threshold, id_b AS id FROM f)) " +
         "GROUP BY 1) " +
         "SELECT threshold, n_pairs, n_docs FROM pc JOIN dc USING (threshold)"),
+    "q188_cluster_sizes" ->
+      // q140's recursive closure -> per-cluster sizes -> histogram
+      (ssjoinDocShinglesSql +
+        ", e0 AS (SELECT id_a AS a, id_b AS b FROM p WHERE i * 2 >= u * 1), " +
+        "edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0), " +
+        "reach(a, b) AS (SELECT a, b FROM edges " +
+        "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), " +
+        "lab AS (SELECT a, least(a, min(b)) AS cluster FROM reach GROUP BY a), " +
+        "sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS size FROM lab GROUP BY 1) " +
+        "SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters FROM sz GROUP BY 1"),
+    "q189_fd_audit" ->
+      ("WITH d AS (SELECT o_custkey, " +
+        "CASE WHEN o_orderkey % 101 = 0 THEN 'r_corrupt' " +
+        "ELSE 'r' || (o_custkey % 5) END AS region FROM orders) " +
+        "SELECT o_custkey, CAST(COUNT(DISTINCT region) AS BIGINT) AS n_dep, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_rows FROM d GROUP BY 1 " +
+        "HAVING COUNT(DISTINCT region) > 1"),
   )
 }

@@ -248,6 +248,25 @@ object Cleaning {
   }
 
   /**
+   * Functional-dependency audit: report every determinant value that
+   * maps to MORE than one dependent value — the data-quality check
+   * behind "customer_id should determine region" / "SKU should
+   * determine brand". A clean table returns zero rows; each returned
+   * row is a concrete violation to chase, with how many distinct
+   * dependents it spread across and how many rows carry it.
+   *
+   * One aggregation keyed by the determinant (`countDistinct` has a
+   * map-side partial-distinct), then a post-aggregation filter on a
+   * \|determinants\|-sized frame. Null dependents carry no evidence
+   * (countDistinct skips them, matching SQL COUNT(DISTINCT)).
+   */
+  def fdAudit(df: DataFrame, determinant: String, dependent: String): DataFrame =
+    df.groupBy(col(determinant))
+      .agg(countDistinct(col(dependent)).as("n_dep"),
+        count(lit(1)).as("n_rows"))
+      .filter(col("n_dep") > 1)
+
+  /**
    * Null profile: one pass over the table computing the row count and a
    * null count per listed column (the reference notebook's
    * `df.isnull().sum()` profiling cell) — a single aggregation, however

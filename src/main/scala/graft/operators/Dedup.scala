@@ -737,6 +737,20 @@ object Dedup {
   }
 
   /**
+   * Cluster-size histogram over a resolved label frame
+   * ([[dedupClusters]] / [[connectedComponents]] output): how many
+   * clusters of each size exist. The companion readout to
+   * [[degreeDistribution]] AFTER resolution — "isolated twins" vs "one
+   * giant template family" decides whether keep-first deletion is safe
+   * or a template-stripping pass should run first. Two
+   * map-side-combinable aggregations, no joins.
+   */
+  def clusterSizeHistogram(
+      labels: DataFrame, clusterCol: String = "cluster"): DataFrame =
+    labels.groupBy(col(clusterCol)).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
+
+  /**
    * Dedup threshold sweep — the operating curve behind choosing a
    * similarity cutoff: for each candidate threshold, how many pairs
    * fire and how many documents are touched. Run once on the LOWEST

@@ -222,4 +222,15 @@ class CleaningSpec extends SparkSpec {
       ("2", 1L, 0.25, Cleaning.benfordShares(1)),
       ("3", 1L, 0.25, Cleaning.benfordShares(2))))
   }
+
+  test("fdAudit surfaces only determinants with >1 distinct dependent; nulls carry none") {
+    val d = Seq(
+      ("k1", "a"), ("k1", "a"),           // clean
+      ("k2", "a"), ("k2", "b"),           // violation: 2 dependents
+      ("k3", "a"), ("k3", null),          // null adds no diversity -> clean
+    ).toDF("det", "dep")
+    val out = Cleaning.fdAudit(d.repartition(3), "det", "dep")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("k2", 2L, 2L)))
+  }
 }

@@ -438,6 +438,17 @@ class DedupSpec extends SparkSpec {
       ("s2", 3L, 10L, 1L, 2L, 2.0 / 3.0)))
   }
 
+  test("clusterSizeHistogram: twins vs a template family") {
+    val labels = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),   // one size-3 cluster
+      (4L, 4L), (5L, 4L),             // one pair
+      (6L, 6L), (7L, 6L),             // another pair
+    ).toDF("id", "cluster")
+    val out = Dedup.clusterSizeHistogram(labels.repartition(2))
+      .orderBy("size").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((2L, 2L), (3L, 1L)))
+  }
+
   test("thresholdSweep: per-cutoff pair and touched-doc counts; empty cutoffs vanish") {
     val pairs = Seq(
       (1L, 2L, 0.95), (2L, 3L, 0.85), (4L, 5L, 0.72), (5L, 6L, 0.71),

@@ -102,6 +102,29 @@ object EventStreams {
   }
 
   /**
+   * Streaming twin of [[graft.operators.Dedup.incrementalDedup]]: drop
+   * stream documents whose text already exists in a STATIC historical
+   * corpus. The baseline folds into a bloom sketch ONCE at plan build
+   * (it is a batch frame); each micro-batch then splits per-row on
+   * `might_contain` — misses pass with zero join work, hits confirm
+   * through a stream-static left-anti join, which is stateless (the
+   * static side IS the join state, no watermark needed). In-stream
+   * duplicates are the next stage's job ([[dedupWithinWatermark]] /
+   * [[curatedIntake]]): this operator's contract is purely
+   * "nothing the corpus already has".
+   *
+   * Delegates to the batch operator verbatim — every op in it
+   * (per-row filter, stream-static anti-join, union) is
+   * streaming-compatible, so batch and stream share one
+   * implementation and one correctness surface (q181's oracle).
+   */
+  def dedupAgainstCorpus(
+      docs: DataFrame, textCol: String, baseline: DataFrame,
+      expectedItems: Long, fpp: Double): DataFrame =
+    graft.operators.Dedup.incrementalDedup(
+      docs, baseline, textCol, expectedItems, fpp)
+
+  /**
    * Stream-stream interval join (the unbounded twin of
    * [[graft.operators.Events.rangeJoin]]): right rows matching on the
    * key within `[leftTs, leftTs + within]`. Watermarks on BOTH sides

@@ -319,4 +319,25 @@ class StreamingSpec extends SparkSpec {
     val kept = spark.table("intake_bl").select("doc_id").as[Long].collect().toSet
     assert(kept == Set(0L), s"blocked/spam sources must be gated, got $kept")
   }
+
+  test("dedupAgainstCorpus drops stream docs already in the static corpus across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val baseline = Seq("known a", "known b").toDF("text")
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.dedupAgainstCorpus(
+      mem.toDF().toDF("doc_id", "text"), "text", baseline,
+      expectedItems = 100L, fpp = 0.03)
+      .writeStream.format("memory").queryName("cdedup").outputMode("append").start()
+    try {
+      mem.addData((1L, "known a"), (2L, "fresh 1"))
+      q.processAllAvailable()
+      // a later batch re-checks against the same static corpus; the
+      // in-stream repeat of "fresh 1" is NOT this operator's contract
+      mem.addData((3L, "known b"), (4L, "fresh 2"), (5L, "fresh 1"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("cdedup").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 5L), s"corpus dups must drop, got $kept")
+  }
 }

@@ -1938,6 +1938,23 @@ object SparkEntry {
     Cleaning.fdAudit(d, "o_custkey", "region")
   }
 
+  /** #190 offline changepoint per event type: argmax of the exact
+   *  CUSUM max-distance |n·S_i − i·S| over (ts, event_id) order — WHERE
+   *  the mean shifted, after q159's alarm said that it did. */
+  private def q190Changepoint(s: SparkSession, dir: String): DataFrame =
+    Events.changepoint(
+      t(s, dir).events.select("event_id", "event_type", "ts", "value")
+        .filter(col("ts").isNotNull), // Spark sorts NULL ts first, DuckDB last
+      Seq("event_type"), Seq(col("ts"), col("event_id")), "value")
+
+  /** #191 per-type OLS drift trend: slope/intercept of value vs
+   *  key-centered epoch seconds from exact decimal moments — the drift
+   *  rate next to q190's location. */
+  private def q191Trend(s: SparkSession, dir: String): DataFrame =
+    Events.trendOls(
+      t(s, dir).events.select("event_type", "ts", "value"),
+      Seq("event_type"), col("ts"), "value")
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2130,6 +2147,8 @@ object SparkEntry {
     "q187_threshold_sweep"  -> (q187ThresholdSweep _),
     "q188_cluster_sizes"    -> (q188ClusterSizes _),
     "q189_fd_audit"         -> (q189FdAudit _),
+    "q190_changepoint"      -> (q190Changepoint _),
+    "q191_trend"            -> (q191Trend _),
   )
 
   private val monthCaseSql: String =
@@ -3734,5 +3753,43 @@ object SparkEntry {
         "SELECT o_custkey, CAST(COUNT(DISTINCT region) AS BIGINT) AS n_dep, " +
         "CAST(COUNT(*) AS BIGINT) AS n_rows FROM d GROUP BY 1 " +
         "HAVING COUNT(DISTINCT region) > 1"),
+    "q190_changepoint" ->
+      // D_i = |n·S_i − i·S| in exact decimals (prefix sums re-cast to
+      // DECIMAL(22,4) so the product stays decimal in DuckDB's 38-width
+      // cap); argmax by exact comparison, ties to the earlier index;
+      // ONE division at the end
+      ("WITH p AS (SELECT event_type, " +
+        "CAST(ROW_NUMBER() OVER w AS INT) AS i, " +
+        "CAST(SUM(CAST(value AS DECIMAL(14,4))) OVER (PARTITION BY event_type " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(22,4)) AS si, " +
+        "CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(14,4))) OVER (PARTITION BY event_type) AS DECIMAL(22,4)) AS s " +
+        "FROM events WHERE ts IS NOT NULL " +
+        "WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)), " +
+        "d AS (SELECT event_type, n, i, " +
+        "ABS(CAST(n AS DECIMAL(12,0)) * si - CAST(i AS DECIMAL(12,0)) * s) AS dd FROM p), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dd DESC, i) AS rn FROM d) " +
+        "SELECT event_type, n, i AS cp_index, " +
+        "CAST(CAST(dd AS VARCHAR) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS score " +
+        "FROM r WHERE rn = 1"),
+    "q191_trend" ->
+      // key-centered x keeps moments in the decimal cap; slope computed
+      // once and reused for the intercept — the same fixed sequence as
+      // the Spark side
+      ("WITH b AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS x, value AS y " +
+        "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL), " +
+        "c AS (SELECT event_type, MIN(x) AS x0 FROM b GROUP BY 1), " +
+        "z AS (SELECT b.event_type, CAST(b.x - c.x0 AS DECIMAL(12,0)) AS cx, " +
+        "CAST(y AS DECIMAL(14,4)) AS dy FROM b JOIN c USING (event_type)), " +
+        "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "SUM(cx) AS sx, SUM(dy) AS sy, SUM(cx * dy) AS sxy, SUM(cx * cx) AS sxx FROM z GROUP BY 1), " +
+        "k AS (SELECT event_type, n, CAST(n AS DOUBLE) AS nd, " +
+        "CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd, CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd, " +
+        "CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd, CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd FROM m), " +
+        "g AS (SELECT event_type, n, nd, sxd, syd, " +
+        "nd * sxxd - sxd * sxd AS den, nd * sxyd - sxd * syd AS num FROM k) " +
+        "SELECT event_type, n, " +
+        "CASE WHEN den > 0 THEN num / den END AS slope, " +
+        "CASE WHEN den > 0 THEN (syd - (num / den) * sxd) / nd END AS intercept FROM g"),
   )
 }

@@ -623,4 +623,91 @@ object Events {
       .agg(max(col("__graft_run")).as("best_streak"),
         sum(col("__graft_run")).as("n_active_days"))
   }
+
+  /**
+   * Offline changepoint localization per key (the batch argmax the
+   * streaming CUSUM alarm can't give you): the row where the cumulative
+   * sum deviates most from the value-uniform line — argmax_i of
+   * D_i = |n·S_i − i·S_n|, the max-distance form of the CUSUM statistic.
+   * "WHERE did the mean shift" after a drift alarm said THAT it did.
+   *
+   * Exactness: S_i/S_n accumulate in DECIMAL(14,4) units so every D_i
+   * is an exact decimal — the argmax is decided by exact comparisons,
+   * never float noise — and ties break on the earlier index. The output
+   * score divides D_max once by n² (mean-scaled distance), the single
+   * IEEE step. Ordering must be total per key: pass tie-break columns.
+   *
+   * Shape: one per-key prefix window over (order) + one rank window
+   * over the same partitioning — two analytic passes on the SAME
+   * shuffle key; bounds: n·|Σv|·10⁴ must stay inside DECIMAL(38,4)
+   * (10¹² rows of |v| ≤ 10²⁰⁻¹² — plenty for event-scale values).
+   */
+  def changepoint(
+      df: DataFrame, keys: Seq[String], order: Seq[Column], valueCol: String,
+      outIndex: String = "cp_index"): DataFrame = {
+    require(keys.nonEmpty,
+      "changepoint needs partition keys: an unkeyed window is a global single-partition funnel")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val v = col(valueCol).cast("decimal(14,4)")
+    val prefixed = df
+      .withColumn("__gi", row_number().over(w))
+      .withColumn("__gsi", sum(v).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__gn", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .withColumn("__gs", sum(v).over(Window.partitionBy(keys.map(col): _*)))
+    val scored = prefixed.withColumn("__gd",
+      abs(col("__gn").cast("decimal(12,0)") * col("__gsi") -
+        col("__gi").cast("decimal(12,0)") * col("__gs")))
+    val ranked = scored.withColumn("__gr", row_number().over(
+      Window.partitionBy(keys.map(col): _*)
+        .orderBy(col("__gd").desc, col("__gi").asc)))
+    ranked.filter(col("__gr") === 1)
+      .select(keys.map(col) ++ Seq(
+        col("__gn").as("n"),
+        col("__gi").as(outIndex),
+        (col("__gd").cast("string").cast("double") /
+          (col("__gn").cast("double") * col("__gn").cast("double"))).as("score")): _*)
+  }
+
+  /**
+   * Per-key OLS trend: slope and intercept of `valueCol` against the
+   * key-centered x axis (x − min_key(x)) via exact decimal moments —
+   * the drift DIRECTION and RATE a monitoring table wants next to the
+   * q159/[[changepoint]] where/when answers. Centering per key keeps
+   * the x moments inside the decimal multiply cap (x spans the key's
+   * range, not the epoch) and leaves the slope untouched; the intercept
+   * is reported AT the key's first x (i.e. the fitted value there),
+   * the natural anchor after centering.
+   *
+   * Two aggregations on the same key (min-x bounds frame broadcast
+   * back — the [[Features]] bounds-scaffold shape), then closed-form
+   * slope = (nΣxy − ΣxΣy) / (nΣxx − (Σx)²) and intercept =
+   * (Σy − slope·Σx)/n in ONE fixed IEEE sequence over string-detoured
+   * exact sums. Zero x-variance keys → NULL slope/intercept.
+   */
+  def trendOls(
+      df: DataFrame, keys: Seq[String], xCol: Column, valueCol: String): DataFrame = {
+    require(keys.nonEmpty,
+      "trendOls needs partition keys: center/aggregate per key, never globally")
+    val base = df.select(keys.map(col) :+ xCol.cast("long").as("__gx") :+
+      col(valueCol).as("__gy"): _*)
+      .filter(col("__gx").isNotNull && col("__gy").isNotNull)
+    val bounds = base.groupBy(keys.map(col): _*).agg(min(col("__gx")).as("__gx0"))
+    val centered = base.join(broadcast(bounds), keys)
+      .withColumn("__gcx", (col("__gx") - col("__gx0")).cast("decimal(12,0)"))
+    val dy = col("__gy").cast("decimal(14,4)")
+    val m = centered.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("__gcx")).as("__gsx"),
+      sum(dy).as("__gsy"),
+      sum(col("__gcx") * dy).as("__gsxy"),
+      sum(col("__gcx") * col("__gcx")).as("__gsxx"))
+    def d(c: String) = col(c).cast("string").cast("double")
+    val nD = col("n").cast("double")
+    val den = nD * d("__gsxx") - d("__gsx") * d("__gsx")
+    val slope = (nD * d("__gsxy") - d("__gsx") * d("__gsy")) / den
+    m.withColumn("slope", when(den > 0, slope))
+      .withColumn("intercept",
+        when(den > 0, (d("__gsy") - col("slope") * d("__gsx")) / nD))
+      .select(keys.map(col) ++ Seq(col("n"), col("slope"), col("intercept")): _*)
+  }
 }

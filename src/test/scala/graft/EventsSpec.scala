@@ -447,6 +447,36 @@ class EventsSpec extends SparkSpec {
     assert(out == Seq(None, Some(4.0)))
   }
 
+  test("changepoint finds the exact CUSUM max-distance row; ties to the earlier index") {
+    // k: 0,0,0,10,10 -> D_i = |5·S_i − i·20| = 20,40,60,30,0 -> cp at i=3
+    val d = Seq(
+      ("k", 1, 0.0), ("k", 2, 0.0), ("k", 3, 0.0), ("k", 4, 10.0), ("k", 5, 10.0),
+      // k2: constant values -> every D_i = 0 -> tie -> earliest index 1
+      ("k2", 1, 5.0), ("k2", 2, 5.0),
+    ).toDF("key", "t", "v")
+    val out = Events.changepoint(d.repartition(3), Seq("key"), Seq(col("t")), "v")
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("k", 5L, 3, 60.0 / 25.0), ("k2", 2L, 1, 0.0)))
+    val ex = intercept[IllegalArgumentException] {
+      Events.changepoint(d, Nil, Seq(col("t")), "v")
+    }
+    assert(ex.getMessage.contains("single-partition"))
+  }
+
+  test("trendOls: exact closed-form slope/intercept; zero x-variance yields NULL") {
+    // y = 2x + 1 on x = 0..3 -> slope 2, intercept 1, both exact doubles
+    val d = Seq(
+      ("a", 100L, 1.0), ("a", 101L, 3.0), ("a", 102L, 5.0), ("a", 103L, 7.0),
+      ("b", 9L, 4.0), ("b", 9L, 8.0),   // one x value -> den = 0 -> NULLs
+    ).toDF("key", "x", "y")
+    val out = Events.trendOls(d.repartition(3), Seq("key"), col("x"), "y")
+      .orderBy("key").collect()
+    assert(out(0).getString(0) == "a" && out(0).getLong(1) == 4L &&
+      out(0).getDouble(2) == 2.0 && out(0).getDouble(3) == 1.0)
+    assert(out(1).getString(0) == "b" && out(1).isNullAt(2) && out(1).isNullAt(3))
+  }
+
   test("raw-frame per-key windows refuse empty keys (single-partition funnel guard)") {
     val d = Seq((1, 1, 1.0)).toDF("k", "t", "v")
     val exPct = intercept[IllegalArgumentException] {

@@ -1955,6 +1955,30 @@ object SparkEntry {
       t(s, dir).events.select("event_type", "ts", "value"),
       Seq("event_type"), col("ts"), "value")
 
+  /** #192 golden-record consolidation over q98's fuzzy part clusters:
+   *  one canonical row per cluster (modal brand/type/size, keeper id);
+   *  singletons consolidate as themselves. The record-linkage
+   *  survivorship capstone. */
+  private def q192GoldenRecord(s: SparkSession, dir: String): DataFrame =
+    Dedup.goldenRecord(
+      t(s, dir).part.select("p_partkey", "p_brand", "p_type", "p_size"),
+      q98FuzzyClusters(s, dir), "p_partkey",
+      Seq("p_brand", "p_type", "p_size"))
+
+  /** #193 within-source percentile normalization of q26's quality
+   *  score — "top X% of EACH source" thresholds despite per-source
+   *  scale drift; cume_dist is an exact count ratio. */
+  private def q193PctNormalize(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val perDoc = t(s, dir).documents.select(
+      col("doc_id"), col("source"),
+      TextFns.qualityScore(
+        TextFns.tokenCount(col("text")),
+        TextFns.stopwordHits(toks, enStop),
+        col("n_chars")).as("q"))
+    Features.percentileNormalize(perDoc, Seq("source"), "q")
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2149,6 +2173,8 @@ object SparkEntry {
     "q189_fd_audit"         -> (q189FdAudit _),
     "q190_changepoint"      -> (q190Changepoint _),
     "q191_trend"            -> (q191Trend _),
+    "q192_golden_record"    -> (q192GoldenRecord _),
+    "q193_pct_normalize"    -> (q193PctNormalize _),
   )
 
   private val monthCaseSql: String =
@@ -3791,5 +3817,47 @@ object SparkEntry {
         "SELECT event_type, n, " +
         "CASE WHEN den > 0 THEN num / den END AS slope, " +
         "CASE WHEN den > 0 THEN (syd - (num / den) * sxd) / nd END AS intercept FROM g"),
+    "q192_golden_record" ->
+      // q98's recursive closure -> singleton-completing left join ->
+      // per-column modal election (count desc, value asc)
+      ("WITH RECURSIVE " +
+        "b AS (SELECT p_partkey AS id, " +
+        "p_name || ' ' || p_brand || ' ' || p_type AS t, " +
+        "p_name || chr(1) || p_brand AS blk FROM part), " +
+        "e0 AS (SELECT a.id AS a, x.id AS b FROM b a JOIN b x " +
+        "ON a.blk = x.blk AND a.id < x.id WHERE levenshtein(a.t, x.t) <= 4), " +
+        "edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0), " +
+        "reach(a, b) AS (SELECT a, b FROM edges " +
+        "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), " +
+        "lab AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a), " +
+        "l2 AS (SELECT p.p_partkey AS id, COALESCE(lab.cluster, p.p_partkey) AS cluster, " +
+        "p.p_brand, p.p_type, p.p_size FROM part p LEFT JOIN lab ON lab.id = p.p_partkey), " +
+        "base AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members, " +
+        "CAST(MIN(id) AS BIGINT) AS keeper_id FROM l2 GROUP BY 1), " +
+        "mb AS (SELECT cluster, p_brand FROM (SELECT cluster, p_brand, " +
+        "ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY COUNT(*) DESC, p_brand) AS rn " +
+        "FROM l2 WHERE p_brand IS NOT NULL GROUP BY cluster, p_brand) WHERE rn = 1), " +
+        "mt AS (SELECT cluster, p_type FROM (SELECT cluster, p_type, " +
+        "ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY COUNT(*) DESC, p_type) AS rn " +
+        "FROM l2 WHERE p_type IS NOT NULL GROUP BY cluster, p_type) WHERE rn = 1), " +
+        "ms AS (SELECT cluster, p_size FROM (SELECT cluster, p_size, " +
+        "ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY COUNT(*) DESC, p_size) AS rn " +
+        "FROM l2 WHERE p_size IS NOT NULL GROUP BY cluster, p_size) WHERE rn = 1) " +
+        "SELECT CAST(base.cluster AS BIGINT) AS cluster, n_members, keeper_id, " +
+        "p_brand, p_type, p_size FROM base " +
+        "LEFT JOIN mb USING (cluster) LEFT JOIN mt USING (cluster) LEFT JOIN ms USING (cluster)"),
+    "q193_pct_normalize" ->
+      // q26's quality verbatim; cume_dist is the same exact count ratio
+      // in both engines, value-deterministic under ties
+      ("WITH s AS (SELECT doc_id, source, n_chars, " +
+        "len(string_split(text, ' ')) AS n_toks, " +
+        s"len(list_filter(string_split(text, ' '), t -> t IN $enStopSql)) AS n_stop " +
+        "FROM documents), " +
+        "q AS (SELECT doc_id, source, " +
+        "0.5::DOUBLE * least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) " +
+        "+ 0.3::DOUBLE * (CAST(n_stop AS DOUBLE) / greatest(n_toks, 1)) " +
+        "+ 0.2::DOUBLE * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS q FROM s) " +
+        "SELECT doc_id, source, q, " +
+        "cume_dist() OVER (PARTITION BY source ORDER BY q) AS pct FROM q"),
   )
 }

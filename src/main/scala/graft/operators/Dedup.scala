@@ -737,6 +737,47 @@ object Dedup {
   }
 
   /**
+   * Golden-record consolidation — the survivorship step that turns
+   * resolved duplicate clusters ([[dedupClusters]] labels) into ONE
+   * canonical row each: per cluster, the modal value of every requested
+   * column (ties break to the smaller value, so the election is
+   * deterministic under any layout), plus member count and the keeper
+   * id. Records absent from the label frame are singleton clusters of
+   * themselves — the whole table consolidates, not just the entangled
+   * part.
+   *
+   * Scale shape: one left join of records to labels (both keyed by id),
+   * then per column one (cluster, value) count aggregation + a rank
+   * window over the AGGREGATED frame and a post-aggregation join back
+   * on cluster — everything after the first join is |clusters|-sized.
+   * Null values never win an election (a column's mode is over its
+   * non-null members; an all-null column yields NULL).
+   */
+  def goldenRecord(
+      records: DataFrame, labels: DataFrame, id: String,
+      valueCols: Seq[String], labelId: String = "id"): DataFrame = {
+    require(valueCols.nonEmpty, "goldenRecord needs value columns")
+    import org.apache.spark.sql.expressions.Window
+    val labeled = records
+      .join(labels.select(col(labelId).as("__gid"), col("cluster")),
+        records(id) === col("__gid"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(id)))
+      .drop("__gid")
+    val base = labeled.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"), min(col(id)).as("keeper_id"))
+    valueCols.foldLeft(base) { (acc, c) =>
+      val mode = labeled.filter(col(c).isNotNull)
+        .groupBy(col("cluster"), col(c)).agg(count(lit(1)).as("__gn"))
+        .withColumn("__gr", row_number().over(
+          Window.partitionBy(col("cluster"))
+            .orderBy(col("__gn").desc, col(c).asc)))
+        .filter(col("__gr") === 1)
+        .select(col("cluster"), col(c))
+      acc.join(mode, Seq("cluster"), "left")
+    }
+  }
+
+  /**
    * Cluster-size histogram over a resolved label frame
    * ([[dedupClusters]] / [[connectedComponents]] output): how many
    * clusters of each size exist. The companion readout to

@@ -641,6 +641,25 @@ object Features {
   }
 
   /**
+   * Within-group percentile normalization: each row's score becomes its
+   * cumulative share inside its group (`cume_dist` — the exact rational
+   * count-≤ / count-total, value-deterministic under ties). The cross-
+   * source calibration trick: a single global threshold on the
+   * percentile then keeps "the top X% OF EACH SOURCE" even when raw
+   * score scales differ wildly between sources. One per-key window, no
+   * joins; keys are required (the q51/q53 funnel-guard precedent).
+   * Null scores order differently across engines — filter them first.
+   */
+  def percentileNormalize(
+      df: DataFrame, keys: Seq[String], scoreCol: String,
+      out: String = "pct"): DataFrame = {
+    require(keys.nonEmpty,
+      "percentileNormalize needs partition keys: an unkeyed window is a global single-partition funnel")
+    df.withColumn(out, cume_dist().over(
+      Window.partitionBy(keys.map(col): _*).orderBy(col(scoreCol))))
+  }
+
+  /**
    * Calibration / reliability bins: cut the score axis into `nBins`
    * FIXED-WIDTH bins over [lo, hi) and report each bin's exact count
    * and positive rate — the table behind a reliability diagram ("when

@@ -438,6 +438,27 @@ class DedupSpec extends SparkSpec {
       ("s2", 3L, 10L, 1L, 2L, 2.0 / 3.0)))
   }
 
+  test("goldenRecord: modal election with deterministic ties; singletons self-consolidate") {
+    val records = Seq(
+      (1L, "BrandA", 5), (2L, "BrandA", 7), (3L, "BrandB", 7),  // cluster 1
+      (4L, "Solo", 9),                                          // unlabeled singleton
+      (5L, null.asInstanceOf[String], 2), (6L, null.asInstanceOf[String], 2), // cluster 5: all-null brand
+    ).toDF("id", "brand", "size")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("id", "cluster")
+    val out = Dedup.goldenRecord(records.repartition(3), labels, "id",
+      Seq("brand", "size"))
+      .orderBy("cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)), if (r.isNullAt(4)) None else Some(r.getInt(4))))
+    assert(out.toSeq == Seq(
+      // brand: BrandA (2 votes); size: 5 vs 7 -> 7 has 2 votes
+      (1L, 3L, 1L, Some("BrandA"), Some(7)),
+      (4L, 1L, 4L, Some("Solo"), Some(9)),
+      // all-null brand -> NULL; size mode 2
+      (5L, 2L, 5L, None, Some(2))))
+  }
+
   test("clusterSizeHistogram: twins vs a template family") {
     val labels = Seq(
       (1L, 1L), (2L, 1L), (3L, 1L),   // one size-3 cluster

@@ -383,6 +383,23 @@ class FeaturesSpec extends SparkSpec {
       (4, 0.8, 2L, 1L, 0.5)))
   }
 
+  test("percentileNormalize: exact within-group cume_dist; ties share a value; guard") {
+    val d = Seq(
+      ("s1", 10.0), ("s1", 20.0), ("s1", 20.0), ("s1", 30.0),
+      ("s2", 1.0),
+    ).toDF("src", "q")
+    val out = Features.percentileNormalize(d.repartition(3), Seq("src"), "q")
+      .orderBy("src", "q").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      ("s1", 10.0, 0.25), ("s1", 20.0, 0.75), ("s1", 20.0, 0.75),
+      ("s1", 30.0, 1.0), ("s2", 1.0, 1.0)))
+    val ex = intercept[IllegalArgumentException] {
+      Features.percentileNormalize(d, Nil, "q")
+    }
+    assert(ex.getMessage.contains("single-partition"))
+  }
+
   test("lagFeatures and rfmScores refuse empty keys (single-partition funnel guard)") {
     val d = Seq((1, 1, 1.0)).toDF("k", "t", "v")
     val exLag = intercept[IllegalArgumentException] {

@@ -1979,6 +1979,26 @@ object SparkEntry {
     Features.percentileNormalize(perDoc, Seq("source"), "q")
   }
 
+  /** #194 lag-1 autocorrelation of event value per type over
+   *  (ts, event_id) order — mean-reverting vs sticky; exact decimal
+   *  moments on the (v, v_prev) pair frame. */
+  private def q194Autocorr(s: SparkSession, dir: String): DataFrame =
+    Events.autocorr(
+      t(s, dir).events.select("event_id", "event_type", "ts", "value")
+        .filter(col("ts").isNotNull), // NULL ts order differs across engines
+      Seq("event_type"), Seq(col("ts"), col("event_id")), "value")
+
+  /** #195 ranking-agreement eval: overlap@5 between the cosine and
+   *  inner-product retrievers per query — does normalization change
+   *  what we retrieve? Exact set intersection, one division by k. */
+  private def q195TopkOverlap(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir).embeddings
+    val q = e.filter(col("vec_id") < 8)
+    Similarity.topKOverlap(
+      Similarity.bruteForceTopK(s, e, q, "vec_id", "embedding", k = 5),
+      Similarity.dotTopK(e, q, "vec_id", "embedding", k = 5), k = 5)
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2175,6 +2195,8 @@ object SparkEntry {
     "q191_trend"            -> (q191Trend _),
     "q192_golden_record"    -> (q192GoldenRecord _),
     "q193_pct_normalize"    -> (q193PctNormalize _),
+    "q194_autocorr"         -> (q194Autocorr _),
+    "q195_topk_overlap"     -> (q195TopkOverlap _),
   )
 
   private val monthCaseSql: String =
@@ -3859,5 +3881,46 @@ object SparkEntry {
         "+ 0.2::DOUBLE * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS q FROM s) " +
         "SELECT doc_id, source, q, " +
         "cume_dist() OVER (PARTITION BY source ORDER BY q) AS pct FROM q"),
+    "q194_autocorr" ->
+      // (v, lag v) pair frame per type; decCorr recipe: DECIMAL moments
+      // (22,4) factor casts for int128 products), VARCHAR detours, one
+      // fixed IEEE closed form
+      ("WITH p AS (SELECT event_type, value AS v, " +
+        "LAG(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS pv " +
+        "FROM events WHERE ts IS NOT NULL), " +
+        "f AS (SELECT event_type, CAST(v AS DECIMAL(22,4)) AS x, CAST(pv AS DECIMAL(22,4)) AS y " +
+        "FROM p WHERE v IS NOT NULL AND pv IS NOT NULL), " +
+        "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, " +
+        "SUM(x * x) AS sxx, SUM(y * y) AS syy FROM f GROUP BY 1), " +
+        "k AS (SELECT event_type, n_pairs, CAST(n_pairs AS DOUBLE) AS nd, " +
+        "CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd, CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd, " +
+        "CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd, " +
+        "CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd, CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syyd FROM m) " +
+        "SELECT event_type, n_pairs, " +
+        "CASE WHEN nd * sxxd - sxd * sxd > 0 AND nd * syyd - syd * syd > 0 THEN " +
+        "(nd * sxyd - sxd * syd) / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)) " +
+        "END AS acf FROM k"),
+    "q195_topk_overlap" ->
+      // the q170 ranking CTEs at k=5; overlap = |a ∩ b| / 5 exactly
+      ("WITH a AS (SELECT query_id, neighbor_id FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, " +
+        "c.vec_id) AS rank " +
+        "FROM embeddings c JOIN embeddings q ON q.vec_id < 8 AND c.vec_id <> q.vec_id) " +
+        "WHERE rank <= 5), " +
+        "b AS (SELECT query_id, neighbor_id FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, " +
+        "c.vec_id) AS rank " +
+        "FROM embeddings c JOIN embeddings q ON q.vec_id < 8 AND c.vec_id <> q.vec_id) " +
+        "WHERE rank <= 5), " +
+        "c AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_common " +
+        "FROM a JOIN b USING (query_id, neighbor_id) GROUP BY 1) " +
+        "SELECT query_id, COALESCE(n_common, 0) AS n_common, " +
+        "CAST(COALESCE(n_common, 0) AS DOUBLE) / 5 AS overlap " +
+        "FROM (SELECT DISTINCT query_id FROM a) q LEFT JOIN c USING (query_id)"),
   )
 }

@@ -625,6 +625,45 @@ object Events {
   }
 
   /**
+   * Lag-h autocorrelation per key: Pearson correlation of the series
+   * with its own h-step lag over a total per-key order — the
+   * mean-reversion-vs-trending audit (ACF≈0: independent draws; high
+   * ACF: sticky level, a drifting sensor or a burst-driven metric).
+   * One lag window per key, then the [[graft.functions.Exact.decCorr]]
+   * recipe on the (v, v_lag) pair frame: exact decimal moments, closed
+   * form in one fixed IEEE sequence, zero-variance sides → NULL.
+   * Rows whose value or lagged value is NULL drop from the pair frame
+   * (the standard ACF-with-gaps convention).
+   */
+  def autocorr(
+      df: DataFrame, keys: Seq[String], order: Seq[Column], valueCol: String,
+      lagSteps: Int = 1): DataFrame = {
+    require(keys.nonEmpty,
+      "autocorr needs partition keys: an unkeyed window is a global single-partition funnel")
+    require(lagSteps >= 1, "autocorr needs lag >= 1")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val paired = df
+      .withColumn("__gprev", lag(col(valueCol), lagSteps).over(w))
+      .filter(col(valueCol).isNotNull && col("__gprev").isNotNull)
+    val dx = col(valueCol).cast("decimal(14,4)")
+    val dy = col("__gprev").cast("decimal(14,4)")
+    val m = paired.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(dx).as("__gsx"), sum(dy).as("__gsy"),
+      sum(dx * dy).as("__gsxy"),
+      sum(dx * dx).as("__gsxx"),
+      sum(dy * dy).as("__gsyy"))
+    def d(c: String) = col(c).cast("string").cast("double")
+    val nD = col("n_pairs").cast("double")
+    val num = nD * d("__gsxy") - d("__gsx") * d("__gsy")
+    val den1 = nD * d("__gsxx") - d("__gsx") * d("__gsx")
+    val den2 = nD * d("__gsyy") - d("__gsy") * d("__gsy")
+    m.select(keys.map(col) ++ Seq(col("n_pairs"),
+      when(den1 > 0 && den2 > 0, num / (sqrt(den1) * sqrt(den2)))
+        .as("acf")): _*)
+  }
+
+  /**
    * Offline changepoint localization per key (the batch argmax the
    * streaming CUSUM alarm can't give you): the row where the cumulative
    * sum deviates most from the value-uniform line — argmax_i of

@@ -95,6 +95,28 @@ object Similarity {
   }
 
   /**
+   * Ranking-agreement eval: per-query overlap@k between two top-k
+   * rankings (e.g. cosine vs inner-product retrieval) — the cheap
+   * diagnostic for "does normalization change what we retrieve?", and
+   * the same overlap harness evaluates an ANN stage against its exact
+   * ground truth when both are materialized. Exact: set intersection by
+   * join on (query, neighbor), count, ONE division by the literal k.
+   * Queries with zero overlap still appear (left join + zero fill).
+   * Both inputs are rank frames of k·|queries| rows — eval-sized.
+   */
+  def topKOverlap(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "topKOverlap needs k > 0")
+    val fa = a.filter(col("rank") <= k).select(col("query_id"), col("neighbor_id"))
+    val fb = b.filter(col("rank") <= k).select(col("query_id"), col("neighbor_id"))
+    val common = fa.join(fb, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_common"))
+    fa.select(col("query_id")).distinct()
+      .join(common, Seq("query_id"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("overlap", col("n_common").cast("double") / k)
+  }
+
+  /**
    * k-NN majority-vote classification — the label-propagation / weak-
    * supervision primitive: each query vector takes the most common
    * label among its k nearest corpus neighbors (cosine). The vote is

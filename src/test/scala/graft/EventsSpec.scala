@@ -477,6 +477,22 @@ class EventsSpec extends SparkSpec {
     assert(out(1).getString(0) == "b" && out(1).isNullAt(2) && out(1).isNullAt(3))
   }
 
+  test("autocorr: linear series ~1, constant series NULL, null values drop pairs") {
+    val d = Seq(
+      ("k", 1, Some(1.0)), ("k", 2, Some(2.0)), ("k", 3, Some(3.0)), ("k", 4, Some(4.0)),
+      ("c", 1, Some(5.0)), ("c", 2, Some(5.0)), ("c", 3, Some(5.0)),
+      ("g", 1, Some(1.0)), ("g", 2, None), ("g", 3, Some(9.0)),
+    ).toDF("key", "t", "v")
+    val out = Events.autocorr(d.repartition(3), Seq("key"), Seq(col("t")), "v")
+      .orderBy("key").collect()
+    // g: every pair touches the NULL row -> zero pairs -> NO row (the
+    // thresholdSweep empty-group convention); c: zero variance -> NULL
+    assert(out.map(_.getString(0)).toSeq == Seq("c", "k"))
+    assert(out(0).getLong(1) == 2L && out(0).isNullAt(2))
+    assert(out(1).getLong(1) == 3L &&
+      math.abs(out(1).getDouble(2) - 1.0) < 1e-12)
+  }
+
   test("raw-frame per-key windows refuse empty keys (single-partition funnel guard)") {
     val d = Seq((1, 1, 1.0)).toDF("k", "t", "v")
     val exPct = intercept[IllegalArgumentException] {

@@ -297,4 +297,20 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("cosine") >= 0.2))
     assert(rows.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
   }
+
+  test("topKOverlap: exact per-query intersection over rank <= k; zero-overlap queries kept") {
+    import spark.implicits._
+    val a = Seq(
+      (1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),
+      (2L, 1, 20L), (2L, 2, 21L), (2L, 3, 22L),
+    ).toDF("query_id", "rank", "neighbor_id")
+    val b = Seq(
+      (1L, 1, 11L), (1L, 2, 12L), (1L, 3, 99L),   // shares 11, 12 with a
+      (2L, 1, 30L), (2L, 2, 31L), (2L, 3, 32L),   // disjoint
+    ).toDF("query_id", "rank", "neighbor_id")
+    val out = Similarity.topKOverlap(a, b, k = 3)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 2.0 / 3.0), (2L, 0L, 0.0)))
+  }
 }

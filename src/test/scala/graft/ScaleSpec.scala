@@ -174,6 +174,36 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("aucExact's only windows run over the value-aggregated frame, never the fact") {
+    val q = SparkEntry.queries("q177_auc_exact")(spark, sf0001)
+    q.collect()
+    val plan = q.queryExecution.executedPlan
+    val windows = collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"expected a cumulative window:\n$plan")
+    // every window input must sit above an aggregation (the per-value
+    // cells frame) — a window directly over the scan would be the
+    // global per-row rank this operator exists to avoid. String check:
+    // AQE hides the subtree behind a leaf QueryStageExec, which tree
+    // traversal does not enter.
+    windows.foreach { w =>
+      assert(w.child.toString.contains("HashAggregate"),
+        s"window runs on the raw fact, not the aggregated frame:\n$plan")
+    }
+  }
+
+  test("changepoint runs all analytic passes on ONE key shuffle") {
+    val q = SparkEntry.queries("q190_changepoint")(spark, sf0001)
+    q.collect()
+    val plan = q.queryExecution.executedPlan
+    val shuffles = collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size == 1,
+      s"changepoint must reuse one event_type partitioning for every window, got ${shuffles.size}:\n$plan")
+  }
+
   test("incrementalDedup's bloom prefilter reaches both scans; only bloom hits join") {
     val q = SparkEntry.queries("q181_incremental_dedup")(spark, sf0001)
     q.collect()

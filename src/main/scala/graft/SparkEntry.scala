@@ -1999,6 +1999,19 @@ object SparkEntry {
       Similarity.dotTopK(e, q, "vec_id", "embedding", k = 5), k = 5)
   }
 
+  /** #196 PII density per source over q68's planted corpus — the
+   *  governance sign-off table: what redaction WOULD touch, per class,
+   *  per 1k tokens. */
+  private def q196PiiDensity(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir).documents.select(col("source"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" contact bob@example.com or 10.0.255.7 today")))
+        .when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" call (555) 867-5309 now")))
+        .otherwise(col("text")).as("text"))
+    Curation.piiDensity(d, "source", "text")
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2197,6 +2210,7 @@ object SparkEntry {
     "q193_pct_normalize"    -> (q193PctNormalize _),
     "q194_autocorr"         -> (q194Autocorr _),
     "q195_topk_overlap"     -> (q195TopkOverlap _),
+    "q196_pii_density"      -> (q196PiiDensity _),
   )
 
   private val monthCaseSql: String =
@@ -3922,5 +3936,25 @@ object SparkEntry {
         "SELECT query_id, COALESCE(n_common, 0) AS n_common, " +
         "CAST(COALESCE(n_common, 0) AS DOUBLE) / 5 AS overlap " +
         "FROM (SELECT DISTINCT query_id FROM a) q LEFT JOIN c USING (query_id)"),
+    "q196_pii_density" ->
+      // q68's planting CASE + independent per-class regexp counts on the
+      // raw text; density = (sum·1000)/tokens in one fixed sequence
+      ("WITH s AS (SELECT source, CASE " +
+        "WHEN doc_id % 5 = 0 THEN text || ' contact bob@example.com or 10.0.255.7 today' " +
+        "WHEN doc_id % 7 = 0 THEN text || ' call (555) 867-5309 now' " +
+        "ELSE text END AS text FROM documents), " +
+        "c AS (SELECT source, " +
+        "len(list_filter(string_split(text, ' '), t -> t <> '')) AS nt, " +
+        "len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS e, " +
+        "len(regexp_extract_all(text, '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS i, " +
+        "len(regexp_extract_all(text, '\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}')) AS p " +
+        "FROM s) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(nt) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(e) AS BIGINT) AS n_email, CAST(SUM(i) AS BIGINT) AS n_ipv4, " +
+        "CAST(SUM(p) AS BIGINT) AS n_phone, " +
+        "CASE WHEN SUM(nt) > 0 THEN " +
+        "CAST(SUM(e) + SUM(i) + SUM(p) AS DOUBLE) * 1000.0 / CAST(SUM(nt) AS DOUBLE) " +
+        "END AS pii_per_1k FROM c GROUP BY 1"),
   )
 }

@@ -509,6 +509,37 @@ object Curation {
    *  against the small flag set — broadcast in the common case). */
 
   /**
+   * PII density audit per source — the governance table reviewed before
+   * a corpus ships: per source, match counts for each PII class
+   * (email / IPv4 / phone, [[graft.functions.TextFns]]' RE2-portable
+   * patterns) and the combined rate per 1k tokens. Counts the RAW text
+   * (no sequential redaction — classes are independent tallies), so the
+   * numbers say what [[graft.functions.TextFns.redactPii]] WOULD touch.
+   * One scan, per-row regexp counts, one aggregation; the density is
+   * one fixed double sequence; token-less sources → NULL density.
+   */
+  def piiDensity(
+      docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val toks = filter(TextFns.tokens(text), t => t =!= lit(""))
+    docs.select(col(sourceCol).as("source"),
+        size(toks).as("__gnt"),
+        regexp_count(text, lit(TextFns.emailPattern)).as("__ge"),
+        regexp_count(text, lit(TextFns.ipv4Pattern)).as("__gi"),
+        regexp_count(text, lit(TextFns.phonePattern)).as("__gp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__gnt").cast("long")).as("n_tokens"),
+        sum(col("__ge").cast("long")).as("n_email"),
+        sum(col("__gi").cast("long")).as("n_ipv4"),
+        sum(col("__gp").cast("long")).as("n_phone"))
+      .withColumn("pii_per_1k",
+        when(col("n_tokens") > 0,
+          (col("n_email") + col("n_ipv4") + col("n_phone")).cast("double") *
+            lit(1000.0) / col("n_tokens").cast("double")))
+  }
+
+  /**
    * Per-source quality report card: doc/token totals plus exact
    * percentiles of a length and a quality column — the one-page summary
    * a corpus owner reads per ingest ("source X's p10 quality collapsed

@@ -94,6 +94,49 @@ object Sources {
     schema.fold(r.option("inferSchema", inferSchema.toString))(r.schema).csv(path)
   }
 
+  /**
+   * CSV ingest with malformed-row quarantine: rows that fit `schema`
+   * parse normally; rows that don't (wrong arity, bad types) land in a
+   * quarantine frame carrying the RAW line — the production ingest
+   * contract where a feed glitch must neither kill the job (FAILFAST)
+   * nor silently vanish (DROPMALFORMED). Returns (good, quarantined).
+   *
+   * The parsed frame is persisted before splitting: Spark refuses
+   * filters that reference ONLY the internal corrupt-record column on a
+   * lazy CSV scan (it would have to re-parse, and the re-parse could
+   * disagree), and the persist also means the file is parsed once for
+   * both outputs. Callers unpersist when done with both frames.
+   */
+  def csvQuarantine(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      sep: String = ",",
+      header: Boolean = false): QuarantinedCsv = {
+    val corrupt = "_corrupt_record"
+    val withCorrupt = schema.add(corrupt, org.apache.spark.sql.types.StringType)
+    val parsed = spark.read
+      .option("sep", sep)
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .schema(withCorrupt)
+      .csv(path)
+      .persist()
+    QuarantinedCsv(
+      good = parsed.filter(col(corrupt).isNull).drop(corrupt),
+      quarantined = parsed.filter(col(corrupt).isNotNull)
+        .select(col(corrupt).as("raw_line")),
+      parsed = parsed)
+  }
+
+  /** [[csvQuarantine]] result: the two split frames plus the persisted
+   *  parse both derive from — `release()` when done with both. */
+  final case class QuarantinedCsv(
+      good: DataFrame, quarantined: DataFrame, parsed: DataFrame) {
+    def release(): Unit = { parsed.unpersist(); () }
+  }
+
   /** JSON-lines reader (schema-on-read for semi-structured columns). */
   def jsonLines(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
     val r = spark.read

@@ -266,6 +266,21 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(out(1)._5 - 0.6) < 1e-15)
   }
 
+  test("piiDensity: independent per-class counts on raw text; exact density") {
+    val docs = Seq(
+      ("s1", "mail a@b.co and c@d.io from 10.0.0.1"),      // 2 emails 1 ip, 6 tokens
+      ("s1", "clean text here"),                            // 3 tokens
+      ("s2", "call (555) 867-5309 now"),                    // 1 phone, 4 tokens
+    ).toDF("source", "text")
+    val out = Curation.piiDensity(docs.repartition(2), "source", "text")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(out.toSeq == Seq(
+      ("s1", 2L, 9L, 2L, 1L, 0L, 3.0 * 1000.0 / 9.0),
+      ("s2", 1L, 4L, 0L, 0L, 1L, 1.0 * 1000.0 / 4.0)))
+  }
+
   test("vocabGrowth: first-appearance buckets by id range; cumulative vocabulary") {
     // ids 0..9, 2 buckets of 5; 'a' first at 0, 'b' at 1, 'c' at 5, 'd' at 9
     val docs = Seq(

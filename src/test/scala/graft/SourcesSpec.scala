@@ -168,6 +168,28 @@ class SourcesSpec extends SparkSpec {
     assert(frames.head.getAs[Array[Byte]]("frame").head == 0.toByte)
   }
 
+  test("csvQuarantine splits parseable rows from malformed ones, keeping the raw line") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_csv_q")
+    val f = dir.resolve("feed.csv")
+    Files.write(f,
+      ("1,alpha,10.5\n" +
+        "2,beta,oops\n" +        // bad double
+        "3,gamma,7.25\n" +
+        "4,delta\n"              // wrong arity
+        ).getBytes(Charset.forName("UTF-8")))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("price", DoubleType)))
+    val q = Sources.csvQuarantine(spark, f.toString, schema)
+    try {
+      val g = q.good.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(g == Set((1L, "alpha", 10.5), (3L, "gamma", 7.25)))
+      val b = q.quarantined.collect().map(_.getString(0)).toSet
+      assert(b == Set("2,beta,oops", "4,delta"))
+    } finally q.release()
+  }
+
   test("multimodal decode keeps ids, is deterministic, and sizes match payloads") {
     val docs = Tables(spark, sf0001).documents.limit(50)
     val payloads = Multimodal.attachPayload(docs, "text", "doc_id")

@@ -2012,6 +2012,17 @@ object SparkEntry {
     Curation.piiDensity(d, "source", "text")
   }
 
+  /** #197 retrieval MRR: mean reciprocal rank of the first same-label
+   *  neighbor in the cosine top-10 — the embedding-quality headline
+   *  next to q171/q195; reciprocals decimal-summed (order-free). */
+  private def q197Mrr(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir).embeddings
+    val q = e.filter(col("vec_id") < 8)
+    Similarity.meanReciprocalRank(
+      Similarity.bruteForceTopK(s, e, q, "vec_id", "embedding", k = 10),
+      e, "vec_id", "label", k = 10)
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2211,6 +2222,7 @@ object SparkEntry {
     "q194_autocorr"         -> (q194Autocorr _),
     "q195_topk_overlap"     -> (q195TopkOverlap _),
     "q196_pii_density"      -> (q196PiiDensity _),
+    "q197_mrr"              -> (q197Mrr _),
   )
 
   private val monthCaseSql: String =
@@ -3956,5 +3968,26 @@ object SparkEntry {
         "CASE WHEN SUM(nt) > 0 THEN " +
         "CAST(SUM(e) + SUM(i) + SUM(p) AS DOUBLE) * 1000.0 / CAST(SUM(nt) AS DOUBLE) " +
         "END AS pii_per_1k FROM c GROUP BY 1"),
+    "q197_mrr" ->
+      // cosine top-10 (the q170 CTE at k=10); RR = 1/first same-label
+      // rank routed through its DECIMAL(28,18) string image so the sum
+      // is order-independent; mean is one fixed division
+      ("WITH nn AS (SELECT query_id, neighbor_id, rank FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, " +
+        "c.vec_id) AS rank " +
+        "FROM embeddings c JOIN embeddings q ON q.vec_id < 8 AND c.vec_id <> q.vec_id) " +
+        "WHERE rank <= 10), " +
+        "fh AS (SELECT nn.query_id, MIN(rank) AS first_hit FROM nn " +
+        "JOIN embeddings ql ON ql.vec_id = nn.query_id " +
+        "JOIN embeddings nl ON nl.vec_id = nn.neighbor_id " +
+        "WHERE ql.label = nl.label GROUP BY 1), " +
+        "rr AS (SELECT q.query_id, " +
+        "COALESCE(CAST(CAST(1.0 / first_hit AS VARCHAR) AS DECIMAL(28,18)), " +
+        "CAST(0 AS DECIMAL(28,18))) AS r " +
+        "FROM (SELECT DISTINCT query_id FROM nn) q LEFT JOIN fh USING (query_id)) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, " +
+        "CAST(CAST(SUM(r) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mrr FROM rr"),
   )
 }

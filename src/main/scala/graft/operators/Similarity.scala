@@ -141,6 +141,42 @@ object Similarity {
   }
 
   /**
+   * Mean reciprocal rank of the first same-label neighbor — the
+   * standard retrieval-eval summary ("how high does the first RELEVANT
+   * hit rank?") with label match as the relevance oracle, the
+   * embedding-quality number reported next to [[topKOverlap]] and the
+   * q171 confusion matrix. Per query: RR = 1/rank of its first
+   * same-label neighbor within the top k (0 if none); MRR = the mean.
+   *
+   * Exactness: each reciprocal is one IEEE division, but a double SUM
+   * of them would be partition-order dependent — so every RR routes
+   * through its Ryu-shortest-string DECIMAL(28,18) image (the q180
+   * normalizer trick) and the mean is exact-decimal-sum / n, one final
+   * fixed sequence. Frames are eval-sized (k·|queries|).
+   * Returns one row (n_queries, mrr).
+   */
+  def meanReciprocalRank(
+      neighbors: DataFrame, labels: DataFrame, id: String,
+      labelCol: String, k: Int): DataFrame = {
+    require(k > 0, "meanReciprocalRank needs k > 0")
+    val lab = labels.select(col(id), col(labelCol))
+    val firstHit = neighbors.filter(col("rank") <= k)
+      .join(lab.select(col(id).as("query_id"), col(labelCol).as("__gql")), "query_id")
+      .join(lab.select(col(id).as("neighbor_id"), col(labelCol).as("__gnl")), "neighbor_id")
+      .filter(col("__gql") === col("__gnl"))
+      .groupBy(col("query_id")).agg(min(col("rank")).as("__gfirst"))
+    val rr = neighbors.select(col("query_id")).distinct()
+      .join(firstHit, Seq("query_id"), "left")
+      .withColumn("__grr",
+        coalesce((lit(1.0d) / col("__gfirst")).cast("string").cast("decimal(28,18)"),
+          lit(0).cast("decimal(28,18)")))
+    rr.agg(count(lit(1)).as("n_queries"), sum(col("__grr")).as("__gsum"))
+      .select(col("n_queries"),
+        (col("__gsum").cast("string").cast("double") /
+          col("n_queries").cast("double")).as("mrr"))
+  }
+
+  /**
    * Embedding hygiene audit — the malformed-vector screen BEFORE any
    * cosine math (a NaN poisons every similarity it touches; a zero
    * vector has no direction; a wrong-width vector breaks fixed-dim

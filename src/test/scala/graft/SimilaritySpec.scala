@@ -298,6 +298,23 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
   }
 
+  test("meanReciprocalRank: first same-label hit; zero for label-less queries; exact mean") {
+    import spark.implicits._
+    val neighbors = Seq(
+      (1L, 1, 10L), (1L, 2, 11L),   // q1(A): rank1=B, rank2=A -> RR 1/2
+      (2L, 1, 12L), (2L, 2, 10L),   // q2(B): rank1=B -> RR 1
+      (3L, 1, 11L), (3L, 2, 12L),   // q3(C): no C in top-k -> RR 0
+    ).toDF("query_id", "rank", "neighbor_id")
+    val labels = Seq(
+      (1L, "A"), (2L, "B"), (3L, "C"),
+      (10L, "B"), (11L, "A"), (12L, "B"),
+    ).toDF("vec_id", "label")
+    val out = Similarity.meanReciprocalRank(
+      neighbors.repartition(2), labels, "vec_id", "label", k = 2).collect()(0)
+    assert(out.getLong(0) == 3L)
+    assert(math.abs(out.getDouble(1) - 0.5) < 1e-15)
+  }
+
   test("topKOverlap: exact per-query intersection over rank <= k; zero-overlap queries kept") {
     import spark.implicits._
     val a = Seq(

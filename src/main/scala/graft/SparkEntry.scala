@@ -2023,6 +2023,20 @@ object SparkEntry {
       e, "vec_id", "label", k = 10)
   }
 
+  /** #198 token frequency spectrum (frequency-of-frequencies): the
+   *  Zipf dual and Good-Turing input — a fat singleton band means the
+   *  corpus is still discovering vocabulary. */
+  private def q198FreqSpectrum(s: SparkSession, dir: String): DataFrame =
+    Curation.tokenFrequencySpectrum(t(s, dir).documents, "text")
+
+  /** #199 Welch's t per event type between even/odd user cohorts — the
+   *  means A/B readout beside q142's proportions; one conditional-
+   *  moment aggregation, fixed IEEE closed form. */
+  private def q199WelchT(s: SparkSession, dir: String): DataFrame =
+    Features.welchT(
+      t(s, dir).events.select("event_type", "user_id", "value"),
+      Seq("event_type"), "value", inA = col("user_id") % 2 === 0)
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2223,6 +2237,8 @@ object SparkEntry {
     "q195_topk_overlap"     -> (q195TopkOverlap _),
     "q196_pii_density"      -> (q196PiiDensity _),
     "q197_mrr"              -> (q197Mrr _),
+    "q198_freq_spectrum"    -> (q198FreqSpectrum _),
+    "q199_welch_t"          -> (q199WelchT _),
   )
 
   private val monthCaseSql: String =
@@ -3989,5 +4005,34 @@ object SparkEntry {
         "FROM (SELECT DISTINCT query_id FROM nn) q LEFT JOIN fh USING (query_id)) " +
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, " +
         "CAST(CAST(SUM(r) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mrr FROM rr"),
+    "q198_freq_spectrum" ->
+      ("WITH f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM (" +
+        "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "WHERE tok <> '' GROUP BY 1) " +
+        "SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM f GROUP BY 1"),
+    "q199_welch_t" ->
+      // conditional decimal moments in one aggregation; the same fixed
+      // sequence as the Spark side: means, clamped moment-form sample
+      // variances, se = sqrt(va/na + vb/nb), t = (ma-mb)/se; NULL
+      // user_id joins neither cohort
+      ("WITH m AS (SELECT event_type, " +
+        "CAST(COUNT(CASE WHEN user_id % 2 = 0 THEN value END) AS BIGINT) AS n_a, " +
+        "CAST(COUNT(CASE WHEN NOT (user_id % 2 = 0) THEN value END) AS BIGINT) AS n_b, " +
+        "SUM(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(22,4)) END) AS sa, " +
+        "SUM(CASE WHEN NOT (user_id % 2 = 0) THEN CAST(value AS DECIMAL(22,4)) END) AS sb, " +
+        "SUM(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(22,4)) * CAST(value AS DECIMAL(22,4)) END) AS saa, " +
+        "SUM(CASE WHEN NOT (user_id % 2 = 0) THEN CAST(value AS DECIMAL(22,4)) * CAST(value AS DECIMAL(22,4)) END) AS sbb " +
+        "FROM events GROUP BY 1), " +
+        "k AS (SELECT event_type, n_a, n_b, " +
+        "CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd, " +
+        "CAST(CAST(sa AS VARCHAR) AS DOUBLE) AS sad, CAST(CAST(sb AS VARCHAR) AS DOUBLE) AS sbd, " +
+        "CAST(CAST(saa AS VARCHAR) AS DOUBLE) AS saad, CAST(CAST(sbb AS VARCHAR) AS DOUBLE) AS sbbd FROM m), " +
+        "g AS (SELECT *, " +
+        "GREATEST(nad * saad - sad * sad, 0) / (nad * (nad - 1)) AS vva, " +
+        "GREATEST(nbd * sbbd - sbd * sbd, 0) / (nbd * (nbd - 1)) AS vvb FROM k), " +
+        "h AS (SELECT *, sqrt(vva / nad + vvb / nbd) AS se FROM g) " +
+        "SELECT event_type, n_a, n_b, " +
+        "CASE WHEN n_a >= 2 AND n_b >= 2 THEN " +
+        "CASE WHEN se > 0 THEN (sad / nad - sbd / nbd) / se END END AS t_stat FROM h"),
   )
 }

@@ -509,6 +509,24 @@ object Curation {
    *  against the small flag set — broadcast in the common case). */
 
   /**
+   * Token frequency spectrum (frequency-of-frequencies): how many
+   * distinct tokens occur exactly f times in the corpus — the Zipf
+   * curve's dual, and the input to Good-Turing unseen-mass estimation
+   * (P(unseen) ≈ spectrum(1)/total): a fat singleton band means the
+   * corpus is still discovering vocabulary ([[vocabGrowth]]'s
+   * stationary summary). Two map-side-combinable aggregations after one
+   * explode — the same shuffle any vocabulary count needs; the second
+   * groupBy is over ≤ |distinct frequencies| ≈ O(log N) heavy rows.
+   * All-integer output.
+   */
+  def tokenFrequencySpectrum(
+      docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFns.tokens(col(textCol))).as("__gtok"))
+      .filter(col("__gtok") =!= "")
+      .groupBy(col("__gtok")).agg(count(lit(1)).as("freq"))
+      .groupBy(col("freq")).agg(count(lit(1)).as("n_tokens"))
+
+  /**
    * PII density audit per source — the governance table reviewed before
    * a corpus ships: per source, match counts for each PII class
    * (email / IPv4 / phone, [[graft.functions.TextFns]]' RE2-portable

@@ -641,6 +641,49 @@ object Features {
   }
 
   /**
+   * Welch's two-sample t statistic per key — "did the mean move?"
+   * between two cohorts (A/B arms, this week vs last) WITHOUT the
+   * equal-variance assumption, the means-counterpart of the q142
+   * Wilson-interval proportions readout. Per key: both cohorts' exact
+   * decimal moments in ONE aggregation (conditional sums — no second
+   * scan, no join), then t = (m̄_a − m̄_b)/√(s²_a/n_a + s²_b/n_b) with
+   * sample variances, all in one fixed IEEE sequence (√ is correctly
+   * rounded). Keys where either side has < 2 rows or zero variance on
+   * both sides yield NULL. Null values belong to no cohort.
+   *
+   * The statistic is reported WITHOUT a p-value: Welch–Satterthwaite
+   * degrees of freedom feed a t CDF no SQL engine evaluates portably —
+   * consumers threshold |t| (|t| > 1.96 ≈ 5% for large n), which needs
+   * no special function.
+   */
+  def welchT(
+      df: DataFrame, keys: Seq[String], valueCol: String,
+      inA: Column): DataFrame = {
+    require(keys.nonEmpty, "welchT needs grouping keys")
+    val v = col(valueCol).cast("decimal(14,4)")
+    val va = when(inA && col(valueCol).isNotNull, v)
+    val vb = when(!inA && col(valueCol).isNotNull, v)
+    val m = df.groupBy(keys.map(col): _*).agg(
+      count(va).as("n_a"), count(vb).as("n_b"),
+      sum(va).as("__gsa"), sum(vb).as("__gsb"),
+      sum(va * va).as("__gsaa"), sum(vb * vb).as("__gsbb"))
+    def d(c: String) = col(c).cast("string").cast("double")
+    val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    val ma = d("__gsa") / na
+    val mb = d("__gsb") / nb
+    // sample variance via the moment form, clamped at 0 (the q75
+    // constant-group ulp-residue contract)
+    val vva = greatest(na * d("__gsaa") - d("__gsa") * d("__gsa"), lit(0d)) /
+      (na * (na - 1))
+    val vvb = greatest(nb * d("__gsbb") - d("__gsb") * d("__gsb"), lit(0d)) /
+      (nb * (nb - 1))
+    val se = sqrt(vva / na + vvb / nb)
+    m.select(keys.map(col) ++ Seq(col("n_a"), col("n_b"),
+      when(col("n_a") >= 2 && col("n_b") >= 2,
+        when(se > 0, (ma - mb) / se)).as("t_stat")): _*)
+  }
+
+  /**
    * Within-group percentile normalization: each row's score becomes its
    * cumulative share inside its group (`cume_dist` — the exact rational
    * count-≤ / count-total, value-deterministic under ties). The cross-

@@ -266,6 +266,16 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(out(1)._5 - 0.6) < 1e-15)
   }
 
+  test("tokenFrequencySpectrum: frequency-of-frequencies with blank drop") {
+    val docs = Seq(
+      ("a b  a"), ("b c a"), ("d"),
+    ).toDF("text")
+    // freqs: a=3, b=2, c=1, d=1 -> spectrum: (1,2), (2,1), (3,1)
+    val out = Curation.tokenFrequencySpectrum(docs.repartition(2), "text")
+      .orderBy("freq").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
   test("piiDensity: independent per-class counts on raw text; exact density") {
     val docs = Seq(
       ("s1", "mail a@b.co and c@d.io from 10.0.0.1"),      // 2 emails 1 ip, 6 tokens

@@ -400,6 +400,24 @@ class FeaturesSpec extends SparkSpec {
     assert(ex.getMessage.contains("single-partition"))
   }
 
+  test("welchT: hand-checked statistic; degenerate cohorts NULL; nulls join no cohort") {
+    // A = {1,2,3} (mean 2, var 1), B = {4,6} (mean 5, var 2)
+    // se = sqrt(1/3 + 2/2) = sqrt(4/3); t = -3/sqrt(4/3)
+    val d = Seq(
+      ("k", Some(0L), 1.0), ("k", Some(2L), 2.0), ("k", Some(4L), 3.0),
+      ("k", Some(1L), 4.0), ("k", Some(3L), 6.0),
+      ("k", None, 999.0),               // null user -> neither cohort
+      ("solo", Some(0L), 1.0), ("solo", Some(1L), 2.0), // n_a = n_b = 1
+    ).toDF("key", "user", "v")
+    val out = Features.welchT(d.repartition(3), Seq("key"), "v",
+      inA = col("user") % 2 === 0)
+      .orderBy("key").collect()
+    val k = out(0)
+    assert(k.getString(0) == "k" && k.getLong(1) == 3L && k.getLong(2) == 2L)
+    assert(math.abs(k.getDouble(3) - (-3.0 / math.sqrt(4.0 / 3.0))) < 1e-12)
+    assert(out(1).getString(0) == "solo" && out(1).isNullAt(3))
+  }
+
   test("lagFeatures and rfmScores refuse empty keys (single-partition funnel guard)") {
     val d = Seq((1, 1, 1.0)).toDF("k", "t", "v")
     val exLag = intercept[IllegalArgumentException] {

@@ -2037,6 +2037,20 @@ object SparkEntry {
       t(s, dir).events.select("event_type", "user_id", "value"),
       Seq("event_type"), "value", inA = col("user_id") % 2 === 0)
 
+  /** #200 split-leakage audit: q103's id-hash split × q176's planted
+   *  duplicate payloads — fingerprints straddling a train/val/test
+   *  boundary contaminate the held-out metric; dedup must run BEFORE
+   *  splitting. */
+  private def q200SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir).documents.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, lit("common duplicate payload"))
+        .otherwise(col("text")).as("text"))
+    Features.splitLeakage(
+      Features.hashSplit(d, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+      "split", "text")
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2239,6 +2253,7 @@ object SparkEntry {
     "q197_mrr"              -> (q197Mrr _),
     "q198_freq_spectrum"    -> (q198FreqSpectrum _),
     "q199_welch_t"          -> (q199WelchT _),
+    "q200_split_leakage"    -> (q200SplitLeakage _),
   )
 
   private val monthCaseSql: String =
@@ -4034,5 +4049,19 @@ object SparkEntry {
         "SELECT event_type, n_a, n_b, " +
         "CASE WHEN n_a >= 2 AND n_b >= 2 THEN " +
         "CASE WHEN se > 0 THEN (sad / nad - sbd / nbd) / se END END AS t_stat FROM h"),
+    "q200_split_leakage" ->
+      // q103's split thresholds verbatim + q176's planted dups; distinct
+      // (split, fp) self-join bounded by |splits|
+      (s"WITH d AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 " +
+        "THEN 'common duplicate payload' ELSE text END AS text FROM documents), " +
+        s"s AS (SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < " +
+        s"'${graft.operators.Features.weightThresholdHex(0.8)}' THEN 'train' " +
+        s"WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < " +
+        s"'${graft.operators.Features.weightThresholdHex(0.8 + 0.1)}' THEN 'val' " +
+        "ELSE 'test' END AS split, md5(text) AS fp FROM d), " +
+        "u AS (SELECT DISTINCT split, fp FROM s) " +
+        "SELECT a.split AS split_a, b.split AS split_b, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_shared " +
+        "FROM u a JOIN u b ON a.fp = b.fp AND a.split < b.split GROUP BY 1, 2"),
   )
 }

@@ -353,6 +353,31 @@ object Features {
   }
 
   /**
+   * Split leakage audit — the check that catches THE classic eval bug:
+   * duplicate content straddling a train/test boundary ([[hashSplit]]
+   * splits by id, so two copies of one text can land on different
+   * sides). Per unordered split pair, the number of distinct content
+   * fingerprints present in both — any non-zero row means the held-out
+   * metric is contaminated and dedup must run BEFORE splitting.
+   *
+   * [[graft.operators.Curation.sourceOverlap]]'s shape on fingerprints:
+   * distinct (split, fp) — one hash shuffle — then a self-join whose
+   * per-fp fan-out is bounded by |splits| (≤ a handful), never by the
+   * corpus. Exact counts.
+   */
+  def splitLeakage(
+      df: DataFrame, splitCol: String, textCol: String): DataFrame = {
+    val sf = df.select(col(splitCol).as("__gsplit"),
+      md5(col(textCol)).as("__gfp")).distinct()
+    val a = sf.select(col("__gsplit").as("split_a"), col("__gfp"))
+    val b = sf.select(col("__gsplit").as("split_b"), col("__gfp"))
+    a.join(b, Seq("__gfp"))
+      .filter(col("split_a") < col("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /**
    * Overlapping document chunking — the RAG/embedding-pipeline prep
    * step: slice each document into `chunkChars`-character windows whose
    * starts advance by `chunkChars - overlapChars`, so consecutive

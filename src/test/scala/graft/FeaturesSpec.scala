@@ -400,6 +400,19 @@ class FeaturesSpec extends SparkSpec {
     assert(ex.getMessage.contains("single-partition"))
   }
 
+  test("splitLeakage counts distinct fingerprints straddling split pairs") {
+    val d = Seq(
+      (1L, "train", "dup"), (2L, "train", "dup"),    // in-split dup: no leak
+      (3L, "test", "dup"),                            // train-test leak via 'dup'
+      (4L, "val", "other"), (5L, "test", "other"),    // val-test leak
+      (6L, "train", "clean"),
+    ).toDF("id", "split", "text")
+    val out = Features.splitLeakage(d.repartition(3), "split", "text")
+      .orderBy("split_a", "split_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("test", "train", 1L), ("test", "val", 1L)))
+  }
+
   test("welchT: hand-checked statistic; degenerate cohorts NULL; nulls join no cohort") {
     // A = {1,2,3} (mean 2, var 1), B = {4,6} (mean 5, var 2)
     // se = sqrt(1/3 + 2/2) = sqrt(4/3); t = -3/sqrt(4/3)

@@ -505,9 +505,6 @@ object Curation {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
-  /** Remove flagged-contaminated documents from the corpus (anti-join
-   *  against the small flag set — broadcast in the common case). */
-
   /**
    * Token frequency spectrum (frequency-of-frequencies): how many
    * distinct tokens occur exactly f times in the corpus — the Zipf

@@ -2051,6 +2051,62 @@ object SparkEntry {
       "split", "text")
   }
 
+  /** #201 PSI drift bins of event value between the month's first and
+   *  second half — the production drift alarm: per fixed bin, both
+   *  cohorts' counts and (pA−pB)·ln(pA/pB); the q182 bin grid with the
+   *  movement term. Empty bins surface via Laplace smoothing. */
+  private def q201Psi(s: SparkSession, dir: String): DataFrame =
+    Features.psi(t(s, dir).events, "value",
+      inA = dayofmonth(col("ts")) <= 15, nBins = 10, lo = 0.0, hi = 500.0)
+
+  /** #202 Cramér's V over q136's return-flag × line-status grid — the
+   *  bounded effect size that makes χ² comparable across tables; the
+   *  categorical companion to q41's Pearson r. */
+  private def q202CramersV(s: SparkSession, dir: String): DataFrame =
+    Relational.cramersV(
+      Relational.chiSquareCells(t(s, dir).lineitem, "l_returnflag", "l_linestatus"),
+      "l_returnflag", "l_linestatus")
+
+  /** #203 PMI collocations (min pair count 10): adjacent word pairs
+   *  co-occurring beyond unigram chance — the multiword units a
+   *  tokenizer/shingler should treat atomically; template debris at the
+   *  top means q173's boilerplate stripper runs first. */
+  private def q203Pmi(s: SparkSession, dir: String): DataFrame =
+    Curation.pmiCollocations(t(s, dir).documents, "text", minCount = 10)
+
+  /** #204 per-source unigram entropy — the diversity dial beside q186's
+   *  report card: a source whose token distribution collapsed (template
+   *  spam) sits far below its peers even when doc counts look fine. */
+  private def q204SourceEntropy(s: SparkSession, dir: String): DataFrame =
+    Curation.sourceEntropy(t(s, dir).documents, "source", "text")
+
+  /** #205 mean NDCG@10 of the cosine retriever with same-label gain —
+   *  position-aware beside q197's MRR (which only sees the first hit);
+   *  no-hit queries contribute exact 0. */
+  private def q205Ndcg(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir).embeddings
+    val q = e.filter(col("vec_id") < 8)
+    Similarity.ndcgAtK(
+      Similarity.bruteForceTopK(s, e, q, "vec_id", "embedding", k = 10),
+      e, "vec_id", "label", k = 10)
+  }
+
+  /** #206 Kaplan-Meier user-retention table: per-user lifetime =
+   *  first→last event days, censored when the user was still active in
+   *  the window's final week — the right-censoring-aware answer a plain
+   *  mean lifetime biases low. */
+  private def q206KmSurvival(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir).events
+    val horizon = ev.agg(max(col("ts")).as("__gmax"))
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("__gfirst"), max(col("ts")).as("__glast"))
+      .crossJoin(broadcast(horizon))
+      .select(
+        datediff(to_date(col("__glast")), to_date(col("__gfirst"))).as("duration"),
+        (col("__glast") <= col("__gmax") - expr("INTERVAL 7 DAYS")).as("churned"))
+    Events.kmSurvival(perUser, "duration", "churned")
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2254,6 +2310,12 @@ object SparkEntry {
     "q198_freq_spectrum"    -> (q198FreqSpectrum _),
     "q199_welch_t"          -> (q199WelchT _),
     "q200_split_leakage"    -> (q200SplitLeakage _),
+    "q201_psi"              -> (q201Psi _),
+    "q202_cramers_v"        -> (q202CramersV _),
+    "q203_pmi"              -> (q203Pmi _),
+    "q204_source_entropy"   -> (q204SourceEntropy _),
+    "q205_ndcg"             -> (q205Ndcg _),
+    "q206_km_survival"      -> (q206KmSurvival _),
   )
 
   private val monthCaseSql: String =
@@ -4063,5 +4125,127 @@ object SparkEntry {
         "SELECT a.split AS split_a, b.split AS split_b, " +
         "CAST(COUNT(*) AS BIGINT) AS n_shared " +
         "FROM u a JOIN u b ON a.fp = b.fp AND a.split < b.split GROUP BY 1, 2"),
+    "q201_psi" ->
+      // q182's fixed bin grid + Laplace-smoothed cohort proportions;
+      // counts exact, ONE division each, ln image routed through FLOAT
+      // (the q70 libm-ulp contract)
+      ("WITH b AS (SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 50.0) AS INT), 0), 9) AS bin, " +
+        "date_part('day', ts) <= 15 AS ina FROM events WHERE value IS NOT NULL), " +
+        "c AS (SELECT bin, CAST(COUNT(CASE WHEN ina THEN 1 END) AS BIGINT) AS n_a, " +
+        "CAST(COUNT(CASE WHEN NOT ina THEN 1 END) AS BIGINT) AS n_b FROM b GROUP BY 1), " +
+        "g AS (SELECT CAST(unnest(range(10)) AS INT) AS bin), " +
+        "f AS (SELECT g.bin, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b " +
+        "FROM g LEFT JOIN c USING (bin)), " +
+        "t AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM f), " +
+        "p AS (SELECT bin, n_a, n_b, " +
+        "CAST(n_a + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE) AS pa, " +
+        "CAST(n_b + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE) AS pb FROM f, t) " +
+        "SELECT bin, 0.0 + bin * 50.0 AS bin_lo, n_a, n_b, " +
+        "CAST((pa - pb) * ln(pa / pb) AS FLOAT) AS psi_term FROM p"),
+    "q202_cramers_v" ->
+      // q136's cells verbatim (expected named once, as Spark reuses the
+      // column), contributions decimal-routed so the chi2 sum is
+      // order-free; sqrt is IEEE-exact
+      ("WITH o AS (SELECT l_returnflag, l_linestatus, COUNT(*) AS obs " +
+        "FROM lineitem GROUP BY 1, 2), " +
+        "c AS (SELECT g.l_returnflag, g.l_linestatus, COALESCE(o.obs, 0) AS n " +
+        "FROM ((SELECT DISTINCT l_returnflag FROM lineitem) " +
+        "CROSS JOIN (SELECT DISTINCT l_linestatus FROM lineitem)) g " +
+        "LEFT JOIN o USING (l_returnflag, l_linestatus)), " +
+        "x AS (SELECT l_returnflag, l_linestatus, n, " +
+        "CAST(SUM(n) OVER (PARTITION BY l_returnflag) AS DOUBLE) * " +
+        "CAST(SUM(n) OVER (PARTITION BY l_linestatus) AS DOUBLE) / " +
+        "CAST(SUM(n) OVER () AS DOUBLE) AS expected FROM c), " +
+        "cells AS (SELECT l_returnflag, l_linestatus, n, " +
+        "(CAST(n AS DOUBLE) - expected) * (CAST(n AS DOUBLE) - expected) / expected " +
+        "AS contribution FROM x), " +
+        "a AS (SELECT CAST(SUM(n) AS BIGINT) AS n_obs, " +
+        "CAST(LEAST(COUNT(DISTINCT l_returnflag) - 1, COUNT(DISTINCT l_linestatus) - 1) AS BIGINT) AS dof_min, " +
+        "CAST(CAST(SUM(CAST(CAST(contribution AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS chi2 " +
+        "FROM cells) " +
+        "SELECT n_obs, dof_min, chi2, " +
+        "CASE WHEN dof_min > 0 AND n_obs > 0 THEN " +
+        "sqrt(chi2 / (CAST(n_obs AS DOUBLE) * CAST(dof_min AS DOUBLE))) END AS cramers_v FROM a"),
+    "q203_pmi" ->
+      // q143's bigram machinery + two unigram probes; counts exact,
+      // operands cast to double BEFORE multiplying (q136 overflow
+      // contract), ln image through FLOAT
+      ("WITH t AS (SELECT string_split(text, ' ') AS w FROM documents), " +
+        "uc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM " +
+        "(SELECT unnest(w) AS word FROM t) GROUP BY 1), " +
+        "n AS (SELECT SUM(c) AS nn FROM uc), " +
+        "bc AS (SELECT z[1] AS w1, z[2] AS w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM " +
+        "(SELECT unnest(list_zip(w[:len(w)-1], w[2:])) AS z FROM t) GROUP BY 1, 2), " +
+        "k AS (SELECT w1, w2, n_pair FROM bc WHERE n_pair >= 10) " +
+        "SELECT w1, w2, n_pair, " +
+        "CAST(ln(CAST(n_pair AS DOUBLE) * CAST(nn AS DOUBLE) / " +
+        "(CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))) AS FLOAT) AS pmi " +
+        "FROM k JOIN uc u1 ON k.w1 = u1.word JOIN uc u2 ON k.w2 = u2.word, n"),
+    "q204_source_entropy" ->
+      // per-token p is exact-ints-to-one-division; each −p·ln(p) term's
+      // float image sums via DECIMAL(28,18) (q197 order-free contract)
+      ("WITH c AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c FROM " +
+        "(SELECT source, unnest(string_split(text, ' ')) AS word FROM documents) " +
+        "GROUP BY 1, 2), " +
+        "t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS nn, CAST(COUNT(*) AS BIGINT) AS v " +
+        "FROM c GROUP BY 1), " +
+        "e AS (SELECT c.source, SUM(CAST(CAST(CAST(CAST(" +
+        "-(CAST(c.c AS DOUBLE) / CAST(t.nn AS DOUBLE)) * " +
+        "ln(CAST(c.c AS DOUBLE) / CAST(t.nn AS DOUBLE)) " +
+        "AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))) AS h " +
+        "FROM c JOIN t USING (source) GROUP BY 1) " +
+        "SELECT t.source, t.nn AS n_tokens, t.v AS vocab, " +
+        "CAST(CAST(e.h AS VARCHAR) AS DOUBLE) AS entropy_nats " +
+        "FROM t JOIN e ON t.source = e.source"),
+    "q205_ndcg" ->
+      // q197's cosine top-10 CTE; binary gains 1/log2(pos+1) float-
+      // absorbed and decimal-summed; ideal positions pack relevant hits
+      // at ranks 1..R; no-hit queries contribute exact 0
+      ("WITH nn AS (SELECT query_id, neighbor_id, rank FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, " +
+        "c.vec_id) AS rank " +
+        "FROM embeddings c JOIN embeddings q ON q.vec_id < 8 AND c.vec_id <> q.vec_id) " +
+        "WHERE rank <= 10), " +
+        "rel AS (SELECT nn.query_id, nn.rank, " +
+        "ROW_NUMBER() OVER (PARTITION BY nn.query_id ORDER BY nn.rank) AS ideal " +
+        "FROM nn JOIN embeddings ql ON ql.vec_id = nn.query_id " +
+        "JOIN embeddings nl ON nl.vec_id = nn.neighbor_id " +
+        "WHERE ql.label = nl.label), " +
+        "pq AS (SELECT query_id, " +
+        "SUM(CAST(CAST(CAST(CAST(CAST(1 AS DOUBLE) / log2(CAST(rank AS DOUBLE) + CAST(1 AS DOUBLE)) " +
+        "AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))) AS dcg, " +
+        "SUM(CAST(CAST(CAST(CAST(CAST(1 AS DOUBLE) / log2(CAST(ideal AS DOUBLE) + CAST(1 AS DOUBLE)) " +
+        "AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))) AS idcg FROM rel GROUP BY 1), " +
+        "nd AS (SELECT q.query_id, COALESCE(CAST(CAST(" +
+        "CAST(CAST(pq.dcg AS VARCHAR) AS DOUBLE) / CAST(CAST(pq.idcg AS VARCHAR) AS DOUBLE) " +
+        "AS VARCHAR) AS DECIMAL(28,18)), CAST(0 AS DECIMAL(28,18))) AS nd " +
+        "FROM (SELECT DISTINCT query_id FROM nn) q LEFT JOIN pq USING (query_id)) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, " +
+        "CAST(CAST(SUM(nd) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_ndcg FROM nd"),
+    "q206_km_survival" ->
+      // per-user lifetimes with 7-day censoring; n_risk = total − exact
+      // running exits; each ln(1−d/n) float-absorbed into a DECIMAL
+      // running sum whose order the window fixes; ONE exp rebuilds S(t)
+      ("WITH m AS (SELECT MAX(ts) AS mx FROM events), " +
+        "p AS (SELECT user_id, MIN(ts) AS f, MAX(ts) AS l FROM events GROUP BY 1), " +
+        "s AS (SELECT CAST(date_diff('day', CAST(f AS DATE), CAST(l AS DATE)) AS BIGINT) AS t, " +
+        "l <= mx - INTERVAL 7 DAY AS churned FROM p, m), " +
+        "g AS (SELECT t, CAST(COUNT(CASE WHEN churned THEN 1 END) AS BIGINT) AS n_event, " +
+        "CAST(COUNT(CASE WHEN NOT churned THEN 1 END) AS BIGINT) AS n_censored FROM s GROUP BY 1), " +
+        "tot AS (SELECT CAST(SUM(n_event + n_censored) AS BIGINT) AS tt FROM g), " +
+        "r AS (SELECT t, n_event, n_censored, tt - COALESCE(CAST(SUM(n_event + n_censored) OVER " +
+        "(ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk " +
+        "FROM g, tot), " +
+        "w AS (SELECT t, n_risk, n_event, n_censored, " +
+        "CASE WHEN n_event < n_risk THEN CAST(CAST(CAST(CAST(ln(CAST(1 AS DOUBLE) - " +
+        "CAST(n_event AS DOUBLE) / CAST(n_risk AS DOUBLE)) AS REAL) AS DOUBLE) AS VARCHAR) " +
+        "AS DECIMAL(28,18)) END AS lf, " +
+        "MAX(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t) AS hz FROM r) " +
+        "SELECT t, n_risk, n_event, n_censored, " +
+        "CASE WHEN hz = 1 THEN CAST(0 AS DOUBLE) " +
+        "ELSE COALESCE(exp(CAST(CAST(SUM(lf) OVER (ORDER BY t) AS VARCHAR) AS DOUBLE)), " +
+        "CAST(1 AS DOUBLE)) END AS survival FROM w"),
   )
 }

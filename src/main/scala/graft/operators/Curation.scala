@@ -579,6 +579,91 @@ object Curation {
         percentile(col(qualityCol), lit(0.5)).as("p50_quality"),
         percentile(col(qualityCol), lit(0.9)).as("p90_quality"))
 
+  /**
+   * Pointwise-mutual-information collocations: word pairs that co-occur
+   * adjacently far more than their unigram frequencies predict —
+   * PMI = ln(c(xy)·N / (c(x)·c(y))). High-PMI pairs are the multiword
+   * units ("new york", boilerplate stubs) a tokenizer or dedup shingler
+   * should treat atomically; a corpus whose top pairs are template
+   * debris has a boilerplate problem q173's stripper should see first.
+   * `minCount` floors the bigram count — PMI is notoriously noisy on
+   * rare pairs (a hapax pair maxes the score).
+   *
+   * Exactness: all counts are exact; the operands cast to double
+   * BEFORE multiplying (the q136 overflow contract: c(xy)·N is past
+   * int64 at fact scale) in one fixed sequence, and the ln image
+   * routes through FLOAT (the q70 libm-ulp contract). No ordering is
+   * imposed — ranking by the float is the caller's choice; the frame
+   * is deterministic as a SET.
+   *
+   * Scale: one explode → bigram count shuffle; the two unigram joins
+   * probe the SAME counts frame (Catalyst reuses the exchange, the
+   * q155 shape) keyed by vocabulary — AQE handles stop-word skew as in
+   * q118. Nothing is all-pairs; the bigram frame is corpus-linear.
+   */
+  def pmiCollocations(
+      docs: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    require(minCount >= 1, "pmiCollocations needs minCount >= 1")
+    val w = split(col(textCol), " ")
+    val uni = docs.select(explode(w).as("__gw"))
+      .groupBy(col("__gw")).agg(count(lit(1)).as("__gcw"))
+    val totals = uni.agg(sum(col("__gcw")).as("__gN"))
+    val pairs = docs
+      .select(explode(zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("__gp"))
+      .select(col("__gp.w1").as("w1"), col("__gp.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val pmi = (col("n_pair").cast("double") * col("__gN").cast("double") /
+      (col("__gc1").cast("double") * col("__gc2").cast("double")))
+    pairs
+      .join(uni.select(col("__gw").as("w1"), col("__gcw").as("__gc1")), "w1")
+      .join(uni.select(col("__gw").as("w2"), col("__gcw").as("__gc2")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        log(pmi).cast("float").as("pmi"))
+  }
+
+  /**
+   * Per-source unigram Shannon entropy (nats) — the diversity dial next
+   * to [[sourceQualityReport]]: a source whose token distribution has
+   * collapsed (template spam, scraped boilerplate) shows entropy far
+   * below its peers even when doc counts look healthy; vocabulary size
+   * alone misses this because one dominating token barely moves it.
+   *
+   * Exactness: per-token p = c/N is exact-ints-to-one-division; each
+   * −p·ln(p) term's ln routes through FLOAT (q70 libm contract), is
+   * widened back to double EXACTLY, and is summed via its
+   * DECIMAL(28,18) string image so the per-source total is
+   * order-independent (the q197 contract) — float terms are exactly
+   * representable in 18 fractional decimal digits.
+   *
+   * Scale: one explode → one (source, token) count shuffle → one
+   * per-source aggregation; both aggregates are map-side combinable.
+   * Per-source totals come back as a broadcast of the \|sources\|-row
+   * frame, NOT a window — a window here would sort the whole
+   * vocabulary frame for a value a tiny join supplies.
+   */
+  def sourceEntropy(
+      docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val counts = docs
+      .select(col(sourceCol).as("source"), explode(split(col(textCol), " ")).as("__gw"))
+      .groupBy(col("source"), col("__gw")).agg(count(lit(1)).as("__gc"))
+    val totals = counts.groupBy(col("source"))
+      .agg(sum(col("__gc")).as("__gN"), count(lit(1)).as("__gv"))
+    val p = col("__gc").cast("double") / col("__gN").cast("double")
+    val term = (-p * log(p)).cast("float").cast("double")
+      .cast("string").cast("decimal(28,18)")
+    counts.join(broadcast(totals), "source")
+      .groupBy(col("source"))
+      .agg(max(col("__gN")).as("n_tokens"),
+        max(col("__gv")).as("vocab"),
+        sum(term).as("__gh"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        col("__gh").cast("string").cast("double").as("entropy_nats"))
+  }
+
   /** Remove flagged-contaminated documents from the corpus (anti-join
    *  against the small flag set — broadcast in the common case). */
   def decontaminate(

@@ -749,4 +749,55 @@ object Events {
         when(den > 0, (d("__gsy") - col("slope") * d("__gsx")) / nD))
       .select(keys.map(col) ++ Seq(col("n"), col("slope"), col("intercept")): _*)
   }
+
+  /**
+   * Kaplan-Meier survival table over per-subject (duration, event)
+   * rows — the right-censoring-aware answer to "how long do users
+   * stay?": a plain mean of observed lifetimes is biased low because
+   * still-active users haven't finished their lifetime yet. At each
+   * distinct duration t: n_risk (subjects with duration ≥ t), n_event
+   * (uncensored exits at t), n_censored, and the product-limit
+   * estimate S(t) = Π_{u≤t} (1 − d_u/n_u).
+   *
+   * Determinism: the grouped frame is ≤\|distinct durations\| rows
+   * (bounded by the observation window in days — an AGGREGATED-frame
+   * window, the q177 AUC precedent, not a fact-sized funnel); n_risk
+   * is total − exact running exits; each factor's ln routes through
+   * FLOAT (q70 libm contract) into a DECIMAL(28,18) running sum whose
+   * order the window fixes, and ONE exp at the end rebuilds S(t) —
+   * exp's input is engine-identical so its output is too. Events at
+   * t enter hazard BEFORE censorings at the same t leave the risk set
+   * (the standard KM tie convention).
+   */
+  def kmSurvival(
+      subjects: DataFrame, durationCol: String, eventCol: String): DataFrame = {
+    val byT = subjects
+      .filter(col(durationCol).isNotNull)
+      .groupBy(col(durationCol).cast("long").as("t"))
+      .agg(count(when(col(eventCol), 1)).as("n_event"),
+        count(when(!col(eventCol), 1)).as("n_censored"))
+    val total = byT.agg(
+      sum(col("n_event") + col("n_censored")).as("__gtot"))
+    val ord = Window.orderBy(col("t"))
+    val exited = coalesce(
+      sum(col("n_event") + col("n_censored"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    // a step where EVERYONE at risk exits has factor 0: ln is −∞, so
+    // flag it and pin S(t)=0 from there on instead of feeding the sum
+    val lnFactor = when(col("n_event") < col("n_risk"),
+      log(lit(1.0d) -
+        col("n_event").cast("double") / col("n_risk").cast("double"))
+        .cast("float").cast("double").cast("string").cast("decimal(28,18)"))
+    val hitZero = max(when(col("n_event") === col("n_risk"), 1).otherwise(0))
+      .over(ord)
+    byT.crossJoin(broadcast(total))
+      .withColumn("n_risk", col("__gtot") - exited)
+      .withColumn("survival",
+        when(hitZero === 1, lit(0.0d)).otherwise(
+          coalesce(
+            exp(sum(lnFactor).over(ord).cast("string").cast("double")),
+            lit(1.0d))))
+      .select(col("t"), col("n_risk"), col("n_event"), col("n_censored"),
+        col("survival"))
+  }
 }

@@ -798,4 +798,56 @@ object Features {
         when(col("pe") < 1.0d, (col("po") - col("pe")) / (lit(1.0d) - col("pe"))))
       .select(col("n"), col("po"), col("pe"), col("kappa"))
   }
+
+  /**
+   * Population Stability Index bins between two cohorts of one score
+   * column — THE production drift alarm: bin the score on FIXED edges
+   * (comparable across runs, one aggregation, no quantile pass), then
+   * per bin report both cohorts' counts and the PSI term
+   * (pA − pB)·ln(pA/pB). Σterms < 0.1 is conventionally "stable",
+   * > 0.25 "investigate"; the per-bin table says WHERE the mass moved,
+   * which the scalar alone never does.
+   *
+   * Determinism: bins replay [[calibrationBins]]'s fixed double
+   * sequence; counts are exact; proportions are Laplace-smoothed
+   * (n+1)/(N+nBins) — exact-int inputs to ONE division, so empty bins
+   * contribute a finite, engine-identical term instead of ln(0). The
+   * ln output routes through FLOAT (the q70 tf-idf precedent: libm ln
+   * is not correctly rounded, and the float image absorbs the ulp).
+   * Every bin 0..nBins−1 appears — the grid comes from a one-row
+   * aggregate, not the data, so a cohort draining out of a bin is
+   * visible rather than silently absent. Null scores drop.
+   *
+   * Scale: one conditional aggregation over the fact (map-side
+   * combinable to ≤nBins rows) + one broadcast of the one-row totals —
+   * no window, no shuffle beyond the aggregate's own exchange.
+   */
+  def psi(
+      df: DataFrame, scoreCol: String, inA: Column,
+      nBins: Int, lo: Double, hi: Double): DataFrame = {
+    require(nBins > 0 && hi > lo, "psi needs nBins > 0 and hi > lo")
+    val w = (hi - lo) / nBins
+    val raw = floor((col(scoreCol) - lit(lo)) / lit(w)).cast("int")
+    val bin = least(greatest(raw, lit(0)), lit(nBins - 1))
+    val counts = df.filter(col(scoreCol).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(when(inA, 1)).as("n_a"), count(when(!inA, 1)).as("n_b"))
+    // full bin grid from a one-row aggregate: empty bins must appear
+    val grid = df.agg(count(lit(1)).as("__gn"))
+      .select(explode(sequence(lit(0), lit(nBins - 1))).as("bin"))
+    val filled = grid.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = filled.agg(sum(col("n_a")).as("__gta"), sum(col("n_b")).as("__gtb"))
+    val pA = (col("n_a") + 1).cast("double") /
+      (col("__gta") + nBins).cast("double")
+    val pB = (col("n_b") + 1).cast("double") /
+      (col("__gtb") + nBins).cast("double")
+    filled.crossJoin(broadcast(totals))
+      .select(col("bin"),
+        (lit(lo) + col("bin") * lit(w)).as("bin_lo"),
+        col("n_a"), col("n_b"),
+        ((pA - pB) * log(pA / pB)).cast("float").as("psi_term"))
+  }
 }

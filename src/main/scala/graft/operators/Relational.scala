@@ -569,6 +569,39 @@ object Relational {
   }
 
   /**
+   * Cramér's V from a [[chiSquareCells]] frame — the bounded [0,1]
+   * effect size that makes χ² comparable across tables: χ² grows with
+   * N even when the association is trivial, V = √(χ²/(N·min(r−1,c−1)))
+   * does not. The categorical companion to q41's Pearson r.
+   *
+   * Determinism: each cell contribution is a fixed arithmetic sequence
+   * (exact counts, correctly-rounded IEEE ·/−, no transcendentals) so
+   * the doubles are engine-identical; they route through their
+   * DECIMAL(38,12) string image so the χ² SUM is order-independent
+   * (the q197 contract), and √ is IEEE-exact. Degenerate grids
+   * (single row or column: min dof = 0) yield NULL, never 0/0.
+   *
+   * Scale: input is the |a|×|b| cells frame — everything here is one
+   * bounded aggregation; the fact-table pass happened upstream.
+   */
+  def cramersV(cells: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = col("contribution").cast("string").cast("decimal(38,12)")
+    val m = cells.agg(
+      sum(col("n")).as("n_obs"),
+      countDistinct(col(aCol)).as("__gr"),
+      countDistinct(col(bCol)).as("__gc"),
+      sum(dec).as("__gchi"))
+    val dof = least(col("__gr") - 1, col("__gc") - 1)
+    val chi2 = col("__gchi").cast("string").cast("double")
+    m.select(col("n_obs"),
+      dof.as("dof_min"),
+      chi2.as("chi2"),
+      when(dof > 0 && col("n_obs") > 0,
+        sqrt(chi2 / (col("n_obs").cast("double") * dof.cast("double"))))
+        .as("cramers_v"))
+  }
+
+  /**
    * EXACT distinct-state partials — the precise twin of [[hllPartials]]
    * for grains whose member sets are bounded: store the per-fine-grain
    * DISTINCT members as (keys..., member) rows. Linear in the true

@@ -177,6 +177,57 @@ object Similarity {
   }
 
   /**
+   * Mean NDCG@k with binary same-label relevance — the position-aware
+   * retrieval headline beside [[meanReciprocalRank]]: MRR only sees the
+   * FIRST hit, NDCG credits every relevant neighbor, discounted by
+   * 1/log2(pos+1). Ideal DCG places the query's relevant hits at
+   * positions 1..R (R = its relevant count within top-k), so
+   * ndcg = DCG/IDCG ∈ (0,1]; queries with no relevant hit contribute
+   * exact 0 to the mean rather than dropping out.
+   *
+   * Determinism: each discount's log2 routes through FLOAT (the q70
+   * libm-ulp contract), widens back exactly, and sums via its
+   * DECIMAL(28,18) string image (the q197 order-free contract); the
+   * DCG/IDCG division and the final mean are single correctly-rounded
+   * IEEE steps on engine-identical operands. Ideal positions come from
+   * a per-query row_number ordered by (rank) — a total order, ranks
+   * are unique per query by construction.
+   *
+   * Scale: two label probes of the eval-sized neighbor frame + one
+   * per-query window + two bounded aggregations — nothing touches the
+   * corpus beyond the upstream top-k.
+   */
+  def ndcgAtK(
+      neighbors: DataFrame, labels: DataFrame, id: String,
+      labelCol: String, k: Int): DataFrame = {
+    require(k > 0, "ndcgAtK needs k > 0")
+    val lab = labels.select(col(id), col(labelCol))
+    def gain(pos: Column): Column =
+      (lit(1.0d) / log2(pos.cast("double") + lit(1.0d)))
+        .cast("float").cast("double").cast("string").cast("decimal(28,18)")
+    val rel = neighbors.filter(col("rank") <= k)
+      .join(lab.select(col(id).as("query_id"), col(labelCol).as("__gql")), "query_id")
+      .join(lab.select(col(id).as("neighbor_id"), col(labelCol).as("__gnl")), "neighbor_id")
+      .filter(col("__gql") === col("__gnl"))
+      .withColumn("__gideal", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("rank"))))
+    val perQuery = rel.groupBy(col("query_id"))
+      .agg(sum(gain(col("rank"))).as("__gdcg"),
+        sum(gain(col("__gideal"))).as("__gidcg"))
+      .select(col("query_id"),
+        (col("__gdcg").cast("string").cast("double") /
+          col("__gidcg").cast("string").cast("double")).as("__gndcg"))
+    neighbors.select(col("query_id")).distinct()
+      .join(perQuery, Seq("query_id"), "left")
+      .select(coalesce(col("__gndcg").cast("string").cast("decimal(28,18)"),
+        lit(0).cast("decimal(28,18)")).as("__gn"))
+      .agg(count(lit(1)).as("n_queries"), sum(col("__gn")).as("__gsum"))
+      .select(col("n_queries"),
+        (col("__gsum").cast("string").cast("double") /
+          col("n_queries").cast("double")).as("mean_ndcg"))
+  }
+
+  /**
    * Embedding hygiene audit — the malformed-vector screen BEFORE any
    * cosine math (a NaN poisons every similarity it touches; a zero
    * vector has no direction; a wrong-width vector breaks fixed-dim

@@ -326,4 +326,36 @@ class CurationSpec extends SparkSpec {
     assert(out(0)._5 == math.floor(900.0 * out(0)._4).toLong)
     assert(math.abs(out(0)._6 - out(0)._5 / 4.0) < 1e-12)
   }
+
+  test("pmiCollocations: hand-checked PMI, minCount floors rare pairs") {
+    val docs = Seq("a b", "a b", "a c").toDF("text")
+    val out = Curation.pmiCollocations(docs.repartition(2), "text", minCount = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getFloat(3))))
+      .toMap
+    // unigrams: a=3 b=2 c=1, N=6; (a,b)=2 kept, (a,c)=1 floored out
+    assert(out.keySet == Set(("a", "b")))
+    val (n, pmi) = out(("a", "b"))
+    assert(n == 2L)
+    assert(math.abs(pmi - math.log(2.0 * 6.0 / (3.0 * 2.0))) < 1e-6)
+    val ex = intercept[IllegalArgumentException] {
+      Curation.pmiCollocations(docs, "text", minCount = 0)
+    }
+    assert(ex.getMessage.contains("minCount"))
+  }
+
+  test("sourceEntropy: hand-checked nats; a collapsed source scores below a uniform one") {
+    val docs = Seq(
+      ("skewed", "a a a a a a a b"),     // p = 7/8, 1/8
+      ("uniform", "x y"),                // p = 1/2, 1/2 -> ln 2
+    ).toDF("source", "text")
+    val out = Curation.sourceEntropy(docs.repartition(2), "source", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out("uniform")._1 == 2L && out("uniform")._2 == 2L)
+    assert(math.abs(out("uniform")._3 - math.log(2.0)) < 1e-6)
+    val hSkew = -(7.0 / 8 * math.log(7.0 / 8) + 1.0 / 8 * math.log(1.0 / 8))
+    assert(out("skewed")._1 == 8L && out("skewed")._2 == 2L)
+    assert(math.abs(out("skewed")._3 - hSkew) < 1e-6)
+    assert(out("skewed")._3 < out("uniform")._3)
+  }
 }

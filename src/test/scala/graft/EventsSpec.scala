@@ -504,4 +504,28 @@ class EventsSpec extends SparkSpec {
     }
     assert(exEwma.getMessage.contains("single-partition"))
   }
+
+  test("kmSurvival: hand-checked product-limit table; censoring holds the curve") {
+    val subjects = Seq(
+      (Some(1L), true), (Some(2L), false),
+      (Some(3L), true), (Some(3L), true), (Some(3L), false),
+      (None, true),                      // null duration drops
+    ).toDF("dur", "churned")
+    val out = Events.kmSurvival(subjects.repartition(3), "dur", "churned")
+      .orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.map(t => (t._1, t._2, t._3, t._4)).toSeq ==
+      Seq((1L, 5L, 1L, 0L), (2L, 4L, 0L, 1L), (3L, 3L, 2L, 1L)))
+    assert(math.abs(out(0)._5 - 0.8) < 1e-6)
+    assert(math.abs(out(1)._5 - 0.8) < 1e-6)             // pure censoring: flat
+    assert(math.abs(out(2)._5 - 0.8 / 3.0) < 1e-6)
+  }
+
+  test("kmSurvival: a step where everyone at risk exits pins S(t) = 0, not -Inf noise") {
+    val subjects = Seq((1L, true), (2L, true), (2L, true)).toDF("dur", "churned")
+    val out = Events.kmSurvival(subjects, "dur", "churned")
+      .orderBy("t").collect().map(r => (r.getLong(0), r.getDouble(4)))
+    assert(math.abs(out(0)._2 - 2.0 / 3.0) < 1e-6)
+    assert(out(1)._2 == 0.0)
+  }
 }

@@ -444,4 +444,34 @@ class FeaturesSpec extends SparkSpec {
     }
     assert(exRfm.getMessage.contains("one partition"))
   }
+
+  test("psi: hand-checked terms, empty bins surface, null scores drop") {
+    // A = {1,2,6}, B = {1,7,8}; 2 bins of width 5 over [0,10)
+    // bin0: nA=2 nB=1 -> pA=.6 pB=.4; bin1: nA=1 nB=2 -> pA=.4 pB=.6
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(6.0)),
+      ("b", Some(1.0)), ("b", Some(7.0)), ("b", Some(8.0)),
+      ("a", None),                        // null score drops
+    ).toDF("cohort", "v")
+    val out = Features.psi(df.repartition(3), "v", col("cohort") === "a",
+      nBins = 2, lo = 0.0, hi = 10.0)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getFloat(4)))
+    assert(out.map(t => (t._1, t._2, t._3, t._4)).toSeq ==
+      Seq((0, 0.0, 2L, 1L), (1, 5.0, 1L, 2L)))
+    assert(math.abs(out(0)._5 - 0.2 * math.log(1.5)) < 1e-6)
+    assert(math.abs(out(1)._5 - (-0.2) * math.log(2.0 / 3.0)) < 1e-6)
+  }
+
+  test("psi: a bin with no data in either cohort still appears, with a finite smoothed term") {
+    val df = Seq(("a", 1.0), ("b", 14.0)).toDF("cohort", "v")
+    val out = Features.psi(df, "v", col("cohort") === "a",
+      nBins = 3, lo = 0.0, hi = 15.0)
+      .orderBy("bin").collect()
+    assert(out.length == 3)
+    val mid = out(1)
+    assert(mid.getLong(2) == 0L && mid.getLong(3) == 0L)
+    // both proportions smooth to 1/(1+3): term is exactly 0
+    assert(mid.getFloat(4) == 0.0f)
+  }
 }

@@ -466,4 +466,19 @@ class RelationalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(sparse.toSeq == Seq((2L, 249L, 248L)))
   }
+
+  test("cramersV: perfect 2x2 association scores 1; single-column grid yields NULL") {
+    val perfect = Seq(("x", 1), ("x", 1), ("y", 2), ("y", 2)).toDF("a", "b")
+    val v = Relational.cramersV(
+      Relational.chiSquareCells(perfect.repartition(2), "a", "b"), "a", "b")
+      .collect()(0)
+    assert(v.getLong(0) == 4L && v.getLong(1) == 1L)
+    assert(math.abs(v.getDouble(2) - 4.0) < 1e-12)       // chi2 = n for perfect 2x2
+    assert(math.abs(v.getDouble(3) - 1.0) < 1e-12)
+    // degenerate: one distinct b -> min dof 0 -> NULL effect size
+    val flat = Seq(("x", 1), ("y", 1)).toDF("a", "b")
+    val d = Relational.cramersV(
+      Relational.chiSquareCells(flat, "a", "b"), "a", "b").collect()(0)
+    assert(d.getLong(1) == 0L && d.isNullAt(3))
+  }
 }

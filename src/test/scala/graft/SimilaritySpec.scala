@@ -330,4 +330,23 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(out.toSeq == Seq((1L, 2L, 2.0 / 3.0), (2L, 0L, 0.0)))
   }
+
+  test("ndcgAtK: position-aware gains, ideal packing, no-hit queries contribute zero") {
+    import spark.implicits._
+    val neighbors = Seq(
+      (1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),  // q1(A): hits at ranks 1,3
+      (2L, 1, 10L), (2L, 2, 11L),                // q2(C): no C anywhere -> 0
+    ).toDF("query_id", "rank", "neighbor_id")
+    val labels = Seq(
+      (1L, "A"), (2L, "C"),
+      (10L, "A"), (11L, "B"), (12L, "A"),
+    ).toDF("vec_id", "label")
+    val out = Similarity.ndcgAtK(
+      neighbors.repartition(2), labels, "vec_id", "label", k = 3).collect()(0)
+    assert(out.getLong(0) == 2L)
+    // q1: dcg = 1/log2(2) + 1/log2(4); idcg packs at ranks 1,2
+    def g(p: Int) = (1.0 / (math.log(p + 1.0) / math.log(2.0))).toFloat.toDouble
+    val ndcg1 = (g(1) + g(3)) / (g(1) + g(2))
+    assert(math.abs(out.getDouble(1) - ndcg1 / 2.0) < 1e-9)
+  }
 }

@@ -2107,6 +2107,41 @@ object SparkEntry {
     Events.kmSurvival(perUser, "duration", "churned")
   }
 
+  /** #207 token burstiness (Katz VMR over containing docs, df ≥ 25):
+   *  content words burst, function words spread Poisson-flat — topical
+   *  vocabulary vs glue with no stopword list; mechanical template
+   *  repetition flags itself. */
+  private def q207Burstiness(s: SparkSession, dir: String): DataFrame =
+    Curation.tokenBurstiness(t(s, dir).documents, "doc_id", "text", minDf = 25)
+
+  /** #208 mutual information over q136's grid — the additive
+   *  information-theoretic effect size feature selection actually ranks
+   *  by, beside q202's bounded V. */
+  private def q208MutualInfo(s: SparkSession, dir: String): DataFrame =
+    Relational.mutualInfo(t(s, dir).lineitem, "l_returnflag", "l_linestatus")
+
+  /** #209 weighted PageRank (5 power iterations, d=0.85) over the
+   *  customer-nation → supplier-nation trade graph — which nation's
+   *  suppliers sit at the center of the flow, beyond raw edge counts
+   *  (q148's support only sees pair frequency). */
+  private def q209PageRank(s: SparkSession, dir: String): DataFrame = {
+    val tb = t(s, dir)
+    val edges = tb.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(tb.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(tb.customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(tb.supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(tb.nation.select(col("n_nationkey").as("__gcnk"), col("n_name").as("src_nation")),
+        col("c_nationkey") === col("__gcnk"))
+      .join(tb.nation.select(col("n_nationkey").as("__gsnk"), col("n_name").as("dst_nation")),
+        col("s_nationkey") === col("__gsnk"))
+      .groupBy(col("src_nation"), col("dst_nation")).agg(count(lit(1)).as("w"))
+    Relational.pageRank(edges, "src_nation", "dst_nation", "w",
+      iterations = 5, damping = 0.85)
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2316,6 +2351,9 @@ object SparkEntry {
     "q204_source_entropy"   -> (q204SourceEntropy _),
     "q205_ndcg"             -> (q205Ndcg _),
     "q206_km_survival"      -> (q206KmSurvival _),
+    "q207_burstiness"       -> (q207Burstiness _),
+    "q208_mutual_info"      -> (q208MutualInfo _),
+    "q209_pagerank"         -> (q209PageRank _),
   )
 
   private val monthCaseSql: String =
@@ -2378,6 +2416,36 @@ object SparkEntry {
   private def benfordCaseSql: String =
     "CASE digit " + Cleaning.benfordShares.zipWithIndex.map { case (s, i) =>
       s"WHEN '${i + 1}' THEN CAST('$s' AS DOUBLE)" }.mkString(" ") + " END"
+
+  /** Unrolled power-iteration SQL for q209: each iteration is one
+   *  edges⋈ranks join + a DECIMAL(38,30)-routed per-target sum, exactly
+   *  mirroring [[graft.operators.Relational.pageRank]]'s fixed IEEE
+   *  sequence (no transcendentals, so no float absorb is needed). */
+  private def pageRankSql(iters: Int): String = {
+    val head =
+      "WITH e AS (SELECT cn.n_name AS src, sn.n_name AS dst, CAST(COUNT(*) AS BIGINT) AS w " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+        "JOIN nation cn ON c.c_nationkey = cn.n_nationkey " +
+        "JOIN nation sn ON s.s_nationkey = sn.n_nationkey GROUP BY 1, 2), " +
+        "ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS tw FROM e GROUP BY 1), " +
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes), " +
+        "r0 AS (SELECT node, CAST(1 AS DOUBLE) / CAST(n AS DOUBLE) AS \"rank\" FROM nodes, nn), "
+    val iterCtes = (1 to iters).map { i =>
+      s"s$i AS (SELECT e.dst AS node, " +
+        "SUM(CAST(CAST(r.\"rank\" * CAST(e.w AS DOUBLE) / CAST(ow.tw AS DOUBLE) " +
+        "AS VARCHAR) AS DECIMAL(38,30))) AS m " +
+        s"FROM e JOIN r${i - 1} r ON e.src = r.node JOIN ow ON e.src = ow.src GROUP BY 1), " +
+        s"r$i AS (SELECT nodes.node, " +
+        "(CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / CAST(nn.n AS DOUBLE) + " +
+        s"CAST(0.85 AS DOUBLE) * COALESCE(CAST(CAST(s$i.m AS VARCHAR) AS DOUBLE), " +
+        "CAST(0 AS DOUBLE)) AS \"rank\" " +
+        s"FROM nodes CROSS JOIN nn LEFT JOIN s$i ON s$i.node = nodes.node)"
+    }.mkString(", ")
+    head + iterCtes + s" SELECT node, \"rank\" FROM r$iters"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_group_agg" ->
@@ -4247,5 +4315,37 @@ object SparkEntry {
         "CASE WHEN hz = 1 THEN CAST(0 AS DOUBLE) " +
         "ELSE COALESCE(exp(CAST(CAST(SUM(lf) OVER (ORDER BY t) AS VARCHAR) AS DOUBLE)), " +
         "CAST(1 AS DOUBLE)) END AS survival FROM w"),
+    "q207_burstiness" ->
+      // df, Σc, Σc² exact; moment-form variance on double-cast operands
+      // (q136 overflow contract); VMR is the same fixed sequence — no
+      // transcendentals, no float absorb
+      ("WITH pd AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) " +
+        "GROUP BY 1, 2), " +
+        "m AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df, " +
+        "CAST(SUM(c) AS BIGINT) AS n_total, CAST(SUM(c * c) AS BIGINT) AS cc " +
+        "FROM pd GROUP BY 1) " +
+        "SELECT token, df, n_total, " +
+        "((CAST(df AS DOUBLE) * CAST(cc AS DOUBLE) - " +
+        "CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)) / " +
+        "(CAST(df AS DOUBLE) * CAST(df AS DOUBLE))) / " +
+        "(CAST(n_total AS DOUBLE) / CAST(df AS DOUBLE)) AS burstiness " +
+        "FROM m WHERE df >= 25"),
+    "q208_mutual_info" ->
+      // observed cells only (empty cells contribute exact 0); marginals
+      // via windows over the bounded cells frame; ln through FLOAT and
+      // DECIMAL(28,18) images (q70 + q197 contracts)
+      ("WITH c AS (SELECT l_returnflag AS a, l_linestatus AS b, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2), " +
+        "w AS (SELECT n, " +
+        "CAST(SUM(n) OVER (PARTITION BY a) AS DOUBLE) AS rt, " +
+        "CAST(SUM(n) OVER (PARTITION BY b) AS DOUBLE) AS ct, " +
+        "CAST(SUM(n) OVER () AS DOUBLE) AS gt FROM c), " +
+        "t AS (SELECT n, CAST(CAST(CAST(CAST(" +
+        "(CAST(n AS DOUBLE) / gt) * ln(CAST(n AS DOUBLE) * gt / (rt * ct)) " +
+        "AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18)) AS term FROM w) " +
+        "SELECT CAST(SUM(n) AS BIGINT) AS n_obs, " +
+        "CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE) AS mi_nats FROM t"),
+    "q209_pagerank" -> pageRankSql(5),
   )
 }

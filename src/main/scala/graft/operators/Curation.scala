@@ -664,6 +664,46 @@ object Curation {
         col("__gh").cast("string").cast("double").as("entropy_nats"))
   }
 
+  /**
+   * Token burstiness (Katz): per token, the variance-to-mean ratio of
+   * its per-document counts over the documents that CONTAIN it. Content
+   * words burst (a doc about a topic repeats its terms: VMR ≫ 1);
+   * function words spread evenly (VMR ≈ 1 under Poisson) — the signal
+   * that separates topical vocabulary from glue without any stopword
+   * list, and flags template tokens whose repetition is mechanical.
+   * `minDf` floors document frequency: VMR over a handful of docs is
+   * noise.
+   *
+   * Exactness: df, Σc, Σc² are exact integers (per-doc counts are
+   * bounded, the squares stay far inside int64); population variance
+   * via the moment form n·Σc² − (Σc)² runs on double-cast operands
+   * (q136 overflow contract) in one fixed IEEE sequence; VMR is one
+   * final division. No transcendentals — the doubles are
+   * engine-identical, no float absorb needed.
+   *
+   * Scale: one explode → one (doc, token) count shuffle → one
+   * per-token aggregation, both map-side combinable — the q118 shape
+   * with an extra moment.
+   */
+  def tokenBurstiness(
+      docs: DataFrame, id: String, textCol: String, minDf: Long): DataFrame = {
+    require(minDf >= 2, "tokenBurstiness needs minDf >= 2 (variance needs two docs)")
+    val perDoc = docs
+      .select(col(id), explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col(id), col("token")).agg(count(lit(1)).as("__gc"))
+    val m = perDoc.groupBy(col("token")).agg(
+      count(lit(1)).as("df"),
+      sum(col("__gc")).as("n_total"),
+      sum(col("__gc") * col("__gc")).as("__gcc"))
+      .filter(col("df") >= minDf)
+    val dfD = col("df").cast("double")
+    val mean = col("n_total").cast("double") / dfD
+    val variance = (dfD * col("__gcc").cast("double") -
+      col("n_total").cast("double") * col("n_total").cast("double")) / (dfD * dfD)
+    m.select(col("token"), col("df"), col("n_total"),
+      (variance / mean).as("burstiness"))
+  }
+
   /** Remove flagged-contaminated documents from the corpus (anti-join
    *  against the small flag set — broadcast in the common case). */
   def decontaminate(

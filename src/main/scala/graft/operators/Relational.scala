@@ -602,6 +602,101 @@ object Relational {
   }
 
   /**
+   * Mutual information (nats) between two categorical columns — the
+   * information-theoretic sibling of [[cramersV]]: how many nats does
+   * knowing `a` tell you about `b`? Unlike χ², MI is additive across
+   * independent signals and is the quantity feature-selection actually
+   * ranks by. MI = Σ_cells (n/N)·ln(n·N/(rowT·colT)); empty cells
+   * contribute exactly 0 (lim p→0 p·ln p = 0), so only OBSERVED cells
+   * are touched — no grid.
+   *
+   * Determinism: counts and marginals are exact (marginals via windows
+   * over the \|a\|×\|b\|-bounded cells frame, the [[chiSquareCells]]
+   * shape); operands double-cast BEFORE multiplying (q136 overflow
+   * contract); each term's ln image routes through FLOAT (q70 libm
+   * contract) and sums via DECIMAL(28,18) string images (q197
+   * order-free contract). Returns one row: (n_obs, mi_nats).
+   */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("__gn"))
+    val rowT = sum(col("__gn")).over(Window.partitionBy(col(aCol)))
+    val colT = sum(col("__gn")).over(Window.partitionBy(col(bCol)))
+    val grandT = sum(col("__gn")).over(Window.partitionBy())
+    val term = (col("__gn").cast("double") / grandT.cast("double")) *
+      log(col("__gn").cast("double") * grandT.cast("double") /
+        (rowT.cast("double") * colT.cast("double")))
+    cells
+      .select(col("__gn"),
+        term.cast("float").cast("double").cast("string").cast("decimal(28,18)")
+          .as("__gt"))
+      .agg(sum(col("__gn")).as("n_obs"), sum(col("__gt")).as("__gmi"))
+      .select(col("n_obs"),
+        col("__gmi").cast("string").cast("double").as("mi_nats"))
+  }
+
+  /**
+   * Weighted PageRank by power iteration — the canonical "which node
+   * matters" score over any edge frame (trade flows, co-purchase
+   * graphs, link graphs): rank' (v) = (1−d)/N + d·Σ_{u→v}
+   * rank(u)·w(u,v)/W(u), iterated a fixed `iterations` times from the
+   * uniform vector. Fixed iteration count (not convergence-epsilon)
+   * keeps the plan deterministic and the oracle expressible as
+   * unrolled SQL.
+   *
+   * Determinism: w and W are exact; each contribution
+   * rank·w/W is a fixed IEEE sequence on engine-identical inputs (no
+   * transcendentals anywhere), and the per-target sum routes through
+   * DECIMAL(38,30) string images so accumulation order cannot matter —
+   * by induction every iteration's rank vector is bit-identical across
+   * engines and partitionings. Nodes with no in-links keep the
+   * teleport term via the left join; dangling nodes (no out-links)
+   * leak their mass — the standard "leaky" simplification, documented
+   * here rather than hidden.
+   *
+   * Scale: the normalized edge frame (src, dst, w, W) is built ONCE
+   * and persisted — it feeds every iteration, and without the persist
+   * the upstream (possibly fact-join-derived) plan would re-execute
+   * per iteration (the q151 lesson). Each iteration is one
+   * edges⋈ranks hash join (key-partitioned, exchange-reusable) + one
+   * map-side-combinable aggregation; the rank frame is \|nodes\|-sized.
+   * The caller unpersists nothing — the frame dies with the session;
+   * at 100 TB pass a pre-aggregated edge table.
+   */
+  def pageRank(
+      edges: DataFrame, src: String, dst: String, weight: String,
+      iterations: Int, damping: Double): DataFrame = {
+    require(iterations >= 1, "pageRank needs at least one iteration")
+    require(damping > 0 && damping < 1, "pageRank needs damping in (0,1)")
+    val outW = edges.groupBy(col(src)).agg(sum(col(weight)).as("__gW"))
+    val norm = edges.select(col(src), col(dst), col(weight))
+      .join(outW, src).persist()
+    val nodes = edges.select(col(src).as("node"))
+      .union(edges.select(col(dst).as("node"))).distinct()
+    val n = nodes.agg(count(lit(1)).as("__gN"))
+    // base feeds EVERY iteration's left join — persisted for the same
+    // reason as norm: it is derived from the (possibly fact-join-built)
+    // edge frame, and without the cache each iteration replays that
+    // whole upstream plan
+    val base = nodes.crossJoin(broadcast(n)).persist()
+    var ranks = base.select(col("node"), col("__gN"),
+      (lit(1.0d) / col("__gN").cast("double")).as("rank"))
+    val d = lit(damping)
+    (1 to iterations).foreach { _ =>
+      val contrib = norm.join(ranks, norm(src) === ranks("node"))
+        .select(norm(dst).as("__gdst"),
+          (col("rank") * col(weight).cast("double") / col("__gW").cast("double"))
+            .cast("string").cast("decimal(38,30)").as("__gc"))
+      val sums = contrib.groupBy(col("__gdst")).agg(sum(col("__gc")).as("__gs"))
+      ranks = base.join(sums, base("node") === sums("__gdst"), "left")
+        .select(col("node"), col("__gN"),
+          ((lit(1.0d) - d) / col("__gN").cast("double") +
+            d * coalesce(col("__gs").cast("string").cast("double"), lit(0.0d)))
+            .as("rank"))
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
+  /**
    * EXACT distinct-state partials — the precise twin of [[hllPartials]]
    * for grains whose member sets are bounded: store the per-fine-grain
    * DISTINCT members as (keys..., member) rows. Linear in the true

@@ -358,4 +358,23 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(out("skewed")._3 - hSkew) < 1e-6)
     assert(out("skewed")._3 < out("uniform")._3)
   }
+
+  test("tokenBurstiness: hand-checked VMR over containing docs; minDf floors the tail") {
+    val docs = Seq(
+      (1L, "a a a a"),                   // a: 4 here
+      (2L, "a b"),                       // a: 1 here; b df=1 floored
+    ).toDF("doc_id", "text")
+    val out = Curation.tokenBurstiness(docs.repartition(2), "doc_id", "text", minDf = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.keySet == Set("a"))
+    // counts {4,1}: mean 2.5, pop var (2*17-25)/4 = 2.25, VMR = 0.9
+    val (df, total, vmr) = out("a")
+    assert(df == 2L && total == 5L)
+    assert(math.abs(vmr - 0.9) < 1e-12)
+    val ex = intercept[IllegalArgumentException] {
+      Curation.tokenBurstiness(docs, "doc_id", "text", minDf = 1)
+    }
+    assert(ex.getMessage.contains("minDf"))
+  }
 }

@@ -481,4 +481,38 @@ class RelationalSpec extends SparkSpec {
       Relational.chiSquareCells(flat, "a", "b"), "a", "b").collect()(0)
     assert(d.getLong(1) == 0L && d.isNullAt(3))
   }
+
+  test("mutualInfo: ln2 for a perfect 2x2 dependence, exactly 0 under independence") {
+    val dep = Seq(("x", 1), ("x", 1), ("y", 2), ("y", 2)).toDF("a", "b")
+    val m = Relational.mutualInfo(dep.repartition(2), "a", "b").collect()(0)
+    assert(m.getLong(0) == 4L)
+    assert(math.abs(m.getDouble(1) - math.log(2.0)) < 1e-6)
+    // independent: every cell p_xy = p_x * p_y -> each term ln(1) = 0
+    val ind = Seq(("x", 1), ("x", 2), ("y", 1), ("y", 2)).toDF("a", "b")
+    assert(Relational.mutualInfo(ind, "a", "b").collect()(0).getDouble(1) == 0.0)
+  }
+
+  test("pageRank: symmetric 2-cycle stays uniform; chain leaks through the damping") {
+    val cycle = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("s", "d", "w")
+    val out = Relational.pageRank(cycle.repartition(2), "s", "d", "w",
+      iterations = 5, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out("a") - 0.5) < 1e-12 && math.abs(out("b") - 0.5) < 1e-12)
+    // a -> b only: a holds the teleport floor, b = floor + d*(a's rank);
+    // replay the same IEEE sequence iteratively
+    val chain = Seq(("a", "b", 3L)).toDF("s", "d", "w")
+    val got = Relational.pageRank(chain, "s", "d", "w", iterations = 3, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    var (ra, rb) = (0.5, 0.5)
+    (1 to 3).foreach { _ =>
+      val floor = (1.0 - 0.85) / 2.0
+      val nb = floor + 0.85 * (ra * 3.0 / 3.0)
+      ra = floor; rb = nb
+    }
+    assert(got("a") == ra && got("b") == rb)
+    val ex = intercept[IllegalArgumentException] {
+      Relational.pageRank(chain, "s", "d", "w", iterations = 0, damping = 0.85)
+    }
+    assert(ex.getMessage.contains("iteration"))
+  }
 }

@@ -2142,6 +2142,29 @@ object SparkEntry {
       iterations = 5, damping = 0.85)
   }
 
+  /** #210 semi-supervised label propagation: every-5th vector seeds its
+   *  label, 3 clamped iterations spread them through the cosine kNN
+   *  graph (k=3, vec_id<64 demo subgraph — the LSH edge frame of q34 is
+   *  the scale path). The weak-supervision workhorse. */
+  private def q210LabelProp(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir).embeddings.filter(col("vec_id") < 64)
+    Similarity.labelPropagation(
+      nodes = e.select(col("vec_id")),
+      seeds = e.filter(col("vec_id") % 5 === 0).select(col("vec_id"), col("label")),
+      edges = Similarity.bruteForceTopKScored(s, e, e, "vec_id", "embedding", k = 3),
+      id = "vec_id", labelCol = "label",
+      src = "neighbor_id", dst = "query_id", weightCol = "cosine",
+      iterations = 3)
+  }
+
+  /** #211 weighted sampling without replacement (Efraimidis-Spirakis,
+   *  md5-derived jitter): 20 docs per source, n_chars-proportional —
+   *  the quota draw q45's uniform stratified sample cannot express. */
+  private def q211WeightedSample(s: SparkSession, dir: String): DataFrame =
+    Features.weightedSample(
+      t(s, dir).documents.select(col("source"), col("doc_id"), col("n_chars")),
+      Seq("source"), "doc_id", "n_chars", k = 20)
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2354,6 +2377,8 @@ object SparkEntry {
     "q207_burstiness"       -> (q207Burstiness _),
     "q208_mutual_info"      -> (q208MutualInfo _),
     "q209_pagerank"         -> (q209PageRank _),
+    "q210_label_prop"       -> (q210LabelProp _),
+    "q211_weighted_sample"  -> (q211WeightedSample _),
   )
 
   private val monthCaseSql: String =
@@ -2445,6 +2470,34 @@ object SparkEntry {
         s"FROM nodes CROSS JOIN nn LEFT JOIN s$i ON s$i.node = nodes.node)"
     }.mkString(", ")
     head + iterCtes + s" SELECT node, \"rank\" FROM r$iters"
+  }
+
+  /** Unrolled clamped label-propagation SQL for q210: cosine weights
+   *  decimal-routed at the edge (q197 contract) so every per-(node,
+   *  label) score — and therefore every argmax — compares EXACT
+   *  decimals; seeds re-enter each frontier verbatim. */
+  private def labelPropSql(iters: Int): String = {
+    val cosExpr = "list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), " +
+      "CAST(q.embedding AS DOUBLE[]))"
+    val head =
+      "WITH e AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 64), " +
+        "nn AS (SELECT query_id, neighbor_id, " +
+        "CAST(CAST(cos AS VARCHAR) AS DECIMAL(28,18)) AS w FROM (" +
+        s"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cosExpr AS cos, " +
+        s"ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY $cosExpr DESC, c.vec_id) AS rank " +
+        "FROM e c JOIN e q ON c.vec_id <> q.vec_id) WHERE rank <= 3), " +
+        "l0 AS (SELECT vec_id AS node, label AS lab FROM e WHERE vec_id % 5 = 0), "
+    val iterCtes = (1 to iters).map { i =>
+      s"c$i AS (SELECT nn.query_id AS dst, l.lab, SUM(nn.w) AS score " +
+        s"FROM nn JOIN l${i - 1} l ON nn.neighbor_id = l.node GROUP BY 1, 2), " +
+        s"w$i AS (SELECT dst, lab FROM (SELECT dst, lab, " +
+        "ROW_NUMBER() OVER (PARTITION BY dst ORDER BY score DESC, lab ASC) AS rn " +
+        s"FROM c$i) WHERE rn = 1), " +
+        s"l$i AS (SELECT node, lab FROM l0 UNION ALL " +
+        s"SELECT dst AS node, lab FROM w$i WHERE dst NOT IN (SELECT node FROM l0))"
+    }.mkString(", ")
+    head + iterCtes +
+      s" SELECT e.vec_id, l.lab AS label FROM e LEFT JOIN l$iters l ON e.vec_id = l.node"
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -4347,5 +4400,16 @@ object SparkEntry {
         "SELECT CAST(SUM(n) AS BIGINT) AS n_obs, " +
         "CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE) AS mi_nats FROM t"),
     "q209_pagerank" -> pageRankSql(5),
+    "q210_label_prop" -> labelPropSql(3),
+    "q211_weighted_sample" ->
+      // u = (first-8-hex + 0.5)/2^32 exact rational (q175 conv↔0x
+      // contract); the jitter RANKS as its FLOAT image (q70) with id
+      // tie-break; non-positive weights never draw
+      ("SELECT source, doc_id, n_chars FROM (" +
+        "SELECT source, doc_id, n_chars, ROW_NUMBER() OVER (PARTITION BY source ORDER BY " +
+        "CAST(-ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) " +
+        "+ CAST(0.5 AS DOUBLE)) / CAST(4294967296 AS DOUBLE)) / CAST(n_chars AS DOUBLE) AS REAL) ASC, " +
+        "doc_id ASC) AS rn " +
+        "FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0) WHERE rn <= 20"),
   )
 }

@@ -800,6 +800,42 @@ object Features {
   }
 
   /**
+   * Deterministic weighted sampling without replacement per stratum
+   * (Efraimidis-Spirakis A-Res): rank rows by the exponential jitter
+   * −ln(u)/w ascending (equivalent to taking the largest u^(1/w) keys)
+   * and keep the first `k` of each stratum — heavier rows
+   * proportionally likelier, yet the draw replays bit-identically on
+   * any cluster because u comes from the row's md5 image, not an RNG
+   * (the q103 hash-split precedent for "random but reproducible").
+   * The mixture-construction primitive when quotas must respect a
+   * weight (token counts, quality scores), where [[stratifiedSample]]'s
+   * uniform draw cannot.
+   *
+   * Determinism: u = (first-8-hex-digits + 0.5) / 2³² is an exact
+   * rational (the +0.5 keeps u strictly inside (0,1) — ln(0) can never
+   * fire); the jitter's ln routes through FLOAT before ORDERING (the
+   * q70 contract: rank on the float image so libm ulp noise collapses
+   * identically), with the id as total-order tie-break. Non-positive
+   * and null weights drop — a zero weight must never be drawn.
+   */
+  def weightedSample(
+      df: DataFrame, strata: Seq[String], idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k > 0, "weightedSample needs k > 0")
+    require(strata.nonEmpty,
+      "weightedSample needs strata keys: an unkeyed window is a global single-partition funnel")
+    val v = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
+    val u = (v.cast("double") + lit(0.5d)) / lit(4294967296.0d)
+    val priority = (-log(u) / col(weightCol).cast("double")).cast("float")
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(priority.asc, col(idCol).asc)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__grn", row_number().over(w))
+      .filter(col("__grn") <= k)
+      .drop("__grn")
+  }
+
+  /**
    * Population Stability Index bins between two cohorts of one score
    * column — THE production drift alarm: bin the score on FIXED edges
    * (comparable across runs, one aggregation, no quantile pass), then

@@ -41,6 +41,25 @@ object Similarity {
       .select(col("query_id"), col("rank"), col(id).as("neighbor_id"))
   }
 
+  /** [[bruteForceTopK]] keeping the cosine itself — for consumers that
+   *  weight by similarity (label propagation, soft voting) rather than
+   *  rank alone. Same plan; one extra column. */
+  def bruteForceTopKScored(
+      spark: SparkSession,
+      corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("query_id"), col(vec).as("__qvec"))
+    val sim = cosine(spark, col(vec), col("__qvec"))
+    val w = Window.partitionBy("query_id").orderBy(col("__gsim").desc, col(id).asc)
+    corpus
+      .join(broadcast(q), col(id) =!= col("query_id"))
+      .withColumn("__gsim", sim)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(id).as("neighbor_id"),
+        col("__gsim").as("cosine"))
+  }
+
   /**
    * Brute-force top-k by raw INNER PRODUCT — the second ranker for
    * fusion experiments: unlike cosine it rewards magnitude, so the two
@@ -225,6 +244,58 @@ object Similarity {
       .select(col("n_queries"),
         (col("__gsum").cast("string").cast("double") /
           col("n_queries").cast("double")).as("mean_ndcg"))
+  }
+
+  /**
+   * Semi-supervised label propagation over a weighted edge frame — the
+   * weak-supervision workhorse: a handful of labeled seeds spread to
+   * the unlabeled mass through the similarity graph. Each iteration an
+   * unlabeled node takes the label with the highest total incoming
+   * weight from currently-labeled neighbors; seeds are CLAMPED (they
+   * never change — the standard Zhu/Ghahramani condition that stops a
+   * dense cluster steamrolling its minority seeds).
+   *
+   * Determinism: per-(node, label) scores sum the weights via their
+   * DECIMAL(28,18) string images (q197 order-free contract — edge
+   * weights must be engine-identical doubles, e.g. the q32-parity
+   * cosine), so the argmax compares EXACT decimals; score ties break
+   * to the smallest label. Fixed iteration count, unrollable as SQL.
+   * Nodes no labeled path reaches within `iterations` hops stay NULL —
+   * visibly unlabeled rather than silently defaulted.
+   *
+   * Scale: edges persist once (they feed every iteration — the q151
+   * lesson); per iteration one edges⋈labels hash join + one
+   * aggregation + one \|candidates\|-sized window, all keyed by node.
+   * LSH-bucketed edges ([[embeddingNearDups]]) are the 100 TB edge
+   * source; the brute-force kNN entry is the oracle-able demo graph.
+   */
+  def labelPropagation(
+      nodes: DataFrame, seeds: DataFrame, edges: DataFrame,
+      id: String, labelCol: String,
+      src: String, dst: String, weightCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1, "labelPropagation needs at least one iteration")
+    val e = edges.select(col(src).as("__gsrc"), col(dst).as("__gdst"),
+      col(weightCol).cast("double").cast("string").cast("decimal(28,18)").as("__gw"))
+      .persist()
+    val sd = seeds.select(col(id).as("__gsid"), col(labelCol).as("__gslab")).persist()
+    var labels = sd.select(col("__gsid").as("node"), col("__gslab").as("lab"))
+    (1 to iterations).foreach { _ =>
+      val cand = e.join(labels, col("__gsrc") === col("node"))
+        .groupBy(col("__gdst"), col("lab"))
+        .agg(sum(col("__gw")).as("__gscore"))
+      val win = Window.partitionBy(col("__gdst"))
+        .orderBy(col("__gscore").desc, col("lab").asc)
+      val winners = cand
+        .withColumn("__grn", row_number().over(win))
+        .filter(col("__grn") === 1)
+        .select(col("__gdst").as("node"), col("lab"))
+      val nonSeed = winners.join(sd, winners("node") === sd("__gsid"), "left_anti")
+      labels = sd.select(col("__gsid").as("node"), col("__gslab").as("lab"))
+        .union(nonSeed)
+    }
+    nodes.select(col(id).as("node")).join(labels, Seq("node"), "left")
+      .select(col("node").as(id), col("lab").as(labelCol))
   }
 
   /**

@@ -474,4 +474,26 @@ class FeaturesSpec extends SparkSpec {
     // both proportions smooth to 1/(1+3): term is exactly 0
     assert(mid.getFloat(4) == 0.0f)
   }
+
+  test("weightedSample: deterministic, k-capped per stratum, heavy rows win in aggregate") {
+    val rows = (1L to 200L).map(i => ("s" + (i % 2), i, if (i <= 100) 1000L else 1L))
+    val df = rows.toDF("src", "id", "w")
+    val a = Features.weightedSample(df.repartition(4), Seq("src"), "id", "w", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = Features.weightedSample(df.repartition(7), Seq("src"), "id", "w", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b && a.size == 20)                     // replayable; 10 per stratum
+    assert(a.groupBy(_._1).forall(_._2.size == 10))
+    // 1000x weight: the heavy half should dominate the draw
+    assert(a.count(_._2 <= 100) >= 16)
+    // zero/null weights never draw
+    val z = Features.weightedSample(
+      Seq(("s", 1L, 0L), ("s", 2L, 5L)).toDF("src", "id", "w"),
+      Seq("src"), "id", "w", k = 5).collect()
+    assert(z.map(_.getLong(1)).toSeq == Seq(2L))
+    val ex = intercept[IllegalArgumentException] {
+      Features.weightedSample(df, Nil, "id", "w", 5)
+    }
+    assert(ex.getMessage.contains("single-partition"))
+  }
 }

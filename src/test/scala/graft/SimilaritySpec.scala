@@ -349,4 +349,41 @@ class SimilaritySpec extends SparkSpec {
     val ndcg1 = (g(1) + g(3)) / (g(1) + g(2))
     assert(math.abs(out.getDouble(1) - ndcg1 / 2.0) < 1e-9)
   }
+
+  test("labelPropagation: seeds clamp, labels spread hop by hop, unreached stay NULL") {
+    import spark.implicits._
+    // chain 1 -> 2 -> 3 -> 4 (weight 1 each); node 1 seeds label 7;
+    // node 5 is isolated. Seed node 2 holds label 9 against incoming 7.
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val seeds = Seq((1L, 7), (2L, 9)).toDF("id", "lab")
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0))
+      .toDF("s", "d", "w")
+    def run(iters: Int) = Similarity.labelPropagation(
+      nodes.repartition(2), seeds, edges, "id", "lab", "s", "d", "w", iters)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .toMap
+    val one = run(1)
+    assert(one(1L) == Some(7) && one(2L) == Some(9))   // clamped, not overwritten
+    assert(one(3L) == Some(9) && one(4L) == None && one(5L) == None)
+    val two = run(2)
+    assert(two(4L) == Some(9) && two(5L) == None)
+  }
+
+  test("labelPropagation: argmax weighs scores, exact ties break to the smaller label") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val seeds = Seq((1L, 5), (2L, 3)).toDF("id", "lab")
+    // node 3 hears label 5 with weight 0.9 and label 3 with weight 0.4
+    val heavier = Seq((1L, 3L, 0.9), (2L, 3L, 0.4)).toDF("s", "d", "w")
+    val h = Similarity.labelPropagation(
+      nodes, seeds, heavier, "id", "lab", "s", "d", "w", 1)
+      .filter(col("id") === 3L).collect()(0)
+    assert(h.getInt(1) == 5)
+    // equal weights: the smaller label wins deterministically
+    val tied = Seq((1L, 3L, 0.7), (2L, 3L, 0.7)).toDF("s", "d", "w")
+    val t = Similarity.labelPropagation(
+      nodes, seeds, tied, "id", "lab", "s", "d", "w", 1)
+      .filter(col("id") === 3L).collect()(0)
+    assert(t.getInt(1) == 3)
+  }
 }

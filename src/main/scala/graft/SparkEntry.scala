@@ -2165,6 +2165,15 @@ object SparkEntry {
       t(s, dir).documents.select(col("source"), col("doc_id"), col("n_chars")),
       Seq("source"), "doc_id", "n_chars", k = 20)
 
+  /** #212 MinHash-LSH candidate pairs over the md5-derived (engine-
+   *  portable) hash family — the hash-trust twin of q29: the full
+   *  signature → band → bucket-join machinery replays in any engine
+   *  with md5, so the oracle checks every candidate pair by value.
+   *  q29's codegen signatures remain the production hot path. */
+  private def q212MinhashMd5(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashMd5(t(s, dir).documents, "doc_id", "text",
+      numHashes = 6, bandSize = 2, shingleK = 3)
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2379,6 +2388,7 @@ object SparkEntry {
     "q209_pagerank"         -> (q209PageRank _),
     "q210_label_prop"       -> (q210LabelProp _),
     "q211_weighted_sample"  -> (q211WeightedSample _),
+    "q212_minhash_md5"      -> (q212MinhashMd5 _),
   )
 
   private val monthCaseSql: String =
@@ -4411,5 +4421,42 @@ object SparkEntry {
         "+ CAST(0.5 AS DOUBLE)) / CAST(4294967296 AS DOUBLE)) / CAST(n_chars AS DOUBLE) AS REAL) ASC, " +
         "doc_id ASC) AS rn " +
         "FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0) WHERE rn <= 20"),
+    "q212_minhash_md5" ->
+      // same shingle fragment as q135/q140; md5-derived 60-bit hashes
+      // ('0x'-cast, the q175 conv contract) make every signature, band
+      // key, and candidate pair engine-reproducible
+      ("WITH t AS (SELECT doc_id AS id, " +
+        "CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(" +
+        "list_zip(w[:len(w)-2], w[2:len(w)-1], w[3:]), " +
+        "z -> z[1] || ' ' || z[2] || ' ' || z[3])) " +
+        "ELSE [array_to_string(w, ' ')] END AS tok " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)), " +
+        "e AS (SELECT id, unnest(tok) AS s FROM t), " +
+        "h AS (SELECT id, " +
+        (0 until 6).map(j =>
+          s"min(CAST(('0x' || substr(md5('$j:' || s), 1, 15)) AS BIGINT)) AS h$j")
+          .mkString(", ") + " FROM e GROUP BY id), " +
+        "b AS (" +
+        (0 until 3).map(bn =>
+          s"SELECT id, $bn AS band, CAST(h${2 * bn} AS VARCHAR) || ':' || " +
+            s"CAST(h${2 * bn + 1} AS VARCHAR) AS key FROM h")
+          .mkString(" UNION ALL ") + ") " +
+        "SELECT a.id AS id_a, x.id AS id_b, CAST(COUNT(*) AS BIGINT) AS bands_shared " +
+        "FROM b a JOIN b x ON a.band = x.band AND a.key = x.key AND a.id < x.id " +
+        "GROUP BY 1, 2"),
+    "q35_multimodal_meta" ->
+      // real oracle for the decode stage: payload = UTF-8 text bytes, so
+      // no container magic matches and dims come from the documented
+      // deterministic stub formula; brightness = exact byte sum in ONE
+      // IEEE division
+      ("WITH s AS (SELECT doc_id, octet_length(encode(text)) AS n, " +
+        "hex(encode(text)) AS h FROM documents) " +
+        "SELECT doc_id, CAST(n AS BIGINT) AS bytes, " +
+        "CAST(64 + (CAST(n AS BIGINT) * 2654435761) % 1024 AS INT) AS width, " +
+        "CAST(64 + (CAST(n AS BIGINT) * 40503) % 768 AS INT) AS height, " +
+        "CASE WHEN n = 0 THEN CAST(0 AS DOUBLE) ELSE " +
+        "CAST(list_sum(list_transform(generate_series(1, CAST(n AS INT)), " +
+        "i -> CAST(('0x' || substr(h, 2*i-1, 2)) AS BIGINT))) AS DOUBLE) / n END " +
+        "AS brightness FROM s"),
   )
 }

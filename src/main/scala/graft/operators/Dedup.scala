@@ -869,4 +869,56 @@ object Dedup {
       .drop("__gfp")
     definitelyNew.unionByName(candidates)
   }
+
+  /**
+   * MinHash-LSH candidate pairs over an ENGINE-PORTABLE hash family:
+   * per-shingle hashes are md5-derived (`conv(substr(md5(seed:shingle),
+   * 1, 15), 16, 10)` — 60 bits, always positive), so a second engine
+   * with md5 reproduces every signature, band key, and candidate pair
+   * bit-for-bit. This is the hash-trust twin of [[minHashPairs]]
+   * (dag.py:49's dedup intent at corpus scale): q29's codegen
+   * [[graft.plans.MinHashSignature]] family is the production hot path
+   * — one byte-walk per doc, no per-shingle md5 — while this variant
+   * puts the ENTIRE banding machinery (signature → band key → bucket
+   * join → pair dedup) under an external-oracle hash check, the same
+   * upgrade q98-q100 gave the cluster-resolution family.
+   *
+   * Scale shape: shingle explode → ONE (id)-keyed aggregation computing
+   * all `numHashes` mins map-side-combinably (the signature frame is
+   * corpus-linear, never wider than numHashes columns) → band rows (a
+   * numBands-way explode of a \|docs\|-row frame) → one self-join keyed
+   * by (band, key) in which Catalyst reuses the band-rows exchange for
+   * both sides. Nothing is all-pairs; fan-out is bounded by bucket
+   * sizes exactly as in [[minHashPairs]].
+   *
+   * Returns (id_a, id_b, bands_shared), id_a < id_b.
+   */
+  def minHashMd5(
+      docs: DataFrame, id: String, textCol: String,
+      numHashes: Int = 6, bandSize: Int = 2, shingleK: Int = 3): DataFrame = {
+    require(numHashes >= 2 && bandSize >= 1 && numHashes % bandSize == 0,
+      "minHashMd5 needs numHashes a positive multiple of bandSize")
+    val numBands = numHashes / bandSize
+    val shingles = docs.select(
+      col(id).as("__mid"),
+      explode(TextFns.wordShingles(split(col(textCol), " "), shingleK)).as("__ms"))
+    val mins = (0 until numHashes).map { j =>
+      min(conv(substring(md5(concat_ws(":", lit(j), col("__ms"))), 1, 15), 16, 10)
+        .cast("long")).as(s"__mh$j")
+    }
+    val sigs = shingles.groupBy(col("__mid")).agg(mins.head, mins.tail: _*)
+    val bandRows = sigs.select(col("__mid"), explode(array(
+      (0 until numBands).map { b =>
+        struct(lit(b).as("band"), concat_ws(":",
+          (0 until bandSize).map(k => col(s"__mh${b * bandSize + k}").cast("string")): _*)
+          .as("key"))
+      }: _*)).as("__mb"))
+      .select(col("__mid"), col("__mb.band").as("__band"), col("__mb.key").as("__key"))
+    bandRows.select(col("__mid").as("id_a"), col("__band"), col("__key"))
+      .join(bandRows.select(col("__mid").as("id_b"), col("__band"), col("__key")),
+        Seq("__band", "__key"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("bands_shared"))
+  }
 }

@@ -16,24 +16,30 @@ final case class Tables(spark: SparkSession, dir: String) {
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
   /**
-   * The events table carries nanosecond parquet timestamps, which Spark's
-   * vectorized reader rejects. Read them as raw int64 nanos
-   * (`nanosAsLong`, a session conf — see [[Tables.configure]]) and
-   * truncate to a proper microsecond TimestampType — the same ns→µs
-   * truncation DuckDB and Arrow apply.
+   * The events table's timestamps arrive in whatever physical form the
+   * generator chose — nanosecond int64 (older drops; Spark's vectorized
+   * reader rejects ns columns unless `nanosAsLong` reads them as raw
+   * longs — see [[Tables.configure]]), or naive microsecond timestamps
+   * (current drops; Spark surfaces them as TIMESTAMP_NTZ). Normalize
+   * BOTH to a session-zone microsecond TimestampType: the session is
+   * pinned to UTC ([[graft.Sessions]]), so the NTZ→TZ cast keeps the
+   * microsecond values bit-identical to DuckDB's naive read, and the
+   * ns→µs truncation is the same one DuckDB and Arrow apply.
    */
   private def withNanoTimestamp(name: String, tsCols: String*): DataFrame = {
-    // fail actionably BEFORE the read: without the conf, schema
-    // conversion rejects the file with an opaque vectorized-reader error
+    // fail actionably BEFORE the read: without the conf, an ns-typed
+    // file rejects with an opaque vectorized-reader error
     require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      s"table '$name' has nanosecond timestamps; build the session via " +
-        "graft.sources.Tables.configure(builder) (or set " +
+      s"table '$name' may carry nanosecond timestamps; build the session " +
+        "via graft.sources.Tables.configure(builder) (or set " +
         "spark.sql.legacy.parquet.nanosAsLong=true) before reading it")
     val df = table(name)
     tsCols.foldLeft(df) { (d, c) =>
       d.schema(c).dataType match {
         case org.apache.spark.sql.types.LongType =>
           d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          d.withColumn(c, col(c).cast("timestamp"))
         case _ => d
       }
     }

@@ -33,6 +33,24 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated never pairs
   }
 
+  test("minHashMd5 pairs exact dups on every band and skips unrelated docs") {
+    val pairs = Dedup.minHashMd5(docs, "doc_id", "text",
+        numHashes = 6, bandSize = 2, shingleK = 3)
+      .select("id_a", "id_b", "bands_shared")
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    // exact dup (0, 3): identical shingle sets => identical signatures =>
+    // all 3 bands collide
+    assert(pairs.get((0L, 3L)).contains(3L))
+    // unrelated doc 2 shares no shingle with anyone: a band collision
+    // would need two 60-bit min-hashes to collide by chance
+    assert(!pairs.keys.exists(p => p._1 == 2L || p._2 == 2L))
+    // near-dups (0, 1) share most shingles; with 3 bands at least one
+    // band agreeing is overwhelmingly likely — assert only consistency:
+    // any reported pair shares between 1 and 3 bands
+    assert(pairs.values.forall(n => n >= 1L && n <= 3L))
+  }
+
   test("minhash signature: length, determinism, codegen == declarative") {
     val sh = TextFns.wordShingles(TextFns.tokens(col("text")), 2)
     val rows = docs.select(

@@ -2174,6 +2174,41 @@ object SparkEntry {
     Dedup.minHashMd5(t(s, dir).documents, "doc_id", "text",
       numHashes = 6, bandSize = 2, shingleK = 3)
 
+  /** #213 Jensen-Shannon divergence of each source's unigram
+   *  distribution vs the whole corpus — the symmetric, ln2-bounded
+   *  "distance from the blend" dial beside q204's within-source
+   *  entropy; absent-token mass folds into one ln2·(1−coverage)
+   *  closed form. */
+  private def q213JsDivergence(s: SparkSession, dir: String): DataFrame =
+    Curation.jsDivergence(t(s, dir).documents, "source", "text")
+
+  /** #214 Zipf slope: OLS fit of ln(count) on ln(rank) over the top-100
+   *  corpus tokens — organic text ≈ −1, templates flatten, degenerate
+   *  generation steepens. Distributed top-k, then a 100-row fit. */
+  private def q214ZipfSlope(s: SparkSession, dir: String): DataFrame =
+    Curation.zipfSlope(t(s, dir).documents, "text", k = 100)
+
+  /** #215 per-class precision/recall/F1 (+ `__macro__` means) over
+   *  q171's k-NN confusion matrix — the per-class readout q172's single
+   *  kappa hides. */
+  private def q215MacroF1(s: SparkSession, dir: String): DataFrame =
+    Relational.classMetrics(
+      q171KnnConfusion(s, dir), "true_label", "predicted_label", "n")
+
+  /** #216 association rules over q148's co-purchase supports: both
+   *  directed rules per pair with confidence and lift — the base-rate
+   *  correction raw support lacks. */
+  private def q216AssocRules(s: SparkSession, dir: String): DataFrame =
+    Relational.assocRules(
+      t(s, dir).lineitem.select("l_orderkey", "l_partkey"),
+      "l_orderkey", "l_partkey", minSupport = 2L)
+
+  /** #217 shingle novelty: per doc, the share of its distinct 3-word
+   *  shingles first seen (min doc_id) in that doc — the "new text
+   *  added" curve; exact dups score 0, originals 1. */
+  private def q217ShingleNovelty(s: SparkSession, dir: String): DataFrame =
+    Dedup.shingleNovelty(t(s, dir).documents, "doc_id", "text", k = 3)
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2389,6 +2424,11 @@ object SparkEntry {
     "q210_label_prop"       -> (q210LabelProp _),
     "q211_weighted_sample"  -> (q211WeightedSample _),
     "q212_minhash_md5"      -> (q212MinhashMd5 _),
+    "q213_js_divergence"    -> (q213JsDivergence _),
+    "q214_zipf_slope"       -> (q214ZipfSlope _),
+    "q215_macro_f1"         -> (q215MacroF1 _),
+    "q216_assoc_rules"      -> (q216AssocRules _),
+    "q217_shingle_novelty"  -> (q217ShingleNovelty _),
   )
 
   private val monthCaseSql: String =
@@ -4458,5 +4498,127 @@ object SparkEntry {
         "CAST(list_sum(list_transform(generate_series(1, CAST(n AS INT)), " +
         "i -> CAST(('0x' || substr(h, 2*i-1, 2)) AS BIGINT))) AS DOUBLE) / n END " +
         "AS brightness FROM s"),
+    "q213_js_divergence" ->
+      // p/q exact-ints-to-one-division; each KL term's ln routes through
+      // FLOAT and sums via DECIMAL(28,18) strings (q204 contract); ln2
+      // is the shared string literal — no libm call reaches output
+      ("WITH c AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c FROM " +
+        "(SELECT source, unnest(string_split(text, ' ')) AS word FROM documents) " +
+        "GROUP BY 1, 2), " +
+        "g AS (SELECT word, CAST(SUM(c) AS BIGINT) AS g FROM c GROUP BY 1), " +
+        "t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM c GROUP BY 1), " +
+        "nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c), " +
+        "e AS (SELECT c.source, " +
+        "SUM(CAST(CAST(CAST(CAST(" +
+        "(CAST(c.c AS DOUBLE) / CAST(t.ns AS DOUBLE)) * " +
+        "ln(CAST(2 AS DOUBLE) * (CAST(c.c AS DOUBLE) / CAST(t.ns AS DOUBLE)) / " +
+        "((CAST(c.c AS DOUBLE) / CAST(t.ns AS DOUBLE)) + (CAST(g.g AS DOUBLE) / CAST(nn.n AS DOUBLE)))) " +
+        "AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))) AS a, " +
+        "SUM(CAST(CAST(CAST(CAST(" +
+        "(CAST(g.g AS DOUBLE) / CAST(nn.n AS DOUBLE)) * " +
+        "ln(CAST(2 AS DOUBLE) * (CAST(g.g AS DOUBLE) / CAST(nn.n AS DOUBLE)) / " +
+        "((CAST(c.c AS DOUBLE) / CAST(t.ns AS DOUBLE)) + (CAST(g.g AS DOUBLE) / CAST(nn.n AS DOUBLE)))) " +
+        "AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))) AS b, " +
+        "CAST(SUM(g.g) AS BIGINT) AS gs " +
+        "FROM c JOIN g USING (word) JOIN t USING (source) CROSS JOIN nn GROUP BY 1) " +
+        "SELECT e.source, t.ns AS n_tokens, " +
+        "CAST(e.gs AS DOUBLE) / CAST(nn.n AS DOUBLE) AS coverage, " +
+        "CAST(0.5 AS DOUBLE) * (CAST(CAST(e.a AS VARCHAR) AS DOUBLE) + " +
+        "CAST(CAST(e.b AS VARCHAR) AS DOUBLE) + " +
+        s"CAST('${graft.operators.Curation.ln2Literal}' AS DOUBLE) * " +
+        "(CAST(1 AS DOUBLE) - CAST(e.gs AS DOUBLE) / CAST(nn.n AS DOUBLE))) AS jsd_nats " +
+        "FROM e JOIN t USING (source) CROSS JOIN nn"),
+    "q214_zipf_slope" ->
+      // ln(rank)/ln(count) float-absorbed (q70); float products are
+      // EXACT in double; OLS sums over DECIMAL(28,18) strings; q191's
+      // fixed IEEE closed form
+      ("WITH g AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY 1), " +
+        "k AS (SELECT word, c FROM g ORDER BY c DESC, word ASC LIMIT 100), " +
+        "r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, word ASC) AS rnk FROM k), " +
+        "v AS (SELECT CAST(CAST(ln(CAST(rnk AS DOUBLE)) AS REAL) AS DOUBLE) AS x, " +
+        "CAST(CAST(ln(CAST(c AS DOUBLE)) AS REAL) AS DOUBLE) AS y FROM r), " +
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) AS sx, " +
+        "CAST(CAST(SUM(CAST(CAST(y AS VARCHAR) AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) AS sy, " +
+        "CAST(CAST(SUM(CAST(CAST(x * y AS VARCHAR) AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) AS sxy, " +
+        "CAST(CAST(SUM(CAST(CAST(x * x AS VARCHAR) AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) AS sxx FROM v), " +
+        "s2 AS (SELECT n, CAST(n AS DOUBLE) * sxx - sx * sx AS den, " +
+        "CAST(n AS DOUBLE) * sxy - sx * sy AS num, sx, sy FROM m), " +
+        "s3 AS (SELECT n, sx, sy, CASE WHEN den > 0 THEN num / den END AS slope FROM s2) " +
+        "SELECT n, slope, CASE WHEN slope IS NOT NULL THEN " +
+        "(sy - slope * sx) / CAST(n AS DOUBLE) END AS intercept FROM s3"),
+    "q215_macro_f1" ->
+      // q171's prediction CTEs -> per-class exact tp/fp/fn, fixed IEEE
+      // P/R/F1; macro means sum FLOAT images via DECIMAL(28,18) strings
+      // over the non-null classes (both engines' aggregates skip nulls)
+      ("WITH nn AS (SELECT query_id, neighbor_id FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, " +
+        "c.vec_id) AS rank " +
+        "FROM embeddings c JOIN embeddings q ON q.vec_id < 8 AND c.vec_id <> q.vec_id) " +
+        "WHERE rank <= 5), " +
+        "v AS (SELECT nn.query_id, e.label, COUNT(*) AS n FROM nn " +
+        "JOIN embeddings e ON e.vec_id = nn.neighbor_id GROUP BY 1, 2), " +
+        "pred AS (SELECT query_id, label AS predicted_label FROM (" +
+        "SELECT query_id, label, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY n DESC, label) AS rn FROM v) WHERE rn = 1), " +
+        "conf AS (SELECT t.label AS tl, p.predicted_label AS pl, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM pred p JOIN embeddings t ON t.vec_id = p.query_id GROUP BY 1, 2), " +
+        "bt AS (SELECT tl AS label, CAST(SUM(n) AS BIGINT) AS gt FROM conf GROUP BY 1), " +
+        "bp AS (SELECT pl AS label, CAST(SUM(n) AS BIGINT) AS gp FROM conf GROUP BY 1), " +
+        "dg AS (SELECT tl AS label, CAST(n AS BIGINT) AS tp FROM conf WHERE tl = pl), " +
+        "lb AS (SELECT label FROM bt UNION SELECT label FROM bp), " +
+        "base AS (SELECT lb.label, COALESCE(bt.gt, 0) AS gt, COALESCE(bp.gp, 0) AS gp, " +
+        "COALESCE(dg.tp, 0) AS tp FROM lb LEFT JOIN bt USING (label) " +
+        "LEFT JOIN bp USING (label) LEFT JOIN dg USING (label)), " +
+        "pc AS (SELECT CAST(label AS VARCHAR) AS label, " +
+        "CASE WHEN gp > 0 THEN CAST(tp AS DOUBLE) / CAST(gp AS DOUBLE) END AS \"precision\", " +
+        "CASE WHEN gt > 0 THEN CAST(tp AS DOUBLE) / CAST(gt AS DOUBLE) END AS recall FROM base), " +
+        "pc2 AS (SELECT label, \"precision\", recall, " +
+        "CASE WHEN \"precision\" IS NOT NULL AND recall IS NOT NULL AND \"precision\" + recall > 0 " +
+        "THEN CAST(2 AS DOUBLE) * \"precision\" * recall / (\"precision\" + recall) END AS f1 FROM pc) " +
+        "SELECT label, \"precision\", recall, f1 FROM pc2 " +
+        "UNION ALL SELECT '__macro__', " +
+        "CAST(CAST(SUM(CAST(CAST(CAST(CAST(\"precision\" AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(\"precision\") AS DOUBLE), " +
+        "CAST(CAST(SUM(CAST(CAST(CAST(CAST(recall AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(recall) AS DOUBLE), " +
+        "CAST(CAST(SUM(CAST(CAST(CAST(CAST(f1 AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(f1) AS DOUBLE) " +
+        "FROM pc2"),
+    "q216_assoc_rules" ->
+      // exact supports; confidence/lift are fixed IEEE sequences with
+      // the products computed IN double (N*supp overflows int64 at
+      // fact scale)
+      ("WITH i AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS it FROM lineitem " +
+        "WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL), " +
+        "p AS (SELECT a.it AS ia, x.it AS ib, CAST(COUNT(*) AS BIGINT) AS supp " +
+        "FROM i a JOIN i x ON a.b = x.b AND a.it < x.it GROUP BY 1, 2 " +
+        "HAVING COUNT(*) >= 2), " +
+        "s AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS sc FROM i GROUP BY 1), " +
+        "nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n FROM i), " +
+        "r AS (SELECT ia AS antecedent, ib AS consequent, supp FROM p " +
+        "UNION ALL SELECT ib, ia, supp FROM p) " +
+        "SELECT r.antecedent, r.consequent, r.supp AS support, " +
+        "CAST(r.supp AS DOUBLE) / CAST(sa.sc AS DOUBLE) AS confidence, " +
+        "CAST(r.supp AS DOUBLE) * CAST(nb.n AS DOUBLE) / " +
+        "(CAST(sa.sc AS DOUBLE) * CAST(sc2.sc AS DOUBLE)) AS lift " +
+        "FROM r JOIN s sa ON r.antecedent = sa.it " +
+        "JOIN s sc2 ON r.consequent = sc2.it CROSS JOIN nb"),
+    "q217_shingle_novelty" ->
+      // same shingle fragment as q135/q212; first-seen ids exact, the
+      // fraction is one IEEE division
+      ("WITH t AS (SELECT doc_id AS id, " +
+        "CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(" +
+        "list_zip(w[:len(w)-2], w[2:len(w)-1], w[3:]), " +
+        "z -> z[1] || ' ' || z[2] || ' ' || z[3])) " +
+        "ELSE [array_to_string(w, ' ')] END AS tok " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)), " +
+        "e AS (SELECT id, unnest(tok) AS s FROM t), " +
+        "f AS (SELECT s, CAST(MIN(id) AS BIGINT) AS fs FROM e GROUP BY 1) " +
+        "SELECT e.id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles, " +
+        "CAST(COUNT(CASE WHEN f.fs = e.id THEN 1 END) AS BIGINT) AS n_novel, " +
+        "CAST(COUNT(CASE WHEN f.fs = e.id THEN 1 END) AS DOUBLE) / " +
+        "CAST(COUNT(*) AS DOUBLE) AS novelty_frac " +
+        "FROM e JOIN f USING (s) GROUP BY 1"),
   )
 }

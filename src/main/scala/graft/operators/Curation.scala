@@ -704,6 +704,121 @@ object Curation {
       (variance / mean).as("burstiness"))
   }
 
+  /** The correctly-rounded double of ln 2, embedded as a STRING literal
+   *  on both engines (the VARCHAR detour): neither side ever calls its
+   *  libm for the constant, so the parsed doubles are identical. */
+  val ln2Literal = "0.6931471805599453"
+
+  /**
+   * Jensen-Shannon divergence (nats) of each source's unigram
+   * distribution against the whole corpus — the "how far does this
+   * source sit from the blend" dial a mixture designer reads next to
+   * [[sourceEntropy]]'s within-source diversity: JSD is symmetric,
+   * bounded by ln 2, and zero iff the source matches the corpus
+   * distribution exactly.
+   *
+   * Math: with p = source distribution, q = corpus distribution and
+   * m = (p+q)/2, JSD = ½·KL(p‖m) + ½·KL(q‖m). Only tokens PRESENT in
+   * the source carry a p-term; the q-side splits into the present
+   * tokens' terms plus a closed form for the absent mass — for an
+   * absent token m = q/2, so its term is q·ln 2, and the absent terms
+   * sum to ln 2 · (1 − coverage) where coverage = Σ_present q is one
+   * exact-integer sum divided once. No per-token work outside the
+   * source's own vocabulary.
+   *
+   * Determinism: p and q are exact-ints-to-one-division doubles; each
+   * p·ln(2p/(p+q)) / q·ln(2q/(p+q)) term routes its ln through FLOAT
+   * (q70 libm contract) and sums via its DECIMAL(28,18) string image
+   * (q197 order-free contract); ln 2 itself is the [[ln2Literal]]
+   * string parse, so no libm call survives into compared output.
+   *
+   * Scale: one explode → one (source, token) count shuffle, and the
+   * counts frame (vocabulary-sized, far below the corpus) is PERSISTED
+   * (q151 multi-branch rule: it feeds the corpus rollup, both totals,
+   * and the join — without the persist each branch replays the corpus
+   * explode) → one token-keyed corpus rollup joined back (vocab side —
+   * the q118 AQE skew shape) → one per-source aggregation. Totals ride
+   * as broadcast frames, never windows.
+   */
+  def jsDivergence(
+      docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val counts = docs
+      .select(col(sourceCol).as("source"), explode(split(col(textCol), " ")).as("__gw"))
+      .groupBy(col("source"), col("__gw")).agg(count(lit(1)).as("__gc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = counts.groupBy(col("__gw")).agg(sum(col("__gc")).as("__gg"))
+    val srcTotals = counts.groupBy(col("source")).agg(sum(col("__gc")).as("__gns"))
+    val grand = counts.agg(sum(col("__gc")).as("__gn"))
+    val p = col("__gc").cast("double") / col("__gns").cast("double")
+    val q = col("__gg").cast("double") / col("__gn").cast("double")
+    def absorb(c: Column) =
+      c.cast("float").cast("double").cast("string").cast("decimal(28,18)")
+    val joined = counts
+      .join(corpus, "__gw")
+      .join(broadcast(srcTotals), "source")
+      .crossJoin(broadcast(grand))
+    val agg = joined.groupBy(col("source")).agg(
+      max(col("__gns")).as("n_tokens"),
+      max(col("__gn")).as("__gnn"),
+      sum(col("__gg")).as("__ggs"),
+      sum(absorb(p * log(lit(2.0) * p / (p + q)))).as("__ga"),
+      sum(absorb(q * log(lit(2.0) * q / (p + q)))).as("__gb"))
+    def d(c: String) = col(c).cast("string").cast("double")
+    val coverage = col("__ggs").cast("double") / col("__gnn").cast("double")
+    val ln2 = lit(ln2Literal).cast("double")
+    agg.select(col("source"), col("n_tokens"),
+      coverage.as("coverage"),
+      (lit(0.5) * (d("__ga") + d("__gb") + ln2 * (lit(1.0) - coverage)))
+        .as("jsd_nats"))
+  }
+
+  /**
+   * Zipf slope: OLS fit of ln(count) against ln(rank) over the corpus's
+   * top-`k` tokens — the one-number summary of how natural the token
+   * distribution is. Organic text sits near slope ≈ −1 (Zipf's law);
+   * template/boilerplate corpora flatten the head (slope → 0) and
+   * spam/degenerate generation steepens it. Rank ties break by token
+   * (total order), so the fit replays exactly.
+   *
+   * Determinism: top-k selection is a distributed TakeOrderedAndProject
+   * (count DESC, token ASC), never a global sort; ln(rank)/ln(count)
+   * route through FLOAT (q70), their products are EXACT in double
+   * (24-bit × 24-bit significands fit 53), and all four OLS sums run
+   * over DECIMAL(28,18) string images (order-free); the closed-form
+   * slope/intercept is the q191 fixed IEEE sequence. The rank window
+   * orders a k-row frame — bounded by construction, not by data.
+   */
+  def zipfSlope(
+      docs: DataFrame, textCol: String, k: Int = 100): DataFrame = {
+    require(k >= 2, "zipfSlope needs k >= 2 (a line needs two points)")
+    val top = docs
+      .select(explode(split(col(textCol), " ")).as("__gw"))
+      .groupBy(col("__gw")).agg(count(lit(1)).as("__gc"))
+      .orderBy(col("__gc").desc, col("__gw").asc)
+      .limit(k)
+    val ranked = top.withColumn("__gr",
+      row_number().over(Window.orderBy(col("__gc").desc, col("__gw").asc)))
+    def fl(c: Column) = c.cast("float").cast("double")
+    val v = ranked.select(
+      fl(log(col("__gr").cast("double"))).as("__gx"),
+      fl(log(col("__gc").cast("double"))).as("__gy"))
+    def dec(c: Column) = c.cast("string").cast("decimal(28,18)")
+    val m = v.agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("__gx"))).as("__gsx"),
+      sum(dec(col("__gy"))).as("__gsy"),
+      sum(dec(col("__gx") * col("__gy"))).as("__gsxy"),
+      sum(dec(col("__gx") * col("__gx"))).as("__gsxx"))
+    def d(c: String) = col(c).cast("string").cast("double")
+    val nD = col("n").cast("double")
+    val den = nD * d("__gsxx") - d("__gsx") * d("__gsx")
+    val slope = (nD * d("__gsxy") - d("__gsx") * d("__gsy")) / den
+    m.withColumn("slope", when(den > 0, slope))
+      .withColumn("intercept",
+        when(den > 0, (d("__gsy") - col("slope") * d("__gsx")) / nD))
+      .select(col("n"), col("slope"), col("intercept"))
+  }
+
   /** Remove flagged-contaminated documents from the corpus (anti-join
    *  against the small flag set — broadcast in the common case). */
   def decontaminate(

@@ -871,6 +871,46 @@ object Dedup {
   }
 
   /**
+   * Shingle novelty: per document, the fraction of its DISTINCT word
+   * k-shingles whose corpus-wide first occurrence (minimum doc id) is
+   * this document — the "how much genuinely new text does this doc
+   * add" curve a dedup-aware ingestion pipeline reads before keeping a
+   * crawl slice (dag.py:49's keep-first intent, measured instead of
+   * enforced). Exact duplicates of earlier docs score 0; fully original
+   * docs score 1; boilerplate-heavy docs sit in between — a softer
+   * signal than pair-level near-dup detection because it needs no
+   * threshold.
+   *
+   * Exactness: shingle counts and first-seen ids are exact integers;
+   * the fraction is one IEEE division (the shingle set is never empty:
+   * [[TextFns.wordShingles]] collapses short docs to one whole-text
+   * shingle).
+   *
+   * Scale: one shingle explode → one MIN window partitioned by the
+   * shingle key (the q176 dedup-impact shape: a window on the dedup
+   * key evaluates the explode ONCE, where a groupBy + self-join would
+   * replay it per branch) → one per-doc aggregation. Stock phrases are
+   * the hot window keys — the same skew the q118 vocabulary shuffle
+   * documents.
+   */
+  def shingleNovelty(
+      docs: DataFrame, id: String, textCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shingles = docs.select(
+      col(id).as("__mid"),
+      explode(TextFns.wordShingles(split(col(textCol), " "), k)).as("__ms"))
+    val firstSeen = shingles.withColumn("__mfirst",
+      min(col("__mid")).over(Window.partitionBy(col("__ms"))))
+    firstSeen
+      .groupBy(col("__mid"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("__mfirst") === col("__mid"), 1)).as("n_novel"))
+      .select(col("__mid").as(id), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty_frac"))
+  }
+
+  /**
    * MinHash-LSH candidate pairs over an ENGINE-PORTABLE hash family:
    * per-shingle hashes are md5-derived (`conv(substr(md5(seed:shingle),
    * 1, 15), 16, 10)` — 60 bits, always positive), so a second engine

@@ -879,6 +879,122 @@ object Relational {
   }
 
   /**
+   * Association rules over [[copurchasePairs]]' support table: for each
+   * qualifying unordered pair, both directed rules A→B and B→A with
+   * confidence = supp(A,B)/supp(A) and lift = N·supp(A,B)/(supp(A)·
+   * supp(B)) — the "customers who bought X also bought Y" readout with
+   * the base-rate correction raw support lacks (lift > 1 = genuinely
+   * associated, ≈ 1 = coincidence of popularity).
+   *
+   * Exactness: all supports and the basket count N are exact integers;
+   * confidence and lift are fixed IEEE sequences over double-cast
+   * operands (the products are computed IN double — N·supp would
+   * overflow int64 at fact scale, and IEEE multiplication of exact-int
+   * doubles is engine-identical).
+   *
+   * Scale: the distinct (basket, item) frame is computed ONCE and
+   * PERSISTED (the q151 multi-branch rule — it feeds the pair
+   * self-join, the item-support rollup, and the basket count; without
+   * the persist each branch replays the scan + distinct); item
+   * supports join back onto the (pruned) pair frame keyed by item —
+   * the popular-item skew is the q118 AQE shape; N rides as a
+   * broadcast one-row frame. The cache dies with the session; callers
+   * needing eager release go through `spark.catalog.clearCache()`.
+   */
+  def assocRules(
+      df: DataFrame, basket: String, item: String,
+      minSupport: Long = 2L): DataFrame = {
+    val items = df.filter(col(basket).isNotNull && col(item).isNotNull)
+      .select(col(basket).as("__gb"), col(item).as("__gi")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = items.select(col("__gb"), col("__gi").as("item_a"))
+      .join(items.select(col("__gb"), col("__gi").as("item_b")), Seq("__gb"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    val itemSupp = items.groupBy(col("__gi")).agg(count(lit(1)).as("__gs"))
+    val baskets = items.select(col("__gb")).distinct().agg(count(lit(1)).as("__gn"))
+    val rules = pairs
+      .select(col("item_a").as("antecedent"), col("item_b").as("consequent"), col("support"))
+      .unionByName(pairs.select(col("item_b").as("antecedent"),
+        col("item_a").as("consequent"), col("support")))
+    val sD = col("support").cast("double")
+    rules
+      .join(itemSupp.select(col("__gi").as("antecedent"), col("__gs").as("__gsa")), "antecedent")
+      .join(itemSupp.select(col("__gi").as("consequent"), col("__gs").as("__gsc")), "consequent")
+      .crossJoin(broadcast(baskets))
+      .select(col("antecedent"), col("consequent"), col("support"),
+        (sD / col("__gsa").cast("double")).as("confidence"),
+        (sD * col("__gn").cast("double") /
+          (col("__gsa").cast("double") * col("__gsc").cast("double"))).as("lift"))
+  }
+
+  /**
+   * Per-class precision/recall/F1 from a confusion-matrix frame
+   * (true, predicted, n), plus one `__macro__` row with the unweighted
+   * class means — the per-class readout q172's single kappa number
+   * hides (a classifier can hold high kappa while one minority class
+   * scores zero). A class appearing on either axis gets a row; a
+   * metric whose denominator is zero (never predicted / never true) is
+   * NULL, and the macro mean averages the NON-NULL values (the count
+   * divides only what summed — both engines' aggregates skip nulls the
+   * same way).
+   *
+   * Exactness: tp/fp/fn are exact integers; precision/recall/F1 are
+   * fixed IEEE sequences; the macro means sum FLOAT images of the
+   * per-class doubles via DECIMAL(28,18) strings (q197 order-free
+   * contract) — the only cross-row float addition in the operator.
+   *
+   * Scale: the confusion frame is ≤ |classes|² rows by construction;
+   * every join and aggregate here is bounded by the label vocabulary,
+   * not the data. The input is PERSISTED before fan-out (q151 rule):
+   * it feeds three rollups plus the label union, and its upstream —
+   * typically a full prediction pipeline — must not replay per branch.
+   */
+  def classMetrics(
+      confusion: DataFrame, trueCol: String, predCol: String,
+      nCol: String): DataFrame = {
+    val conf = confusion
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byTrue = conf.groupBy(col(trueCol).as("label"))
+      .agg(sum(col(nCol)).as("__gt"))
+    val byPred = conf.groupBy(col(predCol).as("label"))
+      .agg(sum(col(nCol)).as("__gp"))
+    val diag = conf.filter(col(trueCol) === col(predCol))
+      .select(col(trueCol).as("label"), col(nCol).as("__gtp"))
+    val base = byTrue.select(col("label"))
+      .unionByName(byPred.select(col("label"))).distinct()
+      .join(byTrue, Seq("label"), "left")
+      .join(byPred, Seq("label"), "left")
+      .join(diag, Seq("label"), "left")
+      // string labels: the `__macro__` summary row must union without
+      // coercing the class axis (ANSI would cast the marker DOWN to a
+      // numeric label type and throw)
+      .select(col("label").cast("string").as("label"),
+        coalesce(col("__gt"), lit(0L)).as("__gt"),
+        coalesce(col("__gp"), lit(0L)).as("__gp"),
+        coalesce(col("__gtp"), lit(0L)).as("__gtp"))
+    val p = when(col("__gp") > 0, col("__gtp").cast("double") / col("__gp").cast("double"))
+    val r = when(col("__gt") > 0, col("__gtp").cast("double") / col("__gt").cast("double"))
+    val perClass = base.select(col("label"), p.as("precision"), r.as("recall"))
+      .withColumn("f1", when(
+        col("precision").isNotNull && col("recall").isNotNull &&
+          (col("precision") + col("recall")) > 0,
+        lit(2.0) * col("precision") * col("recall") /
+          (col("precision") + col("recall"))))
+    def absorb(c: Column) =
+      c.cast("float").cast("double").cast("string").cast("decimal(28,18)")
+    def meanOf(c: String) =
+      (sum(absorb(col(c))).cast("string").cast("double") /
+        count(col(c)).cast("double")).as(c)
+    val macroRow = perClass.agg(
+      meanOf("precision"), meanOf("recall"), meanOf("f1"))
+      .select(lit("__macro__").as("label"),
+        col("precision"), col("recall"), col("f1"))
+    perClass.unionByName(macroRow)
+  }
+
+  /**
    * 2-D Pareto frontier (skyline), maximizing both axes: rows not
    * dominated by any other row (x' ≥ x AND y' ≥ y with one strict).
    * O(n log n), no self-join: collapse ties of x to their max y (the

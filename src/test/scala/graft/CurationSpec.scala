@@ -377,4 +377,39 @@ class CurationSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("minDf"))
   }
+
+  test("jsDivergence: a lone source matches the corpus exactly (JSD 0); divergent sources are positive and ln2-bounded") {
+    val lone = Seq((1L, "one", "a b c"), (2L, "one", "a a b")).toDF("doc_id", "source", "text")
+    val zero = Curation.jsDivergence(lone, "source", "text").collect()
+    assert(zero.length == 1)
+    // p == q token-for-token: every ln term is ln(1) = 0 exactly and
+    // coverage is exactly 1, so JSD is exactly 0.0
+    assert(zero.head.getAs[Double]("jsd_nats") == 0.0)
+    assert(zero.head.getAs[Double]("coverage") == 1.0)
+
+    val two = Seq(
+      (1L, "x", "a a a a"), (2L, "y", "b b b b"), // disjoint vocabularies
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.jsDivergence(two, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("jsd_nats")).toMap
+    // each source holds half the corpus mass: p = 1 on its token,
+    // q = 1/2, JSD = 0.5*(ln(4/3) + 0.5*ln(4/3)*... ) — just bound it
+    assert(out.values.forall(v => v > 0.0 && v <= math.log(2.0) + 1e-9))
+    // symmetric corpus: both sources diverge equally
+    assert(math.abs(out("x") - out("y")) < 1e-12)
+  }
+
+  test("zipfSlope: exact two-point power law recovers its exponent") {
+    // count(rank 1) = 8, count(rank 2) = 1: slope = -ln8/ln2 = -3
+    val docs = Seq((1L, Seq.fill(8)("aa").mkString(" ") + " bb"))
+      .toDF("doc_id", "text")
+    val row = Curation.zipfSlope(docs, "text", k = 2).collect().head
+    assert(row.getAs[Long]("n") == 2L)
+    assert(math.abs(row.getAs[Double]("slope") - (-3.0)) < 1e-5)
+    assert(math.abs(row.getAs[Double]("intercept") - math.log(8.0)) < 1e-5)
+    val ex = intercept[IllegalArgumentException] {
+      Curation.zipfSlope(docs, "text", k = 1)
+    }
+    assert(ex.getMessage.contains("k >= 2"))
+  }
 }

@@ -51,6 +51,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.values.forall(n => n >= 1L && n <= 3L))
   }
 
+  test("shingleNovelty: originals score 1, exact dups 0, partial overlap in between") {
+    val out = Dedup.shingleNovelty(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L))
+    // doc 0: every shingle first seen here
+    assert(out(0L)._3 == 1.0)
+    // doc 3 is an exact dup of doc 0: zero novel shingles
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0.0)
+    // doc 1 shares its prefix with doc 0 but ends differently
+    assert(out(1L)._3 > 0.0 && out(1L)._3 < 1.0)
+    // doc 2 is unrelated: fully novel
+    assert(out(2L)._3 == 1.0)
+  }
+
   test("minhash signature: length, determinism, codegen == declarative") {
     val sh = TextFns.wordShingles(TextFns.tokens(col("text")), 2)
     val rows = docs.select(

@@ -515,4 +515,41 @@ class RelationalSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("iteration"))
   }
+
+  test("assocRules: hand-checked confidence and lift both directions") {
+    // baskets: 1:{x,y} 2:{x,y} 3:{x} — pair support 2, supp(x)=3,
+    // supp(y)=2, N=3
+    val df = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"))
+      .toDF("b", "it")
+    val out = Relational.assocRules(df, "b", "it", minSupport = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.keySet == Set(("x", "y"), ("y", "x")))
+    val (sxy, cxy, lxy) = out(("x", "y"))
+    assert(sxy == 2L && cxy == 2.0 / 3.0 && lxy == 2.0 * 3.0 / (3.0 * 2.0))
+    val (syx, cyx, lyx) = out(("y", "x"))
+    assert(syx == 2L && cyx == 1.0 && lyx == 1.0)
+  }
+
+  test("classMetrics: per-class P/R/F1 plus macro means; zero-denominator metrics are NULL") {
+    // confusion: (A,A)=3, (A,B)=1, (B,B)=2, and class C only ever TRUE
+    // (never predicted): precision(C) NULL, recall(C) 0
+    val conf = Seq(("A", "A", 3L), ("A", "B", 1L), ("B", "B", 2L), ("C", "A", 1L))
+      .toDF("t", "p", "n")
+    val rows = Relational.classMetrics(conf, "t", "p", "n").collect()
+      .map(r => r.getString(0) -> ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))))
+      .toMap
+    val (pa, ra, fa) = rows("A")
+    assert(pa.contains(3.0 / 4.0) && ra.contains(3.0 / 4.0) && fa.contains(3.0 / 4.0))
+    val (pb, rb2, fb) = rows("B")
+    assert(pb.contains(2.0 / 3.0) && rb2.contains(1.0))
+    assert(math.abs(fb.get.asInstanceOf[Double] - 0.8) < 1e-12)
+    val (pcm, rcm, fcm) = rows("C")
+    assert(pcm.isEmpty && rcm.contains(0.0) && fcm.isEmpty)
+    // macro: precision over {A,B}, recall over {A,B,C}, f1 over {A,B}
+    val (mp, mr, mf) = rows("__macro__")
+    assert(math.abs(mp.get.asInstanceOf[Double] - (3.0 / 4 + 2.0 / 3) / 2) < 1e-6)
+    assert(math.abs(mr.get.asInstanceOf[Double] - (3.0 / 4 + 1.0 + 0.0) / 3) < 1e-6)
+    assert(math.abs(mf.get.asInstanceOf[Double] - (3.0 / 4 + 0.8) / 2) < 1e-6)
+  }
 }

@@ -2209,6 +2209,40 @@ object SparkEntry {
   private def q217ShingleNovelty(s: SparkSession, dir: String): DataFrame =
     Dedup.shingleNovelty(t(s, dir).documents, "doc_id", "text", k = 3)
 
+  /** #218 the ACF correlogram: q194's lag-1 autocorrelation at every
+   *  lag 1..5 in ONE sorted pass (one window, stacked pair frames) —
+   *  the seasonality hunt reads the whole table, not one lag. */
+  private def q218AcfMulti(s: SparkSession, dir: String): DataFrame =
+    Events.acfMulti(
+      t(s, dir).events.select("event_id", "event_type", "ts", "value")
+        .filter(col("ts").isNotNull),
+      Seq("event_type"), Seq(col("ts"), col("event_id")), "value", maxLag = 5)
+
+  /** #219 Good-Turing re-estimation over the 3-shingle frequency
+   *  spectrum (the corpus's unigram vocabulary is tiny and closed, so
+   *  shingles carry the singleton band): smoothed counts
+   *  r* = (r+1)·N_{r+1}/N_r for r ≤ 10 and the N_1/N unseen mass. */
+  private def q219GoodTuring(s: SparkSession, dir: String): DataFrame =
+    Curation.goodTuring(
+      t(s, dir).documents,
+      graft.functions.TextFns.wordShingles(split(col("text"), " "), 3),
+      maxR = 10L)
+
+  /** #220 symmetric int8 embedding quantization: per-vector 127/max|x|
+   *  scale, floor-shift rounding (engine-portable), max reconstruction
+   *  error as the quality audit; the quantized vector serializes to a
+   *  CSV string for the value compare (q127's array convention). */
+  private def q220QuantizeInt8(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(t(s, dir).embeddings, "vec_id", "embedding")
+      .withColumn("q8", concat_ws(",", col("q8").cast("array<string>")))
+
+  /** #221 class-balanced downsample: exactly min-class-count docs per
+   *  source by the md5-jittered deterministic draw — the imbalance fix
+   *  beside q211's weight quotas and q45's fixed fractions. */
+  private def q221BalancedSample(s: SparkSession, dir: String): DataFrame =
+    Features.balancedSample(
+      t(s, dir).documents.select("source", "doc_id"), "source", "doc_id")
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2429,6 +2463,10 @@ object SparkEntry {
     "q215_macro_f1"         -> (q215MacroF1 _),
     "q216_assoc_rules"      -> (q216AssocRules _),
     "q217_shingle_novelty"  -> (q217ShingleNovelty _),
+    "q218_acf_multi"        -> (q218AcfMulti _),
+    "q219_good_turing"      -> (q219GoodTuring _),
+    "q220_quantize_int8"    -> (q220QuantizeInt8 _),
+    "q221_balanced_sample"  -> (q221BalancedSample _),
   )
 
   private val monthCaseSql: String =
@@ -4620,5 +4658,82 @@ object SparkEntry {
         "CAST(COUNT(CASE WHEN f.fs = e.id THEN 1 END) AS DOUBLE) / " +
         "CAST(COUNT(*) AS DOUBLE) AS novelty_frac " +
         "FROM e JOIN f USING (s) GROUP BY 1"),
+    "q218_acf_multi" ->
+      // q194's decCorr recipe per lag; all five lag columns ride ONE
+      // window, the pair frames stack via UNION ALL
+      ("WITH p AS (SELECT event_type, value AS v, " +
+        (1 to 5).map(l =>
+          s"LAG(value, $l) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS l$l")
+          .mkString(", ") +
+        " FROM events WHERE ts IS NOT NULL), " +
+        "u AS (" +
+        (1 to 5).map(l =>
+          s"SELECT event_type, $l AS lag, v, l$l AS pv FROM p")
+          .mkString(" UNION ALL ") + "), " +
+        "f AS (SELECT event_type, lag, CAST(v AS DECIMAL(22,4)) AS x, " +
+        "CAST(pv AS DECIMAL(22,4)) AS y " +
+        "FROM u WHERE v IS NOT NULL AND pv IS NOT NULL), " +
+        "m AS (SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, " +
+        "SUM(x * x) AS sxx, SUM(y * y) AS syy FROM f GROUP BY 1, 2), " +
+        "k AS (SELECT event_type, lag, n_pairs, CAST(n_pairs AS DOUBLE) AS nd, " +
+        "CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd, CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd, " +
+        "CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd, " +
+        "CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd, CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syyd FROM m) " +
+        "SELECT event_type, lag, n_pairs, " +
+        "CASE WHEN nd * sxxd - sxd * sxd > 0 AND nd * syyd - syd * syd > 0 THEN " +
+        "(nd * sxyd - sxd * syd) / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)) " +
+        "END AS acf FROM k"),
+    "q219_good_turing" ->
+      // exact shingle spectrum + unit total; r* and unseen mass are
+      // fixed IEEE sequences over exact-int operands (q135/q212's
+      // shingle fragment; q198's <> '' convention)
+      ("WITH t AS (SELECT doc_id AS id, " +
+        "CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(" +
+        "list_zip(w[:len(w)-2], w[2:len(w)-1], w[3:]), " +
+        "z -> z[1] || ' ' || z[2] || ' ' || z[3])) " +
+        "ELSE [array_to_string(w, ' ')] END AS tok " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)), " +
+        "f AS (SELECT tok2, CAST(COUNT(*) AS BIGINT) AS freq FROM (" +
+        "SELECT unnest(tok) AS tok2 FROM t) " +
+        "WHERE tok2 <> '' GROUP BY 1), " +
+        "sp AS (SELECT freq AS r, CAST(COUNT(*) AS BIGINT) AS n_r FROM f GROUP BY 1), " +
+        "tt AS (SELECT CAST(SUM(r * n_r) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN r = 1 THEN n_r END) AS BIGINT) AS n1 FROM sp) " +
+        "SELECT sp.r, sp.n_r, " +
+        "CASE WHEN nx.n_r IS NOT NULL THEN " +
+        "CAST(sp.r + 1 AS DOUBLE) * CAST(nx.n_r AS DOUBLE) / CAST(sp.n_r AS DOUBLE) END AS r_star, " +
+        "CAST(COALESCE(tt.n1, 0) AS DOUBLE) / CAST(tt.n AS DOUBLE) AS unseen_mass " +
+        "FROM sp LEFT JOIN sp nx ON nx.r = sp.r + 1 CROSS JOIN tt WHERE sp.r <= 10"),
+    "q220_quantize_int8" ->
+      // float->double widening is exact; floor-shift rounding and the
+      // reconstruction error are fixed IEEE sequences; max-err needs no
+      // float summation; the int8 vector compares as its CSV string
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "x AS (SELECT vec_id, unnest(generate_series(0, len(v) - 1)) AS pos, " +
+        "unnest(v) AS x FROM e), " +
+        "w AS (SELECT vec_id, pos, x, MAX(abs(x)) OVER (PARTITION BY vec_id) AS ma FROM x), " +
+        "s AS (SELECT vec_id, pos, x, ma, " +
+        "CASE WHEN ma > 0 THEN CAST(127 AS DOUBLE) / ma END AS sc FROM w), " +
+        "q1 AS (SELECT vec_id, pos, x, ma, sc, " +
+        "CASE WHEN sc IS NOT NULL THEN CAST(floor(x * sc + CAST(0.5 AS DOUBLE)) AS INT) " +
+        "ELSE 0 END AS qv FROM s), " +
+        "q2 AS (SELECT vec_id, pos, ma, qv, " +
+        "CASE WHEN sc IS NOT NULL THEN abs(x - CAST(qv AS DOUBLE) / sc) " +
+        "ELSE CAST(0 AS DOUBLE) END AS err FROM q1) " +
+        "SELECT vec_id, " +
+        "CASE WHEN MAX(ma) > 0 THEN CAST(127 AS DOUBLE) / MAX(ma) END AS scale, " +
+        "MAX(err) AS max_err, " +
+        "array_to_string(list(qv ORDER BY pos), ',') AS q8 " +
+        "FROM q2 GROUP BY 1"),
+    "q221_balanced_sample" ->
+      // min class count rides as a scalar frame; the draw ranks by the
+      // md5 jitter + id tiebreak (q175/q103 contract)
+      ("WITH k AS (SELECT CAST(MIN(n) AS BIGINT) AS k FROM (" +
+        "SELECT COUNT(*) AS n FROM documents GROUP BY source)), " +
+        "r AS (SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source " +
+        "ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn " +
+        "FROM documents) " +
+        "SELECT source, doc_id FROM r, k WHERE rn <= k.k"),
   )
 }

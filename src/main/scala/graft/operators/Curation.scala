@@ -819,6 +819,58 @@ object Curation {
       .select(col("n"), col("slope"), col("intercept"))
   }
 
+  /**
+   * Good-Turing frequency re-estimation over the corpus's token
+   * frequency spectrum (frequency-of-frequencies, the q198 dual): for
+   * each observed count r ≤ `maxR`, the spectrum size N_r and the
+   * smoothed count r* = (r+1)·N_{r+1}/N_r, alongside the constant
+   * `unseen_mass` N_1/N — the probability the NEXT token drawn is one
+   * never seen: the vocabulary-saturation dial next to q183's
+   * growth curve (fat singleton band = the corpus is still discovering
+   * words), and the discount table an LM smoother reads directly.
+   *
+   * Exactness: spectrum sizes and the token total are exact integers;
+   * r* and the unseen mass are each (int·int)/int in ONE fixed IEEE
+   * sequence (products in double — N_{r+1} at fact scale would not
+   * overflow, but the double route is the q216 convention). r* is NULL
+   * when N_{r+1} = 0 (the estimator is undefined at spectrum holes).
+   *
+   * The unit is a caller-supplied array column (`units`) — unigrams,
+   * shingles, n-grams: the estimator needs a unit whose spectrum has a
+   * low-count tail (a tiny closed vocabulary has no N_1 band and the
+   * table is empty by construction — the honest answer, not a bug).
+   *
+   * Scale: the q198 shape — one explode → one unit-count shuffle →
+   * one count-keyed rollup; the spectrum frame is ≤ |distinct counts|
+   * rows, so the r↔r+1 self-join and the totals broadcast are bounded;
+   * `maxR` caps the output, not the computation.
+   */
+  def goodTuring(
+      docs: DataFrame, units: Column, maxR: Long = 10L): DataFrame = {
+    require(maxR >= 1, "goodTuring needs maxR >= 1")
+    val freqs = docs
+      .select(explode(units).as("__gw"))
+      .filter(col("__gw") =!= "")
+      .groupBy(col("__gw")).agg(count(lit(1)).as("__gf"))
+    val spectrum = freqs.groupBy(col("__gf").as("r"))
+      .agg(count(lit(1)).as("n_r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = spectrum.agg(
+      sum(col("r") * col("n_r")).as("__gn"),
+      sum(when(col("r") === 1, col("n_r"))).as("__gn1"))
+    val next = spectrum.select((col("r") - 1).as("r"), col("n_r").as("__gnr1"))
+    val body = spectrum.filter(col("r") <= maxR)
+      .join(next, Seq("r"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("r"), col("n_r"),
+        when(col("__gnr1").isNotNull,
+          (col("r") + 1).cast("double") * col("__gnr1").cast("double") /
+            col("n_r").cast("double")).as("r_star"),
+        (coalesce(col("__gn1"), lit(0L)).cast("double") /
+          col("__gn").cast("double")).as("unseen_mass"))
+    body
+  }
+
   /** Remove flagged-contaminated documents from the corpus (anti-join
    *  against the small flag set — broadcast in the common case). */
   def decontaminate(

@@ -625,6 +625,54 @@ object Events {
   }
 
   /**
+   * The full ACF table: [[autocorr]] at every lag 1..`maxLag` in ONE
+   * pass — the correlogram a seasonality hunt reads (a weekly cycle in
+   * daily data spikes lag 7), where calling [[autocorr]] per lag would
+   * re-sort the series `maxLag` times. All lag columns ride one window
+   * (one sort, one shuffle on the keys); the per-lag pair rows then
+   * stack via an explode of a `maxLag`-element struct array (a bounded
+   * per-row fan-out, the barrier that keeps the lag window evaluated
+   * once) and aggregate by (keys, lag) with the same exact-decimal
+   * moment recipe as [[autocorr]] — map-side combinable, keyed a
+   * superset of the window partitioning. NULL pairs drop per lag
+   * independently (the ACF-with-gaps convention).
+   */
+  def acfMulti(
+      df: DataFrame, keys: Seq[String], order: Seq[Column], valueCol: String,
+      maxLag: Int): DataFrame = {
+    require(keys.nonEmpty,
+      "acfMulti needs partition keys: an unkeyed window is a global single-partition funnel")
+    require(maxLag >= 1, "acfMulti needs maxLag >= 1")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val lagged = df.select(
+      keys.map(col) ++ Seq(col(valueCol).as("__gv")) ++
+        (1 to maxLag).map(l => lag(col(valueCol), l).over(w).as(s"__gl$l")): _*)
+    val stacked = lagged.select(
+      keys.map(col) ++ Seq(col("__gv"), explode(array(
+        (1 to maxLag).map(l =>
+          struct(lit(l).as("lag"), col(s"__gl$l").as("prev"))): _*)).as("__gp")): _*)
+      .select(keys.map(col) ++ Seq(col("__gv"),
+        col("__gp.lag").as("lag"), col("__gp.prev").as("__gprev")): _*)
+      .filter(col("__gv").isNotNull && col("__gprev").isNotNull)
+    val dx = col("__gv").cast("decimal(14,4)")
+    val dy = col("__gprev").cast("decimal(14,4)")
+    val m = stacked.groupBy(keys.map(col) :+ col("lag"): _*).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(dx).as("__gsx"), sum(dy).as("__gsy"),
+      sum(dx * dy).as("__gsxy"),
+      sum(dx * dx).as("__gsxx"),
+      sum(dy * dy).as("__gsyy"))
+    def d(c: String) = col(c).cast("string").cast("double")
+    val nD = col("n_pairs").cast("double")
+    val num = nD * d("__gsxy") - d("__gsx") * d("__gsy")
+    val den1 = nD * d("__gsxx") - d("__gsx") * d("__gsx")
+    val den2 = nD * d("__gsyy") - d("__gsy") * d("__gsy")
+    m.select(keys.map(col) ++ Seq(col("lag"), col("n_pairs"),
+      when(den1 > 0 && den2 > 0, num / (sqrt(den1) * sqrt(den2)))
+        .as("acf")): _*)
+  }
+
+  /**
    * Lag-h autocorrelation per key: Pearson correlation of the series
    * with its own h-step lag over a total per-key order — the
    * mean-reversion-vs-trending audit (ACF≈0: independent draws; high

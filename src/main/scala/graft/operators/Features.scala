@@ -886,4 +886,35 @@ object Features {
         col("n_a"), col("n_b"),
         ((pA - pB) * log(pA / pB)).cast("float").as("psi_term"))
   }
+
+  /**
+   * Class-balanced downsample: from each class, exactly
+   * min-class-count rows, chosen by the md5-jittered deterministic
+   * draw ([[hashSplit]]'s q175 contract — replays bit-identically on
+   * any cluster, no RNG) — the imbalanced-label fix an evaluation or
+   * fine-tuning set takes when the majority class would otherwise
+   * drown the loss. Complementary to [[weightedSample]] (quota by
+   * weight) and the uniform stratified draw (fixed FRACTION per
+   * stratum): here the quota is the SAME absolute count everywhere,
+   * discovered from the data.
+   *
+   * Shape: one count aggregation (≤\|classes\| rows) whose MIN rides
+   * back as a broadcast one-row frame — never a driver collect — and
+   * one rank window per class ordered by (md5 hex, id) (total order:
+   * the hash jitter, then the id tiebreak). One shuffle on the class
+   * key; the window prunes map-side under WindowGroupLimit once the
+   * rank filter is visible.
+   */
+  def balancedSample(
+      df: DataFrame, classCol: String, id: String): DataFrame = {
+    val kMin = df.groupBy(col(classCol)).agg(count(lit(1)).as("__gn"))
+      .agg(min(col("__gn")).as("__gk"))
+    val rn = row_number().over(
+      Window.partitionBy(col(classCol))
+        .orderBy(substring(md5(col(id).cast("string")), 1, 8), col(id)))
+    df.crossJoin(broadcast(kMin))
+      .withColumn("__grn", rn)
+      .filter(col("__grn") <= col("__gk"))
+      .drop("__grn", "__gk")
+  }
 }

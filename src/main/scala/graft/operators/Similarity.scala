@@ -629,4 +629,49 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /**
+   * Symmetric int8 quantization of an embedding column — the 4× storage
+   * cut an embedding store takes before ANN serving: per vector, scale
+   * = 127/max|x|, q_i = ⌊x_i·scale + 0.5⌋ (engine-portable floor-shift
+   * rounding — `round()` half-rule conventions differ across engines),
+   * plus the max absolute reconstruction error |x_i − q_i/scale| as the
+   * quality audit. All-zero vectors quantize to zeros with NULL scale
+   * and zero error.
+   *
+   * Determinism: elements widen float→double EXACTLY; scale/quantize/
+   * reconstruct are fixed IEEE sequences; max-error is a MAX (order-
+   * independent — no float summation anywhere). The quantized array
+   * reassembles in position order via sort_array over (pos, q) structs.
+   *
+   * Scale shape: posexplode → one MAX window on the vector id (the
+   * explode evaluates ONCE — computing max|x| and the per-element map
+   * as sibling array HOFs would re-evaluate the upstream lambda per
+   * element under projection collapse) → one aggregation back to a row
+   * per vector, keyed the same as the window partitioning, so the
+   * second shuffle is free under AQE exchange reuse.
+   */
+  def quantizeInt8(
+      df: DataFrame, id: String, vec: String): DataFrame = {
+    val el = df.select(col(id),
+      posexplode(col(vec).cast("array<double>")).as(Seq("__gpos", "__gx")))
+    val ma = max(abs(col("__gx"))).over(Window.partitionBy(col(id)))
+    val staged = el.withColumn("__gma", ma)
+      .withColumn("__gscale", when(col("__gma") > 0, lit(127.0) / col("__gma")))
+      .withColumn("__gq", when(col("__gscale").isNotNull,
+        floor(col("__gx") * col("__gscale") + lit(0.5)).cast("int"))
+        .otherwise(lit(0)))
+      .withColumn("__gerr", when(col("__gscale").isNotNull,
+        abs(col("__gx") - col("__gq").cast("double") / col("__gscale")))
+        .otherwise(lit(0.0)))
+    staged.groupBy(col(id))
+      .agg(max(col("__gma")).as("max_abs"),
+        max(col("__gerr")).as("max_err"),
+        transform(
+          array_sort(collect_list(struct(col("__gpos"), col("__gq")))),
+          s => s.getField("__gq")).as("q8"))
+      .select(col(id),
+        when(col("max_abs") > 0, lit(127.0) / col("max_abs")).as("scale"),
+        col("max_err"), col("q8"))
+  }
 }

@@ -412,4 +412,18 @@ class CurationSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("k >= 2"))
   }
+
+  test("goodTuring: hand-checked spectrum, smoothed counts, and unseen mass") {
+    // token counts: a:2, b:1, c:1 -> spectrum N1=2, N2=1; N=4
+    val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val out = Curation.goodTuring(docs, split(col("text"), " "), maxR = 10L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    val (n1, r1star, unseen) = out(1L)
+    // r*=1: (1+1)*N2/N1 = 2*1/2 = 1.0
+    assert(n1 == 2L && r1star.contains(1.0) && unseen == 0.5)
+    // r=2 has no N3: estimator undefined -> NULL
+    assert(out(2L)._1 == 1L && out(2L)._2.isEmpty)
+  }
 }

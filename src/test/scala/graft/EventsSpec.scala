@@ -528,4 +528,24 @@ class EventsSpec extends SparkSpec {
     assert(math.abs(out(0)._2 - 2.0 / 3.0) < 1e-6)
     assert(out(1)._2 == 0.0)
   }
+
+  test("acfMulti: linear series is ACF 1 at every estimable lag; single-pair lags are NULL; lag 1 matches autocorr") {
+    val series = Seq((1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0))
+      .map { case (i, v) => ("k", i, v) }.toDF("key", "i", "v")
+    val out = Events.acfMulti(series.repartition(3), Seq("key"), Seq(col("i")), "v", maxLag = 3)
+      .collect().map(r => r.getAs[Int]("lag") ->
+        ((r.getAs[Long]("n_pairs"), Option(r.getAs[Any]("acf"))))).toMap
+    // 6/(sqrt(6)*sqrt(6)) lands one ulp above 1 — the same fixed IEEE
+    // sequence autocorr produces, so compare within tolerance here and
+    // exactly against autocorr below
+    assert(out(1)._1 == 3L &&
+      math.abs(out(1)._2.get.asInstanceOf[Double] - 1.0) < 1e-12)
+    assert(out(2)._1 == 2L &&
+      math.abs(out(2)._2.get.asInstanceOf[Double] - 1.0) < 1e-12)
+    // one pair: zero variance on both sides -> NULL by the guard
+    assert(out(3)._1 == 1L && out(3)._2.isEmpty)
+    val single = Events.autocorr(series, Seq("key"), Seq(col("i")), "v")
+      .collect().head.getAs[Double]("acf")
+    assert(single == out(1)._2.get)
+  }
 }

@@ -496,4 +496,20 @@ class FeaturesSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("single-partition"))
   }
+
+  test("balancedSample: every class downsamples to the min class count, deterministically") {
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 5L),
+      ("b", 6L), ("b", 7L),
+    ).toDF("cls", "id")
+    val once = Features.balancedSample(df.repartition(3), "cls", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val counts = once.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(counts == Map("a" -> 2, "b" -> 2))
+    // both b rows survive (quota == class size)
+    assert(once.filter(_._1 == "b").map(_._2) == Set(6L, 7L))
+    val again = Features.balancedSample(df, "cls", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(once == again)
+  }
 }

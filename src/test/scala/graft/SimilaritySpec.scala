@@ -386,4 +386,22 @@ class SimilaritySpec extends SparkSpec {
       .filter(col("id") === 3L).collect()(0)
     assert(t.getInt(1) == 3)
   }
+
+  test("quantizeInt8: hand-checked scale, codes, and max reconstruction error; zero vectors stay NULL-scale") {
+    val df = Seq(
+      (1L, Seq(1.0f, -2.0f, 0.5f)),
+      (2L, Seq(0.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), r.getDouble(2), r.getSeq[Int](3)))).toMap
+    val (sc, err, q) = out(1L)
+    assert(sc.contains(127.0 / 2.0))
+    // 1*63.5+0.5 floors to 64; -2*63.5+0.5 floors to -127; 0.5*63.5+0.5 to 32
+    assert(q == Seq(64, -127, 32))
+    // worst element: |1 - 64/63.5|
+    assert(err == math.abs(1.0 - 64.0 / 63.5))
+    val (sc0, err0, q0) = out(2L)
+    assert(sc0.isEmpty && err0 == 0.0 && q0 == Seq(0, 0))
+  }
 }

@@ -2243,6 +2243,19 @@ object SparkEntry {
     Features.balancedSample(
       t(s, dir).documents.select("source", "doc_id"), "source", "doc_id")
 
+  /** #222 embedding-coherence audit: cosine of each vector to its
+   *  label's mean-embedding centroid (q72 machinery) — mislabeled or
+   *  corrupted vectors sit far below their class peers. */
+  private def q222CentroidCosine(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidCosine(t(s, dir).embeddings, "vec_id", "label", "embedding")
+
+  /** #223 MinHash calibration: per q212 candidate pair, the signature
+   *  Jaccard estimate (matching minhash fraction) vs the exact
+   *  shingle-set Jaccard — how tight the sketch is at the threshold. */
+  private def q223MinhashEstimate(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashEstimate(t(s, dir).documents, "doc_id", "text",
+      numHashes = 6, bandSize = 2, shingleK = 3)
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2467,6 +2480,8 @@ object SparkEntry {
     "q219_good_turing"      -> (q219GoodTuring _),
     "q220_quantize_int8"    -> (q220QuantizeInt8 _),
     "q221_balanced_sample"  -> (q221BalancedSample _),
+    "q222_centroid_cosine"  -> (q222CentroidCosine _),
+    "q223_minhash_estimate" -> (q223MinhashEstimate _),
   )
 
   private val monthCaseSql: String =
@@ -4735,5 +4750,60 @@ object SparkEntry {
         "ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn " +
         "FROM documents) " +
         "SELECT source, doc_id FROM r, k WHERE rn <= k.k"),
+    "q222_centroid_cosine" ->
+      // centroid = q72's exact-decimal mean; every dot/norm term
+      // float-absorbed + DECIMAL(28,18)-summed; one fixed IEEE cosine
+      ("WITH c AS (SELECT label, " +
+        "unnest(generate_series(0, len(embedding) - 1)) AS pos, " +
+        "unnest(embedding) AS v FROM embeddings), " +
+        "m AS (SELECT label, pos, " +
+        "CAST(CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) " +
+        "/ COUNT(*) AS cm FROM c GROUP BY 1, 2), " +
+        "x AS (SELECT vec_id, label, " +
+        "unnest(generate_series(0, len(v2) - 1)) AS pos, unnest(v2) AS v FROM (" +
+        "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v2 FROM embeddings)), " +
+        "j AS (SELECT x.vec_id, x.label, " +
+        "SUM(CAST(CAST(CAST(CAST(x.v * m.cm AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))) AS dot, " +
+        "SUM(CAST(CAST(CAST(CAST(x.v * x.v AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))) AS nv, " +
+        "SUM(CAST(CAST(CAST(CAST(m.cm * m.cm AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))) AS nc " +
+        "FROM x JOIN m ON x.label = m.label AND x.pos = m.pos GROUP BY 1, 2) " +
+        "SELECT vec_id, label, " +
+        "CASE WHEN CAST(CAST(nv AS VARCHAR) AS DOUBLE) > 0 AND CAST(CAST(nc AS VARCHAR) AS DOUBLE) > 0 " +
+        "THEN CAST(CAST(dot AS VARCHAR) AS DOUBLE) / " +
+        "(sqrt(CAST(CAST(nv AS VARCHAR) AS DOUBLE)) * sqrt(CAST(CAST(nc AS VARCHAR) AS DOUBLE))) " +
+        "END AS cos_centroid FROM j"),
+    "q223_minhash_estimate" ->
+      // q212's CTEs + per-pair signature equality + exact shingle-set
+      // Jaccard (list_intersect on the distinct sets); all divisions
+      // are fixed IEEE over exact ints
+      ("WITH t AS (SELECT doc_id AS id, " +
+        "CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(" +
+        "list_zip(w[:len(w)-2], w[2:len(w)-1], w[3:]), " +
+        "z -> z[1] || ' ' || z[2] || ' ' || z[3])) " +
+        "ELSE [array_to_string(w, ' ')] END AS tok " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)), " +
+        "e AS (SELECT id, unnest(tok) AS s FROM t), " +
+        "h AS (SELECT id, " +
+        (0 until 6).map(j =>
+          s"min(CAST(('0x' || substr(md5('$j:' || s), 1, 15)) AS BIGINT)) AS h$j")
+          .mkString(", ") + " FROM e GROUP BY id), " +
+        "b AS (" +
+        (0 until 3).map(bn =>
+          s"SELECT id, $bn AS band, CAST(h${2 * bn} AS VARCHAR) || ':' || " +
+            s"CAST(h${2 * bn + 1} AS VARCHAR) AS key FROM h")
+          .mkString(" UNION ALL ") + "), " +
+        "p AS (SELECT a.id AS id_a, x.id AS id_b, CAST(COUNT(*) AS BIGINT) AS bands_shared " +
+        "FROM b a JOIN b x ON a.band = x.band AND a.key = x.key AND a.id < x.id " +
+        "GROUP BY 1, 2), " +
+        "q AS (SELECT p.id_a, p.id_b, p.bands_shared, CAST(" +
+        (0 until 6).map(j => s"(CASE WHEN ha.h$j = hb.h$j THEN 1 ELSE 0 END)")
+          .mkString(" + ") + " AS BIGINT) AS neq " +
+        "FROM p JOIN h ha ON ha.id = p.id_a JOIN h hb ON hb.id = p.id_b), " +
+        "ex AS (SELECT q.*, len(list_intersect(ta.tok, tb.tok)) AS i, " +
+        "len(ta.tok) AS na, len(tb.tok) AS nb " +
+        "FROM q JOIN t ta ON ta.id = q.id_a JOIN t tb ON tb.id = q.id_b) " +
+        "SELECT id_a, id_b, bands_shared, " +
+        "CAST(neq AS DOUBLE) / CAST(6 AS DOUBLE) AS est_jaccard, " +
+        "CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) AS exact_jaccard FROM ex"),
   )
 }

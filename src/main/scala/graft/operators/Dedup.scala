@@ -926,19 +926,21 @@ object Dedup {
    * Scale shape: shingle explode → ONE (id)-keyed aggregation computing
    * all `numHashes` mins map-side-combinably (the signature frame is
    * corpus-linear, never wider than numHashes columns) → band rows (a
-   * numBands-way explode of a \|docs\|-row frame) → one self-join keyed
-   * by (band, key) in which Catalyst reuses the band-rows exchange for
-   * both sides. Nothing is all-pairs; fan-out is bounded by bucket
+   * numBands-way explode of a \|docs\|-row frame), PERSISTED before the
+   * self-join (q151 rule: when AQE broadcasts one side the exchange-
+   * reuse path disappears and an unpersisted frame would replay the
+   * whole signature pipeline per side) → one self-join keyed by
+   * (band, key). Nothing is all-pairs; fan-out is bounded by bucket
    * sizes exactly as in [[minHashPairs]].
    *
    * Returns (id_a, id_b, bands_shared), id_a < id_b.
    */
-  def minHashMd5(
+  /** The md5-derived minhash signature frame behind [[minHashMd5]] /
+   *  [[minHashEstimate]]: one row per doc, columns `__mid, __mh0..` —
+   *  shingle explode → ONE id-keyed aggregation of all mins. */
+  def minHashMd5Signatures(
       docs: DataFrame, id: String, textCol: String,
-      numHashes: Int = 6, bandSize: Int = 2, shingleK: Int = 3): DataFrame = {
-    require(numHashes >= 2 && bandSize >= 1 && numHashes % bandSize == 0,
-      "minHashMd5 needs numHashes a positive multiple of bandSize")
-    val numBands = numHashes / bandSize
+      numHashes: Int, shingleK: Int): DataFrame = {
     val shingles = docs.select(
       col(id).as("__mid"),
       explode(TextFns.wordShingles(split(col(textCol), " "), shingleK)).as("__ms"))
@@ -946,7 +948,16 @@ object Dedup {
       min(conv(substring(md5(concat_ws(":", lit(j), col("__ms"))), 1, 15), 16, 10)
         .cast("long")).as(s"__mh$j")
     }
-    val sigs = shingles.groupBy(col("__mid")).agg(mins.head, mins.tail: _*)
+    shingles.groupBy(col("__mid")).agg(mins.head, mins.tail: _*)
+  }
+
+  def minHashMd5(
+      docs: DataFrame, id: String, textCol: String,
+      numHashes: Int = 6, bandSize: Int = 2, shingleK: Int = 3): DataFrame = {
+    require(numHashes >= 2 && bandSize >= 1 && numHashes % bandSize == 0,
+      "minHashMd5 needs numHashes a positive multiple of bandSize")
+    val numBands = numHashes / bandSize
+    val sigs = minHashMd5Signatures(docs, id, textCol, numHashes, shingleK)
     val bandRows = sigs.select(col("__mid"), explode(array(
       (0 until numBands).map { b =>
         struct(lit(b).as("band"), concat_ws(":",
@@ -954,11 +965,69 @@ object Dedup {
           .as("key"))
       }: _*)).as("__mb"))
       .select(col("__mid"), col("__mb.band").as("__band"), col("__mb.key").as("__key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bandRows.select(col("__mid").as("id_a"), col("__band"), col("__key"))
       .join(bandRows.select(col("__mid").as("id_b"), col("__band"), col("__key")),
         Seq("__band", "__key"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("bands_shared"))
+  }
+
+  /**
+   * MinHash calibration table: for every [[minHashMd5]] candidate pair,
+   * the signature's Jaccard ESTIMATE (matching minhash fraction) next
+   * to the EXACT shingle-set Jaccard — the measured answer to "how
+   * tight is the sketch at my threshold", read before trusting an LSH
+   * sweep (q187) at corpus scale. The md5 hash family keeps every
+   * number externally replayable.
+   *
+   * Scale shape: the signature frame is PERSISTED (q151 rule — it
+   * feeds the band join and both sides of the per-pair comparison);
+   * the exact-Jaccard join touches only CANDIDATE pairs (bounded by
+   * bucket collisions, never all-pairs), each re-shingling two texts —
+   * set intersection via `array_intersect` on per-doc DISTINCT shingle
+   * sets, exact integers into one fixed IEEE division.
+   */
+  def minHashEstimate(
+      docs: DataFrame, id: String, textCol: String,
+      numHashes: Int = 6, bandSize: Int = 2, shingleK: Int = 3): DataFrame = {
+    require(numHashes >= 2 && bandSize >= 1 && numHashes % bandSize == 0,
+      "minHashEstimate needs numHashes a positive multiple of bandSize")
+    val sigs = minHashMd5Signatures(docs, id, textCol, numHashes, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val numBands = numHashes / bandSize
+    val bandRows = sigs.select(col("__mid"), explode(array(
+      (0 until numBands).map { b =>
+        struct(lit(b).as("band"), concat_ws(":",
+          (0 until bandSize).map(k => col(s"__mh${b * bandSize + k}").cast("string")): _*)
+          .as("key"))
+      }: _*)).as("__mb"))
+      .select(col("__mid"), col("__mb.band").as("__band"), col("__mb.key").as("__key"))
+    val pairs = bandRows.select(col("__mid").as("id_a"), col("__band"), col("__key"))
+      .join(bandRows.select(col("__mid").as("id_b"), col("__band"), col("__key")),
+        Seq("__band", "__key"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("bands_shared"))
+    val sigA = sigs.select(col("__mid").as("id_a") +:
+      (0 until numHashes).map(j => col(s"__mh$j").as(s"__ma$j")): _*)
+    val sigB = sigs.select(col("__mid").as("id_b") +:
+      (0 until numHashes).map(j => col(s"__mh$j").as(s"__mb$j")): _*)
+    val nEq = (0 until numHashes)
+      .map(j => when(col(s"__ma$j") === col(s"__mb$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val sets = docs.select(col(id).as("__sid"),
+      TextFns.wordShingles(split(col(textCol), " "), shingleK).as("__sset"))
+    val withSets = pairs
+      .join(sigA, "id_a").join(sigB, "id_b")
+      .withColumn("__gneq", nEq.cast("long"))
+      .join(sets.select(col("__sid").as("id_a"), col("__sset").as("__sa")), "id_a")
+      .join(sets.select(col("__sid").as("id_b"), col("__sset").as("__sb")), "id_b")
+    val i = size(array_intersect(col("__sa"), col("__sb")))
+    val u = size(col("__sa")) + size(col("__sb")) - i
+    withSets.select(col("id_a"), col("id_b"), col("bands_shared"),
+      (col("__gneq").cast("double") / lit(numHashes).cast("double")).as("est_jaccard"),
+      (i.cast("double") / u.cast("double")).as("exact_jaccard"))
   }
 }

@@ -898,23 +898,24 @@ object Features {
    * stratum): here the quota is the SAME absolute count everywhere,
    * discovered from the data.
    *
-   * Shape: one count aggregation (≤\|classes\| rows) whose MIN rides
-   * back as a broadcast one-row frame — never a driver collect — and
-   * one rank window per class ordered by (md5 hex, id) (total order:
-   * the hash jitter, then the id tiebreak). One shuffle on the class
-   * key; the window prunes map-side under WindowGroupLimit once the
-   * rank filter is visible.
+   * Shape: one count aggregation (≤\|classes\| rows) whose MIN is one
+   * of the sanctioned bounded agg-to-literal driver scalars (the
+   * median/centroid convention) — as a LITERAL, the rank filter
+   * rewrites to WindowGroupLimit and prunes map-side, which a
+   * column-bound comparison never does — then one rank window per
+   * class ordered by (md5 hex, id) (total order: the hash jitter,
+   * then the id tiebreak). One shuffle on the class key.
    */
   def balancedSample(
       df: DataFrame, classCol: String, id: String): DataFrame = {
     val kMin = df.groupBy(col(classCol)).agg(count(lit(1)).as("__gn"))
       .agg(min(col("__gn")).as("__gk"))
+      .head().getLong(0)
     val rn = row_number().over(
       Window.partitionBy(col(classCol))
         .orderBy(substring(md5(col(id).cast("string")), 1, 8), col(id)))
-    df.crossJoin(broadcast(kMin))
-      .withColumn("__grn", rn)
-      .filter(col("__grn") <= col("__gk"))
-      .drop("__grn", "__gk")
+    df.withColumn("__grn", rn)
+      .filter(col("__grn") <= lit(kMin))
+      .drop("__grn")
   }
 }

@@ -543,6 +543,44 @@ object Similarity {
       .agg((sum(col("__gv").cast("string").cast("decimal(28,18)")).cast("double") /
         count(lit(1))).as("mean"))
 
+  /**
+   * Embedding-coherence audit: each vector's cosine similarity to its
+   * own group's mean embedding ([[meanEmbedding]] centroid) — the
+   * outlier dial an embedding-curation pass reads before training
+   * (mislabeled or corrupted vectors sit far below their class peers;
+   * the CLIP-filtering shape applied to labels instead of captions).
+   *
+   * Determinism: centroids are [[meanEmbedding]]'s exact-decimal
+   * means; every dot/norm term's product (double × double, elements
+   * widened float→double exactly) absorbs to its FLOAT image and sums
+   * via DECIMAL(28,18) strings (q197 order-free contract); the final
+   * cosine is one fixed IEEE sequence; zero-norm sides → NULL.
+   *
+   * Scale shape: the centroid frame is \|groups\|·dim rows —
+   * broadcast back onto the pos-exploded vectors (never a window);
+   * one (group, pos)-keyed join → one per-vector aggregation. The
+   * source table is scanned twice (centroid pass + vector pass), both
+   * column-pruned scans, not recomputed intermediates.
+   */
+  def centroidCosine(
+      df: DataFrame, id: String, groupCol: String, vecCol: String): DataFrame = {
+    val cent = meanEmbedding(df, groupCol, vecCol)
+      .select(col(groupCol), col("pos"), col("mean").as("__gc"))
+    val vecs = df.select(col(id), col(groupCol),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "__gv")))
+    def absorb(c: Column) =
+      c.cast("float").cast("double").cast("string").cast("decimal(28,18)")
+    val m = vecs.join(broadcast(cent), Seq(groupCol, "pos"))
+      .groupBy(col(id), col(groupCol)).agg(
+        sum(absorb(col("__gv") * col("__gc"))).as("__gdot"),
+        sum(absorb(col("__gv") * col("__gv"))).as("__gnv"),
+        sum(absorb(col("__gc") * col("__gc"))).as("__gnc"))
+    def d(c: String) = col(c).cast("string").cast("double")
+    m.select(col(id), col(groupCol),
+      when(d("__gnv") > 0 && d("__gnc") > 0,
+        d("__gdot") / (sqrt(d("__gnv")) * sqrt(d("__gnc")))).as("cos_centroid"))
+  }
+
   private def centroidsToDf(spark: SparkSession, centroids: Seq[(Int, Seq[Float])]): DataFrame = {
     import spark.implicits._
     centroids.toDF("cluster_id", "centroid")

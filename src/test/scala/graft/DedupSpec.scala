@@ -66,6 +66,21 @@ class DedupSpec extends SparkSpec {
     assert(out(2L)._3 == 1.0)
   }
 
+  test("minHashEstimate: exact dups calibrate to 1/1; near-dups carry the hand-checked exact Jaccard") {
+    val out = Dedup.minHashEstimate(docs, "doc_id", "text",
+        numHashes = 6, bandSize = 2, shingleK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val (bands, est, exact) = out((0L, 3L))
+    assert(bands == 3L && est == 1.0 && exact == 1.0)
+    // docs 0 and 1 differ in the last token: 10 of 11 shingles shared,
+    // union 12 -> exact Jaccard 10/12; the estimate is a multiple of 1/6
+    out.get((0L, 1L)).foreach { case (_, e, x) =>
+      assert(x == 10.0 / 12.0)
+      assert(e >= 0.0 && e <= 1.0 && (e * 6).isWhole)
+    }
+  }
+
   test("minhash signature: length, determinism, codegen == declarative") {
     val sh = TextFns.wordShingles(TextFns.tokens(col("text")), 2)
     val rows = docs.select(

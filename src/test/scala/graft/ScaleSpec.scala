@@ -36,6 +36,20 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(out.count() == 4 + 1)
   }
 
+  test("balancedSample's literal quota rewrites the rank window to WindowGroupLimit") {
+    val d = (1 to 60).map(i => (if (i <= 40) "big" else "small", i.toLong))
+      .toDF("cls", "id")
+    val out = graft.operators.Features.balancedSample(d, "cls", "id")
+    // the min-count literal makes rank <= k visible to the optimizer:
+    // both the partial (map-side) and final WindowGroupLimit must appear
+    val limits = collect(out.queryExecution.executedPlan) {
+      case p if p.nodeName.contains("WindowGroupLimit") => p
+    }
+    assert(limits.size >= 2,
+      s"expected partial+final WindowGroupLimit, got:\n${out.queryExecution.executedPlan}")
+    assert(out.count() == 40L) // 20 per class
+  }
+
   test("saltedJoin is row-identical to the plain join on skewed keys") {
     // 90% of the big side shares one key; small side has duplicate keys
     // so replication must not multiply matches

@@ -387,6 +387,22 @@ class SimilaritySpec extends SparkSpec {
     assert(t.getInt(1) == 3)
   }
 
+  test("centroidCosine: identical vectors score 1, orthogonal pairs 1/sqrt(2), zero vectors NULL") {
+    val df = Seq(
+      (1L, "g", Seq(1.0f, 0.0f)),
+      (2L, "g", Seq(0.0f, 1.0f)),   // centroid (0.5, 0.5)
+      (3L, "h", Seq(2.0f, 0.0f)),
+      (4L, "h", Seq(2.0f, 0.0f)),   // centroid = the vectors themselves
+      (5L, "z", Seq(0.0f, 0.0f)),   // zero vector and zero centroid
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.centroidCosine(df, "vec_id", "label", "embedding")
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(math.abs(out(1L).get.asInstanceOf[Double] - 1.0 / math.sqrt(2.0)) < 1e-6)
+    assert(math.abs(out(2L).get.asInstanceOf[Double] - 1.0 / math.sqrt(2.0)) < 1e-6)
+    assert(out(3L).contains(1.0) && out(4L).contains(1.0))
+    assert(out(5L).isEmpty)
+  }
+
   test("quantizeInt8: hand-checked scale, codes, and max reconstruction error; zero vectors stay NULL-scale") {
     val df = Seq(
       (1L, Seq(1.0f, -2.0f, 0.5f)),

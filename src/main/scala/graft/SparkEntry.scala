@@ -2256,6 +2256,20 @@ object SparkEntry {
     Dedup.minHashEstimate(t(s, dir).documents, "doc_id", "text",
       numHashes = 6, bandSize = 2, shingleK = 3)
 
+  /** #224 first principal component of the embedding cloud: 3 power
+   *  iterations on the exact covariance, decimal-routed so each
+   *  iterate is bit-identical by induction (the q209 contract) — the
+   *  collapsed-representation audit and whitening primitive. */
+  private def q224PcaPower(s: SparkSession, dir: String): DataFrame =
+    Similarity.pcaPower(t(s, dir).embeddings, "vec_id", "embedding", iters = 3)
+
+  /** #225 template-phrase miner: 3-word shingles present in ≥ 1% of
+   *  docs — the corpus-level boilerplate strip list q174's line twin
+   *  and q61's per-row gates can't see. */
+  private def q225TemplatePhrases(s: SparkSession, dir: String): DataFrame =
+    Curation.templatePhrases(t(s, dir).documents, "doc_id", "text",
+      k = 3, minFrac = 0.01)
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2482,6 +2496,8 @@ object SparkEntry {
     "q221_balanced_sample"  -> (q221BalancedSample _),
     "q222_centroid_cosine"  -> (q222CentroidCosine _),
     "q223_minhash_estimate" -> (q223MinhashEstimate _),
+    "q224_pca_power"        -> (q224PcaPower _),
+    "q225_template_phrases" -> (q225TemplatePhrases _),
   )
 
   private val monthCaseSql: String =
@@ -2544,6 +2560,44 @@ object SparkEntry {
   private def benfordCaseSql: String =
     "CASE digit " + Cleaning.benfordShares.zipWithIndex.map { case (s, i) =>
       s"WHEN '${i + 1}' THEN CAST('$s' AS DOUBLE)" }.mkString(" ") + " END"
+
+  /** Unrolled power-iteration SQL for q224's first principal component:
+   *  exact-decimal means (q72), float-absorbed + DECIMAL(28,18)-summed
+   *  cross-moments, matvecs and norms (q197 contract), one guarded
+   *  division per position per iteration — mirroring
+   *  [[graft.operators.Similarity.pcaPower]]'s fixed IEEE sequence
+   *  term for term so each iterate matches by induction (the q209
+   *  argument). */
+  private def pcaPowerSql(iters: Int): String = {
+    def absorb(e: String) =
+      s"CAST(CAST(CAST(CAST($e AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))"
+    val head =
+      "WITH mm AS (SELECT pos, " +
+        "CAST(CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) " +
+        "/ COUNT(*) AS mean FROM (" +
+        "SELECT unnest(generate_series(0, len(embedding) - 1)) AS pos, " +
+        "unnest(embedding) AS v FROM embeddings) GROUP BY 1), " +
+        "x AS (SELECT vec_id, unnest(generate_series(0, len(v2) - 1)) AS pos, " +
+        "unnest(v2) AS v FROM (" +
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v2 FROM embeddings)), " +
+        "c AS (SELECT x.vec_id, x.pos, x.v - mm.mean AS cv FROM x JOIN mm USING (pos)), " +
+        "cov AS (SELECT a.pos AS i, b.pos AS j, " +
+        s"CAST(CAST(SUM(${absorb("a.cv * b.cv")}) AS VARCHAR) AS DOUBLE) / COUNT(*) AS cv " +
+        "FROM c a JOIN c b ON a.vec_id = b.vec_id GROUP BY 1, 2), " +
+        "dd AS (SELECT CAST(COUNT(DISTINCT i) AS BIGINT) AS d FROM cov), " +
+        "v0 AS (SELECT i AS pos, CAST(1 AS DOUBLE) / sqrt(CAST(dd.d AS DOUBLE)) AS val " +
+        "FROM (SELECT DISTINCT i FROM cov), dd), "
+    val iterCtes = (1 to iters).map { t =>
+      s"u$t AS (SELECT cov.i AS pos, " +
+        s"CAST(CAST(SUM(${absorb(s"cov.cv * v${t - 1}.val")}) AS VARCHAR) AS DOUBLE) AS u " +
+        s"FROM cov JOIN v${t - 1} ON cov.j = v${t - 1}.pos GROUP BY 1), " +
+        s"n$t AS (SELECT sqrt(CAST(CAST(SUM(${absorb("u * u")}) AS VARCHAR) AS DOUBLE)) AS nrm FROM u$t), " +
+        s"v$t AS (SELECT pos, CASE WHEN nrm > 0 THEN u / nrm END AS val FROM u$t, n$t)"
+    }.mkString(", ")
+    head + iterCtes +
+      s" SELECT CAST(pos AS INT) AS pos, val AS loading, " +
+      s"CASE WHEN nrm > 0 THEN nrm END AS eigenvalue FROM v$iters, n$iters"
+  }
 
   /** Unrolled power-iteration SQL for q209: each iteration is one
    *  edges⋈ranks join + a DECIMAL(38,30)-routed per-target sum, exactly
@@ -4805,5 +4859,20 @@ object SparkEntry {
         "SELECT id_a, id_b, bands_shared, " +
         "CAST(neq AS DOUBLE) / CAST(6 AS DOUBLE) AS est_jaccard, " +
         "CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) AS exact_jaccard FROM ex"),
+    "q224_pca_power" -> pcaPowerSql(3),
+    "q225_template_phrases" ->
+      // distinct per-doc shingle sets make df a document count; one
+      // IEEE division against the broadcast doc total
+      ("WITH t AS (SELECT doc_id AS id, " +
+        "CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(" +
+        "list_zip(w[:len(w)-2], w[2:len(w)-1], w[3:]), " +
+        "z -> z[1] || ' ' || z[2] || ' ' || z[3])) " +
+        "ELSE [array_to_string(w, ' ')] END AS tok " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)), " +
+        "e AS (SELECT id, unnest(tok) AS shingle FROM t), " +
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents), " +
+        "d AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM e GROUP BY 1) " +
+        "SELECT shingle, df, CAST(df AS DOUBLE) / CAST(nn.n AS DOUBLE) AS df_frac " +
+        "FROM d, nn WHERE CAST(df AS DOUBLE) / CAST(nn.n AS DOUBLE) >= 0.01"),
   )
 }

@@ -871,6 +871,41 @@ object Curation {
     body
   }
 
+  /**
+   * Template-phrase miner: word k-shingles whose DOCUMENT frequency
+   * exceeds `minFrac` of the corpus — the phrase-level boilerplate
+   * candidates (cookie banners, licence headers, navigation crumbs) a
+   * curation pass turns into a strip list. Complements the line-level
+   * [[boilerplate detection|dag.py:49]] twins: q174 removes repeated
+   * LINES within a source; this surfaces repeated PHRASES across the
+   * whole corpus regardless of line structure, and q61's per-row
+   * top-gram share can't see across documents at all.
+   *
+   * Exactness: per-doc shingle sets are DISTINCT ([[TextFns
+   * .wordShingles]]), so df counts documents, not occurrences; df and
+   * the doc total are exact integers; the fraction is one IEEE
+   * division.
+   *
+   * Scale: one shingle explode → one shingle-keyed count (map-side
+   * combinable, the q71/q118 vocabulary shuffle with its documented
+   * stock-phrase skew) → a threshold filter that prunes the frame to
+   * the template tail before anything else touches it; the doc count
+   * rides as a broadcast one-row frame.
+   */
+  def templatePhrases(
+      docs: DataFrame, id: String, textCol: String, k: Int,
+      minFrac: Double): DataFrame = {
+    require(minFrac > 0 && minFrac <= 1, "templatePhrases needs minFrac in (0,1]")
+    val n = docs.agg(count(lit(1)).as("__gn"))
+    val df = docs.select(col(id).as("__gdid"),
+      explode(TextFns.wordShingles(split(col(textCol), " "), k)).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    df.crossJoin(broadcast(n))
+      .withColumn("df_frac", col("df").cast("double") / col("__gn").cast("double"))
+      .filter(col("df_frac") >= minFrac)
+      .select(col("shingle"), col("df"), col("df_frac"))
+  }
+
   /** Remove flagged-contaminated documents from the corpus (anti-join
    *  against the small flag set — broadcast in the common case). */
   def decontaminate(

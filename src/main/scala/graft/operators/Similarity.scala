@@ -581,6 +581,81 @@ object Similarity {
         d("__gdot") / (sqrt(d("__gnv")) * sqrt(d("__gnc")))).as("cos_centroid"))
   }
 
+  /**
+   * First principal component of the embedding cloud via power
+   * iteration on the EXACT covariance — the dominant-direction audit
+   * (a first PC that explains most variance means the "embedding
+   * space" is nearly a line: collapsed representations, a failed
+   * encoder) and the whitening/dimensionality primitive. Fixed
+   * `iters` keeps the whole computation expressible as unrolled SQL,
+   * the q209 PageRank contract.
+   *
+   * Determinism, by induction over iterations (the q209 argument):
+   * per-position means are exact-decimal (q72); every cross-moment
+   * c_i·c_j, matvec term C_ij·v_j, and squared norm term absorbs to
+   * its FLOAT image and sums via DECIMAL(28,18) strings (q197
+   * order-free contract); normalization is one sqrt + one division
+   * per position (sqrt is correctly rounded cross-libm); v₀ =
+   * 1/√d > 0 everywhere. Each iterate is therefore bit-identical in
+   * any engine. Zero-variance input → NULL loadings by the norm
+   * guard, never ±Inf.
+   *
+   * Scale: the centered frame (n·d rows) is PERSISTED — it feeds both
+   * sides of the covariance self-join (q151 rule; AQE may broadcast
+   * one side, dropping exchange reuse). The covariance build is the
+   * only data-sized stage (n·d² product rows, map-side-combined to
+   * d²); iterations then run on the d²-row frame, also persisted, with
+   * \|d\|-row vector frames — driver holds only the bounded dimension
+   * count (the agg-to-literal convention).
+   */
+  def pcaPower(
+      df: DataFrame, id: String, vecCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "pcaPower needs iters >= 1")
+    def absorb(c: Column) =
+      c.cast("float").cast("double").cast("string").cast("decimal(28,18)")
+    def toD(c: Column) = c.cast("string").cast("double")
+    // global per-position means — [[meanEmbedding]]'s exact-decimal
+    // recipe without a group key
+    val means = df.select(posexplode(col(vecCol)).as(Seq("pos", "__gmv")))
+      .groupBy(col("pos"))
+      .agg((sum(col("__gmv").cast("string").cast("decimal(28,18)")).cast("double") /
+        count(lit(1))).as("mean"))
+    val x = df.select(col(id).as("__gvid"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "__gv")))
+    val centered = x.join(broadcast(means), "pos")
+      .select(col("__gvid"), col("pos"),
+        (col("__gv") - col("mean")).as("__gc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cov = centered.select(col("__gvid"), col("pos").as("__gi"), col("__gc").as("__gci"))
+      .join(centered.select(col("__gvid"), col("pos").as("__gj"), col("__gc").as("__gcj")),
+        "__gvid")
+      .groupBy(col("__gi"), col("__gj"))
+      .agg((toD(sum(absorb(col("__gci") * col("__gcj")))) /
+        count(lit(1)).cast("double")).as("__gcov"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // positions and the dimension count come off the PERSISTED cov
+    // frame, so the means/centered lineage replays exactly once
+    val posFrame = cov.select(col("__gi").as("pos")).distinct()
+    val d = posFrame.count()
+    var v = posFrame.select(col("pos"),
+      (lit(1.0) / sqrt(lit(d.toDouble))).as("__gval"))
+    var lastNorm: DataFrame = null
+    (1 to iters).foreach { _ =>
+      val u = cov.join(v, cov("__gj") === v("pos"))
+        .groupBy(col("__gi"))
+        .agg(toD(sum(absorb(col("__gcov") * col("__gval")))).as("__gu"))
+      val norm = u.agg(
+        sqrt(toD(sum(absorb(col("__gu") * col("__gu"))))).as("__gnorm"))
+      v = u.crossJoin(broadcast(norm))
+        .select(col("__gi").as("pos"),
+          when(col("__gnorm") > 0, col("__gu") / col("__gnorm")).as("__gval"))
+      lastNorm = norm
+    }
+    v.crossJoin(broadcast(lastNorm))
+      .select(col("pos"), col("__gval").as("loading"),
+        when(col("__gnorm") > 0, col("__gnorm")).as("eigenvalue"))
+  }
+
   private def centroidsToDf(spark: SparkSession, centroids: Seq[(Int, Seq[Float])]): DataFrame = {
     import spark.implicits._
     centroids.toDF("cluster_id", "centroid")

@@ -413,6 +413,23 @@ class CurationSpec extends SparkSpec {
     assert(ex.getMessage.contains("k >= 2"))
   }
 
+  test("templatePhrases surfaces cross-doc repeated shingles and drops unique ones") {
+    val docs = Seq(
+      (1L, "accept all cookies to continue reading"),
+      (2L, "accept all cookies to continue browsing"),
+      (3L, "accept all cookies to continue here"),
+      (4L, "completely unrelated text about something else"),
+    ).toDF("doc_id", "text")
+    val out = Curation.templatePhrases(docs, "doc_id", "text", k = 3, minFrac = 0.5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("accept all cookies") == ((3L, 0.75)))
+    assert(out("all cookies to") == ((3L, 0.75)))
+    assert(out("cookies to continue") == ((3L, 0.75)))
+    // the varying tails and the unrelated doc never reach 50% df
+    assert(!out.contains("to continue reading"))
+    assert(!out.contains("completely unrelated text"))
+  }
+
   test("goodTuring: hand-checked spectrum, smoothed counts, and unseen mass") {
     // token counts: a:2, b:1, c:1 -> spectrum N1=2, N2=1; N=4
     val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")

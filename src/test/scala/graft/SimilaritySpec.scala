@@ -403,6 +403,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out(5L).isEmpty)
   }
 
+  test("pcaPower: rank-1 cloud recovers its direction and variance; zero variance yields NULL") {
+    // all centered vectors lie along (0.6, 0.8): the first PC is exact
+    // after one iteration, eigenvalue = mean squared projection = 31.25
+    val df = Seq(
+      (1L, Seq(3.0f, 4.0f)), (2L, Seq(6.0f, 8.0f)),
+      (3L, Seq(-3.0f, -4.0f)), (4L, Seq(0.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pcaPower(df, "vec_id", "embedding", iters = 3)
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(math.abs(out(0)._1 - 0.6) < 1e-6)
+    assert(math.abs(out(1)._1 - 0.8) < 1e-6)
+    assert(math.abs(out(0)._2 - 31.25) < 1e-4)
+
+    val flat = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val z = Similarity.pcaPower(flat, "vec_id", "embedding", iters = 2)
+      .collect()
+    assert(z.forall(r => r.isNullAt(1) && r.isNullAt(2)))
+  }
+
   test("quantizeInt8: hand-checked scale, codes, and max reconstruction error; zero vectors stay NULL-scale") {
     val df = Seq(
       (1L, Seq(1.0f, -2.0f, 0.5f)),

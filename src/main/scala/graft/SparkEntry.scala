@@ -2270,6 +2270,21 @@ object SparkEntry {
     Curation.templatePhrases(t(s, dir).documents, "doc_id", "text",
       k = 3, minFrac = 0.01)
 
+  /** #226 projection onto q224's first PC: each vector's centered dot
+   *  product with the dominant loading — the 1-D whitening coordinate
+   *  and the axis drift checks should watch. */
+  private def q226PcaProject(s: SparkSession, dir: String): DataFrame =
+    Similarity.pcaProject(t(s, dir).embeddings, "vec_id", "embedding", iters = 3)
+
+  /** #227 stratified split with EXACT per-class proportions: rank by
+   *  the md5 jitter within each source, cut at ⌊n·f⌋ — q103's global
+   *  thresholds hold ratios only in expectation; minority classes
+   *  need them exact. */
+  private def q227StratifiedSplit(s: SparkSession, dir: String): DataFrame =
+    Features.stratifiedSplit(
+      t(s, dir).documents.select("source", "doc_id"), "source", "doc_id",
+      trainFrac = 0.8, valFrac = 0.1)
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2498,6 +2513,8 @@ object SparkEntry {
     "q223_minhash_estimate" -> (q223MinhashEstimate _),
     "q224_pca_power"        -> (q224PcaPower _),
     "q225_template_phrases" -> (q225TemplatePhrases _),
+    "q226_pca_project"      -> (q226PcaProject _),
+    "q227_stratified_split" -> (q227StratifiedSplit _),
   )
 
   private val monthCaseSql: String =
@@ -2568,7 +2585,7 @@ object SparkEntry {
    *  [[graft.operators.Similarity.pcaPower]]'s fixed IEEE sequence
    *  term for term so each iterate matches by induction (the q209
    *  argument). */
-  private def pcaPowerSql(iters: Int): String = {
+  private def pcaPowerCtes(iters: Int): String = {
     def absorb(e: String) =
       s"CAST(CAST(CAST(CAST($e AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))"
     val head =
@@ -2594,10 +2611,13 @@ object SparkEntry {
         s"n$t AS (SELECT sqrt(CAST(CAST(SUM(${absorb("u * u")}) AS VARCHAR) AS DOUBLE)) AS nrm FROM u$t), " +
         s"v$t AS (SELECT pos, CASE WHEN nrm > 0 THEN u / nrm END AS val FROM u$t, n$t)"
     }.mkString(", ")
-    head + iterCtes +
-      s" SELECT CAST(pos AS INT) AS pos, val AS loading, " +
-      s"CASE WHEN nrm > 0 THEN nrm END AS eigenvalue FROM v$iters, n$iters"
+    head + iterCtes + " "
   }
+
+  private def pcaPowerSql(iters: Int): String =
+    pcaPowerCtes(iters) +
+      s"SELECT CAST(pos AS INT) AS pos, val AS loading, " +
+      s"CASE WHEN nrm > 0 THEN nrm END AS eigenvalue FROM v$iters, n$iters"
 
   /** Unrolled power-iteration SQL for q209: each iteration is one
    *  edges⋈ranks join + a DECIMAL(38,30)-routed per-target sum, exactly
@@ -4874,5 +4894,22 @@ object SparkEntry {
         "d AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM e GROUP BY 1) " +
         "SELECT shingle, df, CAST(df AS DOUBLE) / CAST(nn.n AS DOUBLE) AS df_frac " +
         "FROM d, nn WHERE CAST(df AS DOUBLE) / CAST(nn.n AS DOUBLE) >= 0.01"),
+    "q226_pca_project" ->
+      // q224's CTE prefix; each projection term float-absorbed +
+      // decimal-summed; NULL loadings (zero variance) stay NULL
+      (pcaPowerCtes(3) +
+        "SELECT c.vec_id, " +
+        "CAST(CAST(SUM(CAST(CAST(CAST(CAST(c.cv * v3.val AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) AS pc1 " +
+        "FROM c JOIN v3 ON c.pos = v3.pos GROUP BY 1"),
+    "q227_stratified_split" ->
+      // the cut boundaries embed the Scala-computed doubles verbatim
+      // (string detour) so floor(n*f) compares the SAME products
+      ("SELECT source, doc_id, CASE " +
+        s"WHEN rn <= floor(n * CAST('${0.8}' AS DOUBLE)) THEN 'train' " +
+        s"WHEN rn <= floor(n * CAST('${0.8 + 0.1}' AS DOUBLE)) THEN 'val' " +
+        "ELSE 'test' END AS split FROM (" +
+        "SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source " +
+        "ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY source) AS n FROM documents)"),
   )
 }

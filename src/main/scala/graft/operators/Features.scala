@@ -906,6 +906,36 @@ object Features {
    * class ordered by (md5 hex, id) (total order: the hash jitter,
    * then the id tiebreak). One shuffle on the class key.
    */
+  /**
+   * Stratified split with EXACT per-class proportions: within each
+   * class, rows rank by the md5 jitter (+ id tiebreak) and cut at
+   * ⌊n·f⌋ boundaries — unlike [[hashSplit]]'s global thresholds
+   * (correct ratios only in expectation), every class lands its train/
+   * val/test counts exactly, which is what a small-minority-class eval
+   * set needs. Deterministic: the draw replays bit-identically (q175
+   * contract); boundaries are ⌊exact-int · literal⌋ in one IEEE
+   * multiply each.
+   *
+   * One shuffle on the class key: the rank window and the per-class
+   * count window share the same partitioning.
+   */
+  def stratifiedSplit(
+      df: DataFrame, classCol: String, id: String,
+      trainFrac: Double, valFrac: Double): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
+      "stratifiedSplit needs 0 < trainFrac, 0 <= valFrac, trainFrac + valFrac < 1")
+    val byClass = Window.partitionBy(col(classCol))
+    val rn = row_number().over(byClass
+      .orderBy(substring(md5(col(id).cast("string")), 1, 8), col(id)))
+    val n = count(lit(1)).over(byClass)
+    df.withColumn("__grn", rn).withColumn("__gn", n)
+      .withColumn("split",
+        when(col("__grn") <= floor(col("__gn") * lit(trainFrac)), "train")
+          .when(col("__grn") <= floor(col("__gn") * lit(trainFrac + valFrac)), "val")
+          .otherwise(lit("test")))
+      .drop("__grn", "__gn")
+  }
+
   def balancedSample(
       df: DataFrame, classCol: String, id: String): DataFrame = {
     val kMin = df.groupBy(col(classCol)).agg(count(lit(1)).as("__gn"))

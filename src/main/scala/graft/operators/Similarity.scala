@@ -656,6 +656,43 @@ object Similarity {
         when(col("__gnorm") > 0, col("__gnorm")).as("eigenvalue"))
   }
 
+  /**
+   * Projection onto [[pcaPower]]'s first principal component: each
+   * vector's centered dot product with the dominant loading — the 1-D
+   * coordinate a whitening/visualization/binning pass consumes, and
+   * the input to drift checks along the direction that actually
+   * carries the variance.
+   *
+   * Determinism: loadings come from [[pcaPower]] (bit-identical by
+   * induction); each projection term (c_i · loading_i) absorbs to its
+   * FLOAT image and sums via DECIMAL(28,18) strings. Zero-variance
+   * input → NULL loadings → NULL projections (aggregates of all-NULL
+   * are NULL in both engines).
+   *
+   * Scale: the loadings frame is d rows — broadcast onto the
+   * pos-exploded centered vectors; one (vec)-keyed aggregation. The
+   * means/centered pass re-scans the source (column-pruned), it never
+   * replays an expensive intermediate.
+   */
+  def pcaProject(
+      df: DataFrame, id: String, vecCol: String, iters: Int = 3): DataFrame = {
+    def absorb(c: Column) =
+      c.cast("float").cast("double").cast("string").cast("decimal(28,18)")
+    val loadings = pcaPower(df, id, vecCol, iters)
+      .select(col("pos"), col("loading"))
+    val means = df.select(posexplode(col(vecCol)).as(Seq("pos", "__gmv")))
+      .groupBy(col("pos"))
+      .agg((sum(col("__gmv").cast("string").cast("decimal(28,18)")).cast("double") /
+        count(lit(1))).as("mean"))
+    val x = df.select(col(id),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "__gv")))
+    x.join(broadcast(means), "pos")
+      .join(broadcast(loadings), "pos")
+      .groupBy(col(id))
+      .agg(sum(absorb((col("__gv") - col("mean")) * col("loading")))
+        .cast("string").cast("double").as("pc1"))
+  }
+
   private def centroidsToDf(spark: SparkSession, centroids: Seq[(Int, Seq[Float])]): DataFrame = {
     import spark.implicits._
     centroids.toDF("cluster_id", "centroid")

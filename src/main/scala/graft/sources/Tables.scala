@@ -169,6 +169,24 @@ object Sources {
   }
 
   /**
+   * XML reader over Spark 4's BUILT-IN xml source (the former
+   * spark-xml package, merged into spark-sql): one row per `rowTag`
+   * element. Schema inference costs a full extra pass exactly like
+   * CSV/JSON — pass an explicit schema on anything production-sized.
+   */
+  def xml(spark: SparkSession, path: String, rowTag: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.format("xml").option("rowTag", rowTag)
+    schema.fold(r)(r.schema).load(path)
+  }
+
+  /** XML writer (one `rowTag` element per row under `rootTag`). */
+  def writeXml(df: DataFrame, path: String, rowTag: String,
+      rootTag: String = "rows"): Unit =
+    df.write.mode("overwrite").format("xml")
+      .option("rowTag", rowTag).option("rootTag", rootTag).save(path)
+
+  /**
    * Raw-asset reader for multimodal ingest: each file (image/audio/
    * video/any blob) becomes one row of (path, modificationTime, length,
    * content BINARY) — the ingest edge that feeds

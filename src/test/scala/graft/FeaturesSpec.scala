@@ -497,6 +497,22 @@ class FeaturesSpec extends SparkSpec {
     assert(ex.getMessage.contains("single-partition"))
   }
 
+  test("stratifiedSplit holds exact per-class proportions, including tiny classes") {
+    val df = ((1 to 10).map(i => ("big", i.toLong)) ++
+      (11 to 15).map(i => ("tiny", i.toLong))).toDF("cls", "id")
+    val out = Features.stratifiedSplit(df.repartition(3), "cls", "id", 0.8, 0.1)
+      .collect().map(r => (r.getString(0), r.getString(2)))
+    val counts = out.groupBy(identity).view.mapValues(_.size).toMap
+    // big: floor(8.0)=8 train, floor(10*0.9000...)=9 -> 1 val, 1 test
+    assert(counts(("big", "train")) == 8)
+    assert(counts(("big", "val")) == 1)
+    assert(counts(("big", "test")) == 1)
+    // tiny (n=5): floor(4.0)=4 train, floor(4.5)=4 -> 0 val, 1 test
+    assert(counts(("tiny", "train")) == 4)
+    assert(!counts.contains(("tiny", "val")))
+    assert(counts(("tiny", "test")) == 1)
+  }
+
   test("balancedSample: every class downsamples to the min class count, deterministically") {
     val df = Seq(
       ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 5L),

@@ -423,6 +423,20 @@ class SimilaritySpec extends SparkSpec {
     assert(z.forall(r => r.isNullAt(1) && r.isNullAt(2)))
   }
 
+  test("pcaProject: rank-1 cloud projects to its centered coordinates along the PC") {
+    val df = Seq(
+      (1L, Seq(3.0f, 4.0f)), (2L, Seq(6.0f, 8.0f)),
+      (3L, Seq(-3.0f, -4.0f)), (4L, Seq(0.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pcaProject(df, "vec_id", "embedding", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // centered vectors dot (0.6, 0.8): 2.5, 7.5, -7.5, -2.5
+    assert(math.abs(out(1L) - 2.5) < 1e-6)
+    assert(math.abs(out(2L) - 7.5) < 1e-6)
+    assert(math.abs(out(3L) + 7.5) < 1e-6)
+    assert(math.abs(out(4L) + 2.5) < 1e-6)
+  }
+
   test("quantizeInt8: hand-checked scale, codes, and max reconstruction error; zero vectors stay NULL-scale") {
     val df = Seq(
       (1L, Seq(1.0f, -2.0f, 0.5f)),

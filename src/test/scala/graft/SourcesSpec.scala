@@ -77,6 +77,24 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("id"), plan)
   }
 
+  test("xml round-trips through Spark 4's built-in source; explicit schema skips inference") {
+    val dir = Files.createTempDirectory("graft_xml").resolve("t").toString
+    val df = Seq((1L, "a", 2.5), (2L, "b", -1.0), (3L, "ç & <tag>", 0.0))
+      .toDF("id", "name", "score")
+    Sources.writeXml(df, dir, rowTag = "rec")
+    val back = Sources.xml(spark, dir, rowTag = "rec")
+      .select("id", "name", "score").orderBy("id")
+    // inference types the columns; values (including escaped markup)
+    // survive the round-trip
+    assert(back.as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 2.5), (2L, "b", -1.0), (3L, "ç & <tag>", 0.0)))
+    val typed = Sources.xml(spark, dir, rowTag = "rec",
+      schema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "id LONG, name STRING, score DOUBLE")))
+    assert(typed.schema.fieldNames.toSet == Set("id", "name", "score"))
+    assert(typed.count() == 3)
+  }
+
   test("binaryFiles reads raw assets as binary rows with glob + size pruning") {
     val dir = Files.createTempDirectory("graft_bin")
     Files.write(dir.resolve("a.jpg"), Array[Byte](1, 2, 3))

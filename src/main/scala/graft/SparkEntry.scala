@@ -2285,6 +2285,14 @@ object SparkEntry {
       t(s, dir).documents.select("source", "doc_id"), "source", "doc_id",
       trainFrac = 0.8, valFrac = 0.1)
 
+  /** #228 exact k-means (Lloyd), k=4, 2 iterations, deterministic
+   *  min-id seeding: decimal-routed distances, exact-decimal argmin
+   *  with cid tiebreak, exact-decimal centroid means — the oracle-
+   *  checkable twin of q43/q57's sample-trained IVF quantizer. */
+  private def q228KmeansLloyd(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansLloyd(t(s, dir).embeddings, "vec_id", "embedding",
+      k = 4, iters = 2)
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2515,6 +2523,7 @@ object SparkEntry {
     "q225_template_phrases" -> (q225TemplatePhrases _),
     "q226_pca_project"      -> (q226PcaProject _),
     "q227_stratified_split" -> (q227StratifiedSplit _),
+    "q228_kmeans_lloyd"     -> (q228KmeansLloyd _),
   )
 
   private val monthCaseSql: String =
@@ -2585,6 +2594,37 @@ object SparkEntry {
    *  [[graft.operators.Similarity.pcaPower]]'s fixed IEEE sequence
    *  term for term so each iterate matches by induction (the q209
    *  argument). */
+  /** Unrolled Lloyd-iteration SQL for q228, mirroring
+   *  [[graft.operators.Similarity.kmeansLloyd]] term for term:
+   *  decimal-routed squared distances, exact-decimal argmin with the
+   *  cid tiebreak, q72-recipe centroid means — bit-identical
+   *  assignments by induction (the q209/q224 argument). */
+  private def kmeansSql(k: Int, iters: Int): String = {
+    def absorb(e: String) =
+      s"CAST(CAST(CAST(CAST($e AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))"
+    val head =
+      "WITH x AS (SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS pos, " +
+        "unnest(embedding) AS v FROM embeddings), " +
+        "s AS (SELECT sid, CAST(ROW_NUMBER() OVER (ORDER BY sid) - 1 AS INT) AS cid FROM (" +
+        s"SELECT vec_id AS sid FROM embeddings ORDER BY vec_id LIMIT $k)), " +
+        "c0 AS (SELECT s.cid, x.pos, CAST(x.v AS DOUBLE) AS c " +
+        "FROM x JOIN s ON x.vec_id = s.sid), "
+    val iterCtes = (1 to iters).map { t =>
+      s"d$t AS (SELECT x.vec_id, c.cid, " +
+        s"SUM(${absorb("(CAST(x.v AS DOUBLE) - c.c) * (CAST(x.v AS DOUBLE) - c.c)")}) AS dist " +
+        s"FROM x JOIN c${t - 1} c ON x.pos = c.pos GROUP BY 1, 2), " +
+        s"a$t AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk " +
+        s"FROM d$t) WHERE rk = 1)" +
+        (if (t < iters)
+          s", c$t AS (SELECT a.cid, x.pos, " +
+            "CAST(CAST(SUM(CAST(CAST(x.v AS VARCHAR) AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) " +
+            s"/ COUNT(*) AS c FROM a$t a JOIN x ON x.vec_id = a.vec_id GROUP BY 1, 2)"
+        else "")
+    }.mkString(", ")
+    head + iterCtes + s" SELECT vec_id, cid AS cluster FROM a$iters"
+  }
+
   private def pcaPowerCtes(iters: Int): String = {
     def absorb(e: String) =
       s"CAST(CAST(CAST(CAST($e AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))"
@@ -4911,5 +4951,6 @@ object SparkEntry {
         "SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source " +
         "ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn, " +
         "COUNT(*) OVER (PARTITION BY source) AS n FROM documents)"),
+    "q228_kmeans_lloyd" -> kmeansSql(4, 2),
   )
 }

@@ -693,6 +693,73 @@ object Similarity {
         .cast("string").cast("double").as("pc1"))
   }
 
+  /**
+   * Distributed k-means (Lloyd) with a FIXED iteration count and
+   * deterministic seeding — the clustering primitive behind corpus
+   * mixture analysis and IVF-style partitioning, expressed so every
+   * assignment replays bit-identically in an external engine (the
+   * q209/q224 unrolled-SQL contract). Seeds are the vectors of the k
+   * smallest ids (cluster ids 0..k−1 in that order) — no RNG, stable
+   * under growth. [[trainIvf]]'s sample-trained quantizer remains the
+   * 100 TB hot path; this is the exact, oracle-checkable twin.
+   *
+   * Determinism: squared-distance terms (v−c)² absorb to FLOAT images
+   * and sum via DECIMAL(28,18) (q197 contract), and the argmin
+   * compares those EXACT DECIMALS with a cluster-id tiebreak (the
+   * q210 decimal-at-the-edge rule — comparing float-absorbed doubles
+   * would still be safe, but decimals make the tie semantics
+   * self-evident); new centroids are exact-decimal means of the RAW
+   * float components (q72 recipe), so every iterate is engine-
+   * identical by induction. A cluster that attracts no members
+   * vanishes (its centroid is undefined) — the standard Lloyd
+   * degeneracy, surfaced rather than papered over.
+   *
+   * Scale: the exploded vector frame is PERSISTED (it feeds every
+   * assignment and every centroid rebuild); each assignment is one
+   * (pos)-keyed join against a broadcast k·d centroid frame →
+   * (vec, cluster) aggregation → one rank window per vector over k
+   * candidate rows; centroid rebuilds aggregate the members frame.
+   * Nothing driver-side except the bounded k seed ids.
+   */
+  def kmeansLloyd(
+      df: DataFrame, id: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 2 && iters >= 1, "kmeansLloyd needs k >= 2 and iters >= 1")
+    def absorb(c: Column) =
+      c.cast("float").cast("double").cast("string").cast("decimal(28,18)")
+    val x = df.select(col(id).as("__gvid"),
+      posexplode(col(vecCol)).as(Seq("pos", "__gvf")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seeds: vectors of the k smallest ids, cluster ids by that order
+    val seedIds = df.select(col(id).as("__gsid")).orderBy(col("__gsid")).limit(k)
+      .withColumn("__gcid",
+        row_number().over(Window.orderBy(col("__gsid"))) - 1)
+    var cents = x.join(broadcast(seedIds), col("__gvid") === col("__gsid"))
+      .select(col("__gcid"), col("pos"), col("__gvf").cast("double").as("__gc"))
+    def assign(c: DataFrame): DataFrame = {
+      val dv = col("__gvf").cast("double") - col("__gc")
+      val dists = x.join(broadcast(c), "pos")
+        .groupBy(col("__gvid"), col("__gcid"))
+        .agg(sum(absorb(dv * dv)).as("__gdist"))
+      dists.withColumn("__grk", row_number().over(
+        Window.partitionBy(col("__gvid"))
+          .orderBy(col("__gdist").asc, col("__gcid").asc)))
+        .filter(col("__grk") === 1)
+        .select(col("__gvid"), col("__gcid"))
+    }
+    var assigned: DataFrame = null
+    (1 to iters).foreach { t =>
+      assigned = assign(cents)
+      if (t < iters) {
+        cents = assigned.join(x, "__gvid")
+          .groupBy(col("__gcid"), col("pos"))
+          .agg((sum(col("__gvf").cast("string").cast("decimal(28,18)")).cast("double") /
+            count(lit(1))).as("__gc"))
+      }
+    }
+    assigned.select(col("__gvid").as(id), col("__gcid").as("cluster"))
+  }
+
   private def centroidsToDf(spark: SparkSession, centroids: Seq[(Int, Seq[Float])]): DataFrame = {
     import spark.implicits._
     centroids.toDF("cluster_id", "centroid")

@@ -423,6 +423,23 @@ class SimilaritySpec extends SparkSpec {
     assert(z.forall(r => r.isNullAt(1) && r.isNullAt(2)))
   }
 
+  test("kmeansLloyd: separated clouds settle on their natural clusters from min-id seeds") {
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f)),   // seed of cluster 0
+      (2L, Seq(10.0f, 10.0f)), // seed of cluster 1
+      (3L, Seq(1.0f, 0.0f)),
+      (4L, Seq(9.0f, 10.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansLloyd(df, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(1L) == 0 && out(3L) == 0)
+    assert(out(2L) == 1 && out(4L) == 1)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.kmeansLloyd(df, "vec_id", "embedding", k = 1, iters = 2)
+    }
+    assert(ex.getMessage.contains("k >= 2"))
+  }
+
   test("pcaProject: rank-1 cloud projects to its centered coordinates along the PC") {
     val df = Seq(
       (1L, Seq(3.0f, 4.0f)), (2L, Seq(6.0f, 8.0f)),

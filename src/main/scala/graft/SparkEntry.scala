@@ -2293,6 +2293,34 @@ object SparkEntry {
     Similarity.kmeansLloyd(t(s, dir).embeddings, "vec_id", "embedding",
       k = 4, iters = 2)
 
+  /** #229 cluster-quality rollup over q228: per cluster, member count
+   *  and within-cluster SSE to the final exact-decimal centroid — the
+   *  elbow/regression dial for a nightly clustering job. */
+  private def q229KmeansQuality(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansQuality(t(s, dir).embeddings, "vec_id", "embedding",
+      k = 4, iters = 2)
+
+  /** #230 group-integrity k-fold assignment: fold = md5(group) mod 5
+   *  with group = the exact-text fingerprint, so duplicate documents
+   *  can never straddle folds — the constructor whose absence q200's
+   *  leakage audit catches. */
+  private def q230GroupKfold(s: SparkSession, dir: String): DataFrame =
+    Features.groupKFold(
+      t(s, dir).documents.select(col("doc_id"), md5(col("text")).as("grp")),
+      "grp", k = 5)
+      .select(col("doc_id"), col("fold"))
+
+  /** #231 contamination forensics over q99's hits: first position and
+   *  non-overlapping occurrence count per (doc, excerpt) — quoted
+   *  snippet vs wholesale inclusion, once vs templated. */
+  private def q231ContamSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir).documents
+    val excerpts = docs.filter(col("doc_id") % 97 === 0)
+      .select(substring(col("text"), 10, 40).as("excerpt"))
+      .filter(length(col("excerpt")) === 40).distinct()
+    Curation.excerptSpans(docs, "doc_id", col("text"), excerpts, "excerpt")
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2524,6 +2552,9 @@ object SparkEntry {
     "q226_pca_project"      -> (q226PcaProject _),
     "q227_stratified_split" -> (q227StratifiedSplit _),
     "q228_kmeans_lloyd"     -> (q228KmeansLloyd _),
+    "q229_kmeans_quality"   -> (q229KmeansQuality _),
+    "q230_group_kfold"      -> (q230GroupKfold _),
+    "q231_contam_spans"     -> (q231ContamSpans _),
   )
 
   private val monthCaseSql: String =
@@ -2599,7 +2630,7 @@ object SparkEntry {
    *  decimal-routed squared distances, exact-decimal argmin with the
    *  cid tiebreak, q72-recipe centroid means — bit-identical
    *  assignments by induction (the q209/q224 argument). */
-  private def kmeansSql(k: Int, iters: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int): String = {
     def absorb(e: String) =
       s"CAST(CAST(CAST(CAST($e AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))"
     val head =
@@ -2622,7 +2653,27 @@ object SparkEntry {
             s"/ COUNT(*) AS c FROM a$t a JOIN x ON x.vec_id = a.vec_id GROUP BY 1, 2)"
         else "")
     }.mkString(", ")
-    head + iterCtes + s" SELECT vec_id, cid AS cluster FROM a$iters"
+    head + iterCtes
+  }
+
+  private def kmeansSql(k: Int, iters: Int): String =
+    kmeansCtes(k, iters) + s" SELECT vec_id, cid AS cluster FROM a$iters"
+
+  /** q229: [[kmeansSql]]'s CTEs + final exact-decimal centroids +
+   *  per-member decimal distances rolled up to per-cluster SSE. */
+  private def kmeansQualitySql(k: Int, iters: Int): String = {
+    def absorb(e: String) =
+      s"CAST(CAST(CAST(CAST($e AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))"
+    kmeansCtes(k, iters) +
+      s", cf AS (SELECT a.cid, x.pos, " +
+      "CAST(CAST(SUM(CAST(CAST(x.v AS VARCHAR) AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) " +
+      s"/ COUNT(*) AS c FROM a$iters a JOIN x ON x.vec_id = a.vec_id GROUP BY 1, 2), " +
+      s"pv AS (SELECT x.vec_id, a.cid, " +
+      s"SUM(${absorb("(CAST(x.v AS DOUBLE) - cf.c) * (CAST(x.v AS DOUBLE) - cf.c)")}) AS d " +
+      s"FROM a$iters a JOIN x ON x.vec_id = a.vec_id " +
+      "JOIN cf ON cf.cid = a.cid AND cf.pos = x.pos GROUP BY 1, 2) " +
+      "SELECT cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(CAST(SUM(d) AS VARCHAR) AS DOUBLE) AS sse FROM pv GROUP BY 1"
   }
 
   private def pcaPowerCtes(iters: Int): String = {
@@ -4952,5 +5003,21 @@ object SparkEntry {
         "ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn, " +
         "COUNT(*) OVER (PARTITION BY source) AS n FROM documents)"),
     "q228_kmeans_lloyd" -> kmeansSql(4, 2),
+    "q229_kmeans_quality" -> kmeansQualitySql(4, 2),
+    "q230_group_kfold" ->
+      // fold = md5(text-fingerprint) mod 5 via the '0x' conv contract
+      ("SELECT doc_id, CAST(CAST(('0x' || substr(md5(md5(text)), 1, 8)) AS BIGINT) " +
+        "% 5 AS INT) AS fold FROM documents"),
+    "q231_contam_spans" ->
+      // q99's excerpt fragment; position via strpos, occurrences via
+      // the length-delta trick (no regex, so metachars can't misfire)
+      ("WITH e AS (SELECT DISTINCT substr(text, 10, 40) AS excerpt " +
+        "FROM documents WHERE doc_id % 97 = 0), " +
+        "f AS (SELECT excerpt FROM e WHERE len(excerpt) = 40) " +
+        "SELECT d.doc_id, f.excerpt, " +
+        "CAST(strpos(d.text, f.excerpt) AS BIGINT) AS first_pos, " +
+        "CAST(CAST(len(d.text) - len(replace(d.text, f.excerpt, '')) AS DOUBLE) " +
+        "/ CAST(len(f.excerpt) AS DOUBLE) AS BIGINT) AS n_occ " +
+        "FROM documents d JOIN f ON strpos(d.text, f.excerpt) > 0"),
   )
 }

@@ -906,6 +906,35 @@ object Curation {
       .select(col("shingle"), col("df"), col("df_frac"))
   }
 
+  /**
+   * Contamination forensics: for every (document, benchmark-excerpt)
+   * verbatim hit, WHERE the excerpt sits — first character position
+   * and non-overlapping occurrence count — the evidence table a
+   * decontamination review reads after [[containsExcerptFlags]] says
+   * "flagged" (was it a quoted snippet or wholesale inclusion? once or
+   * templated everywhere?).
+   *
+   * Exactness: positions and counts are pure string arithmetic —
+   * `instr` (1-based, chars) and the length-delta trick
+   * (len − len(replace(text, excerpt, ''))) / len(excerpt), a
+   * division of exact multiples. No regex, so excerpt metacharacters
+   * can't misfire.
+   *
+   * Scale: the excerpt side broadcasts (benchmark ≪ corpus, the q99
+   * asymmetry); the containment join prunes to hits before any
+   * per-hit arithmetic runs.
+   */
+  def excerptSpans(
+      corpus: DataFrame, id: String, text: Column,
+      excerpts: DataFrame, excerptCol: String): DataFrame = {
+    val ex = col(excerptCol)
+    corpus.join(broadcast(excerpts), instr(text, ex) > 0)
+      .select(col(id), ex.as("excerpt"),
+        instr(text, ex).cast("long").as("first_pos"),
+        ((length(text) - length(call_function("replace", text, ex, lit(""))))
+          .cast("double") / length(ex).cast("double")).cast("long").as("n_occ"))
+  }
+
   /** Remove flagged-contaminated documents from the corpus (anti-join
    *  against the small flag set — broadcast in the common case). */
   def decontaminate(

@@ -919,6 +919,26 @@ object Features {
    * One shuffle on the class key: the rank window and the per-class
    * count window share the same partitioning.
    */
+  /**
+   * Group-integrity k-fold assignment: every row of a GROUP (a domain,
+   * a near-dup cluster, a user) lands in the SAME fold — the
+   * cross-validation constructor whose absence is exactly what
+   * q200's split-leakage audit catches (row-level folds leak
+   * near-identical group members across train/eval). Fold =
+   * md5(group) mod k: deterministic (q175 contract), no RNG,
+   * group-count balanced in expectation.
+   *
+   * Zero shuffles: fold assignment is a per-row hash expression; the
+   * group key never aggregates.
+   */
+  def groupKFold(
+      df: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, "groupKFold needs k >= 2")
+    df.withColumn("fold",
+      (conv(substring(md5(col(groupCol).cast("string")), 1, 8), 16, 10)
+        .cast("long") % k).cast("int"))
+  }
+
   def stratifiedSplit(
       df: DataFrame, classCol: String, id: String,
       trainFrac: Double, valFrac: Double): DataFrame = {

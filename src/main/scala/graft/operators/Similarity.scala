@@ -760,6 +760,44 @@ object Similarity {
     assigned.select(col("__gvid").as(id), col("__gcid").as("cluster"))
   }
 
+  /**
+   * Cluster-quality rollup over [[kmeansLloyd]]'s assignments: per
+   * cluster, the member count and the within-cluster sum of squared
+   * distances (SSE/inertia) to the FINAL exact-decimal centroid — the
+   * "did k fit" elbow readout and the regression dial a nightly
+   * clustering job monitors.
+   *
+   * Determinism: assignments are [[kmeansLloyd]]'s (bit-identical by
+   * induction); final centroids are q72-recipe exact-decimal means
+   * over those assignments; per-member distances absorb to FLOAT
+   * images and sum via DECIMAL(28,18) (q197), and the per-cluster SSE
+   * is a sum of those exact decimals — order-free at every level.
+   *
+   * Scale: one extra pass over the exploded vectors beyond the Lloyd
+   * iterations (members → final centroids → distances), all keyed
+   * joins with the k·d centroid frame broadcast.
+   */
+  def kmeansQuality(
+      df: DataFrame, id: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    def absorb(c: Column) =
+      c.cast("float").cast("double").cast("string").cast("decimal(28,18)")
+    val assigned = kmeansLloyd(df, id, vecCol, k, iters)
+    val x = df.select(col(id),
+      posexplode(col(vecCol)).as(Seq("pos", "__gvf")))
+    val members = assigned.join(x, id)
+    val cents = members.groupBy(col("cluster"), col("pos"))
+      .agg((sum(col("__gvf").cast("string").cast("decimal(28,18)")).cast("double") /
+        count(lit(1))).as("__gc"))
+    val dv = col("__gvf").cast("double") - col("__gc")
+    val perVec = members.join(broadcast(cents), Seq("cluster", "pos"))
+      .groupBy(col(id), col("cluster"))
+      .agg(sum(absorb(dv * dv)).as("__gd"))
+    perVec.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__gd")).cast("string").cast("double").as("sse"))
+  }
+
   private def centroidsToDf(spark: SparkSession, centroids: Seq[(Int, Seq[Float])]): DataFrame = {
     import spark.implicits._
     centroids.toDF("cluster_id", "centroid")

@@ -430,6 +430,17 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains("completely unrelated text"))
   }
 
+  test("excerptSpans: first position and non-overlapping occurrence count, no regex misfires") {
+    val corpus = Seq(
+      (1L, "abcNEEDLE(x)zzNEEDLE(x)"), // metachars in the excerpt
+      (2L, "clean text without the excerpt"),
+    ).toDF("doc_id", "text")
+    val ex = Seq(Tuple1("NEEDLE(x)")).toDF("excerpt")
+    val out = Curation.excerptSpans(corpus, "doc_id", col("text"), ex, "excerpt")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+    assert(out.toSeq == Seq(1L -> ((4L, 2L))))
+  }
+
   test("goodTuring: hand-checked spectrum, smoothed counts, and unseen mass") {
     // token counts: a:2, b:1, c:1 -> spectrum N1=2, N2=1; N=4
     val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")

@@ -513,6 +513,20 @@ class FeaturesSpec extends SparkSpec {
     assert(counts(("tiny", "test")) == 1)
   }
 
+  test("groupKFold: identical groups always share a fold; folds stay in range") {
+    val df = Seq((1L, "ga"), (2L, "ga"), (3L, "gb"), (4L, "gc"), (5L, "gb"))
+      .toDF("id", "grp")
+    val out = Features.groupKFold(df, "grp", k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val byGroup = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet).toMap
+    assert(byGroup.values.forall(_.size == 1)) // one fold per group
+    assert(out.forall(r => r._3 >= 0 && r._3 < 3))
+    val ex = intercept[IllegalArgumentException] {
+      Features.groupKFold(df, "grp", k = 1)
+    }
+    assert(ex.getMessage.contains("k >= 2"))
+  }
+
   test("balancedSample: every class downsamples to the min class count, deterministically") {
     val df = Seq(
       ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 5L),

@@ -440,6 +440,19 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("k >= 2"))
   }
 
+  test("kmeansQuality: hand-checked per-cluster counts and SSE") {
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(10.0f, 10.0f)),
+      (3L, Seq(1.0f, 0.0f)), (4L, Seq(9.0f, 10.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansQuality(df, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // cluster 0: members (0,0),(1,0), centroid (0.5,0) -> SSE 0.5
+    // cluster 1: members (10,10),(9,10), centroid (9.5,10) -> SSE 0.5
+    assert(out(0)._1 == 2L && math.abs(out(0)._2 - 0.5) < 1e-6)
+    assert(out(1)._1 == 2L && math.abs(out(1)._2 - 0.5) < 1e-6)
+  }
+
   test("pcaProject: rank-1 cloud projects to its centered coordinates along the PC") {
     val df = Seq(
       (1L, Seq(3.0f, 4.0f)), (2L, Seq(6.0f, 8.0f)),

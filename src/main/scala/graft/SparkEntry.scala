@@ -2321,6 +2321,19 @@ object SparkEntry {
     Curation.excerptSpans(docs, "doc_id", col("text"), excerpts, "excerpt")
   }
 
+  /** #232 multinomial naive Bayes with add-1 smoothing: per-doc source
+   *  attribution (train = predict corpus, the separability readout) —
+   *  decimal-summed log scores, exact-decimal argmax (q210 rule). */
+  private def q232NaiveBayes(s: SparkSession, dir: String): DataFrame =
+    Curation.naiveBayesSource(t(s, dir).documents, "doc_id", "source", "text")
+
+  /** #233 BM25 top-10 against the corpus's own top-3 tokens — the
+   *  retrieval-ranking primitive one step past q70's raw TF-IDF;
+   *  ranks on the exact decimal score, doc-id tiebreak. */
+  private def q233Bm25(s: SparkSession, dir: String): DataFrame =
+    Curation.bm25TopK(t(s, dir).documents, "doc_id", "text",
+      nTerms = 3, k = 10)
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2555,6 +2568,8 @@ object SparkEntry {
     "q229_kmeans_quality"   -> (q229KmeansQuality _),
     "q230_group_kfold"      -> (q230GroupKfold _),
     "q231_contam_spans"     -> (q231ContamSpans _),
+    "q232_naive_bayes"      -> (q232NaiveBayes _),
+    "q233_bm25"             -> (q233Bm25 _),
   )
 
   private val monthCaseSql: String =
@@ -5019,5 +5034,60 @@ object SparkEntry {
         "CAST(CAST(len(d.text) - len(replace(d.text, f.excerpt, '')) AS DOUBLE) " +
         "/ CAST(len(f.excerpt) AS DOUBLE) AS BIGINT) AS n_occ " +
         "FROM documents d JOIN f ON strpos(d.text, f.excerpt) > 0"),
+    "q232_naive_bayes" ->
+      // add-1 smoothed log scores: each ln float-absorbed +
+      // DECIMAL(28,18)-summed per (doc, class); argmax on the EXACT
+      // decimal with the class tiebreak (q210 rule)
+      ("WITH tk AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents), " +
+        "c AS (SELECT source AS cls, tok, CAST(COUNT(*) AS BIGINT) AS c " +
+        "FROM tk GROUP BY 1, 2), " +
+        "ct AS (SELECT cls, CAST(SUM(c) AS BIGINT) AS t FROM c GROUP BY 1), " +
+        "vv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM c), " +
+        "dpc AS (SELECT source AS cls, CAST(COUNT(*) AS BIGINT) AS nc FROM documents GROUP BY 1), " +
+        "nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents), " +
+        "sc AS (SELECT tk.doc_id, ct.cls, " +
+        "SUM(CAST(CAST(CAST(CAST(ln(" +
+        "CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / CAST(ct.t + vv.v AS DOUBLE)" +
+        ") AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))) AS s " +
+        "FROM tk CROSS JOIN ct CROSS JOIN vv " +
+        "LEFT JOIN c ON c.cls = ct.cls AND c.tok = tk.tok " +
+        "GROUP BY 1, 2), " +
+        "pr AS (SELECT dpc.cls, CAST(CAST(CAST(CAST(ln(" +
+        "CAST(dpc.nc AS DOUBLE) / CAST(nd.n AS DOUBLE)" +
+        ") AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18)) AS p FROM dpc, nd), " +
+        "best AS (SELECT doc_id, cls FROM (" +
+        "SELECT sc.doc_id, sc.cls, ROW_NUMBER() OVER (PARTITION BY sc.doc_id " +
+        "ORDER BY sc.s + pr.p DESC, sc.cls ASC) AS rk " +
+        "FROM sc JOIN pr ON pr.cls = sc.cls) WHERE rk = 1) " +
+        "SELECT d.doc_id, d.source AS actual, best.cls AS predicted, " +
+        "d.source = best.cls AS correct " +
+        "FROM documents d JOIN best ON best.doc_id = d.doc_id"),
+    "q233_bm25" ->
+      // idf float-absorbed; per-term scores fixed IEEE; the per-doc sum
+      // and the top-k ordering both on the exact DECIMAL(28,18) image
+      ("WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tk GROUP BY 1), " +
+        "st AS (SELECT CAST(SUM(dl) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n FROM dl), " +
+        "qt AS (SELECT tok FROM (SELECT tok, COUNT(*) AS tc FROM tk GROUP BY 1 " +
+        "ORDER BY tc DESC, tok ASC LIMIT 3)), " +
+        "tf AS (SELECT doc_id, tk.tok, CAST(COUNT(*) AS BIGINT) AS tf " +
+        "FROM tk JOIN qt ON qt.tok = tk.tok GROUP BY 1, 2), " +
+        "dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1), " +
+        "idf AS (SELECT tok, st.n, st.total, " +
+        "CAST(CAST(ln((CAST(st.n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / " +
+        "(CAST(df AS DOUBLE) + 0.5) + CAST(1 AS DOUBLE)) AS REAL) AS DOUBLE) AS idf " +
+        "FROM dfq, st), " +
+        "pd AS (SELECT tf.doc_id, SUM(CAST(CAST(CAST(CAST(" +
+        "idf.idf * (CAST(tf.tf AS DOUBLE) * CAST('2.2' AS DOUBLE)) / " +
+        "(CAST(tf.tf AS DOUBLE) + CAST('1.2' AS DOUBLE) * (CAST('0.25' AS DOUBLE) + " +
+        "CAST('0.75' AS DOUBLE) * CAST(dl.dl AS DOUBLE) / " +
+        "(CAST(idf.total AS DOUBLE) / CAST(idf.n AS DOUBLE))))" +
+        " AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))) AS s " +
+        "FROM tf JOIN idf ON idf.tok = tf.tok JOIN dl ON dl.doc_id = tf.doc_id " +
+        "GROUP BY 1) " +
+        "SELECT doc_id, CAST(CAST(s AS VARCHAR) AS DOUBLE) AS bm25, CAST(rk AS INT) AS rank FROM (" +
+        "SELECT doc_id, s, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id ASC) AS rk FROM pd) " +
+        "WHERE rk <= 10"),
   )
 }

@@ -935,6 +935,128 @@ object Curation {
           .cast("double") / length(ex).cast("double")).cast("long").as("n_occ"))
   }
 
+  /**
+   * Multinomial naive-Bayes source attribution with add-1 smoothing —
+   * the classical lightweight text classifier curation pipelines run
+   * at corpus scale (the Wikipedia-vs-crawl quality filter shape):
+   * train per-class token counts, score every document by
+   * ln(prior) + Σ_occurrences ln((c+1)/(T_c+V)), emit the argmax
+   * class next to the true one. Trains and predicts on the same
+   * corpus here — the self-attribution readout that measures how
+   * separable the sources are.
+   *
+   * Determinism: every ln routes through FLOAT and sums via its
+   * DECIMAL(28,18) string image per (doc, class) — the q197 order-free
+   * contract — and the argmax compares those EXACT decimal scores
+   * with a class tiebreak (q210's decimal-at-the-edge rule).
+   * Probability ratios are exact-ints-to-one-division doubles.
+   *
+   * Scale: token counts and class totals are vocabulary-sized and
+   * broadcast; scoring is one (class, token)-keyed left join over the
+   * doc-token frame crossed with the \|classes\|-row frame — corpus ×
+   * \|classes\| rows, map-side-combinable into per-(doc, class) sums,
+   * then one rank window over \|classes\| candidates per doc.
+   */
+  def naiveBayesSource(
+      docs: DataFrame, id: String, classCol: String, textCol: String): DataFrame = {
+    def absorb(c: Column) =
+      c.cast("float").cast("double").cast("string").cast("decimal(28,18)")
+    val toks = docs.select(col(id), col(classCol).as("__gtrue"),
+      explode(split(col(textCol), " ")).as("__gtok"))
+    val counts = toks.groupBy(col("__gtrue").as("__gcls"), col("__gtok"))
+      .agg(count(lit(1)).as("__gc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val classTotals = counts.groupBy(col("__gcls")).agg(sum(col("__gc")).as("__gT"))
+    val vocab = counts.select(col("__gtok")).distinct().agg(count(lit(1)).as("__gV"))
+    val docsPerClass = docs.groupBy(col(classCol).as("__gcls"))
+      .agg(count(lit(1)).as("__gnc"))
+    val nDocs = docs.agg(count(lit(1)).as("__gnd"))
+    val classes = classTotals.join(broadcast(docsPerClass), "__gcls")
+      .crossJoin(broadcast(vocab)).crossJoin(broadcast(nDocs))
+    val scored = toks.select(col(id), col("__gtok"))
+      .crossJoin(broadcast(classes))
+      .join(broadcast(counts),
+        Seq("__gcls", "__gtok"), "left")
+      .select(col(id), col("__gcls"),
+        absorb(log((coalesce(col("__gc"), lit(0L)) + 1).cast("double") /
+          (col("__gT") + col("__gV")).cast("double"))).as("__gterm"))
+      .groupBy(col(id), col("__gcls"))
+      .agg(sum(col("__gterm")).as("__gsum"))
+    val priors = classes.select(col("__gcls"),
+      absorb(log(col("__gnc").cast("double") / col("__gnd").cast("double")))
+        .as("__gprior"))
+    val full = scored.join(broadcast(priors), "__gcls")
+      .withColumn("__gscore", col("__gsum") + col("__gprior"))
+    val best = full.withColumn("__grk", row_number().over(
+      Window.partitionBy(col(id))
+        .orderBy(col("__gscore").desc, col("__gcls").asc)))
+      .filter(col("__grk") === 1)
+      .select(col(id), col("__gcls").as("predicted"))
+    docs.select(col(id), col(classCol).as("actual"))
+      .join(best, id)
+      .withColumn("correct", col("actual") === col("predicted"))
+  }
+
+  /**
+   * BM25 retrieval scoring (Robertson/Sparck-Jones, k1/b defaults)
+   * against a deterministic query — here the corpus's own top-`nTerms`
+   * tokens (count desc, token asc), so the query needs no external
+   * input: the ranking primitive behind retrieval-based curation and
+   * eval-set mining, one step past q70's raw TF-IDF.
+   *
+   * Determinism: idf = ln((N − df + ½)/(df + ½) + 1) routes through
+   * FLOAT (q70 libm contract); each term's score is a fixed IEEE
+   * sequence over exact ints (tf, dl) and one avgdl division; the
+   * per-doc sum runs over DECIMAL(28,18) images of the ≤`nTerms`
+   * term scores, and the top-k ranks on that EXACT decimal with a
+   * doc-id tiebreak before the score re-emerges as a double.
+   *
+   * Scale: the query-term frame (with df and idf) is `nTerms` rows —
+   * broadcast against the doc-token counts keyed by token; doc
+   * lengths ride a second broadcastable frame; one rank window
+   * bounded by the top-k filter.
+   */
+  def bm25TopK(
+      docs: DataFrame, id: String, textCol: String,
+      nTerms: Int, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(nTerms >= 1 && k >= 1, "bm25TopK needs nTerms >= 1 and k >= 1")
+    def absorb(c: Column) =
+      c.cast("float").cast("double").cast("string").cast("decimal(28,18)")
+    val toks = docs.select(col(id), explode(split(col(textCol), " ")).as("__gtok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = toks.groupBy(col(id)).agg(count(lit(1)).as("__gdl"))
+    val stats = dl.agg(sum(col("__gdl")).as("__gtotal"), count(lit(1)).as("__gn"))
+    val terms = toks.groupBy(col("__gtok")).agg(count(lit(1)).as("__gtc"))
+      .orderBy(col("__gtc").desc, col("__gtok").asc).limit(nTerms)
+      .select(col("__gtok"))
+    val tf = toks.join(broadcast(terms), "__gtok")
+      .groupBy(col(id), col("__gtok")).agg(count(lit(1)).as("__gtf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // df = rows per token of the (doc, term) frame — no second corpus pass
+    val df_ = tf.groupBy(col("__gtok")).agg(count(lit(1)).as("__gdf"))
+    val withIdf = df_.crossJoin(broadcast(stats))
+      .select(col("__gtok"),
+        col("__gn"), col("__gtotal"),
+        log((col("__gn").cast("double") - col("__gdf").cast("double") + lit(0.5)) /
+          (col("__gdf").cast("double") + lit(0.5)) + lit(1.0))
+          .cast("float").cast("double").as("__gidf"))
+    val avgdl = col("__gtotal").cast("double") / col("__gn").cast("double")
+    val tfD = col("__gtf").cast("double")
+    val termScore = col("__gidf") * (tfD * lit(k1 + 1.0)) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("__gdl").cast("double") / avgdl))
+    val perDoc = tf.join(broadcast(withIdf), "__gtok")
+      .join(dl, id)
+      .groupBy(col(id))
+      .agg(sum(absorb(termScore)).as("__gscore"))
+    // distributed top-k FIRST (TakeOrdered on the exact decimal), then
+    // the rank window touches only k rows — never a global sort window
+    perDoc.orderBy(col("__gscore").desc, col(id).asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("__gscore").desc, col(id).asc)))
+      .select(col(id), col("__gscore").cast("string").cast("double").as("bm25"),
+        col("rank"))
+  }
+
   /** Remove flagged-contaminated documents from the corpus (anti-join
    *  against the small flag set — broadcast in the common case). */
   def decontaminate(

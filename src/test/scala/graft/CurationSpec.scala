@@ -441,6 +441,32 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L -> ((4L, 2L))))
   }
 
+  test("naiveBayesSource attributes clearly separable sources correctly") {
+    val docs = Seq(
+      (1L, "A", "x x x"), (2L, "A", "x y x"),
+      (3L, "B", "z z w"), (4L, "B", "z w z"),
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.naiveBayesSource(docs, "doc_id", "source", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getBoolean(3))))
+      .toMap
+    assert(out.size == 4)
+    assert(out.values.forall(_._3), s"misattributed: $out")
+    assert(out(1L)._2 == "A" && out(3L)._2 == "B")
+  }
+
+  test("bm25TopK ranks term-dense short docs first and skips docs without the query terms") {
+    val docs = Seq(
+      (1L, "a a b"),        // no 'c': never scored
+      (2L, "a c"),          // one 'c'
+      (3L, "c c c"),        // dense in 'c'
+    ).toDF("doc_id", "text")
+    // top-1 corpus token is 'c' (4 occurrences vs 3 for 'a')
+    val out = Curation.bm25TopK(docs, "doc_id", "text", nTerms = 1, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(out.map(_._1).toSet == Set(2L, 3L))
+    assert(out.find(_._1 == 3L).get._2 == 1) // densest doc ranks first
+  }
+
   test("goodTuring: hand-checked spectrum, smoothed counts, and unseen mass") {
     // token counts: a:2, b:1, c:1 -> spectrum N1=2, N2=1; N=4
     val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")

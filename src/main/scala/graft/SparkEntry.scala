@@ -2334,6 +2334,36 @@ object SparkEntry {
     Curation.bm25TopK(t(s, dir).documents, "doc_id", "text",
       nTerms = 3, k = 10)
 
+  /** #234 nearest-centroid (Rocchio) classification: every vector vs
+   *  EVERY class centroid, argmax cosine — the cheapest embedding
+   *  classifier, the baseline under q167's k-NN. */
+  private def q234NearestCentroid(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearestCentroid(t(s, dir).embeddings, "vec_id", "label", "embedding")
+
+  /** #235 view→purchase conversion latency: exact first-step/next-step
+   *  gaps per user, count + p50/p90 over the converted population —
+   *  the how-long answer beside q108's how-many. */
+  private def q235FunnelLatency(s: SparkSession, dir: String): DataFrame =
+    Events.stepLatency(
+      t(s, dir).events.withColumn("ts_us", unix_micros(col("ts"))),
+      "user_id", "ts_us",
+      col("event_type") === "view", col("event_type") === "purchase",
+      Seq(0.5, 0.9))
+
+  /** #236 Theil-Sen robust monthly revenue trend per market segment:
+   *  the median of all pairwise slopes — the estimator one wild month
+   *  can't drag, beside q191's least-squares line. */
+  private def q236TheilSen(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir)
+    val monthly = tt.orders
+      .join(broadcast(tt.customer.select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment"))), "o_custkey")
+      .groupBy(col("c_mktsegment"), trunc(col("o_orderdate"), "mm").as("month"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("revenue"))
+    Events.theilSen(monthly, Seq("c_mktsegment"),
+      year(col("month")) * 12 + month(col("month")), "revenue")
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2570,6 +2600,9 @@ object SparkEntry {
     "q231_contam_spans"     -> (q231ContamSpans _),
     "q232_naive_bayes"      -> (q232NaiveBayes _),
     "q233_bm25"             -> (q233Bm25 _),
+    "q234_nearest_centroid" -> (q234NearestCentroid _),
+    "q235_funnel_latency"   -> (q235FunnelLatency _),
+    "q236_theil_sen"        -> (q236TheilSen _),
   )
 
   private val monthCaseSql: String =
@@ -5089,5 +5122,56 @@ object SparkEntry {
         "SELECT doc_id, CAST(CAST(s AS VARCHAR) AS DOUBLE) AS bm25, CAST(rk AS INT) AS rank FROM (" +
         "SELECT doc_id, s, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id ASC) AS rk FROM pd) " +
         "WHERE rk <= 10"),
+    "q234_nearest_centroid" ->
+      // q222's per-(vector, class) cosine recipe fanned out over ALL
+      // classes; argmax on the engine-identical doubles, class tiebreak
+      ("WITH c AS (SELECT label, " +
+        "unnest(generate_series(0, len(embedding) - 1)) AS pos, " +
+        "unnest(embedding) AS v FROM embeddings), " +
+        "m AS (SELECT label, pos, " +
+        "CAST(CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) " +
+        "/ COUNT(*) AS cm FROM c GROUP BY 1, 2), " +
+        "x AS (SELECT vec_id, " +
+        "unnest(generate_series(0, len(v2) - 1)) AS pos, unnest(v2) AS v FROM (" +
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v2 FROM embeddings)), " +
+        "j AS (SELECT x.vec_id, m.label AS cl, " +
+        "SUM(CAST(CAST(CAST(CAST(x.v * m.cm AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))) AS dot, " +
+        "SUM(CAST(CAST(CAST(CAST(x.v * x.v AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))) AS nv, " +
+        "SUM(CAST(CAST(CAST(CAST(m.cm * m.cm AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))) AS nc " +
+        "FROM x JOIN m ON x.pos = m.pos GROUP BY 1, 2), " +
+        "s AS (SELECT vec_id, cl, " +
+        "CASE WHEN CAST(CAST(nv AS VARCHAR) AS DOUBLE) > 0 AND CAST(CAST(nc AS VARCHAR) AS DOUBLE) > 0 " +
+        "THEN CAST(CAST(dot AS VARCHAR) AS DOUBLE) / " +
+        "(sqrt(CAST(CAST(nv AS VARCHAR) AS DOUBLE)) * sqrt(CAST(CAST(nc AS VARCHAR) AS DOUBLE))) " +
+        "END AS cs FROM j), " +
+        "best AS (SELECT vec_id, cl FROM (SELECT vec_id, cl, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC NULLS LAST, cl ASC) AS rk " +
+        "FROM s) WHERE rk = 1) " +
+        "SELECT e.vec_id, e.label AS actual, best.cl AS predicted, " +
+        "e.label = best.cl AS correct " +
+        "FROM embeddings e JOIN best ON best.vec_id = e.vec_id"),
+    "q235_funnel_latency" ->
+      // exact epoch-µs gaps; quantile_cont is bit-equal to Spark's
+      // percentile (q40 contract)
+      ("WITH t0 AS (SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events " +
+        "WHERE event_type = 'view' GROUP BY 1), " +
+        "g AS (SELECT e.user_id, MIN(epoch_us(e.ts)) - MAX(t0.t0) AS gap " +
+        "FROM events e JOIN t0 ON t0.user_id = e.user_id " +
+        "WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t0.t0 GROUP BY 1) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_converted, " +
+        "quantile_cont(gap, 0.5) AS p50_us, quantile_cont(gap, 0.9) AS p90_us FROM g"),
+    "q236_theil_sen" ->
+      // pairwise slopes: exact-decimal y differences widen via the
+      // VARCHAR detour, exact-long x differences, one IEEE division
+      // each; median = quantile_cont (q40 contract)
+      ("WITH mth AS (SELECT c_mktsegment, date_trunc('month', o_orderdate) AS month, " +
+        "SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2), " +
+        "b AS (SELECT c_mktsegment, year(month) * 12 + month(month) AS x, revenue AS y FROM mth), " +
+        "p AS (SELECT a.c_mktsegment, " +
+        "CAST(CAST(bb.y - a.y AS VARCHAR) AS DOUBLE) / CAST(bb.x - a.x AS DOUBLE) AS slope " +
+        "FROM b a JOIN b bb ON a.c_mktsegment = bb.c_mktsegment AND a.x < bb.x) " +
+        "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "quantile_cont(slope, 0.5) AS slope FROM p GROUP BY 1"),
   )
 }

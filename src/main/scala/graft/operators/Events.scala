@@ -848,4 +848,75 @@ object Events {
       .select(col("t"), col("n_risk"), col("n_event"), col("n_censored"),
         col("survival"))
   }
+
+  /**
+   * Step-to-step conversion latency: for every subject whose first
+   * `fromStep` event precedes a later `toStep` event, the gap between
+   * the first `fromStep` and the first `toStep` AFTER it — then the
+   * count and exact latency percentiles over the converted
+   * population. The "how long does view→purchase take" answer next
+   * to [[funnel]]'s how-many.
+   *
+   * Determinism: timestamps are exact epoch-µs longs; the gap is an
+   * exact integer; `percentile` interpolation is bit-equal to
+   * DuckDB's `quantile_cont` (the q40 contract).
+   *
+   * Scale: two aggregations on the subject key — the first-from frame
+   * joins back on the SAME key (the exchange is reused), and the
+   * percentile runs over the ≤\|subjects\| gap frame, never raw
+   * events.
+   */
+  def stepLatency(
+      df: DataFrame, subject: String, tsUsCol: String,
+      fromPred: Column, toPred: Column,
+      percentiles: Seq[Double]): DataFrame = {
+    require(percentiles.nonEmpty, "stepLatency needs at least one percentile")
+    val t0 = df.filter(fromPred)
+      .groupBy(col(subject)).agg(min(col(tsUsCol)).as("__gt0"))
+    val gaps = df.filter(toPred)
+      .join(t0, subject)
+      .filter(col(tsUsCol) > col("__gt0"))
+      .groupBy(col(subject))
+      .agg((min(col(tsUsCol)) - max(col("__gt0"))).as("__ggap"))
+    val pcts = percentiles.map { p =>
+      expr(s"percentile(__ggap, $p)").as(s"p${(p * 100).round}_us")
+    }
+    gaps.agg(count(lit(1)).as("n_converted"), pcts: _*)
+  }
+
+  /**
+   * Theil-Sen robust trend per key: the MEDIAN of all pairwise slopes
+   * (y_j − y_i)/(x_j − x_i) over the key's series — the slope
+   * estimator one wild month can't drag, next to [[trendOls]]'s
+   * least-squares line (which a single outlier owns). Intended for
+   * AGGREGATED per-key series (monthly rollups), where the pairwise
+   * frame is bounded by the series length squared — tiny — never for
+   * raw fact rows.
+   *
+   * Determinism: y differences subtract in exact decimal and widen to
+   * double once (the q72 decimal→double pairing: Spark's correctly
+   * rounded cast mirrors DuckDB's VARCHAR detour); x differences are
+   * exact longs; each slope is ONE IEEE division; the median is the
+   * bit-equal `percentile`/`quantile_cont` pair (q40).
+   */
+  def theilSen(
+      df: DataFrame, keys: Seq[String], xCol: Column, valueCol: String,
+      scale: Int = 4): DataFrame = {
+    require(keys.nonEmpty,
+      "theilSen needs partition keys: the pair frame must stay per-key bounded")
+    val base = df.select(keys.map(col) :+ xCol.cast("long").as("__gx") :+
+      col(valueCol).cast(s"decimal(22,$scale)").as("__gy"): _*)
+      .filter(col("__gx").isNotNull && col("__gy").isNotNull)
+    val a = base.select(keys.map(col) :+ col("__gx").as("__gxa") :+
+      col("__gy").as("__gya"): _*)
+    val b = base.select(keys.map(col) :+ col("__gx").as("__gxb") :+
+      col("__gy").as("__gyb"): _*)
+    val pairs = a.join(b, keys).filter(col("__gxa") < col("__gxb"))
+      .select(keys.map(col) :+
+        ((col("__gyb") - col("__gya")).cast("double") /
+          (col("__gxb") - col("__gxa")).cast("double")).as("__gslope"): _*)
+    pairs.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(__gslope, 0.5D)").as("slope"))
+  }
 }

@@ -798,6 +798,52 @@ object Similarity {
         sum(col("__gd")).cast("string").cast("double").as("sse"))
   }
 
+  /**
+   * Nearest-centroid (Rocchio) classification: every vector scored by
+   * cosine against EVERY class's mean-embedding centroid, argmax wins
+   * — the cheapest embedding classifier (one centroid per class, no
+   * neighbor search), the natural baseline under q167's k-NN; emitted
+   * next to the true label as a separability readout. Extends
+   * [[centroidCosine]] from own-class scoring to the full class set.
+   *
+   * Determinism: the q222 recipe per (vector, class) — exact-decimal
+   * centroids, float-absorbed + decimal-summed dot/norm terms, one
+   * fixed IEEE cosine — gives engine-identical doubles, so the argmax
+   * (cosine desc NULLS LAST, class asc) orders identically; zero-norm
+   * scores are NULL and lose to any real score.
+   *
+   * Scale: centroid frame is \|classes\|·d rows, broadcast; scoring
+   * is the pos-keyed join fanned out over classes (corpus ×
+   * \|classes\| term rows, map-side-combined), then one rank window
+   * over \|classes\| candidates per vector.
+   */
+  def nearestCentroid(
+      df: DataFrame, id: String, labelCol: String, vecCol: String): DataFrame = {
+    def absorb(c: Column) =
+      c.cast("float").cast("double").cast("string").cast("decimal(28,18)")
+    def d(c: String) = col(c).cast("string").cast("double")
+    val cent = meanEmbedding(df, labelCol, vecCol)
+      .select(col(labelCol).as("__gcl"), col("pos"), col("mean").as("__gc"))
+    val vecs = df.select(col(id),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "__gv")))
+    val m = vecs.join(broadcast(cent), "pos")
+      .groupBy(col(id), col("__gcl")).agg(
+        sum(absorb(col("__gv") * col("__gc"))).as("__gdot"),
+        sum(absorb(col("__gv") * col("__gv"))).as("__gnv"),
+        sum(absorb(col("__gc") * col("__gc"))).as("__gnc"))
+    val scored = m.select(col(id), col("__gcl"),
+      when(d("__gnv") > 0 && d("__gnc") > 0,
+        d("__gdot") / (sqrt(d("__gnv")) * sqrt(d("__gnc")))).as("__gcos"))
+    val best = scored.withColumn("__grk", row_number().over(
+      Window.partitionBy(col(id))
+        .orderBy(col("__gcos").desc_nulls_last, col("__gcl").asc)))
+      .filter(col("__grk") === 1)
+      .select(col(id), col("__gcl").as("predicted"))
+    df.select(col(id), col(labelCol).as("actual"))
+      .join(best, id)
+      .withColumn("correct", col("actual") === col("predicted"))
+  }
+
   private def centroidsToDf(spark: SparkSession, centroids: Seq[(Int, Seq[Float])]): DataFrame = {
     import spark.implicits._
     centroids.toDF("cluster_id", "centroid")

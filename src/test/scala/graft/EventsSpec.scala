@@ -529,6 +529,28 @@ class EventsSpec extends SparkSpec {
     assert(out(1)._2 == 0.0)
   }
 
+  test("stepLatency: only strictly-after conversions count; exact gap percentiles") {
+    val ev = Seq(
+      (1L, 100L, "view"), (1L, 300L, "purchase"),  // converts, gap 200
+      (2L, 100L, "view"), (2L, 50L, "purchase"),   // purchase BEFORE view
+      (3L, 10L, "purchase"),                        // never viewed
+      (4L, 0L, "view"), (4L, 400L, "purchase"), (4L, 900L, "purchase"), // first purchase counts
+    ).toDF("user_id", "ts_us", "event_type")
+    val r = Events.stepLatency(ev, "user_id", "ts_us",
+      col("event_type") === "view", col("event_type") === "purchase",
+      Seq(0.5)).collect().head
+    assert(r.getLong(0) == 2L)                 // users 1 and 4
+    assert(r.getDouble(1) == 300.0)            // median of {200, 400}
+  }
+
+  test("theilSen: one wild point cannot drag the median slope") {
+    val pts = Seq((0L, 0.0), (1L, 2.0), (2L, 4.0), (3L, 6.0), (4L, 0.0))
+      .map { case (x, y) => ("k", x, y) }.toDF("key", "x", "y")
+    val r = Events.theilSen(pts, Seq("key"), col("x"), "y").collect().head
+    assert(r.getLong(1) == 10L)   // C(5,2) pairs
+    assert(r.getDouble(2) == 2.0) // median slope ignores the outlier
+  }
+
   test("acfMulti: linear series is ACF 1 at every estimable lag; single-pair lags are NULL; lag 1 matches autocorr") {
     val series = Seq((1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0))
       .map { case (i, v) => ("k", i, v) }.toDF("key", "i", "v")

@@ -440,6 +440,18 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("k >= 2"))
   }
 
+  test("nearestCentroid attributes separable classes and reports correctness") {
+    val df = Seq(
+      (1L, "g", Seq(1.0f, 0.0f)), (2L, "g", Seq(1.0f, 0.1f)),
+      (3L, "h", Seq(0.0f, 1.0f)), (4L, "h", Seq(0.1f, 1.0f)),
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.nearestCentroid(df, "vec_id", "label", "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(3)))).toMap
+    assert(out.size == 4)
+    assert(out.values.forall(_._2), s"misattributed: $out")
+    assert(out(1L)._1 == "g" && out(3L)._1 == "h")
+  }
+
   test("kmeansQuality: hand-checked per-cluster counts and SSE") {
     val df = Seq(
       (1L, Seq(0.0f, 0.0f)), (2L, Seq(10.0f, 10.0f)),

@@ -2364,6 +2364,25 @@ object SparkEntry {
       year(col("month")) * 12 + month(col("month")), "revenue")
   }
 
+  private val logitFeatures = Seq(
+    "x_qty" -> (col("l_quantity") / lit(50.0)),
+    "x_disc" -> col("l_discount"))
+
+  /** #237 logistic regression by 3 fixed batch-GD iterations on
+   *  lineitem (return-flag propensity from quantity/discount):
+   *  decimal-routed gradients, float-image sigmoids — weights replay
+   *  bit-identically in the oracle's unrolled CTEs (q209/q224/q228
+   *  contract). */
+  private def q237LogisticGd(s: SparkSession, dir: String): DataFrame =
+    Features.logisticGd(t(s, dir).lineitem, logitFeatures,
+      col("l_returnflag") === "R", lr = 1.0, iters = 3)
+
+  /** #238 q237's model evaluated on its training frame: exact-count
+   *  accuracy at 0.5 and decimal-summed mean log-loss. */
+  private def q238LogisticEval(s: SparkSession, dir: String): DataFrame =
+    Features.logisticEval(t(s, dir).lineitem, logitFeatures,
+      col("l_returnflag") === "R", lr = 1.0, iters = 3)
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2603,6 +2622,8 @@ object SparkEntry {
     "q234_nearest_centroid" -> (q234NearestCentroid _),
     "q235_funnel_latency"   -> (q235FunnelLatency _),
     "q236_theil_sen"        -> (q236TheilSen _),
+    "q237_logistic_gd"      -> (q237LogisticGd _),
+    "q238_logistic_eval"    -> (q238LogisticEval _),
   )
 
   private val monthCaseSql: String =
@@ -2678,6 +2699,41 @@ object SparkEntry {
    *  decimal-routed squared distances, exact-decimal argmin with the
    *  cid tiebreak, q72-recipe centroid means — bit-identical
    *  assignments by induction (the q209/q224 argument). */
+  /** Unrolled batch-GD CTEs for q237/q238, mirroring
+   *  [[graft.operators.Features.logisticWeights]] term for term:
+   *  float-image sigmoids, float-absorbed + DECIMAL(28,18)-summed
+   *  gradient terms, string-detoured means, fixed IEEE updates —
+   *  weight vectors identical by induction. Exposes `d` (the feature
+   *  frame) and `w{iters}` (the trained weights). */
+  private def logisticCtes(iters: Int): String = {
+    def absorb(e: String) =
+      s"CAST(CAST(CAST(CAST($e AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))"
+    def sig(w: String) =
+      s"CAST(CAST(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + " +
+        s"exp(-($w.w0 + $w.w1 * d.x1 + $w.w2 * d.x2))) AS REAL) AS DOUBLE)"
+    val head =
+      "WITH d AS (SELECT l_quantity / CAST(50 AS DOUBLE) AS x1, " +
+        "l_discount AS x2, " +
+        "CASE WHEN l_returnflag = 'R' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y " +
+        "FROM lineitem), " +
+        "w0t AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1, " +
+        "CAST(0 AS DOUBLE) AS w2), "
+    val iterCtes = (1 to iters).map { t =>
+      val w = if (t == 1) "w0t" else s"w${t - 1}t"
+      val s = sig(w)
+      val gs = Seq("CAST(1 AS DOUBLE)", "d.x1", "d.x2").zipWithIndex.map {
+        case (xj, j) =>
+          s"CAST(CAST(SUM(${absorb(s"($s - d.y) * $xj")}) AS VARCHAR) AS DOUBLE) / " +
+            s"CAST(COUNT(*) AS DOUBLE) AS g$j"
+      }.mkString(", ")
+      s"g$t AS (SELECT $gs FROM d CROSS JOIN $w), " +
+        s"w${t}t AS (SELECT w.w0 - CAST(1 AS DOUBLE) * g.g0 AS w0, " +
+        s"w.w1 - CAST(1 AS DOUBLE) * g.g1 AS w1, " +
+        s"w.w2 - CAST(1 AS DOUBLE) * g.g2 AS w2 FROM $w w, g$t g)"
+    }.mkString(", ")
+    head + iterCtes + " "
+  }
+
   private def kmeansCtes(k: Int, iters: Int): String = {
     def absorb(e: String) =
       s"CAST(CAST(CAST(CAST($e AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))"
@@ -5173,5 +5229,23 @@ object SparkEntry {
         "FROM b a JOIN b bb ON a.c_mktsegment = bb.c_mktsegment AND a.x < bb.x) " +
         "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
         "quantile_cont(slope, 0.5) AS slope FROM p GROUP BY 1"),
+    "q237_logistic_gd" ->
+      (logisticCtes(3) +
+        "SELECT 'bias' AS feature, w0 AS weight FROM w3t " +
+        "UNION ALL SELECT 'x_qty', w1 FROM w3t " +
+        "UNION ALL SELECT 'x_disc', w2 FROM w3t"),
+    "q238_logistic_eval" ->
+      (logisticCtes(3) +
+        ", sc AS (SELECT d.y, " +
+        "CAST(CAST(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + " +
+        "exp(-(w.w0 + w.w1 * d.x1 + w.w2 * d.x2))) AS REAL) AS DOUBLE) AS s " +
+        "FROM d CROSS JOIN w3t w) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN (s >= 0.5) = (y = 1) THEN 1 END) AS DOUBLE) / " +
+        "CAST(COUNT(*) AS DOUBLE) AS accuracy, " +
+        "CAST(CAST(SUM(CAST(CAST(CAST(CAST(" +
+        "-(y * ln(s) + (CAST(1 AS DOUBLE) - y) * ln(CAST(1 AS DOUBLE) - s))" +
+        " AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) / " +
+        "CAST(COUNT(*) AS DOUBLE) AS logloss FROM sc"),
   )
 }

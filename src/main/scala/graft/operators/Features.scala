@@ -920,6 +920,104 @@ object Features {
    * count window share the same partitioning.
    */
   /**
+   * Logistic regression by batch gradient descent with a FIXED
+   * iteration count — the linear-model primitive behind quality
+   * classifiers and propensity scores, expressed so every weight
+   * vector replays bit-identically in an external engine (the
+   * q209/q224/q228 unrolled-SQL contract). Returns one (feature,
+   * weight) row per coefficient, `bias` first.
+   *
+   * Determinism, by induction over iterations: w₀ = 0 exactly; each
+   * row's sigmoid σ(w·x) collapses to its FLOAT image (a ≤1-ulp
+   * cross-libm `exp` wobble is far below float precision); every
+   * gradient term (σ−y)·x_j absorbs to a FLOAT image and sums via
+   * DECIMAL(28,18) strings (q197 order-free contract); the mean
+   * gradient and the weight update are fixed IEEE sequences over
+   * string-detoured sums. The label is 0/1 exact; features should be
+   * modest-magnitude doubles (standardize first).
+   *
+   * Scale: ONE persisted pass frame; per iteration one crossJoin with
+   * the broadcast 1-row weight frame and one map-side-combinable
+   * aggregation — no driver-side math beyond plan literals.
+   */
+  def logisticGd(
+      df: DataFrame, features: Seq[(String, Column)], label: Column,
+      lr: Double, iters: Int): DataFrame = {
+    val wdf = logisticWeights(df, features, label, lr, iters)
+    val k = features.size
+    val names = "bias" +: features.map(_._1)
+    wdf.select(explode(array((0 to k).map { j =>
+      struct(lit(names(j)).as("feature"), col(s"__gw$j").as("weight"))
+    }: _*)).as("__gf"))
+      .select(col("__gf.feature").as("feature"), col("__gf.weight").as("weight"))
+  }
+
+  /** The trained 1-row weight frame behind [[logisticGd]] /
+   *  [[logisticEval]]: columns `__gw0..__gwK`. */
+  def logisticWeights(
+      df: DataFrame, features: Seq[(String, Column)], label: Column,
+      lr: Double, iters: Int): DataFrame = {
+    require(features.nonEmpty && iters >= 1,
+      "logisticGd needs at least one feature and iters >= 1")
+    val k = features.size
+    val data = df.select(
+      features.zipWithIndex.map { case ((_, c), i) => c.as(s"__gx${i + 1}") } :+
+        label.cast("double").as("__gy"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var wdf = data.sparkSession.range(1)
+      .select((0 to k).map(j => lit(0.0).as(s"__gw$j")): _*)
+    (1 to iters).foreach { _ =>
+      val z = (1 to k).foldLeft(col("__gw0")) { (acc, j) =>
+        acc + col(s"__gw$j") * col(s"__gx$j")
+      }
+      val sig = (lit(1.0) / (lit(1.0) + exp(-z))).cast("float").cast("double")
+      val grads = (0 to k).map { j =>
+        val xj = if (j == 0) lit(1.0) else col(s"__gx$j")
+        (sum(((sig - col("__gy")) * xj).cast("float").cast("double")
+          .cast("string").cast("decimal(28,18)"))
+          .cast("string").cast("double") /
+          count(lit(1)).cast("double")).as(s"__gg$j")
+      }
+      val g = data.crossJoin(broadcast(wdf)).agg(grads.head, grads.tail: _*)
+      wdf = wdf.crossJoin(broadcast(g)).select(
+        (0 to k).map(j =>
+          (col(s"__gw$j") - lit(lr) * col(s"__gg$j")).as(s"__gw$j")): _*)
+    }
+    wdf
+  }
+
+  /**
+   * Evaluation of [[logisticGd]]'s model on its training frame:
+   * accuracy at the 0.5 threshold (exact counts over engine-identical
+   * float-image scores) and mean log-loss (each −[y·ln σ + (1−y)·
+   * ln(1−σ)] float-absorbed + DECIMAL(28,18)-summed, one division) —
+   * one row: (n, accuracy, logloss).
+   */
+  def logisticEval(
+      df: DataFrame, features: Seq[(String, Column)], label: Column,
+      lr: Double, iters: Int): DataFrame = {
+    val k = features.size
+    val wdf = logisticWeights(df, features, label, lr, iters)
+    val data = df.select(
+      features.zipWithIndex.map { case ((_, c), i) => c.as(s"__gx${i + 1}") } :+
+        label.cast("double").as("__gy"): _*)
+    val z = (1 to k).foldLeft(col("__gw0")) { (acc, j) =>
+      acc + col(s"__gw$j") * col(s"__gx$j")
+    }
+    val sig = (lit(1.0) / (lit(1.0) + exp(-z))).cast("float").cast("double")
+    val ll = -(col("__gy") * log(col("__gsig")) +
+      (lit(1.0) - col("__gy")) * log(lit(1.0) - col("__gsig")))
+    data.crossJoin(broadcast(wdf))
+      .withColumn("__gsig", sig)
+      .agg(count(lit(1)).as("n"),
+        (sum(when((col("__gsig") >= 0.5) === (col("__gy") === 1.0), 1L))
+          .cast("double") / count(lit(1)).cast("double")).as("accuracy"),
+        (sum(ll.cast("float").cast("double").cast("string").cast("decimal(28,18)"))
+          .cast("string").cast("double") /
+          count(lit(1)).cast("double")).as("logloss"))
+  }
+
+  /**
    * Group-integrity k-fold assignment: every row of a GROUP (a domain,
    * a near-dup cluster, a user) lands in the SAME fold — the
    * cross-validation constructor whose absence is exactly what

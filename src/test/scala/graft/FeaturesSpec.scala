@@ -513,6 +513,23 @@ class FeaturesSpec extends SparkSpec {
     assert(counts(("tiny", "test")) == 1)
   }
 
+  test("logisticGd learns a separating direction; eval reports perfect accuracy on separable data") {
+    val df = Seq((-2.0, 0), (-1.0, 0), (1.0, 1), (2.0, 1))
+      .toDF("x", "y")
+    val feats = Seq("x" -> col("x"))
+    val w = Features.logisticGd(df, feats, col("y") === 1, lr = 1.0, iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(w.keySet == Set("bias", "x"))
+    assert(w("x") > 0.0) // positive direction separates
+    // symmetric data: the bias stays near zero
+    assert(math.abs(w("bias")) < 0.1)
+    val e = Features.logisticEval(df, feats, col("y") === 1, lr = 1.0, iters = 5)
+      .collect().head
+    assert(e.getLong(0) == 4L)
+    assert(e.getDouble(1) == 1.0)                       // separable
+    assert(e.getDouble(2) > 0.0 && e.getDouble(2) < 1.0) // finite logloss
+  }
+
   test("groupKFold: identical groups always share a fold; folds stay in range") {
     val df = Seq((1L, "ga"), (2L, "ga"), (3L, "gb"), (4L, "gc"), (5L, "gb"))
       .toDF("id", "grp")

@@ -979,9 +979,13 @@ object Features {
           count(lit(1)).cast("double")).as(s"__gg$j")
       }
       val g = data.crossJoin(broadcast(wdf)).agg(grads.head, grads.tail: _*)
+      // localCheckpoint truncates the iteration lineage (the q59/q62
+      // rule): an unpersisted weight chain would replay EVERY previous
+      // iteration's full-data gradient pass per consumer
       wdf = wdf.crossJoin(broadcast(g)).select(
         (0 to k).map(j =>
           (col(s"__gw$j") - lit(lr) * col(s"__gg$j")).as(s"__gw$j")): _*)
+        .localCheckpoint()
     }
     wdf
   }

@@ -626,12 +626,22 @@ object Similarity {
       .select(col("__gvid"), col("pos"),
         (col("__gv") - col("mean")).as("__gc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cov = centered.select(col("__gvid"), col("pos").as("__gi"), col("__gc").as("__gci"))
+    // the covariance is symmetric: aggregate only the upper triangle
+    // (i ≤ j — halves the decimal-summed term volume, the expensive
+    // part) and mirror the strict half afterwards; the mirrored value
+    // is the SAME aggregated double, so the full grid is bit-identical
+    // to aggregating both orders
+    val covUpper = centered
+      .select(col("__gvid"), col("pos").as("__gi"), col("__gc").as("__gci"))
       .join(centered.select(col("__gvid"), col("pos").as("__gj"), col("__gc").as("__gcj")),
-        "__gvid")
+        Seq("__gvid"))
+      .filter(col("__gi") <= col("__gj"))
       .groupBy(col("__gi"), col("__gj"))
       .agg((toD(sum(absorb(col("__gci") * col("__gcj")))) /
         count(lit(1)).cast("double")).as("__gcov"))
+    val cov = covUpper.unionByName(
+      covUpper.filter(col("__gi") < col("__gj"))
+        .select(col("__gj").as("__gi"), col("__gi").as("__gj"), col("__gcov")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // positions and the dimension count come off the PERSISTED cov
     // frame, so the means/centered lineage replays exactly once
@@ -641,11 +651,17 @@ object Similarity {
       (lit(1.0) / sqrt(lit(d.toDouble))).as("__gval"))
     var lastNorm: DataFrame = null
     (1 to iters).foreach { _ =>
+      // localCheckpoint truncates the per-iteration lineage (the q59/q62
+      // iterative-algorithm rule): without it every u/norm/v consumer
+      // replays ALL previous iterations' sub-DAGs as separate jobs —
+      // exponential in the iteration count even over a cached cov
       val u = cov.join(v, cov("__gj") === v("pos"))
         .groupBy(col("__gi"))
         .agg(toD(sum(absorb(col("__gcov") * col("__gval")))).as("__gu"))
+        .localCheckpoint()
       val norm = u.agg(
         sqrt(toD(sum(absorb(col("__gu") * col("__gu"))))).as("__gnorm"))
+        .localCheckpoint()
       v = u.crossJoin(broadcast(norm))
         .select(col("__gi").as("pos"),
           when(col("__gnorm") > 0, col("__gu") / col("__gnorm")).as("__gval"))
@@ -751,10 +767,14 @@ object Similarity {
     (1 to iters).foreach { t =>
       assigned = assign(cents)
       if (t < iters) {
+        // localCheckpoint truncates the iteration lineage (q59/q62
+        // rule) — the k·d centroid frame is tiny, and an unpersisted
+        // chain replays every earlier assignment per consumer
         cents = assigned.join(x, "__gvid")
           .groupBy(col("__gcid"), col("pos"))
           .agg((sum(col("__gvf").cast("string").cast("decimal(28,18)")).cast("double") /
             count(lit(1))).as("__gc"))
+          .localCheckpoint()
       }
     }
     assigned.select(col("__gvid").as(id), col("__gcid").as("cluster"))

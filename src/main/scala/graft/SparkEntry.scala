@@ -2383,6 +2383,21 @@ object SparkEntry {
     Features.logisticEval(t(s, dir).lineitem, logitFeatures,
       col("l_returnflag") === "R", lr = 1.0, iters = 3)
 
+  /** #239 vocabulary-coverage quantile per source: distinct tokens
+   *  (most-frequent-first) needed to cover 90% of occurrences — the
+   *  concentration dial beside q204's entropy; all-integer test. */
+  private def q239VocabCoverage(s: SparkSession, dir: String): DataFrame =
+    Curation.vocabCoverage(t(s, dir).documents, "source", "text", pct = 90)
+
+  /** #240 inter-arrival gap percentiles per event type (p50/p90 of
+   *  consecutive-event µs gaps, (ts, event_id) order) — the stream
+   *  burstiness dial beside q194's value-autocorrelation. */
+  private def q240InterArrival(s: SparkSession, dir: String): DataFrame =
+    Events.interArrival(
+      t(s, dir).events.filter(col("ts").isNotNull) // NULL order differs across engines (q194)
+        .withColumn("ts_us", unix_micros(col("ts"))),
+      Seq("event_type"), "ts_us", Seq("event_id"), Seq(0.5, 0.9))
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2624,6 +2639,8 @@ object SparkEntry {
     "q236_theil_sen"        -> (q236TheilSen _),
     "q237_logistic_gd"      -> (q237LogisticGd _),
     "q238_logistic_eval"    -> (q238LogisticEval _),
+    "q239_vocab_coverage"   -> (q239VocabCoverage _),
+    "q240_interarrival"     -> (q240InterArrival _),
   )
 
   private val monthCaseSql: String =
@@ -5247,5 +5264,26 @@ object SparkEntry {
         "-(y * ln(s) + (CAST(1 AS DOUBLE) - y) * ln(CAST(1 AS DOUBLE) - s))" +
         " AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) / " +
         "CAST(COUNT(*) AS DOUBLE) AS logloss FROM sc"),
+    "q239_vocab_coverage" ->
+      // exact counts, running sums, and an all-integer threshold test
+      ("WITH c AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c FROM " +
+        "(SELECT source, unnest(string_split(text, ' ')) AS word FROM documents) " +
+        "GROUP BY 1, 2), " +
+        "r AS (SELECT source, c, " +
+        "ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, word ASC) AS rk, " +
+        "SUM(c) OVER (PARTITION BY source ORDER BY c DESC, word ASC " +
+        "ROWS UNBOUNDED PRECEDING) AS cum, " +
+        "SUM(c) OVER (PARTITION BY source) AS tot FROM c) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab, " +
+        "CAST(MIN(CASE WHEN cum * 100 >= tot * 90 THEN rk END) AS BIGINT) AS tokens_for_90pct " +
+        "FROM r GROUP BY 1"),
+    "q240_interarrival" ->
+      // exact µs lag gaps; quantile_cont == percentile (q40 contract)
+      ("WITH g AS (SELECT event_type, " +
+        "epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY event_type " +
+        "ORDER BY epoch_us(ts), event_id) AS gap FROM events WHERE ts IS NOT NULL) " +
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps, " +
+        "quantile_cont(gap, 0.5) AS p50_us, quantile_cont(gap, 0.9) AS p90_us " +
+        "FROM g WHERE gap IS NOT NULL GROUP BY 1"),
   )
 }

@@ -1057,6 +1057,41 @@ object Curation {
         col("rank"))
   }
 
+  /**
+   * Vocabulary-coverage quantile per source: the number of distinct
+   * tokens (taken most-frequent-first, token tiebreak) needed to cover
+   * `pct`/100 of the source's token occurrences — the concentration
+   * dial beside [[sourceEntropy]]: a source where 5 tokens cover 90%
+   * is template spam no matter how large its nominal vocabulary.
+   *
+   * Exactness: counts, running sums, and the threshold test are ALL
+   * exact integers — `100·cum ≥ pct·total` never touches a float.
+   *
+   * Scale: one (source, token) count shuffle, then the rank/cumsum
+   * window runs over the VOCABULARY frame per source (bounded by
+   * vocabulary, not corpus) sharing the source partitioning; one
+   * aggregation back to a row per source.
+   */
+  def vocabCoverage(
+      docs: DataFrame, sourceCol: String, textCol: String,
+      pct: Int): DataFrame = {
+    require(pct >= 1 && pct <= 100, "vocabCoverage needs pct in [1,100]")
+    val counts = docs
+      .select(col(sourceCol).as("source"), explode(split(col(textCol), " ")).as("__gw"))
+      .groupBy(col("source"), col("__gw")).agg(count(lit(1)).as("__gc"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("__gc").desc, col("__gw").asc)
+    val ranked = counts
+      .withColumn("__grk", row_number().over(w))
+      .withColumn("__gcum", sum(col("__gc")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__gtot", sum(col("__gc")).over(Window.partitionBy(col("source"))))
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        min(when(col("__gcum") * 100 >= col("__gtot") * pct, col("__grk")))
+          .as(s"tokens_for_${pct}pct"))
+  }
+
   /** Remove flagged-contaminated documents from the corpus (anti-join
    *  against the small flag set — broadcast in the common case). */
   def decontaminate(

@@ -885,6 +885,37 @@ object Events {
   }
 
   /**
+   * Inter-arrival gap statistics per key: exact percentiles of the
+   * µs gaps between CONSECUTIVE events in (ts, tiebreak) order — the
+   * burstiness/health dial for an event stream (a p90 collapsing
+   * toward p50 means traffic is smoothing; a p90 exploding means
+   * batchy upstreams), beside [[autocorr]]'s value-correlation view.
+   *
+   * Exactness: gaps are exact long differences off ONE lag window;
+   * `percentile` is bit-equal to DuckDB's `quantile_cont` (q40).
+   * One shuffle: the lag window and the aggregation share the key
+   * partitioning.
+   */
+  def interArrival(
+      df: DataFrame, keys: Seq[String], tsUsCol: String, tieBreak: Seq[String],
+      percentiles: Seq[Double]): DataFrame = {
+    require(keys.nonEmpty,
+      "interArrival needs partition keys: an unkeyed window is a global funnel")
+    require(percentiles.nonEmpty, "interArrival needs at least one percentile")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(tsUsCol) +: tieBreak.map(col)): _*)
+    val gaps = df
+      .withColumn("__gprev", lag(col(tsUsCol), 1).over(w))
+      .filter(col("__gprev").isNotNull)
+      .withColumn("__ggap", col(tsUsCol) - col("__gprev"))
+    val pcts = percentiles.map { p =>
+      expr(s"percentile(__ggap, $p)").as(s"p${(p * 100).round}_us")
+    }
+    gaps.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_gaps"), pcts: _*)
+  }
+
+  /**
    * Theil-Sen robust trend per key: the MEDIAN of all pairwise slopes
    * (y_j − y_i)/(x_j − x_i) over the key's series — the slope
    * estimator one wild month can't drag, next to [[trendOls]]'s

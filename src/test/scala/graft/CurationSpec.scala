@@ -467,6 +467,17 @@ class CurationSpec extends SparkSpec {
     assert(out.find(_._1 == 3L).get._2 == 1) // densest doc ranks first
   }
 
+  test("vocabCoverage: concentrated sources need few tokens for 90% mass") {
+    val docs = Seq(
+      (1L, "spam", "x x x x x x x x x y"),   // x alone covers 90%
+      (2L, "flat", "a b c d e f g h i j"),   // needs 9 of 10
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.vocabCoverage(docs, "source", "text", pct = 90)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out("spam") == ((2L, 1)))
+    assert(out("flat") == ((10L, 9)))
+  }
+
   test("goodTuring: hand-checked spectrum, smoothed counts, and unseen mass") {
     // token counts: a:2, b:1, c:1 -> spectrum N1=2, N2=1; N=4
     val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")

@@ -543,6 +543,17 @@ class EventsSpec extends SparkSpec {
     assert(r.getDouble(1) == 300.0)            // median of {200, 400}
   }
 
+  test("interArrival: exact gap percentiles per key off one lag window") {
+    val ev = Seq(
+      ("a", 0L, 1L), ("a", 10L, 2L), ("a", 30L, 3L), ("a", 60L, 4L), // gaps 10,20,30
+      ("b", 5L, 5L),                                                  // no gaps
+    ).toDF("k", "ts_us", "id")
+    val out = Events.interArrival(ev, Seq("k"), "ts_us", Seq("id"), Seq(0.5))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("a") == ((3L, 20.0)))
+    assert(!out.contains("b")) // a single event yields no gap row
+  }
+
   test("theilSen: one wild point cannot drag the median slope") {
     val pts = Seq((0L, 0.0), (1L, 2.0), (2L, 4.0), (3L, 6.0), (4L, 0.0))
       .map { case (x, y) => ("k", x, y) }.toDF("key", "x", "y")

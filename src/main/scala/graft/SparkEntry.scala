@@ -5260,8 +5260,13 @@ object SparkEntry {
         "SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
         "CAST(SUM(CASE WHEN (s >= 0.5) = (y = 1) THEN 1 END) AS DOUBLE) / " +
         "CAST(COUNT(*) AS DOUBLE) AS accuracy, " +
+        // ln args clamped into [1e-7, 1-1e-7] EXACTLY as the Spark
+        // operator does (exact IEEE literals + greatest/least on
+        // doubles): ln(0) is NULL in Spark but an ERROR here
         "CAST(CAST(SUM(CAST(CAST(CAST(CAST(" +
-        "-(y * ln(s) + (CAST(1 AS DOUBLE) - y) * ln(CAST(1 AS DOUBLE) - s))" +
+        "-(y * ln(GREATEST(LEAST(s, CAST(1 AS DOUBLE) - CAST('1e-7' AS DOUBLE)), CAST('1e-7' AS DOUBLE))) + " +
+        "(CAST(1 AS DOUBLE) - y) * ln(CAST(1 AS DOUBLE) - " +
+        "GREATEST(LEAST(s, CAST(1 AS DOUBLE) - CAST('1e-7' AS DOUBLE)), CAST('1e-7' AS DOUBLE))))" +
         " AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) / " +
         "CAST(COUNT(*) AS DOUBLE) AS logloss FROM sc"),
     "q239_vocab_coverage" ->

@@ -358,6 +358,12 @@ object Cleaning {
       .groupBy(keyCols :+ col(valueCol).as("__gv"): _*)
       .agg(sum(when(inSampleA, 1L).otherwise(0L)).as("__gca"),
         sum(when(inSampleA, 0L).otherwise(1L)).as("__gcb"))
+    // empty keys is conditionally safe HERE (the dowSeasonality rule):
+    // the window runs over the PRE-AGGREGATED counts frame, so an
+    // unkeyed call funnels |distinct values| rows — bounded for the
+    // discrete/bucketed columns a KS drift check reads, NOT for a raw
+    // continuous column (where distinct ≈ row count: pre-bucket first,
+    // or pass keys)
     val base = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keyCols: _*)
     val cum = base.orderBy(col("__gv")).rowsBetween(Window.unboundedPreceding, 0)
     val d38 = (c: Column) => c.cast("decimal(38,0)")
@@ -405,6 +411,9 @@ object Cleaning {
     val counts = df.filter(col(valueCol) >= 1)
       .groupBy(keyCols :+ digit.as("digit"): _*)
       .agg(count(lit(1)).as("n"))
+    // empty keys is safe HERE (the dowSeasonality rule): the window
+    // runs over the already-aggregated counts frame, which an unkeyed
+    // call bounds at 9 digit rows total — not a single-partition funnel
     val base = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keyCols: _*)
     val expected = benfordShares.zipWithIndex
       .foldLeft(lit(null).cast("double")) { case (acc, (share, i)) =>

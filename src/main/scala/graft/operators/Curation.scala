@@ -951,10 +951,16 @@ object Curation {
    * with a class tiebreak (q210's decimal-at-the-edge rule).
    * Probability ratios are exact-ints-to-one-division doubles.
    *
-   * Scale: token counts and class totals are vocabulary-sized and
-   * broadcast; scoring is one (class, token)-keyed left join over the
-   * doc-token frame crossed with the \|classes\|-row frame — corpus ×
-   * \|classes\| rows, map-side-combinable into per-(doc, class) sums,
+   * Scale: the `(class, token)` counts frame grows with corpus
+   * VOCABULARY (Heaps' law — billions of distinct tokens at web
+   * scale), so it is deliberately NOT broadcast-hinted: the scoring
+   * join is left to AQE exactly like q118's tokenDf join ([[tokenDf]]),
+   * which broadcasts it while it is small and shuffle-joins (with skew
+   * splitting) once it is not. Only the genuinely bounded frames —
+   * per-class totals, priors, the 1-row vocab/doc counts — carry
+   * broadcast hints. Scoring is one (class, token)-keyed left join over
+   * the doc-token frame crossed with the \|classes\|-row frame — corpus
+   * × \|classes\| rows, map-side-combinable into per-(doc, class) sums,
    * then one rank window over \|classes\| candidates per doc.
    */
   def naiveBayesSource(
@@ -975,8 +981,9 @@ object Curation {
       .crossJoin(broadcast(vocab)).crossJoin(broadcast(nDocs))
     val scored = toks.select(col(id), col("__gtok"))
       .crossJoin(broadcast(classes))
-      .join(broadcast(counts),
-        Seq("__gcls", "__gtok"), "left")
+      // counts is vocabulary-sized: no broadcast hint (see Scaladoc) —
+      // AQE picks broadcast only while the frame actually fits
+      .join(counts, Seq("__gcls", "__gtok"), "left")
       .select(col(id), col("__gcls"),
         absorb(log((coalesce(col("__gc"), lit(0L)) + 1).cast("double") /
           (col("__gT") + col("__gV")).cast("double"))).as("__gterm"))

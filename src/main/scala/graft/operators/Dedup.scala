@@ -750,8 +750,13 @@ object Dedup {
    * then per column one (cluster, value) count aggregation + a rank
    * window over the AGGREGATED frame and a post-aggregation join back
    * on cluster — everything after the first join is |clusters|-sized.
-   * Null values never win an election (a column's mode is over its
-   * non-null members; an all-null column yields NULL).
+   * The joined frame feeds the base aggregate plus one mode-election
+   * branch PER value column, so it is persisted (the q151/cacheSets
+   * multi-branch rule): with a broadcastable labels side there is no
+   * exchange to reuse, and an unpersisted frame would re-scan `records`
+   * once per survivorship column. Null values never win an election (a
+   * column's mode is over its non-null members; an all-null column
+   * yields NULL).
    */
   def goldenRecord(
       records: DataFrame, labels: DataFrame, id: String,
@@ -763,6 +768,7 @@ object Dedup {
         records(id) === col("__gid"), "left")
       .withColumn("cluster", coalesce(col("cluster"), col(id)))
       .drop("__gid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = labeled.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"), min(col(id)).as("keeper_id"))
     valueCols.foldLeft(base) { (acc, c) =>

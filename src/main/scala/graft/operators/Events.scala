@@ -636,6 +636,16 @@ object Events {
    * moment recipe as [[autocorr]] — map-side combinable, keyed a
    * superset of the window partitioning. NULL pairs drop per lag
    * independently (the ACF-with-gaps convention).
+   *
+   * Magnitude bound (the q194/[[autocorr]] decimal route): values are
+   * summed as `decimal(14,4)` — products then stay within Spark's
+   * 38-precision multiply cap, matching the oracle's int128 promotion.
+   * Inputs must therefore fit 10 integer digits (|v| < 10^10); a wider
+   * value would overflow to NULL on the Spark side only (non-ANSI
+   * decimal cast) and silently drop pairs the oracle keeps. Events
+   * `value` is bounded far below that; re-route through a wider
+   * decimal pair (Spark ≤ (18,·), oracle (22,·)) before feeding
+   * larger-magnitude series.
    */
   def acfMulti(
       df: DataFrame, keys: Seq[String], order: Seq[Column], valueCol: String,

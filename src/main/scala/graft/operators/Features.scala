@@ -996,6 +996,15 @@ object Features {
    * float-image scores) and mean log-loss (each −[y·ln σ + (1−y)·
    * ln(1−σ)] float-absorbed + DECIMAL(28,18)-summed, one division) —
    * one row: (n, accuracy, logloss).
+   *
+   * The log arguments are clamped into [1e-7, 1−1e-7] (one IEEE
+   * subtraction + greatest/least on the float-image score — identical
+   * in any engine): a saturated sigmoid would otherwise hit ln(0),
+   * where Spark's non-ANSI log returns NULL (the term silently drops
+   * from the sum while count(*) still divides) and DuckDB's ln errors
+   * — diverging engines exactly when the model is most confident.
+   * The clamp caps a saturated term's loss at ~16.1 nats; accuracy
+   * uses the UNCLAMPED score (the clamp never crosses 0.5).
    */
   def logisticEval(
       df: DataFrame, features: Seq[(String, Column)], label: Column,
@@ -1009,8 +1018,12 @@ object Features {
       acc + col(s"__gw$j") * col(s"__gx$j")
     }
     val sig = (lit(1.0) / (lit(1.0) + exp(-z))).cast("float").cast("double")
-    val ll = -(col("__gy") * log(col("__gsig")) +
-      (lit(1.0) - col("__gy")) * log(lit(1.0) - col("__gsig")))
+    // clamp BEFORE the logs (see Scaladoc): ln(0) is NULL in Spark but
+    // an error in DuckDB — both literals and the clamp ops are exact
+    // IEEE, so the clamped score stays engine-identical
+    val sigC = greatest(least(col("__gsig"), lit(1.0) - lit(1e-7)), lit(1e-7))
+    val ll = -(col("__gy") * log(sigC) +
+      (lit(1.0) - col("__gy")) * log(lit(1.0) - sigC))
     data.crossJoin(broadcast(wdf))
       .withColumn("__gsig", sig)
       .agg(count(lit(1)).as("n"),

@@ -691,11 +691,22 @@ object Similarity {
    * replays an expensive intermediate.
    */
   def pcaProject(
-      df: DataFrame, id: String, vecCol: String, iters: Int = 3): DataFrame = {
+      df: DataFrame, id: String, vecCol: String, iters: Int = 3): DataFrame =
+    pcaProject(df, id, vecCol,
+      pcaPower(df, id, vecCol, iters).select(col("pos"), col("loading")))
+
+  /** [[pcaProject]] against an ALREADY-COMPUTED loadings frame
+   *  ([[pcaPower]] output, columns `(pos, loading)`): callers that
+   *  need loadings AND projections (q224+q226) run the n·d² covariance
+   *  build once and reuse the d-row result — the
+   *  [[minHashMd5Signatures]] shared-stage factoring applied to the
+   *  PCA family. The composed overload above stays the oracle-entry
+   *  form (its unrolled SQL replays end-to-end). */
+  def pcaProject(
+      df: DataFrame, id: String, vecCol: String,
+      loadings: DataFrame): DataFrame = {
     def absorb(c: Column) =
       c.cast("float").cast("double").cast("string").cast("decimal(28,18)")
-    val loadings = pcaPower(df, id, vecCol, iters)
-      .select(col("pos"), col("loading"))
     val means = df.select(posexplode(col(vecCol)).as(Seq("pos", "__gmv")))
       .groupBy(col("pos"))
       .agg((sum(col("__gmv").cast("string").cast("decimal(28,18)")).cast("double") /
@@ -799,10 +810,19 @@ object Similarity {
    */
   def kmeansQuality(
       df: DataFrame, id: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int): DataFrame =
+    kmeansQuality(df, id, vecCol, kmeansLloyd(df, id, vecCol, k, iters))
+
+  /** [[kmeansQuality]] over an ALREADY-TRAINED assignments frame
+   *  ([[kmeansLloyd]] output, columns `(id, cluster)`): callers that
+   *  need assignments AND quality (q228+q229) pay for Lloyd once —
+   *  the [[minHashMd5Signatures]] shared-stage factoring applied to
+   *  the clustering family. */
+  def kmeansQuality(
+      df: DataFrame, id: String, vecCol: String,
+      assigned: DataFrame): DataFrame = {
     def absorb(c: Column) =
       c.cast("float").cast("double").cast("string").cast("decimal(28,18)")
-    val assigned = kmeansLloyd(df, id, vecCol, k, iters)
     val x = df.select(col(id),
       posexplode(col(vecCol)).as(Seq("pos", "__gvf")))
     val members = assigned.join(x, id)

@@ -242,4 +242,51 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         if f.condition.toString.contains("might_contain") => f
     }.nonEmpty, s"anti-join probe side is not bloom-prefiltered:\n$optimized")
   }
+
+  test("naiveBayesSource never force-broadcasts the vocabulary-sized counts frame") {
+    val q = SparkEntry.queries("q232_naive_bayes")(spark, sf0001)
+    val hints = q.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    // the (class, token) counts frame (output column __gc) grows with
+    // corpus VOCABULARY — any broadcast hint on it is the q120/q232
+    // OOM-at-100TB pattern; its join strategy must stay AQE's call
+    val vocabSized = hints.filter(_.child.output.exists(_.name == "__gc"))
+    assert(vocabSized.isEmpty,
+      s"vocabulary-sized counts frame carries a forced broadcast hint:\n" +
+        q.queryExecution.analyzed)
+    // the genuinely bounded frames (per-class totals/priors, 1-row
+    // vocab/doc counts) DO keep their hints
+    assert(hints.nonEmpty, "bounded class/prior frames should stay hinted")
+  }
+
+  test("goldenRecord computes the records⋈labels frame once; branches read the cache") {
+    val records = Seq(
+      (1L, "ann", "nyc"), (2L, "ann", "sf"), (3L, "bob", "sf"),
+      (4L, "cat", null.asInstanceOf[String]),
+    ).toDF("id", "name", "city")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("id", "cluster")
+    val q = operators.Dedup.goldenRecord(records, labels, "id", Seq("name", "city"))
+    try {
+      val rows = q.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getString(3), r.getString(4))).toSet
+      // cluster 1: mode(name)=ann (2 votes), mode(city) tie nyc/sf -> nyc
+      assert(rows == Set((1L, 2L, 1L, "ann", "nyc"), (3L, 1L, 3L, "bob", "sf"),
+        (4L, 1L, 4L, "cat", null)))
+      // the q151/cacheSets multi-branch rule: the joined frame feeds the
+      // base aggregate + one election per value column — every branch
+      // must read the CACHE, never re-run the records⋈labels join
+      // (leaf inspection on the LOGICAL plan: executedPlan strings
+      // render the cached relation's internal scans too)
+      val leaves = q.queryExecution.optimizedPlan.collectLeaves()
+      val cacheReads = leaves.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation])
+      assert(cacheReads >= 3,
+        s"expected base + 2 election branches on the cache, got $cacheReads:\n" +
+          q.queryExecution.optimizedPlan)
+      assert(cacheReads == leaves.size,
+        s"records/labels re-scanned outside the cached join:\n" +
+          q.queryExecution.optimizedPlan)
+    } finally spark.catalog.clearCache()
+  }
 }

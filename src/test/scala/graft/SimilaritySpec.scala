@@ -479,6 +479,38 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(out(4L) + 2.5) < 1e-6)
   }
 
+  test("pcaProject/kmeansQuality shared-stage overloads are bit-identical to the composed forms") {
+    val df = Seq(
+      (1L, Seq(3.0f, 4.0f)), (2L, Seq(6.0f, 8.0f)),
+      (3L, Seq(-3.0f, -4.0f)), (4L, Seq(0.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    // a caller holding q224's loadings must get EXACTLY q226's result
+    val loadings = Similarity.pcaPower(df, "vec_id", "embedding", iters = 3)
+      .select(col("pos"), col("loading"))
+      .persist()
+    try {
+      val viaLoadings = Similarity.pcaProject(df, "vec_id", "embedding", loadings)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val composed = Similarity.pcaProject(df, "vec_id", "embedding", iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(viaLoadings == composed) // exact doubles, not tolerance
+    } finally loadings.unpersist()
+    // and a caller holding q228's assignments must get EXACTLY q229's
+    val km = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(10.0f, 10.0f)),
+      (3L, Seq(1.0f, 0.0f)), (4L, Seq(9.0f, 10.0f)),
+    ).toDF("vec_id", "embedding")
+    val assigned = Similarity.kmeansLloyd(km, "vec_id", "embedding", k = 2, iters = 2)
+      .persist()
+    try {
+      val viaAssigned = Similarity.kmeansQuality(km, "vec_id", "embedding", assigned)
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val composed = Similarity.kmeansQuality(km, "vec_id", "embedding", k = 2, iters = 2)
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(viaAssigned == composed)
+    } finally assigned.unpersist()
+  }
+
   test("quantizeInt8: hand-checked scale, codes, and max reconstruction error; zero vectors stay NULL-scale") {
     val df = Seq(
       (1L, Seq(1.0f, -2.0f, 0.5f)),

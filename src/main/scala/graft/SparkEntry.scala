@@ -2398,6 +2398,21 @@ object SparkEntry {
         .withColumn("ts_us", unix_micros(col("ts"))),
       Seq("event_type"), "ts_us", Seq("event_id"), Seq(0.5, 0.9))
 
+  /** #241 SimHash banding under the md5 hash-trust contract (q212's
+   *  upgrade applied to q30's family): 60-bit md5-vote signatures,
+   *  4×15-bit chunk blocking, Hamming-verified pairs — every number
+   *  externally replayable. */
+  private def q241SimhashMd5(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashMd5(t(s, dir).documents, "doc_id", "text")
+
+  /** #242 hyperplane-LSH banding under the md5 hash-trust contract
+   *  (q212's upgrade applied to q33/q34's family): md5-parity
+   *  Rademacher planes, decimal-exact dot signs, 2×8-bit bucket
+   *  tables, OR-amplified candidate pairs. */
+  private def q242HyperplaneMd5(s: SparkSession, dir: String): DataFrame =
+    Similarity.hyperplaneMd5Pairs(t(s, dir).embeddings, "vec_id", "embedding",
+      bits = 8, tables = 2)
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2641,6 +2656,8 @@ object SparkEntry {
     "q238_logistic_eval"    -> (q238LogisticEval _),
     "q239_vocab_coverage"   -> (q239VocabCoverage _),
     "q240_interarrival"     -> (q240InterArrival _),
+    "q241_simhash_md5"      -> (q241SimhashMd5 _),
+    "q242_hyperplane_md5"   -> (q242HyperplaneMd5 _),
   )
 
   private val monthCaseSql: String =
@@ -5290,5 +5307,48 @@ object SparkEntry {
         "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps, " +
         "quantile_cont(gap, 0.5) AS p50_us, quantile_cont(gap, 0.9) AS p90_us " +
         "FROM g WHERE gap IS NOT NULL GROUP BY 1"),
+    "q241_simhash_md5" ->
+      // md5-derived 60-bit token hashes ('0x'-cast, the q175/q212 conv
+      // contract); integer votes, bit builds, 15-bit chunk keys, and
+      // bit_count(xor) Hamming are all exact — every candidate pair
+      // engine-reproducible
+      ("WITH e AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents), " +
+        "h AS (SELECT id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv FROM e), " +
+        "v AS (SELECT id, " +
+        (0 until 60).map(j =>
+          s"SUM(CASE WHEN ((hv >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS v$j")
+          .mkString(", ") +
+        " FROM h GROUP BY id), " +
+        "s AS (SELECT id, " +
+        (0 until 60).map(j =>
+          s"(CASE WHEN v$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END)")
+          .mkString(" + ") +
+        " AS sig FROM v), " +
+        "c AS (SELECT id, sig, ch, (sig >> (ch * 15)) & 32767 AS val " +
+        "FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS ch) g), " +
+        "p AS (SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.sig, b.sig)) AS hm " +
+        "FROM c a JOIN c b ON a.ch = b.ch AND a.val = b.val AND a.id < b.id) " +
+        "SELECT DISTINCT id_a, id_b, CAST(hm AS INT) AS hamming FROM p WHERE hm <= 3"),
+    "q242_hyperplane_md5" ->
+      // md5-PARITY Rademacher planes; each signed float component routes
+      // through its VARCHAR image into DECIMAL(28,18) so the dot-product
+      // SIGN (the only thing a bucket reads) is order-free and
+      // engine-identical; buckets and pair counts are exact integers
+      ("WITH x AS (SELECT vec_id AS id, " +
+        "unnest(generate_series(0, len(embedding) - 1)) AS pos, " +
+        "unnest(embedding) AS v FROM embeddings), " +
+        "tj AS (SELECT t.t, j.j FROM (SELECT unnest(generate_series(0, 1)) AS t) t " +
+        "CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) j), " +
+        "d AS (SELECT id, t, j, SUM(CAST(CAST(CASE WHEN " +
+        "(CAST(('0x' || substr(md5(CAST(t AS VARCHAR) || ':' || CAST(j AS VARCHAR) " +
+        "|| ':' || CAST(pos AS VARCHAR)), 1, 15)) AS BIGINT) % 2) = 1 " +
+        "THEN v ELSE -v END AS VARCHAR) AS DECIMAL(28,18))) AS dot " +
+        "FROM x CROSS JOIN tj GROUP BY 1, 2, 3), " +
+        "b AS (SELECT id, t, SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << j) " +
+        "ELSE CAST(0 AS BIGINT) END) AS bucket FROM d GROUP BY 1, 2) " +
+        "SELECT a.id AS id_a, q.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_tables " +
+        "FROM b a JOIN b q ON a.t = q.t AND a.bucket = q.bucket AND a.id < q.id " +
+        "GROUP BY 1, 2"),
   )
 }

@@ -1036,4 +1036,69 @@ object Dedup {
       (col("__gneq").cast("double") / lit(numHashes).cast("double")).as("est_jaccard"),
       (i.cast("double") / u.cast("double")).as("exact_jaccard"))
   }
+
+  /**
+   * SimHash near-dup candidate pairs over an ENGINE-PORTABLE hash
+   * family — the hash-trust twin of [[simhashNearDups]] (q30), the
+   * same upgrade [[minHashMd5]] gave q29's family: per-token hashes
+   * are md5-derived (`conv(substr(md5(token), 1, 15), 16, 10)` — 60
+   * bits, always positive), so a second engine with md5 replays every
+   * vote, signature bit, chunk key, candidate pair, and Hamming
+   * distance bit-for-bit. Signature: bit j (j < 60) is set iff
+   * Σ_tokens (±1 by bit j of the token's hash) > 0 — token
+   * MULTIPLICITY votes, and an exact tie leaves the bit clear (the
+   * [[simhashSignature]] totality convention). Banding: the 60-bit
+   * signature splits into 4 chunks of 15 bits; two signatures within
+   * Hamming distance ≤ 3 must agree EXACTLY on at least one chunk
+   * (pigeonhole), so the banded join has no false negatives at
+   * `maxHamming` ≤ 3. dag.py:49's near-dup intent, sketch-familied.
+   *
+   * Scale shape: token explode → ONE (id)-keyed aggregation carrying
+   * all 60 vote sums (map-side combinable; the signature frame is
+   * corpus-linear) → 4 chunk rows per doc, PERSISTED before the
+   * self-join (q151 rule) → one (chunk, val)-keyed bucket join with
+   * the Hamming verify BEFORE the pair-dedup shuffle, so only true
+   * near-dups pay it. [[simhashNearDups]]'s one-pass codegen
+   * signature stays the production hot path; this twin puts the
+   * identical banding machinery under an external-oracle hash check.
+   *
+   * Returns (id_a, id_b, hamming), id_a < id_b, hamming ≤ maxHamming.
+   */
+  def simHashMd5(
+      docs: DataFrame, id: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "simHashMd5's 4-chunk banding is exact only for maxHamming <= 3")
+    val toks = docs.select(col(id).as("__sid"),
+      explode(split(col(textCol), " ")).as("__stok"))
+    val h = toks.select(col("__sid"),
+      conv(substring(md5(col("__stok")), 1, 15), 16, 10).cast("long").as("__sh"))
+    val votes = (0 until 60).map { j =>
+      sum(when(shiftright(col("__sh"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"__sv$j")
+    }
+    val sig = (0 until 60).map { j =>
+      when(col(s"__sv$j") > 0L, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val chunked = h.groupBy(col("__sid")).agg(votes.head, votes.tail: _*)
+      .select(col("__sid"), sig.as("__ssig"))
+      .select(col("__sid"), col("__ssig"), explode(expr(
+        "transform(sequence(0, 3), c -> " +
+          "struct(c AS chunk, shiftright(__ssig, c * 15) & 32767L AS val))"))
+        .as("__sc"))
+      .select(col("__sid"), col("__ssig"),
+        col("__sc.chunk").as("__schunk"), col("__sc.val").as("__sval"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    chunked.select(col("__sid").as("id_a"), col("__ssig").as("__sa"),
+        col("__schunk"), col("__sval"))
+      .join(chunked.select(col("__sid").as("id_b"), col("__ssig").as("__sb"),
+        col("__schunk"), col("__sval")), Seq("__schunk", "__sval"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", expr("bit_count(__sa ^ __sb)"))
+      // verify BEFORE distinct: hamming is deterministic per pair, and
+      // most chunk collisions are far pairs (the simhashNearDups rule)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
+  }
 }

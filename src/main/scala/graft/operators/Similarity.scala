@@ -354,6 +354,76 @@ object Similarity {
     }: _*)
 
   /**
+   * Random-hyperplane LSH candidate pairs over an ENGINE-PORTABLE
+   * Rademacher family — the hash-trust twin of [[embeddingNearDups]]/
+   * [[lshTopK]]'s seeded-xxhash planes (q33/q34), the q212 upgrade
+   * applied to the hyperplane family: plane component (t, j, pos) is
+   * ±1 by the PARITY of the md5-derived 60-bit integer of "t:j:pos",
+   * so a second engine with md5 replays every dot-product sign,
+   * bucket id, and candidate pair bit-for-bit. Bit j of table t's
+   * b-bit signature = [Σ_pos ±v\[pos\] > 0], the sum taken over FLOAT
+   * images via DECIMAL(28,18) strings (q197 order-free contract — a
+   * plain double sum's SIGN could flip with partition order exactly
+   * at the hyperplane's knife edge; the decimal sum cannot).
+   *
+   * Scale shape: the ±1 plane table is materialized ONCE —
+   * tables·bits·d rows built off the distinct positions (one
+   * column-pruned scan) — and BROADCAST onto the pos-exploded
+   * vectors; the broadcast join fans each (vec, pos) row out
+   * ×(tables·bits), the signature-build cost every hyperplane LSH
+   * pays, but each fan-out row is a lookup, not an md5 evaluation
+   * (computing the hash per fan-out row would re-derive the same
+   * tables·bits·d parities n times). Dot sums map-side-combine to
+   * \|corpus\|·tables·bits rows, roll to bucket rows
+   * (\|corpus\|·tables), PERSISTED before the self-join (q151 rule)
+   * → one (table, bucket)-keyed join. Never all-pairs;
+   * OR-amplification across `tables` independent tables exactly as
+   * [[hyperplaneTables]]. The codegen
+   * [[graft.plans.HyperplaneSignatures]] path stays the production
+   * hot path (one pass, no fan-out); this twin puts the
+   * signature→bucket→pair machinery under an external-oracle check.
+   *
+   * Returns (id_a, id_b, n_tables): candidate pairs with the number
+   * of tables they collide in, id_a < id_b.
+   */
+  def hyperplaneMd5Pairs(
+      df: DataFrame, id: String, vecCol: String,
+      bits: Int = 8, tables: Int = 2): DataFrame = {
+    require(bits >= 1 && bits <= 30 && tables >= 1,
+      "hyperplaneMd5Pairs needs 1 <= bits <= 30 and tables >= 1")
+    def absorb(c: Column) =
+      c.cast("float").cast("double").cast("string").cast("decimal(28,18)")
+    val x = df.select(col(id).as("__hid"),
+      posexplode(col(vecCol)).as(Seq("pos", "__hv")))
+    val tj = explode(array((for (t <- 0 until tables; j <- 0 until bits)
+      yield struct(lit(t).as("t"), lit(j).as("j"))): _*)).as("__htj")
+    val parity = conv(substring(
+      md5(concat_ws(":", col("__ht"), col("__hj"), col("pos"))), 1, 15), 16, 10)
+      .cast("long") % 2
+    val planes = x.select(col("pos")).distinct()
+      .select(col("pos"), tj)
+      .select(col("pos"), col("__htj.t").as("__ht"), col("__htj.j").as("__hj"))
+      .withColumn("__hsign", when(parity === 1L, lit(1)).otherwise(lit(-1)))
+    val dots = x.join(broadcast(planes), "pos")
+      .select(col("__hid"), col("__ht"), col("__hj"),
+        absorb(when(col("__hsign") === 1, col("__hv")).otherwise(-col("__hv")))
+          .as("__hterm"))
+      .groupBy(col("__hid"), col("__ht"), col("__hj"))
+      .agg(sum(col("__hterm")).as("__hdot"))
+    val buckets = dots.groupBy(col("__hid"), col("__ht"))
+      .agg(sum(when(col("__hdot") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), __hj)")).otherwise(lit(0L)))
+        .as("__hbucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    buckets.select(col("__hid").as("id_a"), col("__ht"), col("__hbucket"))
+      .join(buckets.select(col("__hid").as("id_b"), col("__ht"), col("__hbucket")),
+        Seq("__ht", "__hbucket"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_tables"))
+  }
+
+  /**
    * Drop rows that land in degenerate (table, bucket) groups larger than
    * `maxBucketSize` — e.g. near-zero vectors all signing identically.
    * Bounds the within-bucket join at O(cap²) per bucket; the pairs lost

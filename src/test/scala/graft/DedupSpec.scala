@@ -549,4 +549,25 @@ class DedupSpec extends SparkSpec {
       assert(got == expected, s"items=$items fpp=$fpp")
     }
   }
+
+  test("simHashMd5: exact duplicates pair at Hamming 0; disjoint-vocabulary docs never pair") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // dup of 1
+      (3L, "zephyr quartz jovial mixup blitz gryphon vexed knack"),
+      (4L, "entirely different words about maritime navigation charts"),
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simHashMd5(docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 0,
+      s"exact duplicates must collide at Hamming 0: $pairs")
+    assert(pairs.keys.forall { case (a, b) => a < b }, "pair order must be id_a < id_b")
+    // fixed inputs, deterministic hashes: the unrelated docs sit far
+    // apart in Hamming space and must not survive the <= 3 verify
+    assert(pairs.keySet == Set((1L, 2L)), s"unexpected near-dups: $pairs")
+    val bounds = intercept[IllegalArgumentException] {
+      Dedup.simHashMd5(docs, "doc_id", "text", maxHamming = 4)
+    }
+    assert(bounds.getMessage.contains("maxHamming <= 3"))
+  }
 }

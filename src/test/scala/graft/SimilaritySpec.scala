@@ -479,6 +479,24 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(out(4L) + 2.5) < 1e-6)
   }
 
+  test("hyperplaneMd5Pairs: identical vectors collide in every table; opposite vectors in none") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f, -0.5f)),
+      (2L, Seq(1.0f, 2.0f, -0.5f)),   // identical to 1: same buckets everywhere
+      (3L, Seq(-1.0f, -2.0f, 0.5f)),  // opposite: every dot sign flips
+      (4L, Seq(0.9f, 2.1f, -0.4f)),   // near 1: same signs on these planes
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.hyperplaneMd5Pairs(df, "vec_id", "embedding",
+      bits = 8, tables = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs((1L, 2L)) == 2L, s"identical vectors must collide in both tables: $pairs")
+    assert(pairs.keys.forall { case (a, b) => a < b })
+    // nonzero dots everywhere (fixed data, deterministic planes): the
+    // negated vector flips every signature bit, so buckets can't match
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      s"opposite vectors must not collide: $pairs")
+  }
+
   test("pcaProject/kmeansQuality shared-stage overloads are bit-identical to the composed forms") {
     val df = Seq(
       (1L, Seq(3.0f, 4.0f)), (2L, Seq(6.0f, 8.0f)),

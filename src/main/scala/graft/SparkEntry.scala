@@ -2413,6 +2413,72 @@ object SparkEntry {
     Similarity.hyperplaneMd5Pairs(t(s, dir).embeddings, "vec_id", "embedding",
       bits = 8, tables = 2)
 
+  /** #243 video container metadata, construct-then-parse (q129/q152's
+   *  video sibling, completing the multimodal trio): per-doc payloads
+   *  are built NATIVELY as real ISO-BMFF box sequences — ftyp, a
+   *  variable-length `free` box (so moov sits at a different offset
+   *  per row and the box walk is genuinely exercised), and a moov
+   *  whose mvhd alternates version 0 (u32 fields) and version 1 (u64
+   *  fields) and whose trak children vary 1..3 — then the codegen
+   *  [[graft.plans.VideoMeta]] expression parses brand, timescale,
+   *  duration, and track count BACK from the bytes. The oracle states
+   *  the planted values; construction (hex/unhex literals) and
+   *  parsing (byte walk) share no code. Zero shuffle, pure
+   *  projection. */
+  private def q243VideoMeta(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir).documents
+    val id = col("doc_id")
+    def be32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+    def be64(c: Column) = unhex(lpad(hex(c), 16, "0"))
+    def be32h(v: Long) = f"$v%08X"
+    val v = id % 2
+    val nT = (id % 3 + 1).cast("int")
+    val ts = (lit(600) + id % 1000).cast("int")
+    val dur = (col("n_chars") * 1000).cast("long")
+    val brandH = when(id % 3 === 0, "69736F6D") // "isom"
+      .when(id % 3 === 1, "6D703432") // "mp42"
+      .otherwise("61766331") // "avc1"
+    val ftyp = concat(
+      unhex(lit("00000014" + "66747970")), // size 20 + "ftyp"
+      unhex(brandH),
+      unhex(lit("00000000" + "69736F6D"))) // minor version + compat "isom"
+    val pad = (id % 7).cast("int")
+    val free = concat(
+      be32(pad + 8), unhex(lit("66726565")), // "free", body 0..6 bytes
+      unhex(lit("414141414141").substr(lit(1), pad * 2)))
+    val matrixH = "00010000" + "00000000" * 3 + "00010000" + "00000000" * 3 +
+      "40000000" // the unity transform every real muxer writes
+    // mvhd tail after duration: rate 1.0, volume 1.0, 10 reserved
+    // bytes, matrix, 24 predefined bytes — next_track_id appended as a
+    // column (trak count + 1, as a muxer would)
+    val mvhdRestH = "00010000" + "0100" + "00" * 10 + matrixH + "00" * 24
+    val mvhd0 = concat(
+      unhex(lit("0000006C" + "6D766864" + "00000000")), // size 108, v0
+      be32(lit(0)), be32(lit(0)), be32(ts), be32(dur),
+      unhex(lit(mvhdRestH)), be32(nT + 1))
+    val mvhd1 = concat(
+      unhex(lit("00000078" + "6D766864" + "01000000")), // size 120, v1
+      be64(lit(0)), be64(lit(0)), be32(ts), be64(dur),
+      unhex(lit(mvhdRestH)), be32(nT + 1))
+    // a full 92-byte tkhd (enabled|in_movie|in_preview flags, zeroed
+    // times/dims) inside each trak — literal per track id
+    def trakH(tid: Int) = be32h(100) + "7472616B" + be32h(92) + "746B6864" +
+      "00000007" + be32h(0) + be32h(0) + be32h(tid) + be32h(0) + be32h(0) +
+      "00" * 8 + "0000" * 4 + matrixH + be32h(0) + be32h(0)
+    val traks = concat((1 to 3).map(t =>
+      when(nT >= t, unhex(lit(trakH(t)))).otherwise(unhex(lit("")))): _*)
+    val moovSize = lit(8) + when(v === 0, 108).otherwise(120) + nT * 100
+    val moov = concat(be32(moovSize), unhex(lit("6D6F6F76")),
+      when(v === 0, mvhd0).otherwise(mvhd1), traks)
+    val meta = Multimodal.videoMeta(s, concat(ftyp, free, moov))
+    d.select(id,
+      meta.getField("format").as("format"),
+      meta.getField("brand").as("brand"),
+      meta.getField("timescale").as("timescale"),
+      meta.getField("duration").as("duration"),
+      meta.getField("n_tracks").as("n_tracks"))
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2658,6 +2724,7 @@ object SparkEntry {
     "q240_interarrival"     -> (q240InterArrival _),
     "q241_simhash_md5"      -> (q241SimhashMd5 _),
     "q242_hyperplane_md5"   -> (q242HyperplaneMd5 _),
+    "q243_video_meta"       -> (q243VideoMeta _),
   )
 
   private val monthCaseSql: String =
@@ -5350,5 +5417,15 @@ object SparkEntry {
         "SELECT a.id AS id_a, q.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_tables " +
         "FROM b a JOIN b q ON a.t = q.t AND a.bucket = q.bucket AND a.id < q.id " +
         "GROUP BY 1, 2"),
+    "q243_video_meta" ->
+      // the oracle states the PLANTED box-walk values; Spark must
+      // recover them by actually parsing the ISO-BMFF container it
+      // constructed (q129/q152 convention)
+      ("SELECT doc_id, 'mp4' AS format, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42' ELSE 'avc1' END AS brand, " +
+        "CAST(600 + doc_id % 1000 AS INT) AS timescale, " +
+        "CAST(n_chars * 1000 AS BIGINT) AS duration, " +
+        "CAST(doc_id % 3 + 1 AS INT) AS n_tracks " +
+        "FROM documents"),
   )
 }

@@ -84,6 +84,14 @@ object Multimodal {
     call_function(graft.plans.GraftFunctions.audioMetaName, payload)
   }
 
+  /** Video container metadata (MP4/ISO-BMFF box walk: ftyp brand, mvhd
+   *  timescale/duration, trak count) as a codegen struct column — see
+   *  [[graft.plans.VideoMeta]]. */
+  def videoMeta(spark: SparkSession, payload: Column): Column = {
+    graft.plans.GraftFunctions.register(spark)
+    call_function(graft.plans.GraftFunctions.videoMetaName, payload)
+  }
+
   /**
    * Decode stage: per-partition batch iteration (`mapPartitions`), the
    * correct shape for codec work — the decoder amortizes setup once per

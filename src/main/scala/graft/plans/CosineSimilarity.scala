@@ -103,6 +103,7 @@ object GraftFunctions {
   val jaroWinklerName = "graft_jaro_winkler"
   val imageDimsName = "graft_image_dims"
   val audioMetaName = "graft_audio_meta"
+  val videoMetaName = "graft_video_meta"
   val mightContainName = "graft_might_contain"
 
   private[plans] def cosineBuilder(children: Seq[Expression]): Expression = {
@@ -172,6 +173,11 @@ object GraftFunctions {
     AudioMeta(children.head)
   }
 
+  private[plans] def videoMetaBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 1, s"$videoMetaName expects (payload)")
+    VideoMeta(children.head)
+  }
+
   /** Spark 4 ships `BloomFilterMightContain` for its runtime-filter
    *  optimizer but does not register it as a callable function; graft
    *  exposes it for explicit bloom-prefilter plans
@@ -228,6 +234,9 @@ object GraftFunctions {
     (FunctionIdentifier(audioMetaName),
       new ExpressionInfo(classOf[AudioMeta].getName, audioMetaName),
       audioMetaBuilder _),
+    (FunctionIdentifier(videoMetaName),
+      new ExpressionInfo(classOf[VideoMeta].getName, videoMetaName),
+      videoMetaBuilder _),
     (FunctionIdentifier(mightContainName),
       new ExpressionInfo(classOf[BloomFilterMightContain].getName, mightContainName),
       mightContainBuilder _),

@@ -1,0 +1,155 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native Catalyst expression: MP4 / ISO-BMFF (ISO 14496-12) container
+ * metadata straight from the leading bytes of a binary payload — no
+ * codec library. The video sibling of [[ImageDims]] and [[AudioMeta]],
+ * completing the multimodal metadata trio (SURVEY §2.2 #35; reference
+ * analog: typed-column derivation from raw assets, dag.py:132-202).
+ *
+ * ISO-BMFF is a BOX WALK: `[size:u32be][type:4cc][body]` sequences,
+ * where size 1 escapes to a 64-bit largesize and size 0 means
+ * "extends to end of file" — boxes sit at data-dependent offsets, so
+ * a fixed-offset peek cannot parse it:
+ *
+ *  - `ftyp` carries the major brand (the 4cc naming the file's
+ *    conformance profile — "isom", "mp42", "avc1", …).
+ *  - `moov` is a CONTAINER; its child walk finds `mvhd` (movie
+ *    header: version 0 packs u32 timescale/duration after 2×u32
+ *    timestamps, version 1 after 2×u64 timestamps with a u64
+ *    duration) and counts `trak` children — one per media track.
+ *
+ * The walk reads only box HEADERS plus mvhd's fixed-width fields: a
+ * truncated payload (metadata-only ingest keeps just the head bytes)
+ * still parses whatever boxes its bytes cover. Payloads without both
+ * an ftyp brand and an mvhd return NULL. Pure byte arithmetic per
+ * row, zero shuffle, codegen via one static call.
+ */
+case class VideoMeta(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects BINARY, got ${t.sql}")
+  }
+
+  override def dataType: DataType = VideoMeta.schema
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_video_meta"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VideoMeta.parseRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val row = ctx.freshName("meta")
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $row = graft.plans.VideoMeta.parseRow($b);
+         |if ($row == null) { ${ev.isNull} = true; } else { ${ev.value} = $row; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VideoMeta {
+
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("brand", StringType, nullable = false),
+    StructField("timescale", IntegerType, nullable = false),
+    StructField("duration", LongType, nullable = false),
+    StructField("n_tracks", IntegerType, nullable = false)))
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+  private def is4cc(b: Array[Byte], i: Int, t: String): Boolean =
+    b(i) == t.charAt(0) && b(i + 1) == t.charAt(1) &&
+      b(i + 2) == t.charAt(2) && b(i + 3) == t.charAt(3)
+
+  /** JVM-facing parse: (brand, timescale, duration, n_tracks), or None. */
+  def parse(b: Array[Byte]): Option[(String, Int, Long, Int)] = {
+    if (b == null || b.length < 16) return None
+    var brand: String = null
+    var timescale = -1L
+    var duration = -1L
+    var nTracks = 0
+    var sawMvhd = false
+    var i = 0L
+    // top-level walk; all offsets held as Long so a corrupt/huge size
+    // field can never overflow into a bogus in-bounds index
+    while (i + 8 <= b.length) {
+      val ii = i.toInt
+      var size = be32(b, ii)
+      var hdr = 8
+      if (size == 1) { // largesize escape
+        if (i + 16 > b.length) return None
+        size = be64(b, ii + 8)
+        hdr = 16
+      } else if (size == 0) size = b.length - i // extends to end of file
+      if (size < hdr) return None // corrupt: box smaller than its header
+      if (is4cc(b, ii + 4, "ftyp")) {
+        if (i + hdr + 4 > b.length) return None
+        brand = new String(b, ii + hdr, 4, "ISO-8859-1")
+      } else if (is4cc(b, ii + 4, "moov")) {
+        // child walk; a moov truncated by headers-only ingest still
+        // yields every child whose header bytes are present
+        val end = math.min(i + size, b.length.toLong)
+        var j = i + hdr
+        while (j + 8 <= end) {
+          val jj = j.toInt
+          var csize = be32(b, jj)
+          var chdr = 8
+          if (csize == 1) {
+            if (j + 16 > end) return None
+            csize = be64(b, jj + 8)
+            chdr = 16
+          } else if (csize == 0) csize = end - j
+          if (csize < chdr) return None
+          if (is4cc(b, jj + 4, "mvhd")) {
+            val v = b(jj + chdr) & 0xff
+            if (v == 0) { // u32 creation/modification, u32 duration
+              if (j + chdr + 20 > b.length) return None
+              timescale = be32(b, jj + chdr + 12)
+              duration = be32(b, jj + chdr + 16)
+            } else if (v == 1) { // u64 creation/modification, u64 duration
+              if (j + chdr + 32 > b.length) return None
+              timescale = be32(b, jj + chdr + 20)
+              duration = be64(b, jj + chdr + 24)
+            } else return None
+            sawMvhd = true
+          } else if (is4cc(b, jj + 4, "trak")) {
+            nTracks += 1
+          }
+          j += csize
+        }
+      }
+      i += size
+    }
+    if (brand == null || !sawMvhd || timescale <= 0 || timescale > Int.MaxValue ||
+      duration < 0) None
+    else Some((brand, timescale.toInt, duration, nTracks))
+  }
+
+  /** Codegen/eval-facing parse: an InternalRow of [[schema]], or null. */
+  def parseRow(b: Array[Byte]): InternalRow = parse(b) match {
+    case Some((brand, scale, dur, tracks)) =>
+      new GenericInternalRow(Array[Any](UTF8String.fromString("mp4"),
+        UTF8String.fromString(brand), Integer.valueOf(scale),
+        java.lang.Long.valueOf(dur), Integer.valueOf(tracks)))
+    case None => null
+  }
+}

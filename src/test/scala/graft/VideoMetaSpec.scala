@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.plans.VideoMeta
+
+/**
+ * Real-byte fixtures for the MP4 / ISO-BMFF box walk: boxes at
+ * data-dependent offsets (a `free` box before `moov`), mvhd versions 0
+ * and 1, largesize escapes, truncated / headers-only payloads, and
+ * corrupt size fields — which must all return None, never garbage.
+ */
+class VideoMetaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hexBytes(hex: String): Array[Byte] =
+    hex.replaceAll("[^0-9A-Fa-f]", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+
+  // minimal 32-byte mvhd v0 (head fields + rate; the parser reads the
+  // fixed-width head and SKIPS by the declared size, so the tail a real
+  // muxer writes — volume/matrix/next-id — is never required)
+  private def mvhd0(ts: Int, dur: Int) = f"00000020 6D766864 00000000" +
+    f"00000000 00000000 $ts%08X $dur%08X 00010000"
+  private def trak = "00000008 7472616B" // empty trak: size 8, header only
+
+  private val simple = hexBytes(
+    "00000014 66747970 69736F6D 00000000 69736F6D" + // ftyp "isom"
+      "00000038 6D6F6F76" + mvhd0(600, 6000) + trak + trak) // moov: 8+32+8+8
+
+  test("ftyp + moov(mvhd v0, 2 traks) parses brand, timescale, duration, tracks") {
+    assert(VideoMeta.parse(simple) == Some(("isom", 600, 6000L, 2)))
+  }
+
+  test("a free box between ftyp and moov moves the walk, not the result") {
+    val shifted = hexBytes(
+      "00000014 66747970 6D703432 00000000 69736F6D" + // brand "mp42"
+        "0000000D 66726565 4141414141" + // free, 5-byte body
+        "00000030 6D6F6F76" + mvhd0(1000, 44100) + trak)
+    assert(VideoMeta.parse(shifted) == Some(("mp42", 1000, 44100L, 1)))
+  }
+
+  test("mvhd v1 reads u64 duration past 2^32; largesize escape walks correctly") {
+    // v1 body: verflags + 8+8 timestamps + u32 timescale + u64 duration
+    val v1 = hexBytes(
+      "00000014 66747970 61766331 00000000 69736F6D" +
+        "00000030 6D6F6F76" +
+        "00000028 6D766864 01000000" +
+        "0000000000000000 0000000000000000 000003E8 00000001 00000000")
+    assert(VideoMeta.parse(v1) == Some(("avc1", 1000, 0x100000000L, 0)))
+    // same moov via a 64-bit largesize header (size field 1)
+    val large = hexBytes(
+      "00000014 66747970 61766331 00000000 69736F6D" +
+        "00000001 6D6F6F76 0000000000000038" + mvhd0(600, 6000) + trak)
+    assert(VideoMeta.parse(large) == Some(("avc1", 600, 6000L, 1)))
+  }
+
+  test("corrupt, truncated, and non-BMFF payloads are None — never garbage") {
+    assert(VideoMeta.parse(null).isEmpty)
+    assert(VideoMeta.parse(Array.empty[Byte]).isEmpty)
+    assert(VideoMeta.parse("not a video at all".getBytes).isEmpty)
+    // ftyp without any moov / mvhd
+    assert(VideoMeta.parse(hexBytes(
+      "00000014 66747970 69736F6D 00000000 69736F6D")).isEmpty)
+    // box size smaller than its own header
+    assert(VideoMeta.parse(hexBytes(
+      "00000004 66747970 69736F6D 00000000 69736F6D")).isEmpty)
+    // mvhd with an unknown version byte
+    assert(VideoMeta.parse(hexBytes(
+      "00000014 66747970 69736F6D 00000000 69736F6D" +
+        "00000028 6D6F6F76 00000020 6D766864 02000000" +
+        "00000000 00000000 00000258 00001770 00010000")).isEmpty)
+    // truncated mid-mvhd: the fixed-width read would run past the end
+    assert(VideoMeta.parse(simple.take(40)).isEmpty)
+    // zero timescale is invalid
+    assert(VideoMeta.parse(hexBytes(
+      "00000014 66747970 69736F6D 00000000 69736F6D" +
+        "00000028 6D6F6F76" + mvhd0(0, 6000))).isEmpty)
+  }
+
+  test("videoMeta column: codegen path matches the JVM parse, null-safe") {
+    val rows = Seq(
+      (1L, simple),
+      (2L, "garbage".getBytes),
+      (3L, null)).toDF("id", "payload")
+    val out = Multimodal.videoMeta(spark, col("payload"))
+    val got = rows.select(col("id"), out.getField("brand").as("b"),
+        out.getField("duration").as("d"), out.getField("n_tracks").as("t"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3)))
+    assert(got.toSeq == Seq(
+      (1L, Some("isom"), 6000L, 2), (2L, None, -1L, -1), (3L, None, -1L, -1)))
+  }
+}

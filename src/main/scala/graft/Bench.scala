@@ -61,9 +61,12 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // ALSO persist to a file: the stdout line travels through log
-    // capture that has truncated long runs before — the file is the
-    // durable record (override path via SPARK_GRAFT_BENCH_OUT)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json")
+    // capture that has truncated long runs before (r05's driver
+    // artifact kept only the last 2,000 chars) — the file is the
+    // durable, committed record of the full per-query map (override
+    // path via SPARK_GRAFT_BENCH_OUT)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench/BENCH_DRIVER_LAST.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))

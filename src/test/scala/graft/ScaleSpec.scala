@@ -260,6 +260,33 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(hints.nonEmpty, "bounded class/prior frames should stay hinted")
   }
 
+  test("q241/q242 banded self-joins read a persisted signature frame and never go cartesian") {
+    for (name <- Seq("q241_simhash_md5", "q242_hyperplane_md5")) {
+      val q = SparkEntry.queries(name)(spark, sf0001)
+      try {
+        val opt = q.queryExecution.optimizedPlan
+        // both sides of the bucket self-join must come off the SAME
+        // cached signature/bucket frame (q151 rule), not re-derive it
+        val cacheReads = opt.collectLeaves().count(
+          _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation])
+        assert(cacheReads == 2, s"$name: expected 2 cache reads, got $cacheReads:\n$opt")
+        val plan = q.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"),
+          s"$name: banded join must stay keyed, never all-pairs:\n$plan")
+      } finally spark.catalog.clearCache()
+    }
+  }
+
+  test("q243's construct-then-parse is a pure projection: zero exchanges, pruned scan") {
+    val q = SparkEntry.queries("q243_video_meta")(spark, sf0001)
+    val plan = q.queryExecution.executedPlan
+    val shuffles = collect(plan) { case s: ShuffleExchangeLike => s }
+    assert(shuffles.isEmpty, s"per-row metadata decode must not shuffle:\n$plan")
+    val scan = plan.collectLeaves().head.toString
+    assert(scan.contains("doc_id") && !scan.contains("text"),
+      s"only doc_id/n_chars should be read, text must be pruned:\n$scan")
+  }
+
   test("goldenRecord computes the records⋈labels frame once; branches read the cache") {
     val records = Seq(
       (1L, "ann", "nyc"), (2L, "ann", "sf"), (3L, "bob", "sf"),

@@ -979,14 +979,28 @@ object Curation {
     val nDocs = docs.agg(count(lit(1)).as("__gnd"))
     val classes = classTotals.join(broadcast(docsPerClass), "__gcls")
       .crossJoin(broadcast(vocab)).crossJoin(broadcast(nDocs))
+    // the ln((c+1)/(T_c+V)) term depends only on (class, token), so it
+    // is PRECOMPUTED once on the vocabulary-sized frame (and once per
+    // class for the unseen-token fallback, where c = 0) — paying the
+    // log + decimal-absorb per OCCURRENCE would redo the same
+    // |vocab|·|classes| values corpus-many times. The decimal terms
+    // summed are identical, so the restructure is bit-identical.
+    val seenTerms = counts
+      .join(broadcast(classes.select(col("__gcls"), col("__gT"), col("__gV"))),
+        "__gcls")
+      .select(col("__gcls"), col("__gtok"),
+        absorb(log((col("__gc") + 1).cast("double") /
+          (col("__gT") + col("__gV")).cast("double"))).as("__gseen"))
+    val fallback = classes.select(col("__gcls"),
+      absorb(log(lit(1L).cast("double") /
+        (col("__gT") + col("__gV")).cast("double"))).as("__gmiss"))
     val scored = toks.select(col(id), col("__gtok"))
-      .crossJoin(broadcast(classes))
-      // counts is vocabulary-sized: no broadcast hint (see Scaladoc) —
-      // AQE picks broadcast only while the frame actually fits
-      .join(counts, Seq("__gcls", "__gtok"), "left")
+      .crossJoin(broadcast(fallback))
+      // seenTerms is vocabulary-sized: no broadcast hint (see Scaladoc)
+      // — AQE picks broadcast only while the frame actually fits
+      .join(seenTerms, Seq("__gcls", "__gtok"), "left")
       .select(col(id), col("__gcls"),
-        absorb(log((coalesce(col("__gc"), lit(0L)) + 1).cast("double") /
-          (col("__gT") + col("__gV")).cast("double"))).as("__gterm"))
+        coalesce(col("__gseen"), col("__gmiss")).as("__gterm"))
       .groupBy(col(id), col("__gcls"))
       .agg(sum(col("__gterm")).as("__gsum"))
     val priors = classes.select(col("__gcls"),

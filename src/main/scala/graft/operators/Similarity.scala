@@ -922,10 +922,15 @@ object Similarity {
    * (cosine desc NULLS LAST, class asc) orders identically; zero-norm
    * scores are NULL and lose to any real score.
    *
-   * Scale: centroid frame is \|classes\|·d rows, broadcast; scoring
-   * is the pos-keyed join fanned out over classes (corpus ×
-   * \|classes\| term rows, map-side-combined), then one rank window
-   * over \|classes\| candidates per vector.
+   * Scale: centroid frame is \|classes\|·d rows, broadcast; the
+   * dot-product fan-out (corpus × \|classes\| term rows,
+   * map-side-combined) is the only stage that pays the class
+   * multiplier — the vector norms are summed ONCE per vector (n·d
+   * absorb terms, not n·d·\|classes\|: the decimal sum is order-free,
+   * so regrouping the identical terms is bit-identical) and the
+   * centroid norms once per class on the tiny centroid frame; one
+   * id-keyed join and one broadcast join stitch them back, then one
+   * rank window over \|classes\| candidates per vector.
    */
   def nearestCentroid(
       df: DataFrame, id: String, labelCol: String, vecCol: String): DataFrame = {
@@ -936,11 +941,16 @@ object Similarity {
       .select(col(labelCol).as("__gcl"), col("pos"), col("mean").as("__gc"))
     val vecs = df.select(col(id),
       posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "__gv")))
-    val m = vecs.join(broadcast(cent), "pos")
-      .groupBy(col(id), col("__gcl")).agg(
-        sum(absorb(col("__gv") * col("__gc"))).as("__gdot"),
-        sum(absorb(col("__gv") * col("__gv"))).as("__gnv"),
-        sum(absorb(col("__gc") * col("__gc"))).as("__gnc"))
+    // two column-pruned passes over the source (the centroidCosine
+    // convention: re-projected, never a recomputed intermediate)
+    val vnorm = vecs.groupBy(col(id))
+      .agg(sum(absorb(col("__gv") * col("__gv"))).as("__gnv"))
+    val cnorm = cent.groupBy(col("__gcl"))
+      .agg(sum(absorb(col("__gc") * col("__gc"))).as("__gnc"))
+    val dots = vecs.join(broadcast(cent), "pos")
+      .groupBy(col(id), col("__gcl"))
+      .agg(sum(absorb(col("__gv") * col("__gc"))).as("__gdot"))
+    val m = dots.join(vnorm, id).join(broadcast(cnorm), "__gcl")
     val scored = m.select(col(id), col("__gcl"),
       when(d("__gnv") > 0 && d("__gnc") > 0,
         d("__gdot") / (sqrt(d("__gnv")) * sqrt(d("__gnc")))).as("__gcos"))

@@ -248,10 +248,12 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val hints = q.queryExecution.analyzed.collect {
       case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
     }
-    // the (class, token) counts frame (output column __gc) grows with
-    // corpus VOCABULARY — any broadcast hint on it is the q120/q232
-    // OOM-at-100TB pattern; its join strategy must stay AQE's call
-    val vocabSized = hints.filter(_.child.output.exists(_.name == "__gc"))
+    // the (class, token) counts/terms frames (output column __gc or
+    // __gseen) grow with corpus VOCABULARY — any broadcast hint on
+    // them is the q120/q232 OOM-at-100TB pattern; their join strategy
+    // must stay AQE's call
+    val vocabSized = hints.filter(_.child.output.exists(
+      a => a.name == "__gc" || a.name == "__gseen"))
     assert(vocabSized.isEmpty,
       s"vocabulary-sized counts frame carries a forced broadcast hint:\n" +
         q.queryExecution.analyzed)

@@ -64,9 +64,12 @@ object Bench {
     // capture that has truncated long runs before (r05's driver
     // artifact kept only the last 2,000 chars) — the file is the
     // durable, committed record of the full per-query map (override
-    // path via SPARK_GRAFT_BENCH_OUT)
+    // path via SPARK_GRAFT_BENCH_OUT). Subset runs stay out of the
+    // committed location: a partial map labeled as the driver's full
+    // run would be worse than the truncated tail it replaces.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "bench/BENCH_DRIVER_LAST.json")
+      if (only.isDefined) "target/bench_last.json"
+      else "bench/BENCH_DRIVER_LAST.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))

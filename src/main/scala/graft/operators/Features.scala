@@ -987,6 +987,11 @@ object Features {
           (col(s"__gw$j") - lit(lr) * col(s"__gg$j")).as(s"__gw$j")): _*)
         .localCheckpoint()
     }
+    // the eager localCheckpoint above materialized the final weights;
+    // the persisted pass frame is dead — eager unpersist caps the
+    // session cache footprint (callers like logisticEval re-project
+    // their own pass frame)
+    data.unpersist()
     wdf
   }
 

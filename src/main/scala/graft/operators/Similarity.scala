@@ -717,6 +717,12 @@ object Similarity {
     // frame, so the means/centered lineage replays exactly once
     val posFrame = cov.select(col("__gi").as("pos")).distinct()
     val d = posFrame.count()
+    // the count above materialized cov; the n·d centered frame — the
+    // largest cache block this operator holds — is no longer needed
+    // (iterations run on the d²-row cov). Eager unpersist caps the
+    // session cache footprint; an evicted cov partition would rebuild
+    // from the raw lineage, slower but correct.
+    centered.unpersist()
     var v = posFrame.select(col("pos"),
       (lit(1.0) / sqrt(lit(d.toDouble))).as("__gval"))
     var lastNorm: DataFrame = null

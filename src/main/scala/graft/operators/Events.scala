@@ -417,16 +417,20 @@ object Events {
    * Cohort retention: bucket each user by first-activity day, then
    * count distinct users active at each day offset from their cohort —
    * the standard retention triangle. Scale shape: activity first
-   * collapses to distinct (user, day) rows; the cohort frame is one row
-   * per user and joins back broadcast at dimension sizes (Spark falls
-   * back to a shuffled join automatically when it is not); the final
-   * aggregate is a two-column groupBy on the already-collapsed rows.
+   * collapses to distinct (user, day) rows; the cohort frame is ONE
+   * ROW PER USER — it grows with the user dimension, so it carries NO
+   * broadcast hint (the q120/q232 rule: a hint is honored regardless
+   * of size and would OOM executors once users outgrow the broadcast
+   * budget; unhinted, AQE broadcasts while it fits and shuffle-joins
+   * on the user key — which the distinct already partitioned — once
+   * it does not). The final aggregate is a two-column groupBy on the
+   * already-collapsed rows.
    */
   def cohortRetention(df: DataFrame, user: String, ts: String): DataFrame = {
     val active = df
       .select(col(user), to_date(col(ts)).as("__gday")).distinct()
     val cohorts = active.groupBy(col(user)).agg(min("__gday").as("cohort"))
-    active.join(broadcast(cohorts), user)
+    active.join(cohorts, user)
       .groupBy(col("cohort"), datediff(col("__gday"), col("cohort")).cast("long").as("day_offset"))
       .agg(count_distinct(col(user)).as("n_users"))
   }

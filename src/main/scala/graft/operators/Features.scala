@@ -1013,9 +1013,20 @@ object Features {
    */
   def logisticEval(
       df: DataFrame, features: Seq[(String, Column)], label: Column,
-      lr: Double, iters: Int): DataFrame = {
+      lr: Double, iters: Int): DataFrame =
+    logisticEval(df, features, label,
+      logisticWeights(df, features, label, lr, iters))
+
+  /** [[logisticEval]] against an ALREADY-TRAINED weights frame
+   *  ([[logisticWeights]] output, 1 row of `__gw0..__gwK`): callers
+   *  that need weights AND evaluation (q237+q238) pay for the GD
+   *  passes once — the shared-stage factoring of
+   *  [[graft.operators.Similarity.pcaProject]]/`kmeansQuality` applied
+   *  to the linear-model family. */
+  def logisticEval(
+      df: DataFrame, features: Seq[(String, Column)], label: Column,
+      wdf: DataFrame): DataFrame = {
     val k = features.size
-    val wdf = logisticWeights(df, features, label, lr, iters)
     val data = df.select(
       features.zipWithIndex.map { case ((_, c), i) => c.as(s"__gx${i + 1}") } :+
         label.cast("double").as("__gy"): _*)

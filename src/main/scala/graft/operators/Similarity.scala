@@ -709,6 +709,10 @@ object Similarity {
       .groupBy(col("__gi"), col("__gj"))
       .agg((toD(sum(absorb(col("__gci") * col("__gcj")))) /
         count(lit(1)).cast("double")).as("__gcov"))
+    // NOTE: no persist on covUpper — the union's two branches share the
+    // aggregation exchange, so ReuseExchange computes the expensive
+    // upper-triangle build once (measured: persisting it here is
+    // timing-neutral and just adds a cache block)
     val cov = covUpper.unionByName(
       covUpper.filter(col("__gi") < col("__gj"))
         .select(col("__gj").as("__gi"), col("__gi").as("__gj"), col("__gcov")))

@@ -528,6 +528,15 @@ class FeaturesSpec extends SparkSpec {
     assert(e.getLong(0) == 4L)
     assert(e.getDouble(1) == 1.0)                       // separable
     assert(e.getDouble(2) > 0.0 && e.getDouble(2) < 1.0) // finite logloss
+    // the shared-stage overload over precomputed weights must be
+    // bit-identical to the composed form (exact doubles, no tolerance)
+    val wdf = Features.logisticWeights(df, feats, col("y") === 1, lr = 1.0, iters = 5)
+      .persist()
+    try {
+      val e2 = Features.logisticEval(df, feats, col("y") === 1, wdf).collect().head
+      assert((e2.getLong(0), e2.getDouble(1), e2.getDouble(2)) ==
+        ((e.getLong(0), e.getDouble(1), e.getDouble(2))))
+    } finally wdf.unpersist()
   }
 
   test("groupKFold: identical groups always share a fold; folds stay in range") {

@@ -262,6 +262,17 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(hints.nonEmpty, "bounded class/prior frames should stay hinted")
   }
 
+  test("cohortRetention never force-broadcasts the per-user cohort frame") {
+    val q = SparkEntry.queries("q94_cohort_retention")(spark, sf0001)
+    val hints = q.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    // the cohort frame is one row PER USER — user-dimension-sized, the
+    // q120/q232 OOM-at-100TB pattern if hinted; AQE owns the strategy
+    assert(hints.isEmpty,
+      s"user-dimension-sized frame carries a forced hint:\n${q.queryExecution.analyzed}")
+  }
+
   test("q241/q242 banded self-joins read a persisted signature frame and never go cartesian") {
     for (name <- Seq("q241_simhash_md5", "q242_hyperplane_md5")) {
       val q = SparkEntry.queries(name)(spark, sf0001)

@@ -79,29 +79,33 @@ object AudioMeta {
     if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
         b(11) == 'E') {
-      var i = 12
+      // the offset is a LONG: declared chunk sizes come from the file
+      // and can sum past 2^31 — an Int offset would overflow negative
+      // and index out of bounds on a corrupt/adversarial payload
+      var i = 12L
       var channels = -1; var rate = 0; var bits = 0; var blockAlign = 0
       var dataSize = -1L
       // the walk reads only chunk HEADERS: a body past end-of-payload
       // (headers-only ingest, or a `data` chunk whose bytes were never
       // stored) terminates the loop without invalidating what's parsed
       while (i + 8 <= b.length) {
-        val size = le32(b, i + 4)
+        val ii = i.toInt
+        val size = le32(b, ii + 4)
         if (size > Int.MaxValue - 9) return None // corrupt size field
-        if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' &&
-            b(i + 3) == ' ') {
+        if (b(ii) == 'f' && b(ii + 1) == 'm' && b(ii + 2) == 't' &&
+            b(ii + 3) == ' ') {
           if (size < 16 || i + 8 + 16 > b.length) return None
-          channels = le16(b, i + 10)
-          val r = le32(b, i + 12)
-          blockAlign = le16(b, i + 20)
-          bits = le16(b, i + 22)
+          channels = le16(b, ii + 10)
+          val r = le32(b, ii + 12)
+          blockAlign = le16(b, ii + 20)
+          bits = le16(b, ii + 22)
           if (r <= 0 || r > Int.MaxValue) return None
           rate = r.toInt
-        } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' &&
-            b(i + 3) == 'a') {
+        } else if (b(ii) == 'd' && b(ii + 1) == 'a' && b(ii + 2) == 't' &&
+            b(ii + 3) == 'a') {
           dataSize = size
         }
-        i += 8 + size.toInt + (size.toInt & 1)
+        i += 8 + size + (size & 1)
       }
       if (channels <= 0 || bits <= 0) return None
       val frames = if (dataSize < 0 || blockAlign <= 0) 0L

@@ -120,6 +120,9 @@ object VideoMeta {
           } else if (csize == 0) csize = end - j
           if (csize < chdr) return None
           if (is4cc(b, jj + 4, "mvhd")) {
+            // the version byte sits PAST the box header: a payload
+            // truncated right at the header boundary must not read it
+            if (j + chdr >= b.length) return None
             val v = b(jj + chdr) & 0xff
             if (v == 0) { // u32 creation/modification, u32 duration
               if (j + chdr + 20 > b.length) return None

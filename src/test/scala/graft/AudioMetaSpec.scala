@@ -81,6 +81,24 @@ class AudioMetaSpec extends SparkSpec {
     assert(AudioMeta.parse(flac.take(30)).isEmpty) // truncated
   }
 
+  test("parse is total: truncations, huge chunk sizes, and random bytes return, never throw") {
+    for (n <- 0 to stereoWav.length)
+      AudioMeta.parse(stereoWav.take(n)) // must not throw
+    // a chunk whose DECLARED size pushes the next offset past 2^31: an
+    // Int offset would wrap negative and index out of bounds
+    // (regression — 0x7FFFFFF6 passes the corrupt-size guard)
+    val huge = hexBytes(
+      "52494646 00000000 57415645" +
+        "4A554E4B F6FFFF7F" + // JUNK claiming ~2.147 GB
+        "4A554E4B 04000000 41414141")
+    assert(AudioMeta.parse(huge).isEmpty)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 500) {
+      val bytes = Array.fill(rnd.nextInt(120))(rnd.nextInt(256).toByte)
+      AudioMeta.parse(bytes) // must not throw
+    }
+  }
+
   test("audioMeta column: codegen path matches the JVM parse, null-safe") {
     val rows = Seq(
       (1L, stereoWav),

@@ -104,4 +104,24 @@ class ImageDimsSpec extends SparkSpec {
     val stub = Multimodal.defaultDecoder(Multimodal.MediaRow(2L, "plain".getBytes("UTF-8")))
     assert(stub.width >= 64 && stub.height >= 64) // deterministic fake path
   }
+
+  test("parse is total: truncations of valid containers and random bytes return, never throw") {
+    val fixtures = Seq(
+      // PNG sig + IHDR 64x48
+      "89504E470D0A1A0A0000000D494844520000004000000030" + "0806000000",
+      // JPEG SOI + COM(4) + SOF0
+      "FFD8FFFE00044141FFC0000B0800300040",
+      // GIF89a 64x48 LE
+      "47494638396140003000",
+      // BMP header through dims
+      "424D000000000000000000000000280000004000000030000000",
+    ).map(h => h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+    for (f <- fixtures; n <- 0 to f.length)
+      graft.plans.ImageDims.parse(f.take(n)) // must not throw
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 500) {
+      val bytes = Array.fill(rnd.nextInt(120))(rnd.nextInt(256).toByte)
+      graft.plans.ImageDims.parse(bytes) // must not throw
+    }
+  }
 }

@@ -79,6 +79,24 @@ class VideoMetaSpec extends SparkSpec {
         "00000028 6D6F6F76" + mvhd0(0, 6000))).isEmpty)
   }
 
+  test("parse is total: every truncation of a valid payload and random bytes return, never throw") {
+    // a poison payload in a binary column must yield NULL, not kill the
+    // job — sweep EVERY prefix of a valid file (this catches
+    // boundary-exact truncations like an mvhd cut right after its
+    // header) plus deterministic pseudo-random garbage
+    val shifted = hexBytes(
+      "00000014 66747970 6D703432 00000000 69736F6D" +
+        "0000000D 66726565 4141414141" +
+        "00000030 6D6F6F76" + mvhd0(1000, 44100) + trak)
+    for (payload <- Seq(simple, shifted); n <- 0 to payload.length)
+      VideoMeta.parse(payload.take(n)) // must not throw
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 500) {
+      val bytes = Array.fill(rnd.nextInt(120))(rnd.nextInt(256).toByte)
+      VideoMeta.parse(bytes) // must not throw
+    }
+  }
+
   test("videoMeta column: codegen path matches the JVM parse, null-safe") {
     val rows = Seq(
       (1L, simple),

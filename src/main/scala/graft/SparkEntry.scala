@@ -2425,8 +2425,9 @@ object SparkEntry {
    *  the planted values; construction (hex/unhex literals) and
    *  parsing (byte walk) share no code. Zero shuffle, pure
    *  projection. */
-  private def q243VideoMeta(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir).documents
+  /** The per-doc ISO-BMFF payload builder shared by q243/q244: planted
+   *  brand/timescale/duration/track-count, variable box offsets. */
+  private def mp4Payload: Column = {
     val id = col("doc_id")
     def be32(c: Column) = unhex(lpad(hex(c), 8, "0"))
     def be64(c: Column) = unhex(lpad(hex(c), 16, "0"))
@@ -2470,7 +2471,13 @@ object SparkEntry {
     val moovSize = lit(8) + when(v === 0, 108).otherwise(120) + nT * 100
     val moov = concat(be32(moovSize), unhex(lit("6D6F6F76")),
       when(v === 0, mvhd0).otherwise(mvhd1), traks)
-    val meta = Multimodal.videoMeta(s, concat(ftyp, free, moov))
+    concat(ftyp, free, moov)
+  }
+
+  private def q243VideoMeta(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir).documents
+    val id = col("doc_id")
+    val meta = Multimodal.videoMeta(s, mp4Payload)
     d.select(id,
       meta.getField("format").as("format"),
       meta.getField("brand").as("brand"),
@@ -2478,6 +2485,17 @@ object SparkEntry {
       meta.getField("duration").as("duration"),
       meta.getField("n_tracks").as("n_tracks"))
   }
+
+  /** #244 frame-sampling plan over the q243 payloads: one row per
+   *  sample instant — every second of PARSED media time (mvhd
+   *  duration/timescale through the box walk), capped at 12 frames —
+   *  the Spark-side plumbing of a frame-extraction pipeline with the
+   *  pixel decode stubbed (SURVEY §2.2 multimodal contract). Exact
+   *  integer floor arithmetic; bounded explode; zero shuffle. */
+  private def q244FrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSampleInstants(s,
+      t(s, dir).documents.withColumn("__gpayload", mp4Payload),
+      "doc_id", "__gpayload", strideMs = 1000L, maxFrames = 12)
 
   // ------------------------------------------------------------ registry
 
@@ -2725,6 +2743,7 @@ object SparkEntry {
     "q241_simhash_md5"      -> (q241SimhashMd5 _),
     "q242_hyperplane_md5"   -> (q242HyperplaneMd5 _),
     "q243_video_meta"       -> (q243VideoMeta _),
+    "q244_frame_sample"     -> (q244FrameSample _),
   )
 
   private val monthCaseSql: String =
@@ -5427,5 +5446,15 @@ object SparkEntry {
         "CAST(n_chars * 1000 AS BIGINT) AS duration, " +
         "CAST(doc_id % 3 + 1 AS INT) AS n_tracks " +
         "FROM documents"),
+    "q244_frame_sample" ->
+      // the oracle replays the planted clock: dur_ms = duration*1000
+      // DIV timescale, instants every second capped at 12 — all exact
+      // integer floor arithmetic ('//' == Spark DIV on non-negatives)
+      ("WITH m AS (SELECT doc_id, CAST(600 + doc_id % 1000 AS BIGINT) AS ts, " +
+        "CAST(n_chars AS BIGINT) * 1000 AS dur FROM documents), " +
+        "d AS (SELECT doc_id, (dur * 1000) // ts AS dur_ms FROM m), " +
+        "f AS (SELECT doc_id, unnest(generate_series(0, LEAST(dur_ms // 1000, 11))) AS frame_idx FROM d) " +
+        "SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, " +
+        "CAST(frame_idx * 1000 AS BIGINT) AS ts_ms FROM f"),
   )
 }

@@ -93,6 +93,52 @@ object Multimodal {
   }
 
   /**
+   * Frame-sampling plan over video payloads: one row per sample
+   * instant — every `strideMs` milliseconds of PARSED media time
+   * (mvhd duration/timescale via [[videoMeta]]'s box walk), capped at
+   * `maxFrames` per video. This is the Spark-side plumbing of a frame
+   * extraction pipeline — schema, bounded per-row fan-out, sample
+   * arithmetic — with the pixel decode itself stubbed out exactly as
+   * [[decodeFeatures]] documents (no codec ships here; a production
+   * build maps these (payload, ts_ms) rows through a per-partition
+   * decoder). Unparseable payloads drop — they have no clock to
+   * sample.
+   *
+   * All arithmetic is EXACT integer: media-time milliseconds floor to
+   * `duration·1000 DIV timescale`, instants to `i·strideMs` for
+   * i = 0..min(dur_ms DIV strideMs, maxFrames−1) — replayable in any
+   * engine, no floats. The explode is bounded by `maxFrames` (a
+   * corrupt duration cannot fan out a row unboundedly); zero-length
+   * videos still emit their t=0 frame.
+   *
+   * Scale: pure per-row projection + bounded explode, zero shuffle;
+   * the payload column is never duplicated across sample rows (only
+   * id + instant survive the explode). No null-guard FILTER on the
+   * parsed struct (the predicate would push below the projection and
+   * re-run the box walk per row — the q30 totality rule): instead the
+   * sequence bound goes NULL for unparseable payloads — `least` alone
+   * would SKIP the null, not propagate it — and exploding a NULL
+   * array drops the row.
+   */
+  def frameSampleInstants(
+      spark: SparkSession, df: DataFrame, id: String, payloadCol: String,
+      strideMs: Long = 1000L, maxFrames: Int = 12): DataFrame = {
+    require(strideMs > 0 && maxFrames >= 1,
+      "frameSampleInstants needs strideMs > 0 and maxFrames >= 1")
+    val meta = videoMeta(spark, col(payloadCol))
+    df.select(col(id), meta.as("__gmeta"))
+      .select(col(id),
+        (col("__gmeta.duration") * lit(1000L)).as("__gdurticks"),
+        col("__gmeta.timescale").as("__gts"))
+      .select(col(id), expr("__gdurticks DIV __gts").as("__gdurms"))
+      .select(col(id), explode(sequence(lit(0L),
+        when(col("__gdurms").isNotNull,
+          least(expr(s"__gdurms DIV ${strideMs}L"), lit(maxFrames - 1L)))))
+        .as("frame_idx"))
+      .withColumn("ts_ms", col("frame_idx") * strideMs)
+  }
+
+  /**
    * Decode stage: per-partition batch iteration (`mapPartitions`), the
    * correct shape for codec work — the decoder amortizes setup once per
    * partition and streams rows without collecting. This is the one place

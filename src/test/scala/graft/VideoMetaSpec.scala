@@ -97,6 +97,27 @@ class VideoMetaSpec extends SparkSpec {
     }
   }
 
+  test("frameSampleInstants: exact instants from the parsed clock, capped, garbage drops") {
+    // simple: timescale 600, duration 6000 ticks -> dur_ms = 10000 ->
+    // instants 0..10s at 1s stride, but capped below at 4 frames
+    val zeroDur = hexBytes(
+      "00000014 66747970 69736F6D 00000000 69736F6D" +
+        "00000030 6D6F6F76" + mvhd0(600, 0) + trak)
+    val rows = Seq(
+      (1L, simple), (2L, "not a video".getBytes), (3L, zeroDur))
+      .toDF("id", "payload")
+    val out = Multimodal.frameSampleInstants(spark, rows, "id", "payload",
+      strideMs = 1000L, maxFrames = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (1L, 0L, 0L), (1L, 1L, 1000L), (1L, 2L, 2000L), (1L, 3L, 3000L), // cap 4
+      (3L, 0L, 0L))) // zero-length video keeps its t=0 frame; garbage drops
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.frameSampleInstants(spark, rows, "id", "payload", strideMs = 0L)
+    }
+    assert(ex.getMessage.contains("strideMs > 0"))
+  }
+
   test("videoMeta column: codegen path matches the JVM parse, null-safe") {
     val rows = Seq(
       (1L, simple),

@@ -290,14 +290,16 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
-  test("q243's construct-then-parse is a pure projection: zero exchanges, pruned scan") {
-    val q = SparkEntry.queries("q243_video_meta")(spark, sf0001)
-    val plan = q.queryExecution.executedPlan
-    val shuffles = collect(plan) { case s: ShuffleExchangeLike => s }
-    assert(shuffles.isEmpty, s"per-row metadata decode must not shuffle:\n$plan")
-    val scan = plan.collectLeaves().head.toString
-    assert(scan.contains("doc_id") && !scan.contains("text"),
-      s"only doc_id/n_chars should be read, text must be pruned:\n$scan")
+  test("q243/q244 construct-then-parse queries are pure projections: zero exchanges, pruned scan") {
+    for (name <- Seq("q243_video_meta", "q244_frame_sample")) {
+      val q = SparkEntry.queries(name)(spark, sf0001)
+      val plan = q.queryExecution.executedPlan
+      val shuffles = collect(plan) { case s: ShuffleExchangeLike => s }
+      assert(shuffles.isEmpty, s"$name: per-row metadata work must not shuffle:\n$plan")
+      val scan = plan.collectLeaves().head.toString
+      assert(scan.contains("doc_id") && !scan.contains("text"),
+        s"$name: only doc_id/n_chars should be read, text must be pruned:\n$scan")
+    }
   }
 
   test("goldenRecord computes the records⋈labels frame once; branches read the cache") {

@@ -2413,18 +2413,6 @@ object SparkEntry {
     Similarity.hyperplaneMd5Pairs(t(s, dir).embeddings, "vec_id", "embedding",
       bits = 8, tables = 2)
 
-  /** #243 video container metadata, construct-then-parse (q129/q152's
-   *  video sibling, completing the multimodal trio): per-doc payloads
-   *  are built NATIVELY as real ISO-BMFF box sequences — ftyp, a
-   *  variable-length `free` box (so moov sits at a different offset
-   *  per row and the box walk is genuinely exercised), and a moov
-   *  whose mvhd alternates version 0 (u32 fields) and version 1 (u64
-   *  fields) and whose trak children vary 1..3 — then the codegen
-   *  [[graft.plans.VideoMeta]] expression parses brand, timescale,
-   *  duration, and track count BACK from the bytes. The oracle states
-   *  the planted values; construction (hex/unhex literals) and
-   *  parsing (byte walk) share no code. Zero shuffle, pure
-   *  projection. */
   /** The per-doc ISO-BMFF payload builder shared by q243/q244: planted
    *  brand/timescale/duration/track-count, variable box offsets. */
   private def mp4Payload: Column = {
@@ -2435,7 +2423,10 @@ object SparkEntry {
     val v = id % 2
     val nT = (id % 3 + 1).cast("int")
     val ts = (lit(600) + id % 1000).cast("int")
-    val dur = (col("n_chars") * 1000).cast("long")
+    // bounded into u32 by construction: be32's lpad would silently
+    // TRUNCATE a 9th hex digit, so the v0 rows would plant a duration
+    // the oracle doesn't state once n_chars * 1000 crosses 2^32
+    val dur = ((col("n_chars") % 4000000) * 1000).cast("long")
     val brandH = when(id % 3 === 0, "69736F6D") // "isom"
       .when(id % 3 === 1, "6D703432") // "mp42"
       .otherwise("61766331") // "avc1"
@@ -2474,6 +2465,18 @@ object SparkEntry {
     concat(ftyp, free, moov)
   }
 
+  /** #243 video container metadata, construct-then-parse (q129/q152's
+   *  video sibling, completing the multimodal trio): per-doc payloads
+   *  are built NATIVELY as real ISO-BMFF box sequences — ftyp, a
+   *  variable-length `free` box (so moov sits at a different offset
+   *  per row and the box walk is genuinely exercised), and a moov
+   *  whose mvhd alternates version 0 (u32 fields) and version 1 (u64
+   *  fields) and whose trak children vary 1..3 — then the codegen
+   *  [[graft.plans.VideoMeta]] expression parses brand, timescale,
+   *  duration, and track count BACK from the bytes. The oracle states
+   *  the planted values; construction (hex/unhex literals, in
+   *  [[mp4Payload]]) and parsing (byte walk) share no code. Zero
+   *  shuffle, pure projection. */
   private def q243VideoMeta(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir).documents
     val id = col("doc_id")
@@ -5310,16 +5313,25 @@ object SparkEntry {
         "x AS (SELECT vec_id, " +
         "unnest(generate_series(0, len(v2) - 1)) AS pos, unnest(v2) AS v FROM (" +
         "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v2 FROM embeddings)), " +
-        "j AS (SELECT x.vec_id, m.label AS cl, " +
-        "SUM(CAST(CAST(CAST(CAST(x.v * m.cm AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))) AS dot, " +
-        "SUM(CAST(CAST(CAST(CAST(x.v * x.v AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))) AS nv, " +
+        // norms are summed over EACH SIDE'S OWN full position set (the
+        // operator's hoisted vnorm/cnorm — missing positions contribute
+        // 0 to the dot), NOT join-restricted: with uniform dims the
+        // decimal sums are identical either way (order-free), and with
+        // ragged input this is the semantics the operator states
+        "vn AS (SELECT vec_id, " +
+        "SUM(CAST(CAST(CAST(CAST(x.v * x.v AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))) AS nv " +
+        "FROM x GROUP BY 1), " +
+        "cn AS (SELECT label AS cl, " +
         "SUM(CAST(CAST(CAST(CAST(m.cm * m.cm AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))) AS nc " +
+        "FROM m GROUP BY 1), " +
+        "j AS (SELECT x.vec_id, m.label AS cl, " +
+        "SUM(CAST(CAST(CAST(CAST(x.v * m.cm AS REAL) AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))) AS dot " +
         "FROM x JOIN m ON x.pos = m.pos GROUP BY 1, 2), " +
         "s AS (SELECT vec_id, cl, " +
         "CASE WHEN CAST(CAST(nv AS VARCHAR) AS DOUBLE) > 0 AND CAST(CAST(nc AS VARCHAR) AS DOUBLE) > 0 " +
         "THEN CAST(CAST(dot AS VARCHAR) AS DOUBLE) / " +
         "(sqrt(CAST(CAST(nv AS VARCHAR) AS DOUBLE)) * sqrt(CAST(CAST(nc AS VARCHAR) AS DOUBLE))) " +
-        "END AS cs FROM j), " +
+        "END AS cs FROM j JOIN vn USING (vec_id) JOIN cn USING (cl)), " +
         "best AS (SELECT vec_id, cl FROM (SELECT vec_id, cl, " +
         "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC NULLS LAST, cl ASC) AS rk " +
         "FROM s) WHERE rk = 1) " +
@@ -5426,10 +5438,15 @@ object SparkEntry {
         "unnest(embedding) AS v FROM embeddings), " +
         "tj AS (SELECT t.t, j.j FROM (SELECT unnest(generate_series(0, 1)) AS t) t " +
         "CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) j), " +
-        "d AS (SELECT id, t, j, SUM(CAST(CAST(CASE WHEN " +
+        // the CASE is FLOAT — widen to DOUBLE before the VARCHAR image
+        // (Spark's absorb is float->double->string: the double-shortest
+        // rendering, 17 digits, NOT the float-shortest 9; a bare
+        // FLOAT->VARCHAR here would sum different decimals and could
+        // flip a knife-edge dot sign between engines)
+        "d AS (SELECT id, t, j, SUM(CAST(CAST(CAST(CASE WHEN " +
         "(CAST(('0x' || substr(md5(CAST(t AS VARCHAR) || ':' || CAST(j AS VARCHAR) " +
         "|| ':' || CAST(pos AS VARCHAR)), 1, 15)) AS BIGINT) % 2) = 1 " +
-        "THEN v ELSE -v END AS VARCHAR) AS DECIMAL(28,18))) AS dot " +
+        "THEN v ELSE -v END AS DOUBLE) AS VARCHAR) AS DECIMAL(28,18))) AS dot " +
         "FROM x CROSS JOIN tj GROUP BY 1, 2, 3), " +
         "b AS (SELECT id, t, SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << j) " +
         "ELSE CAST(0 AS BIGINT) END) AS bucket FROM d GROUP BY 1, 2) " +
@@ -5443,7 +5460,7 @@ object SparkEntry {
       ("SELECT doc_id, 'mp4' AS format, " +
         "CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42' ELSE 'avc1' END AS brand, " +
         "CAST(600 + doc_id % 1000 AS INT) AS timescale, " +
-        "CAST(n_chars * 1000 AS BIGINT) AS duration, " +
+        "CAST(n_chars % 4000000 AS BIGINT) * 1000 AS duration, " +
         "CAST(doc_id % 3 + 1 AS INT) AS n_tracks " +
         "FROM documents"),
     "q244_frame_sample" ->
@@ -5451,7 +5468,7 @@ object SparkEntry {
       // DIV timescale, instants every second capped at 12 — all exact
       // integer floor arithmetic ('//' == Spark DIV on non-negatives)
       ("WITH m AS (SELECT doc_id, CAST(600 + doc_id % 1000 AS BIGINT) AS ts, " +
-        "CAST(n_chars AS BIGINT) * 1000 AS dur FROM documents), " +
+        "CAST(n_chars % 4000000 AS BIGINT) * 1000 AS dur FROM documents), " +
         "d AS (SELECT doc_id, (dur * 1000) // ts AS dur_ms FROM m), " +
         "f AS (SELECT doc_id, unnest(generate_series(0, LEAST(dur_ms // 1000, 11))) AS frame_idx FROM d) " +
         "SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, " +

@@ -1062,11 +1062,20 @@ object Dedup {
    * signature stays the production hot path; this twin puts the
    * identical banding machinery under an external-oracle hash check.
    *
+   * `maxBucketSize > 0` drops rows landing in degenerate (chunk, val)
+   * groups larger than the cap BEFORE the self-join — the
+   * [[graft.operators.Similarity]] capBuckets contract: bounds the
+   * within-bucket join at O(cap²) per bucket at the cost of pairs
+   * whose ONLY agreeing chunk was a degenerate one (e.g. a corpus
+   * where thousands of near-empty docs share a chunk value). The
+   * default 0 keeps the exact pigeonhole guarantee — and the oracle
+   * states exactly that.
+   *
    * Returns (id_a, id_b, hamming), id_a < id_b, hamming ≤ maxHamming.
    */
   def simHashMd5(
       docs: DataFrame, id: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "simHashMd5's 4-chunk banding is exact only for maxHamming <= 3")
     val toks = docs.select(col(id).as("__sid"),
@@ -1089,9 +1098,15 @@ object Dedup {
       .select(col("__sid"), col("__ssig"),
         col("__sc.chunk").as("__schunk"), col("__sc.val").as("__sval"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    chunked.select(col("__sid").as("id_a"), col("__ssig").as("__sa"),
+    val capped = if (maxBucketSize <= 0) chunked else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("__schunk"), col("__sval"))
+      chunked.withColumn("__sbsz", count(lit(1)).over(w))
+        .filter(col("__sbsz") <= maxBucketSize).drop("__sbsz")
+    }
+    capped.select(col("__sid").as("id_a"), col("__ssig").as("__sa"),
         col("__schunk"), col("__sval"))
-      .join(chunked.select(col("__sid").as("id_b"), col("__ssig").as("__sb"),
+      .join(capped.select(col("__sid").as("id_b"), col("__ssig").as("__sb"),
         col("__schunk"), col("__sval")), Seq("__schunk", "__sval"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", expr("bit_count(__sa ^ __sb)"))

@@ -128,7 +128,12 @@ object Multimodal {
     val meta = videoMeta(spark, col(payloadCol))
     df.select(col(id), meta.as("__gmeta"))
       .select(col(id),
-        (col("__gmeta.duration") * lit(1000L)).as("__gdurticks"),
+        // guard duration*1000 against Long overflow: an adversarial
+        // (but parseable) u64 duration would wrap NEGATIVE, and
+        // sequence(0, negative) THROWS — an overflowing clock is
+        // treated as unparseable (NULL → dropped at the explode)
+        when(col("__gmeta.duration") <= lit(Long.MaxValue / 1000L),
+          col("__gmeta.duration") * lit(1000L)).as("__gdurticks"),
         col("__gmeta.timescale").as("__gts"))
       .select(col(id), expr("__gdurticks DIV __gts").as("__gdurms"))
       .select(col(id), explode(sequence(lit(0L),

@@ -383,12 +383,18 @@ object Similarity {
    * hot path (one pass, no fan-out); this twin puts the
    * signature→bucket→pair machinery under an external-oracle check.
    *
+   * `maxBucketSize > 0` applies the [[capBuckets]] contract to the
+   * bucket frame: degenerate (table, bucket) groups above the cap —
+   * e.g. near-zero vectors all signing identically into bucket 0 —
+   * drop before the self-join, bounding it at O(cap²) per bucket.
+   * The default 0 is the exact, oracle-stated form.
+   *
    * Returns (id_a, id_b, n_tables): candidate pairs with the number
    * of tables they collide in, id_a < id_b.
    */
   def hyperplaneMd5Pairs(
       df: DataFrame, id: String, vecCol: String,
-      bits: Int = 8, tables: Int = 2): DataFrame = {
+      bits: Int = 8, tables: Int = 2, maxBucketSize: Int = 0): DataFrame = {
     require(bits >= 1 && bits <= 30 && tables >= 1,
       "hyperplaneMd5Pairs needs 1 <= bits <= 30 and tables >= 1")
     def absorb(c: Column) =
@@ -415,8 +421,13 @@ object Similarity {
         expr("shiftleft(CAST(1 AS BIGINT), __hj)")).otherwise(lit(0L)))
         .as("__hbucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    buckets.select(col("__hid").as("id_a"), col("__ht"), col("__hbucket"))
-      .join(buckets.select(col("__hid").as("id_b"), col("__ht"), col("__hbucket")),
+    val capped = if (maxBucketSize <= 0) buckets else {
+      val w = Window.partitionBy(col("__ht"), col("__hbucket"))
+      buckets.withColumn("__hbsz", count(lit(1)).over(w))
+        .filter(col("__hbsz") <= maxBucketSize).drop("__hbsz")
+    }
+    capped.select(col("__hid").as("id_a"), col("__ht"), col("__hbucket"))
+      .join(capped.select(col("__hid").as("id_b"), col("__ht"), col("__hbucket")),
         Seq("__ht", "__hbucket"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
@@ -941,6 +952,14 @@ object Similarity {
    * centroid norms once per class on the tiny centroid frame; one
    * id-keyed join and one broadcast join stitch them back, then one
    * rank window over \|classes\| candidates per vector.
+   *
+   * Each norm covers its OWN side's full position set: for ragged
+   * input (vectors of differing width — malformed, see
+   * [[embeddingAudit]]) a position absent from the other side
+   * contributes 0 to the dot but still counts in its own norm, the
+   * standard missing-equals-zero cosine. With uniform dims this is
+   * bit-identical to join-restricted norms; the q234 oracle states
+   * the same per-side semantics.
    */
   def nearestCentroid(
       df: DataFrame, id: String, labelCol: String, vecCol: String): DataFrame = {

@@ -89,58 +89,79 @@ object VideoMeta {
     var nTracks = 0
     var sawMvhd = false
     var i = 0L
-    // top-level walk; all offsets held as Long so a corrupt/huge size
-    // field can never overflow into a bogus in-bounds index
-    while (i + 8 <= b.length) {
+    var go = true
+    // top-level walk. Two distinct failure modes, handled differently:
+    // CORRUPTION (a declared size smaller than its own header, a
+    // negative largesize, an unknown mvhd version) invalidates the file
+    // → None; TRUNCATION (headers-only ingest cut a box header or body
+    // short) ENDS the walk, keeping whatever already parsed — the
+    // documented contract. All offsets are Long and every size is
+    // CLAMPED to the remaining payload before advancing, so a
+    // hostile size field (up to Long.MaxValue via the largesize
+    // escape) can neither overflow the offset into a negative index
+    // nor spin the loop.
+    while (go && i + 8 <= b.length) {
       val ii = i.toInt
       var size = be32(b, ii)
       var hdr = 8
       if (size == 1) { // largesize escape
-        if (i + 16 > b.length) return None
-        size = be64(b, ii + 8)
-        hdr = 16
+        if (i + 16 > b.length) { go = false } // header itself truncated
+        else { size = be64(b, ii + 8); hdr = 16 }
       } else if (size == 0) size = b.length - i // extends to end of file
-      if (size < hdr) return None // corrupt: box smaller than its header
-      if (is4cc(b, ii + 4, "ftyp")) {
-        if (i + hdr + 4 > b.length) return None
-        brand = new String(b, ii + hdr, 4, "ISO-8859-1")
-      } else if (is4cc(b, ii + 4, "moov")) {
-        // child walk; a moov truncated by headers-only ingest still
-        // yields every child whose header bytes are present
-        val end = math.min(i + size, b.length.toLong)
-        var j = i + hdr
-        while (j + 8 <= end) {
-          val jj = j.toInt
-          var csize = be32(b, jj)
-          var chdr = 8
-          if (csize == 1) {
-            if (j + 16 > end) return None
-            csize = be64(b, jj + 8)
-            chdr = 16
-          } else if (csize == 0) csize = end - j
-          if (csize < chdr) return None
-          if (is4cc(b, jj + 4, "mvhd")) {
-            // the version byte sits PAST the box header: a payload
-            // truncated right at the header boundary must not read it
-            if (j + chdr >= b.length) return None
-            val v = b(jj + chdr) & 0xff
-            if (v == 0) { // u32 creation/modification, u32 duration
-              if (j + chdr + 20 > b.length) return None
-              timescale = be32(b, jj + chdr + 12)
-              duration = be32(b, jj + chdr + 16)
-            } else if (v == 1) { // u64 creation/modification, u64 duration
-              if (j + chdr + 32 > b.length) return None
-              timescale = be32(b, jj + chdr + 20)
-              duration = be64(b, jj + chdr + 24)
-            } else return None
-            sawMvhd = true
-          } else if (is4cc(b, jj + 4, "trak")) {
-            nTracks += 1
+      if (go) {
+        if (size < hdr) return None // corrupt (negative largesize lands here)
+        if (size > b.length - i) size = b.length - i // truncated body: clamp
+        if (is4cc(b, ii + 4, "ftyp")) {
+          if (i + hdr + 4 > b.length) go = false // brand truncated away
+          else brand = new String(b, ii + hdr, 4, "ISO-8859-1")
+        } else if (is4cc(b, ii + 4, "moov")) {
+          // child walk; a moov truncated by headers-only ingest still
+          // yields every child whose header bytes are present
+          val end = i + size // already clamped to the payload
+          var j = i + hdr
+          var cgo = true
+          while (cgo && j + 8 <= end) {
+            val jj = j.toInt
+            var csize = be32(b, jj)
+            var chdr = 8
+            if (csize == 1) {
+              if (j + 16 > end) { cgo = false }
+              else { csize = be64(b, jj + 8); chdr = 16 }
+            } else if (csize == 0) csize = end - j
+            if (cgo) {
+              if (csize < chdr) return None // corrupt
+              if (csize > end - j) csize = end - j // truncated: clamp
+              if (is4cc(b, jj + 4, "mvhd")) {
+                // the version byte sits PAST the box header: a payload
+                // truncated at the header boundary must not read it
+                if (j + chdr >= b.length) cgo = false
+                else {
+                  val v = b(jj + chdr) & 0xff
+                  if (v == 0) { // u32 creation/modification, u32 duration
+                    if (j + chdr + 20 > b.length) cgo = false
+                    else {
+                      timescale = be32(b, jj + chdr + 12)
+                      duration = be32(b, jj + chdr + 16)
+                      sawMvhd = true
+                    }
+                  } else if (v == 1) { // u64 timestamps, u64 duration
+                    if (j + chdr + 32 > b.length) cgo = false
+                    else {
+                      timescale = be32(b, jj + chdr + 20)
+                      duration = be64(b, jj + chdr + 24)
+                      sawMvhd = true
+                    }
+                  } else return None // unknown version: corrupt
+                }
+              } else if (is4cc(b, jj + 4, "trak")) {
+                nTracks += 1
+              }
+              j += csize
+            }
           }
-          j += csize
         }
+        i += size
       }
-      i += size
     }
     if (brand == null || !sawMvhd || timescale <= 0 || timescale > Int.MaxValue ||
       duration < 0) None

@@ -570,4 +570,14 @@ class DedupSpec extends SparkSpec {
     }
     assert(bounds.getMessage.contains("maxHamming <= 3"))
   }
+
+  test("simHashMd5 maxBucketSize drops degenerate chunk buckets, bounding the self-join") {
+    // 20 identical docs: every chunk bucket holds all 20 rows — a cap
+    // of 5 drops them all (their ONLY collisions are degenerate), so
+    // the quadratic bucket join never materializes
+    val dup = (1L to 20L).map(i => (i, "same text everywhere")).toDF("doc_id", "text")
+    assert(Dedup.simHashMd5(dup, "doc_id", "text", maxBucketSize = 5).count() == 0L)
+    // uncapped, all 190 duplicate pairs fire at Hamming 0
+    assert(Dedup.simHashMd5(dup, "doc_id", "text").count() == 190L)
+  }
 }

@@ -495,6 +495,12 @@ class SimilaritySpec extends SparkSpec {
     // negated vector flips every signature bit, so buckets can't match
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
       s"opposite vectors must not collide: $pairs")
+    // degenerate corpus: identical vectors all share every bucket — the
+    // capBuckets contract drops the oversized groups before the join
+    val degenerate = (1L to 16L).map(i => (i, Seq(1.0f, 2.0f, -0.5f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.hyperplaneMd5Pairs(degenerate, "vec_id", "embedding",
+      bits = 8, tables = 2, maxBucketSize = 4).count() == 0L)
   }
 
   test("pcaProject/kmeansQuality shared-stage overloads are bit-identical to the composed forms") {

@@ -95,6 +95,28 @@ class VideoMetaSpec extends SparkSpec {
       val bytes = Array.fill(rnd.nextInt(120))(rnd.nextInt(256).toByte)
       VideoMeta.parse(bytes) // must not throw
     }
+    // adversarial largesize: Long.MaxValue would overflow the offset
+    // into a negative index if sizes weren't clamped (regression)
+    assert(VideoMeta.parse(hexBytes(
+      "00000001 61626364 7FFFFFFFFFFFFFFF")).isEmpty)
+    // negative largesize is corrupt, not a crash
+    assert(VideoMeta.parse(hexBytes(
+      "00000001 61626364 FFFFFFFFFFFFFFF0")).isEmpty)
+  }
+
+  test("headers-only ingest: truncating a trailing mdat largesize header keeps parsed metadata") {
+    // the standard big-file layout — ftyp + moov + huge mdat — cut
+    // mid-way through the mdat's 16-byte largesize header: everything
+    // already parsed must survive (the walk ENDS, it doesn't invalidate)
+    val full = hexBytes(
+      "00000014 66747970 69736F6D 00000000 69736F6D" +
+        "00000030 6D6F6F76" + mvhd0(600, 6000) + trak +
+        "00000001 6D646174 00000000FFFFFFFF") // mdat, largesize ~4 GB
+    for (cut <- 8 until 16) { // 8..15 bytes into the mdat header
+      val truncated = full.take(full.length - 16 + cut)
+      assert(VideoMeta.parse(truncated) == Some(("isom", 600, 6000L, 1)),
+        s"cut=$cut")
+    }
   }
 
   test("frameSampleInstants: exact instants from the parsed clock, capped, garbage drops") {

@@ -1098,12 +1098,8 @@ object Dedup {
       .select(col("__sid"), col("__ssig"),
         col("__sc.chunk").as("__schunk"), col("__sc.val").as("__sval"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val capped = if (maxBucketSize <= 0) chunked else {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("__schunk"), col("__sval"))
-      chunked.withColumn("__sbsz", count(lit(1)).over(w))
-        .filter(col("__sbsz") <= maxBucketSize).drop("__sbsz")
-    }
+    val capped =
+      Similarity.capBuckets(chunked, Seq("__schunk", "__sval"), maxBucketSize)
     capped.select(col("__sid").as("id_a"), col("__ssig").as("__sa"),
         col("__schunk"), col("__sval"))
       .join(capped.select(col("__sid").as("id_b"), col("__ssig").as("__sb"),

@@ -421,11 +421,7 @@ object Similarity {
         expr("shiftleft(CAST(1 AS BIGINT), __hj)")).otherwise(lit(0L)))
         .as("__hbucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val capped = if (maxBucketSize <= 0) buckets else {
-      val w = Window.partitionBy(col("__ht"), col("__hbucket"))
-      buckets.withColumn("__hbsz", count(lit(1)).over(w))
-        .filter(col("__hbsz") <= maxBucketSize).drop("__hbsz")
-    }
+    val capped = capBuckets(buckets, Seq("__ht", "__hbucket"), maxBucketSize)
     capped.select(col("__hid").as("id_a"), col("__ht"), col("__hbucket"))
       .join(capped.select(col("__hid").as("id_b"), col("__ht"), col("__hbucket")),
         Seq("__ht", "__hbucket"))
@@ -445,9 +441,17 @@ object Similarity {
    * partitioning, in [[lshTopK]] (broadcast join) it does not.
    */
   private def capBuckets(bucketed: DataFrame, maxBucketSize: Int): DataFrame =
+    capBuckets(bucketed, Seq("__gtable", "__gbucket"), maxBucketSize)
+
+  /** The generalized cap: drop rows in (partCols…) groups larger than
+   *  `maxBucketSize` — shared by the seeded-xxhash LSH path, the md5
+   *  hash-trust twins, and [[Dedup.simHashMd5]], so the cap semantics
+   *  cannot silently diverge across the banding family. */
+  private[operators] def capBuckets(
+      bucketed: DataFrame, partCols: Seq[String], maxBucketSize: Int): DataFrame =
     if (maxBucketSize <= 0) bucketed
     else {
-      val w = Window.partitionBy("__gtable", "__gbucket")
+      val w = Window.partitionBy(partCols.map(col): _*)
       bucketed
         .withColumn("__gbsize", count(lit(1)).over(w))
         .filter(col("__gbsize") <= maxBucketSize)

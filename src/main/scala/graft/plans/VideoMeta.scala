@@ -116,8 +116,16 @@ object VideoMeta {
           else brand = new String(b, ii + hdr, 4, "ISO-8859-1")
         } else if (is4cc(b, ii + 4, "moov")) {
           // child walk; a moov truncated by headers-only ingest still
-          // yields every child whose header bytes are present
+          // yields every child whose header bytes are present. Child
+          // reads are bounded by the PARENT'S extent, never the whole
+          // payload — a complete moov whose declared size is too small
+          // for its own mvhd must not read metadata out of the NEXT
+          // box's bytes. A boundary miss is TRUNCATION (end the walk,
+          // keep parsed fields) only when the moov's extent reaches the
+          // payload's end — i.e. its body may genuinely be cut;
+          // anywhere else it is structural corruption → None.
           val end = i + size // already clamped to the payload
+          val mayBeTruncated = end == b.length
           var j = i + hdr
           var cgo = true
           while (cgo && j + 8 <= end) {
@@ -125,28 +133,35 @@ object VideoMeta {
             var csize = be32(b, jj)
             var chdr = 8
             if (csize == 1) {
-              if (j + 16 > end) { cgo = false }
-              else { csize = be64(b, jj + 8); chdr = 16 }
+              if (j + 16 > end) {
+                if (mayBeTruncated) cgo = false else return None
+              } else { csize = be64(b, jj + 8); chdr = 16 }
             } else if (csize == 0) csize = end - j
             if (cgo) {
               if (csize < chdr) return None // corrupt
-              if (csize > end - j) csize = end - j // truncated: clamp
+              if (csize > end - j) {
+                if (mayBeTruncated) csize = end - j // truncated: clamp
+                else return None // body overruns a complete parent
+              }
               if (is4cc(b, jj + 4, "mvhd")) {
                 // the version byte sits PAST the box header: a payload
                 // truncated at the header boundary must not read it
-                if (j + chdr >= b.length) cgo = false
-                else {
+                if (j + chdr >= end) {
+                  if (mayBeTruncated) cgo = false else return None
+                } else {
                   val v = b(jj + chdr) & 0xff
                   if (v == 0) { // u32 creation/modification, u32 duration
-                    if (j + chdr + 20 > b.length) cgo = false
-                    else {
+                    if (j + chdr + 20 > end) {
+                      if (mayBeTruncated) cgo = false else return None
+                    } else {
                       timescale = be32(b, jj + chdr + 12)
                       duration = be32(b, jj + chdr + 16)
                       sawMvhd = true
                     }
                   } else if (v == 1) { // u64 timestamps, u64 duration
-                    if (j + chdr + 32 > b.length) cgo = false
-                    else {
+                    if (j + chdr + 32 > end) {
+                      if (mayBeTruncated) cgo = false else return None
+                    } else {
                       timescale = be32(b, jj + chdr + 20)
                       duration = be64(b, jj + chdr + 24)
                       sawMvhd = true
@@ -156,7 +171,7 @@ object VideoMeta {
               } else if (is4cc(b, jj + 4, "trak")) {
                 nTracks += 1
               }
-              j += csize
+              if (cgo) j += csize
             }
           }
         }

@@ -104,6 +104,26 @@ class VideoMetaSpec extends SparkSpec {
       "00000001 61626364 FFFFFFFFFFFFFFF0")).isEmpty)
   }
 
+  test("a complete moov too small for its own children is corruption, not a field read into the next box") {
+    // moov declares 24 bytes but its mvhd needs 32: the v0 fields would
+    // otherwise come from the FOLLOWING mdat's bytes — must be None
+    val tooSmall = hexBytes(
+      "00000014 66747970 69736F6D 00000000 69736F6D" +
+        "00000018 6D6F6F76" + // moov size 24: header + 16 bytes
+        "00000020 6D766864 00000000 00000000" + // mvhd claims 32
+        "00000010 6D646174 4141414141414141") // complete mdat follows
+    assert(VideoMeta.parse(tooSmall).isEmpty)
+    // a child largesize header overrunning a COMPLETE parent (more
+    // payload follows) is also corruption, not truncation — even with
+    // an already-parsed mvhd, the result must be None, not Some
+    val badLarge = hexBytes(
+      "00000014 66747970 69736F6D 00000000 69736F6D" +
+        "00000034 6D6F6F76" + mvhd0(600, 6000) +
+        "00000001 6D646174 41414141" + // 12 bytes left, largesize needs 16
+        "00000010 6D646174 4141414141414141")
+    assert(VideoMeta.parse(badLarge).isEmpty)
+  }
+
   test("headers-only ingest: truncating a trailing mdat largesize header keeps parsed metadata") {
     // the standard big-file layout — ftyp + moov + huge mdat — cut
     // mid-way through the mdat's 16-byte largesize header: everything

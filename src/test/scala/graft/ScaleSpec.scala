@@ -243,6 +243,12 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }.nonEmpty, s"anti-join probe side is not bloom-prefiltered:\n$optimized")
   }
 
+  test("the driver's entry smoke contract holds: flagship query returns rows at sf0.001") {
+    // the driver calls SparkEntry.entry(spark) and requires rows > 0 —
+    // pin it here so a refactor can't silently break the contract
+    assert(SparkEntry.entry(spark).count() > 0L)
+  }
+
   test("naiveBayesSource never force-broadcasts the vocabulary-sized counts frame") {
     val q = SparkEntry.queries("q232_naive_bayes")(spark, sf0001)
     val hints = q.queryExecution.analyzed.collect {

@@ -34,14 +34,10 @@ object Bench {
       }
       finally {
         // queries that persist intermediates (e.g. q29's shingle sets)
-        // must not hold memory while later queries are measured.
-        // clearCache misses localCheckpoint blocks (connectedComponents)
-        // — they sit in SparkContext.persistentRdds until GC'd — so
-        // unpersist those explicitly (blocking: the next measurement
-        // must not race block eviction), then nudge the ContextCleaner
-        // to sweep dead broadcasts
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        // must not hold memory while later queries are measured — the
+        // caller-owned-cache contract (graft.Caches); then nudge the
+        // ContextCleaner to sweep dead broadcasts
+        Caches.releaseAll(spark)
         System.gc()
       }
     }

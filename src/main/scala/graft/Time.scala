@@ -22,7 +22,7 @@ object Time {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
+      Caches.releaseAll(spark)
       println(f"[time] $name rep $i: $sec%.3f s")
     }
     spark.stop()

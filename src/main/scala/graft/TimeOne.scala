@@ -8,7 +8,7 @@ object TimeOne {
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"[time] $q ${(System.nanoTime()-t0)/1e9}%.2f s")
-      spark.catalog.clearCache()
+      Caches.releaseAll(spark)
     }
     spark.stop()
   }

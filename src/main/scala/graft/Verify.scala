@@ -21,8 +21,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries that persist intermediates (e.g. q29's shingle sets) must
-      // not hold memory while the remaining queries run
-      spark.catalog.clearCache()
+      // not hold memory while the remaining queries run — including
+      // localCheckpoint blocks, which clearCache cannot see
+      Caches.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

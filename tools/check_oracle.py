@@ -27,12 +27,18 @@ def kind(s):
     return "other"
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+# Optional 3rd arg: comma-separated query subset (used by tools/sweep_oracle.py
+# to run one query per subprocess with a timeout). Absent = full sweep, the
+# driver contract.
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(p)[:-len(".parquet")]
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+if only is not None:
+    oracle = {k: v for k, v in oracle.items() if k in only}
 fails = []
 for name, sql in sorted(oracle.items()):
     qdir = f"{outdir}/{name}"

@@ -12,9 +12,47 @@ package graft
  * state, not first-query JVM warm-up.
  */
 object Bench {
+  /** 1-minute load average, or -1 where /proc is unavailable. */
+  private def load1: Double =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      s.split(" ")(0).toDouble
+    } catch { case scala.util.control.NonFatal(_) => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    // --- contention guard. A concurrent heavy process once inflated a
+    // full run 2.6x on unchanged code, and the artifact was
+    // indistinguishable from a real regression. Two defenses:
+    // (1) serialize benches behind an exclusive flock on bench/.lock, so
+    // two runs can never time against each other; (2) sample the 1-min
+    // load average (briefly waiting out a just-released machine) and
+    // stamp it — plus a `contaminated` verdict — into the artifact, so a
+    // run that raced some OTHER workload is machine-distinguishable from
+    // a clean record instead of standing as the per-query truth.
+    val lockPath = java.nio.file.Paths.get("bench/.lock")
+    Option(lockPath.getParent)
+      .foreach(java.nio.file.Files.createDirectories(_))
+    val lockCh = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val tLock = System.nanoTime()
+    lockCh.lock() // held until JVM exit; blocks behind a concurrent bench
+    val lockWaitSec = (System.nanoTime() - tLock) / 1e9
+    var preLoad = load1
+    var settles = 0
+    while (preLoad > 4.0 && settles < 12) { // up to 2 min for load decay
+      System.err.println(f"[bench] preflight load $preLoad%.2f > 4, waiting...")
+      Thread.sleep(10000L); settles += 1; preLoad = load1
+    }
+    val contaminated = preLoad > 4.0
+    if (contaminated)
+      System.err.println(f"[bench] WARNING: starting under load " +
+        f"$preLoad%.2f — artifact flagged contaminated")
+
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
@@ -54,7 +92,8 @@ object Bench {
     val results = names.map(n => n -> materialize(n, sfDir))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      f""","preflight_load":$preLoad%.2f,"lock_wait_sec":$lockWaitSec%.1f,"contaminated":$contaminated}"""
     println(line)
     // ALSO persist to a file: the stdout line travels through log
     // capture that has truncated long runs before (r05's driver

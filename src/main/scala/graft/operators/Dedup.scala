@@ -486,9 +486,13 @@ object Dedup {
       .filter(col("src") =!= col("dst") && col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint()
+    // rolling checkpoints: each round's label frame supersedes the
+    // previous one; the roller releases the dead generation instead of
+    // letting maxIter generations of blocks pile up (CacheHygieneSpec)
+    val roller = new graft.Caches.CheckpointRoller(pairs.sparkSession)
+    var labels = roller.roll(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")))
+    roller.advance()
     // Exact decimal sum: label ids are arbitrary longs; a DOUBLE sum
     // loses low bits past 2^53 and could report a false fixpoint.
     def labelSum(df: DataFrame): java.math.BigDecimal = {
@@ -510,11 +514,11 @@ object Dedup {
         .groupBy("id").agg(min("label").as("label"))
       // Pointer jump: every label value is itself a vertex id (a min of
       // vertex ids), so label(label) exists and is <= label.
-      val compressed = propagated.as("a")
+      val compressed = roller.roll(propagated.as("a")
         .join(propagated.select(col("id").as("label"), col("label").as("__ll")).as("b"),
           Seq("label"))
-        .select(col("id"), col("__ll").as("label"))
-        .localCheckpoint()
+        .select(col("id"), col("__ll").as("label")))
+      roller.advance()
       val cur = labelSum(compressed)
       converged = cur.compareTo(prev) == 0
       prev = cur

@@ -966,6 +966,7 @@ object Features {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var wdf = data.sparkSession.range(1)
       .select((0 to k).map(j => lit(0.0).as(s"__gw$j")): _*)
+    val roller = new graft.Caches.CheckpointRoller(data.sparkSession)
     (1 to iters).foreach { _ =>
       val z = (1 to k).foldLeft(col("__gw0")) { (acc, j) =>
         acc + col(s"__gw$j") * col(s"__gx$j")
@@ -981,11 +982,12 @@ object Features {
       val g = data.crossJoin(broadcast(wdf)).agg(grads.head, grads.tail: _*)
       // localCheckpoint truncates the iteration lineage (the q59/q62
       // rule): an unpersisted weight chain would replay EVERY previous
-      // iteration's full-data gradient pass per consumer
-      wdf = wdf.crossJoin(broadcast(g)).select(
+      // iteration's full-data gradient pass per consumer; the roller
+      // releases each superseded weight generation (CacheHygieneSpec)
+      wdf = roller.roll(wdf.crossJoin(broadcast(g)).select(
         (0 to k).map(j =>
-          (col(s"__gw$j") - lit(lr) * col(s"__gg$j")).as(s"__gw$j")): _*)
-        .localCheckpoint()
+          (col(s"__gw$j") - lit(lr) * col(s"__gg$j")).as(s"__gw$j")): _*))
+      roller.advance()
     }
     // the eager localCheckpoint above materialized the final weights;
     // the persisted pass frame is dead — eager unpersist caps the

@@ -745,23 +745,30 @@ object Similarity {
     var v = posFrame.select(col("pos"),
       (lit(1.0) / sqrt(lit(d.toDouble))).as("__gval"))
     var lastNorm: DataFrame = null
+    // rolling checkpoints: generation i is {u_i, norm_i}; once u_{i+1}
+    // and norm_{i+1} are eagerly materialized the previous pair is dead
+    // and the roller releases it — only the final pair (which the
+    // returned plan scans) stays live (CacheHygieneSpec)
+    val roller = new graft.Caches.CheckpointRoller(df.sparkSession)
     (1 to iters).foreach { _ =>
       // localCheckpoint truncates the per-iteration lineage (the q59/q62
       // iterative-algorithm rule): without it every u/norm/v consumer
       // replays ALL previous iterations' sub-DAGs as separate jobs —
       // exponential in the iteration count even over a cached cov
-      val u = cov.join(v, cov("__gj") === v("pos"))
+      val u = roller.roll(cov.join(v, cov("__gj") === v("pos"))
         .groupBy(col("__gi"))
-        .agg(toD(sum(absorb(col("__gcov") * col("__gval")))).as("__gu"))
-        .localCheckpoint()
-      val norm = u.agg(
-        sqrt(toD(sum(absorb(col("__gu") * col("__gu"))))).as("__gnorm"))
-        .localCheckpoint()
+        .agg(toD(sum(absorb(col("__gcov") * col("__gval")))).as("__gu")))
+      val norm = roller.roll(u.agg(
+        sqrt(toD(sum(absorb(col("__gu") * col("__gu"))))).as("__gnorm")))
+      roller.advance()
       v = u.crossJoin(broadcast(norm))
         .select(col("__gi").as("pos"),
           when(col("__gnorm") > 0, col("__gu") / col("__gnorm")).as("__gval"))
       lastNorm = norm
     }
+    // iterations are over and the final u/norm are checkpointed: the
+    // d²-row cov frame is dead — the returned plan never reads it
+    cov.unpersist()
     v.crossJoin(broadcast(lastNorm))
       .select(col("pos"), col("__gval").as("loading"),
         when(col("__gnorm") > 0, col("__gnorm")).as("eigenvalue"))
@@ -870,17 +877,21 @@ object Similarity {
         .select(col("__gvid"), col("__gcid"))
     }
     var assigned: DataFrame = null
+    // rolling checkpoints: centroid generation t supersedes t-1; the
+    // roller releases the dead generation (CacheHygieneSpec) — the last
+    // one stays live, scanned by the returned assignment plan
+    val roller = new graft.Caches.CheckpointRoller(df.sparkSession)
     (1 to iters).foreach { t =>
       assigned = assign(cents)
       if (t < iters) {
         // localCheckpoint truncates the iteration lineage (q59/q62
         // rule) — the k·d centroid frame is tiny, and an unpersisted
         // chain replays every earlier assignment per consumer
-        cents = assigned.join(x, "__gvid")
+        cents = roller.roll(assigned.join(x, "__gvid")
           .groupBy(col("__gcid"), col("pos"))
           .agg((sum(col("__gvf").cast("string").cast("decimal(28,18)")).cast("double") /
-            count(lit(1))).as("__gc"))
-          .localCheckpoint()
+            count(lit(1))).as("__gc")))
+        roller.advance()
       }
     }
     assigned.select(col("__gvid").as(id), col("__gcid").as("cluster"))

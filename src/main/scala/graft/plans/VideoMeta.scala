@@ -110,9 +110,17 @@ object VideoMeta {
       } else if (size == 0) size = b.length - i // extends to end of file
       if (go) {
         if (size < hdr) return None // corrupt (negative largesize lands here)
+        val declared = size // the box's own extent, before truncation clamp
         if (size > b.length - i) size = b.length - i // truncated body: clamp
         if (is4cc(b, ii + 4, "ftyp")) {
-          if (i + hdr + 4 > b.length) go = false // brand truncated away
+          // the brand read is bounded by the box's OWN declared extent,
+          // never the payload: a corrupt ftyp declaring size 8-11 with
+          // another box behind it must not read its brand out of that
+          // next box's size field (the moov child walk guards the same
+          // class). Truncation is different — a declared extent that DOES
+          // cover the brand but whose bytes were cut away ends the walk.
+          if (declared < hdr + 4) return None // no room for a brand: corrupt
+          else if (i + hdr + 4 > b.length) go = false // brand truncated away
           else brand = new String(b, ii + hdr, 4, "ISO-8859-1")
         } else if (is4cc(b, ii + 4, "moov")) {
           // child walk; a moov truncated by headers-only ingest still

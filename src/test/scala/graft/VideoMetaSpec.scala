@@ -56,6 +56,19 @@ class VideoMetaSpec extends SparkSpec {
     assert(VideoMeta.parse(large) == Some(("avc1", 600, 6000L, 1)))
   }
 
+  test("undersized ftyp followed by a valid moov is corruption, not a brand") {
+    // ftyp declaring size 8 (no room for its own brand) with a COMPLETE
+    // valid moov right behind it: the brand must not be read out of the
+    // next box's size field — the declared extent bounds the read
+    val moov = "00000038 6D6F6F76" + mvhd0(600, 6000) + trak + trak
+    assert(VideoMeta.parse(hexBytes("00000008 66747970" + moov)).isEmpty)
+    // declared size 10: still short of header + 4-byte brand
+    assert(VideoMeta.parse(hexBytes("0000000A 66747970 4141" + moov)).isEmpty)
+    // declared size 12 exactly fits the brand — valid again
+    assert(VideoMeta.parse(hexBytes("0000000C 66747970 69736F6D" + moov))
+      == Some(("isom", 600, 6000L, 2)))
+  }
+
   test("corrupt, truncated, and non-BMFF payloads are None — never garbage") {
     assert(VideoMeta.parse(null).isEmpty)
     assert(VideoMeta.parse(Array.empty[Byte]).isEmpty)

@@ -2749,6 +2749,38 @@ object SparkEntry {
     "q244_frame_sample"     -> (q244FrameSample _),
   )
 
+  /** Shared-stage variants of the trained-model pairs: each entry
+   *  trains ONCE via the library's weights/assignments/loadings
+   *  overloads and returns BOTH consumers' frames, where the solo
+   *  `queries` entries (kept as the oracle-checkable forms) each pay
+   *  the full training pass. Bench times these as one unit — the
+   *  `shared` column next to the solo pair-sum is the cost drop a
+   *  production pipeline keeps by reusing the trained frame. */
+  def sharedPairs: Map[String, (SparkSession, String) => Seq[DataFrame]] = Map(
+    "q224+q226" -> ((s, dir) => {
+      val emb = t(s, dir).embeddings
+      val load = Similarity.pcaPower(emb, "vec_id", "embedding", iters = 3)
+      Seq(load,
+        Similarity.pcaProject(emb, "vec_id", "embedding",
+          load.select(col("pos"), col("loading"))))
+    }),
+    "q228+q229" -> ((s, dir) => {
+      val emb = t(s, dir).embeddings
+      val assigned = Similarity.kmeansLloyd(emb, "vec_id", "embedding",
+        k = 4, iters = 2)
+      Seq(assigned,
+        Similarity.kmeansQuality(emb, "vec_id", "embedding", assigned))
+    }),
+    "q237+q238" -> ((s, dir) => {
+      val li = t(s, dir).lineitem
+      val isR = col("l_returnflag") === "R"
+      val wdf = Features.logisticWeights(li, logitFeatures, isR,
+        lr = 1.0, iters = 3)
+      Seq(Features.logisticGd(wdf, logitFeatures.map(_._1)),
+        Features.logisticEval(li, logitFeatures, isR, wdf))
+    }),
+  )
+
   private val monthCaseSql: String =
     "CASE month(o_orderdate) WHEN 1 THEN 'Janeiro' WHEN 2 THEN 'Fevereiro' WHEN 3 THEN 'Março'" +
       " WHEN 4 THEN 'Abril' WHEN 5 THEN 'Maio' WHEN 6 THEN 'Junho' WHEN 7 THEN 'Julho'" +

@@ -642,21 +642,26 @@ object Events {
    * independently (the ACF-with-gaps convention).
    *
    * Magnitude bound (the q194/[[autocorr]] decimal route): values are
-   * summed as `decimal(14,4)` — products then stay within Spark's
-   * 38-precision multiply cap, matching the oracle's int128 promotion.
-   * Inputs must therefore fit 10 integer digits (|v| < 10^10); a wider
-   * value would overflow to NULL on the Spark side only (non-ANSI
-   * decimal cast) and silently drop pairs the oracle keeps. Events
-   * `value` is bounded far below that; re-route through a wider
-   * decimal pair (Spark ≤ (18,·), oracle (22,·)) before feeding
-   * larger-magnitude series.
+   * summed as `decimal(precision,4)` — the default 14 keeps products
+   * within Spark's 38-precision multiply cap, matching the oracle's
+   * int128 promotion, and bounds inputs to 10 integer digits
+   * (|v| < 10^10). A wider value overflows the cast: under Spark 4's
+   * default ANSI mode the query THROWS (`NUMERIC_VALUE_OUT_OF_RANGE`);
+   * under non-ANSI it NULLs the moment sums on the Spark side only and
+   * silently drops what the oracle keeps. Events `value` is bounded
+   * far below that; pass `precision` up to 18 (|v| < 10^14 — the
+   * product precision 2·18+1 = 37 still fits the 38 cap) for
+   * larger-magnitude series; an oracle twin must promote its side
+   * identically (e.g. (22,·)).
    */
   def acfMulti(
       df: DataFrame, keys: Seq[String], order: Seq[Column], valueCol: String,
-      maxLag: Int): DataFrame = {
+      maxLag: Int, precision: Int = 14): DataFrame = {
     require(keys.nonEmpty,
       "acfMulti needs partition keys: an unkeyed window is a global single-partition funnel")
     require(maxLag >= 1, "acfMulti needs maxLag >= 1")
+    require(precision >= 5 && precision <= 18,
+      "acfMulti precision must be in [5, 18]: products of two (p,4) decimals need 2p+1 <= 38")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     val lagged = df.select(
       keys.map(col) ++ Seq(col(valueCol).as("__gv")) ++
@@ -668,8 +673,8 @@ object Events {
       .select(keys.map(col) ++ Seq(col("__gv"),
         col("__gp.lag").as("lag"), col("__gp.prev").as("__gprev")): _*)
       .filter(col("__gv").isNotNull && col("__gprev").isNotNull)
-    val dx = col("__gv").cast("decimal(14,4)")
-    val dy = col("__gprev").cast("decimal(14,4)")
+    val dx = col("__gv").cast(s"decimal($precision,4)")
+    val dy = col("__gprev").cast(s"decimal($precision,4)")
     val m = stacked.groupBy(keys.map(col) :+ col("lag"): _*).agg(
       count(lit(1)).as("n_pairs"),
       sum(dx).as("__gsx"), sum(dy).as("__gsy"),
@@ -695,20 +700,24 @@ object Events {
    * recipe on the (v, v_lag) pair frame: exact decimal moments, closed
    * form in one fixed IEEE sequence, zero-variance sides → NULL.
    * Rows whose value or lagged value is NULL drop from the pair frame
-   * (the standard ACF-with-gaps convention).
+   * (the standard ACF-with-gaps convention). `precision` widens the
+   * moment decimals for large-magnitude series ([[acfMulti]]'s bound:
+   * default 14 ↔ 10 integer digits, max 18 ↔ 14).
    */
   def autocorr(
       df: DataFrame, keys: Seq[String], order: Seq[Column], valueCol: String,
-      lagSteps: Int = 1): DataFrame = {
+      lagSteps: Int = 1, precision: Int = 14): DataFrame = {
     require(keys.nonEmpty,
       "autocorr needs partition keys: an unkeyed window is a global single-partition funnel")
     require(lagSteps >= 1, "autocorr needs lag >= 1")
+    require(precision >= 5 && precision <= 18,
+      "autocorr precision must be in [5, 18]: products of two (p,4) decimals need 2p+1 <= 38")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     val paired = df
       .withColumn("__gprev", lag(col(valueCol), lagSteps).over(w))
       .filter(col(valueCol).isNotNull && col("__gprev").isNotNull)
-    val dx = col(valueCol).cast("decimal(14,4)")
-    val dy = col("__gprev").cast("decimal(14,4)")
+    val dx = col(valueCol).cast(s"decimal($precision,4)")
+    val dy = col("__gprev").cast(s"decimal($precision,4)")
     val m = paired.groupBy(keys.map(col): _*).agg(
       count(lit(1)).as("n_pairs"),
       sum(dx).as("__gsx"), sum(dy).as("__gsy"),

@@ -942,10 +942,18 @@ object Features {
    */
   def logisticGd(
       df: DataFrame, features: Seq[(String, Column)], label: Column,
-      lr: Double, iters: Int): DataFrame = {
-    val wdf = logisticWeights(df, features, label, lr, iters)
-    val k = features.size
-    val names = "bias" +: features.map(_._1)
+      lr: Double, iters: Int): DataFrame =
+    logisticGd(logisticWeights(df, features, label, lr, iters),
+      features.map(_._1))
+
+  /** [[logisticGd]]'s (feature, weight) rows off an ALREADY-TRAINED
+   *  weights frame ([[logisticWeights]] output, 1 row of
+   *  `__gw0..__gwK`): callers that need the readable weights AND an
+   *  evaluation (q237+q238) pay for the GD passes once — the
+   *  shared-stage factoring of [[logisticEval]]'s weights overload. */
+  def logisticGd(wdf: DataFrame, featureNames: Seq[String]): DataFrame = {
+    val k = featureNames.size
+    val names = "bias" +: featureNames
     wdf.select(explode(array((0 to k).map { j =>
       struct(lit(names(j)).as("feature"), col(s"__gw$j").as("weight"))
     }: _*)).as("__gf"))

@@ -692,20 +692,42 @@ object Similarity {
    * d²); iterations then run on the d²-row frame, also persisted, with
    * \|d\|-row vector frames — driver holds only the bounded dimension
    * count (the agg-to-literal convention).
+   *
+   * `trainSampleSize > 0` is the AT-SCALE DEFAULT: loadings are
+   * trained on a bounded deterministic sample (hash-ordered top-n,
+   * the [[kmeansCentroids]]/[[trainIvf]] quantizer precedent), so the
+   * n·d² covariance build reads O(sample·d²) term rows instead of
+   * scanning 100 TB. A dominant direction is statistically stable far
+   * below corpus size WHEN the spectrum has one: PcaSampleSpec pins
+   * \|cos(sample, full)\| ≥ 0.99 at sf0.01 (50% sample, λ1/λ2 ≈ 15).
+   * On a near-isotropic cloud (raw sf0.01 embeddings: λ1/λ2 ≈ 1.01)
+   * no estimator — sampled or full — has a stable first PC, so the
+   * sample answers exactly as well as the scan does.
+   * `0` (the oracle-entry default) trains on the full frame, exactly
+   * as before — q224/q226's unrolled-SQL twins replay it verbatim.
    */
   def pcaPower(
-      df: DataFrame, id: String, vecCol: String, iters: Int = 3): DataFrame = {
+      df: DataFrame, id: String, vecCol: String, iters: Int = 3,
+      trainSampleSize: Int = 0): DataFrame = {
     require(iters >= 1, "pcaPower needs iters >= 1")
+    // bounded deterministic sample: TakeOrderedAndProject over the
+    // hash order (no full sort shuffle), identical on any cluster
+    val train =
+      if (trainSampleSize > 0)
+        df.select(col(id), col(vecCol))
+          .orderBy(xxhash64(col(id)).asc, col(id).asc)
+          .limit(trainSampleSize)
+      else df
     def absorb(c: Column) =
       c.cast("float").cast("double").cast("string").cast("decimal(28,18)")
     def toD(c: Column) = c.cast("string").cast("double")
     // global per-position means — [[meanEmbedding]]'s exact-decimal
     // recipe without a group key
-    val means = df.select(posexplode(col(vecCol)).as(Seq("pos", "__gmv")))
+    val means = train.select(posexplode(col(vecCol)).as(Seq("pos", "__gmv")))
       .groupBy(col("pos"))
       .agg((sum(col("__gmv").cast("string").cast("decimal(28,18)")).cast("double") /
         count(lit(1))).as("mean"))
-    val x = df.select(col(id).as("__gvid"),
+    val x = train.select(col(id).as("__gvid"),
       posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "__gv")))
     val centered = x.join(broadcast(means), "pos")
       .select(col("__gvid"), col("pos"),

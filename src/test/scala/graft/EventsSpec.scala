@@ -581,4 +581,29 @@ class EventsSpec extends SparkSpec {
       .collect().head.getAs[Double]("acf")
     assert(single == out(1)._2.get)
   }
+
+  test("autocorr/acfMulti precision widens the decimal route: a 12-integer-digit series overflows at the default and resolves at 18") {
+    // 1e11..4e11: 12 integer digits — overflows the default
+    // decimal(14,4) cast (ANSI, the session default: the query throws
+    // NUMERIC_VALUE_OUT_OF_RANGE), fits decimal(18,4) exactly
+    val big = Seq((1, 1.0e11), (2, 2.0e11), (3, 3.0e11), (4, 4.0e11))
+      .map { case (i, v) => ("k", i, v) }.toDF("key", "i", "v")
+    val exNarrow = intercept[Exception] {
+      Events.autocorr(big, Seq("key"), Seq(col("i")), "v").collect()
+    }
+    assert(exNarrow.getMessage.contains("Decimal(14, 4)"))
+    val wide = Events.autocorr(big, Seq("key"), Seq(col("i")), "v",
+      lagSteps = 1, precision = 18).collect().head
+    assert(math.abs(wide.getAs[Double]("acf") - 1.0) < 1e-12)
+    val wideMulti = Events.acfMulti(big, Seq("key"), Seq(col("i")), "v",
+      maxLag = 2, precision = 18)
+      .collect().map(r => r.getAs[Int]("lag") -> r.getAs[Double]("acf")).toMap
+    assert(math.abs(wideMulti(1) - 1.0) < 1e-12 &&
+      math.abs(wideMulti(2) - 1.0) < 1e-12)
+    val exBad = intercept[IllegalArgumentException] {
+      Events.autocorr(big, Seq("key"), Seq(col("i")), "v",
+        lagSteps = 1, precision = 19)
+    }
+    assert(exBad.getMessage.contains("18"))
+  }
 }

@@ -302,10 +302,14 @@ object SparkEntry {
       k = 5, bits = 4, tables = 16, maxBucketSize = 2000)
   }
 
-  /** #34 embedding-cosine near-dup pairs within multi-table LSH buckets. */
+  /** #34 embedding-cosine near-dup pairs within multi-table LSH buckets.
+   *  bits=0 → occupancy-targeted auto width (6 at sf0.1, the prior
+   *  pinned value; +~3 bits per 10× corpus, keeping bucket join work
+   *  linear in n — the measured fixed-bits cliff was 75 s vs 12 s at
+   *  one 10× step). */
   private def q34EmbeddingDedup(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDups(s, t(s, dir).embeddings, "vec_id", "embedding",
-      threshold = 0.3, bits = 6, tables = 8, maxBucketSize = 2000)
+      threshold = 0.3, bits = 0, tables = 8, maxBucketSize = 2000)
 
   /** #35 multimodal: binary payload plumbing + per-partition decode stage. */
   private def q35MultimodalMeta(s: SparkSession, dir: String): DataFrame = {
@@ -681,8 +685,8 @@ object SparkEntry {
    *  machinery. Rows-only (LSH pairs aren't SQL-expressible). */
   private def q73SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     val pairs = Similarity.embeddingNearDups(s, t(s, dir).embeddings,
-      "vec_id", "embedding", threshold = 0.3, bits = 6, tables = 8,
-      maxBucketSize = 2000)
+      "vec_id", "embedding", threshold = 0.3, bits = 0, tables = 8,
+      maxBucketSize = 2000) // bits=0 = auto occupancy (q34's rationale)
     Dedup.dedupClusters(pairs)
   }
 

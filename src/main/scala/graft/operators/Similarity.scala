@@ -345,6 +345,22 @@ object Similarity {
     call_function(GraftFunctions.hyperplanesName, vec, lit(bits), lit(tables), lit(seed))
   }
 
+  /**
+   * Occupancy-targeted hyperplane signature width: the smallest `bits`
+   * with mean bucket occupancy `n / 2^bits <= targetOccupancy`, clamped
+   * to [4, 20]. Deterministic in n — the same corpus always hashes with
+   * the same planes, so an incremental re-run reproduces its buckets.
+   * 2000 vectors at the default target → 6 bits (the long-standing
+   * sf0.1 setting); 10× data adds ⌈log2 10⌉ ≈ 3-4 bits, holding
+   * per-bucket join work constant instead of letting it grow ~100×.
+   */
+  def autoBits(n: Long, targetOccupancy: Int = 32): Int = {
+    require(targetOccupancy > 0, "targetOccupancy must be positive")
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt
+    math.max(4, math.min(20, needed))
+  }
+
   /** Declarative reference form of [[hyperplaneSignatures]] (kept as the
    *  parity oracle for the codegen expression; specs compare the two). */
   def hyperplaneTables(vec: Column, bits: Int, tables: Int, seed: Int = 42): Column =
@@ -1093,15 +1109,32 @@ object Similarity {
    * in the join key, salting the shuffle exactly like MinHash's band
    * index (Dedup.minhashCandidates). `maxBucketSize` bounds degenerate
    * buckets so one hot bucket can never do unbounded quadratic work.
+   *
+   * `bits <= 0` selects [[autoBits]]: bits sized so mean bucket
+   * occupancy stays ~32 regardless of corpus size. Fixed bits are a
+   * scale trap — within-bucket candidate work grows with occupancy², so
+   * 10× data at constant bits is ~100× join work per bucket (measured:
+   * 75 s → 12 s at a 10× scale step by restoring occupancy with +3
+   * bits). Auto-bits makes the candidate volume ~n·occupancy·tables,
+   * i.e. linear in n at fixed tables. The recall trade is explicit and
+   * belongs to `tables`: a pair at angle θ collides in one table with
+   * p = (1 − θ/π)^bits, so each +1 bit thins per-table recall and a
+   * recall-critical deployment should raise `tables` to keep
+   * 1 − (1−p)^tables at target — tables ~ ln(1−R)/ln(1−p) — paying a
+   * logarithmic-in-n table count for scale-stable recall. The cosine
+   * filter makes precision exact at any (bits, tables).
    */
   def embeddingNearDups(
       spark: SparkSession, df: DataFrame,
       id: String, vec: String, threshold: Double, bits: Int = 12,
       tables: Int = 4, maxBucketSize: Int = 0): DataFrame = {
+    val nBits =
+      if (bits > 0) bits
+      else autoBits(df.count()) // bounded agg-to-literal: one metadata-cheap count
     val bucketed = capBuckets(
       df.select(col(id).as("__gid"), col(vec).as("__gvec"))
         .select(col("__gid"), col("__gvec"),
-          posexplode(hyperplaneSignatures(spark, col("__gvec"), bits, tables))
+          posexplode(hyperplaneSignatures(spark, col("__gvec"), nBits, tables))
             .as(Seq("__gtable", "__gbucket"))),
       maxBucketSize)
     bucketed.as("a")

@@ -291,6 +291,32 @@ class SimilaritySpec extends SparkSpec {
     assert(m == Map((0, 0) -> 2.0, (0, 1) -> 4.0, (1, 0) -> 5.0, (1, 1) -> 7.0))
   }
 
+  test("autoBits: occupancy-targeted width — pinned values, clamps, monotone") {
+    // the standing corpus sizes: sf0.01 clamps at the floor, sf0.1
+    // reproduces the long-pinned 6, a 10x step adds ceil-log2(10) bits
+    assert(Similarity.autoBits(200) == 4)
+    assert(Similarity.autoBits(2000) == 6)
+    assert(Similarity.autoBits(20000) == 10)
+    assert(Similarity.autoBits(0) == 4)           // empty corpus: floor
+    assert(Similarity.autoBits(Long.MaxValue) == 20) // ceiling clamp
+    // monotone non-decreasing in n (spot lattice)
+    val widths = Seq(1L, 100L, 10000L, 1000000L, 100000000L)
+      .map(Similarity.autoBits(_))
+    assert(widths == widths.sorted)
+  }
+
+  test("embeddingNearDups bits=0 equals the explicit autoBits width end-to-end") {
+    val e = sources.Tables(spark, sf0001).embeddings
+    val auto = Similarity.embeddingNearDups(spark, e, "vec_id", "embedding",
+      threshold = 0.3, bits = 0, tables = 8, maxBucketSize = 2000)
+    val pinned = Similarity.embeddingNearDups(spark, e, "vec_id", "embedding",
+      threshold = 0.3, bits = Similarity.autoBits(e.count()), tables = 8,
+      maxBucketSize = 2000)
+    val a = auto.collect().map(_.toString).sorted
+    val p = pinned.collect().map(_.toString).sorted
+    assert(a.sameElements(p), "auto width must be byte-identical to its explicit twin")
+  }
+
   test("embeddingNearDups only emits pairs above threshold with id_a < id_b") {
     val e = sources.Tables(spark, sf0001).embeddings
     val rows = Similarity.embeddingNearDups(spark, e, "vec_id", "embedding", 0.2, bits = 4).collect()

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Merge two Bench subset artifacts (a small-SF and a large-SF run of the
+same query list) into a scale-step report with per-query ratios.
+
+Usage:
+    python3 tools/scale_report.py <small.json> <large.json> <out.json> \
+        [--factor 10] [--note "..."]
+
+The ratio column is large_sec / small_sec. On a fixed-core machine a
+perfectly linear operator shows ratio ~= data factor (plus constant-cost
+amortization below it); ratios well above the factor flag superlinear
+work growth.
+"""
+import sys, json
+
+args = sys.argv[1:]
+small_p, large_p, out_p = args[0], args[1], args[2]
+factor = 10.0
+note = ""
+i = 3
+while i < len(args):
+    if args[i] == "--factor":
+        factor = float(args[i + 1]); i += 2
+    elif args[i] == "--note":
+        note = args[i + 1]; i += 2
+    else:
+        raise SystemExit(f"unknown arg {args[i]}")
+
+small = json.load(open(small_p))
+large = json.load(open(large_p))
+qs, ql = small["queries"], large["queries"]
+common = sorted(set(qs) & set(ql))
+rows = {
+    q: {
+        "small_sec": round(qs[q], 3),
+        "large_sec": round(ql[q], 3),
+        "ratio": round(ql[q] / qs[q], 2) if qs[q] > 0 else None,
+    }
+    for q in common
+}
+worst = sorted(common, key=lambda q: -(rows[q]["ratio"] or 0))[:5]
+out = {
+    "metric": "scale_step",
+    "factor": factor,
+    "small_sf": small.get("sf"),
+    "large_sf": large.get("sf"),
+    "small_total_sec": round(sum(qs[q] for q in common), 1),
+    "large_total_sec": round(sum(ql[q] for q in common), 1),
+    "n_queries": len(common),
+    "worst_ratios": {q: rows[q]["ratio"] for q in worst},
+    "preflight_load": {"small": small.get("preflight_load"),
+                       "large": large.get("preflight_load")},
+    "contaminated": {"small": small.get("contaminated"),
+                     "large": large.get("contaminated")},
+    "note": note,
+    "queries": rows,
+}
+with open(out_p, "w") as f:
+    json.dump(out, f, indent=1, sort_keys=False)
+print(f"[scale] {len(common)} queries: total {out['small_total_sec']}s -> "
+      f"{out['large_total_sec']}s at {factor}x data; worst ratios "
+      + ", ".join(f"{q}={rows[q]['ratio']}" for q in worst))

@@ -83,7 +83,14 @@ object ScaleUp {
     val factor = if (args.length > 2) args(2).toInt else 10
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, out, factor)
+    spark.stop()
+  }
 
+  /** Replicate every table of `src` into `out` at `factor`x (see the
+   *  class doc for the invariants). Session-agnostic so the spec can
+   *  exercise the real pipeline on its own session. */
+  def run(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def write(t: String)(df: DataFrame): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
@@ -136,7 +143,5 @@ object ScaleUp {
       d.withColumn("embedding",
         zip_with(col("embedding"), mask, (x, m) => x * m))
     }))
-
-    spark.stop()
   }
 }

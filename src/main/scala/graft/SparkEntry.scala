@@ -2824,9 +2824,23 @@ object SparkEntry {
   private def nkSql(c: String): String =
     s"(CASE WHEN $c IS NULL THEN chr(2) ELSE chr(3) END || coalesce($c, ''))"
 
-  /** Shared DuckDB CTE prefix for q135/q140: document 3-word-shingle
-   *  sets (mirroring [[TextFns.wordShingles]]' <k-token whole-text
-   *  fallback) and the brute-force qualifying-pair frame `p`. */
+  /** Shared DuckDB CTE prefix for the q135/q140 family: document
+   *  3-word-shingle sets (mirroring [[TextFns.wordShingles]]' <k-token
+   *  whole-text fallback) and the qualifying-pair frame `p`.
+   *
+   *  `p` is restricted to pairs sharing at least one shingle (the
+   *  `ssc` shared-token candidate join) instead of the all-pairs
+   *  `t a JOIN t b ON a.id < b.id` cross form. The restriction is
+   *  IDENTITY-PRESERVING for every consumer: each filters p with
+   *  `i*k >= u*m` at a positive threshold (m >= 1), and u >= 1 always
+   *  (each tok list has >= 1 element), so a qualifying pair needs
+   *  i >= 1 — i.e. a shared shingle. This is a provable algebraic
+   *  rewrite of the same semantics, NOT the engine's prefix-filter
+   *  strategy (which prunes by sorted-prefix overlap and is what the
+   *  oracle checks for false negatives); it turns an O(n²)
+   *  list_intersect sweep into candidate-only work, which is what made
+   *  the sf0.1 sweep's six family oracles runnable (600 s+ -> seconds).
+   */
   private val ssjoinDocShinglesSql: String =
     "WITH RECURSIVE t AS (SELECT doc_id AS id, " +
       "CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(" +
@@ -2834,10 +2848,13 @@ object SparkEntry {
       "z -> z[1] || ' ' || z[2] || ' ' || z[3])) " +
       "ELSE [array_to_string(w, ' ')] END AS tok " +
       "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)), " +
-      "p AS (SELECT a.id AS id_a, b.id AS id_b, " +
+      "sse AS (SELECT id, unnest(tok) AS g FROM t), " +
+      "ssc AS (SELECT DISTINCT ea.id AS id_a, eb.id AS id_b " +
+      "FROM sse ea JOIN sse eb ON ea.g = eb.g AND ea.id < eb.id), " +
+      "p AS (SELECT c.id_a, c.id_b, " +
       "len(list_intersect(a.tok, b.tok)) AS i, " +
       "len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)) AS u " +
-      "FROM t a JOIN t b ON a.id < b.id) "
+      "FROM ssc c JOIN t a ON a.id = c.id_a JOIN t b ON b.id = c.id_b) "
 
   /** DuckDB CASE mapping each leading digit to the driver's Benford
    *  expected-share double, through the VARCHAR-literal detour so the
@@ -3943,7 +3960,9 @@ object SparkEntry {
         "ELSE (l.l_extendedprice - b.med) / (b.q3 - b.q1) END AS l_extendedprice " +
         "FROM lineitem l JOIN b USING (l_returnflag)"),
     "q135_ssjoin_prefix" ->
-      // the FULL brute-force pair set over 3-shingle sets — the
+      // the COMPLETE qualifying-pair set over 3-shingle sets (the
+      // shared-token candidate form — provably equal to brute force at
+      // any positive threshold, see ssjoinDocShinglesSql) — the
       // prefix-filtered plan must reproduce it exactly (no false
       // negatives); thresholds compare exact-integer on both engines;
       // the <3-token CASE mirrors wordShingles' whole-text fallback

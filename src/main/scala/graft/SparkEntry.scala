@@ -4545,8 +4545,11 @@ object SparkEntry {
         "CASE WHEN n_tokens > 0 THEN CAST(alloc_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS epochs " +
         "FROM a"),
     "q186_quality_report" ->
-      // q26's per-doc quality verbatim, then exact quantile_cont (the
-      // q40 bit contract) per source
+      // q26's per-doc quality verbatim, then exact quantile_cont per
+      // source; the quality quantiles narrow to REAL on both engines —
+      // the two engines' interpolation sequences differ by 1 double
+      // ulp on knife-edge data (seen once at sf1), and the float image
+      // absorbs it (sourceQualityReport's doc)
       ("WITH s AS (SELECT source, n_chars, " +
         "len(string_split(text, ' ')) AS n_toks, " +
         s"len(list_filter(string_split(text, ' '), t -> t IN $enStopSql)) AS n_stop " +
@@ -4558,9 +4561,9 @@ object SparkEntry {
         "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
         "CAST(SUM(n_toks) AS BIGINT) AS n_tokens, " +
         "quantile_cont(n_toks, 0.5) AS med_tokens, " +
-        "quantile_cont(q, 0.1) AS p10_quality, " +
-        "quantile_cont(q, 0.5) AS p50_quality, " +
-        "quantile_cont(q, 0.9) AS p90_quality FROM q GROUP BY 1"),
+        "CAST(quantile_cont(q, 0.1) AS REAL) AS p10_quality, " +
+        "CAST(quantile_cont(q, 0.5) AS REAL) AS p50_quality, " +
+        "CAST(quantile_cont(q, 0.9) AS REAL) AS p90_quality FROM q GROUP BY 1"),
     "q187_threshold_sweep" ->
       // the same brute-force pair CTE as q135, swept at three literal
       // cutoffs; jaccard is the identical i/u double in both engines

@@ -566,6 +566,14 @@ object Curation {
    * (the q40 bit contract with DuckDB `quantile_cont`) — the scale
    * default for monitoring dashboards is its `approx_percentile`
    * sibling (q48), traded off exactly as documented there.
+   *
+   * The quality quantiles narrow to FLOAT (the q70 absorb convention):
+   * interpolating between two DOUBLE scores is a different fixed IEEE
+   * sequence per engine (lo + (hi−lo)·f vs lo·(1−f) + hi·f) and can
+   * land 1 ulp apart on knife-edge data — observed once in 232×3
+   * quantiles at sf1, never below. The float image absorbs the wobble
+   * (quantum ~6e-8 relative ≫ 1 double ulp). med_tokens stays DOUBLE:
+   * f = 0.5 over integers interpolates exactly in both engines.
    */
   def sourceQualityReport(
       perDoc: DataFrame, sourceCol: String, tokensCol: String,
@@ -575,9 +583,9 @@ object Curation {
         count(lit(1)).as("n_docs"),
         sum(col(tokensCol).cast("long")).as("n_tokens"),
         percentile(col(tokensCol), lit(0.5)).as("med_tokens"),
-        percentile(col(qualityCol), lit(0.1)).as("p10_quality"),
-        percentile(col(qualityCol), lit(0.5)).as("p50_quality"),
-        percentile(col(qualityCol), lit(0.9)).as("p90_quality"))
+        percentile(col(qualityCol), lit(0.1)).cast("float").as("p10_quality"),
+        percentile(col(qualityCol), lit(0.5)).cast("float").as("p50_quality"),
+        percentile(col(qualityCol), lit(0.9)).cast("float").as("p90_quality"))
 
   /**
    * Pointwise-mutual-information collocations: word pairs that co-occur

@@ -258,12 +258,12 @@ class CurationSpec extends SparkSpec {
     val out = Curation.sourceQualityReport(perDoc.repartition(3), "source", "n_toks", "q")
       .orderBy("source").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
-        r.getDouble(5)))
+        r.getFloat(5))) // quality quantiles are FLOAT (ulp-absorb image)
     // s1: median tokens 20, p50 quality 0.4; s2: interpolated 6.0 / ~0.6
     assert(out.map(t => (t._1, t._2, t._3, t._4)).toSeq == Seq(
       ("s1", 3L, 60L, 20.0), ("s2", 2L, 12L, 6.0)))
-    assert(out(0)._5 == 0.4)
-    assert(math.abs(out(1)._5 - 0.6) < 1e-15)
+    assert(out(0)._5 == 0.4f)
+    assert(math.abs(out(1)._5 - 0.6f) < 1e-7)
   }
 
   test("tokenFrequencySpectrum: frequency-of-frequencies with blank drop") {

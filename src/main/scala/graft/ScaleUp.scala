@@ -25,11 +25,19 @@ import org.apache.spark.sql.functions._
  *    fan-out per key is *identical* to the source at every factor.
  *  - **Tiny dims stay fixed** (region, nation) exactly as TPC-H holds
  *    nations constant across SF; nationkey FKs are left unshifted.
- *  - **Text decorrelation**: replica i's document text is Caesar-shifted
- *    by i (a-z only, via `translate`). Within a replica every shingle /
- *    length / punctuation statistic is preserved bit-for-bit; across
- *    replicas the shingle sets are disjoint, so near-dup clusters stay
- *    source-sized instead of growing with the factor.
+ *  - **Text decorrelation**: replica i's document text goes through a
+ *    per-replica affine substitution cipher x -> a·x + b (mod 26) over
+ *    a-z (via `translate`), with (a, b) enumerated so replicas 0-25 are
+ *    the pure Caesar shifts and the 12 multipliers coprime to 26 extend
+ *    the space to 312 distinct bijections. A bijection on letters
+ *    preserves every shingle / length / punctuation statistic within a
+ *    replica bit-for-bit; two DISTINCT affine maps agree on at most 2
+ *    letters, so cross-replica shingle sets are disjoint (a shingle
+ *    would need every letter drawn from the agreeing pair) and near-dup
+ *    clusters stay source-sized instead of growing with the factor.
+ *    `factor` is capped at 312 — beyond that the substitution space is
+ *    exhausted and replicas would repeat text verbatim (the old pure
+ *    Caesar scheme hit the same wall at 26).
  *  - **Embedding decorrelation**: replica i's vectors are multiplied by
  *    a deterministic per-replica ±1 sign mask. Within a replica every
  *    pairwise dot product (hence every cosine, every neighborhood) is
@@ -42,6 +50,13 @@ import org.apache.spark.sql.functions._
  *    because user_id shifts.
  *
  * No RNG anywhere — byte-identical output on every run, any cluster.
+ *
+ * Always replicate from the BASE corpus, never chain on a replica:
+ * composed substitutions collide (base shifts i+j == j+i land replica
+ * pairs on identical text) and composed sign masks are symmetric
+ * (mask(i)∘mask(j) == mask(j)∘mask(i)), so a replica-of-a-replica holds
+ * cross-replica exact duplicates the invariants above forbid. One run
+ * at the target factor from the source has neither problem.
  *
  * Usage: `runMain graft.ScaleUp <srcDir> <outDir> [factor]`
  */
@@ -67,15 +82,29 @@ object ScaleUp {
 
   private val alphabet = "abcdefghijklmnopqrstuvwxyz"
 
-  /** Caesar-shift a-z by `i` (identity at i == 0). Length, case classes,
-   *  whitespace, digits and punctuation are untouched, so every
-   *  length/ratio statistic survives while shingles across replicas
-   *  become disjoint. */
-  private def caesar(c: org.apache.spark.sql.Column, i: Int) = {
-    val k = i % 26
-    if (k == 0) c
-    else translate(c, alphabet, alphabet.substring(k) + alphabet.substring(0, k))
+  /** The multipliers coprime to 26 — each (a, b) pair below is a distinct
+   *  bijection on a-z. a = 1 first so replicas 0-25 stay the historical
+   *  pure Caesar shifts (sf1 artifacts remain reproducible). */
+  private val coprimes = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+  /** Max factor before substitution maps would repeat. */
+  private[graft] val maxFactor: Int = 26 * coprimes.length
+
+  /** The image alphabet of replica i's affine map x -> a·x + b (mod 26),
+   *  with a = coprimes(i / 26) and b = i % 26. Distinct for
+   *  0 <= i < 312; i == 0 is the identity. */
+  private[graft] def affineAlphabet(i: Int): String = {
+    val a = coprimes(i / 26)
+    val b = i % 26
+    String.valueOf(Array.tabulate(26)(x => alphabet((a * x + b) % 26)))
   }
+
+  /** Substitute a-z through replica i's affine map (identity at i == 0).
+   *  Length, case classes, whitespace, digits and punctuation are
+   *  untouched, so every length/ratio statistic survives while shingles
+   *  across replicas become disjoint. */
+  private def substitute(c: org.apache.spark.sql.Column, i: Int) =
+    if (i == 0) c else translate(c, alphabet, affineAlphabet(i))
 
   def main(args: Array[String]): Unit = {
     val src = args(0)
@@ -91,6 +120,9 @@ object ScaleUp {
    *  class doc for the invariants). Session-agnostic so the spec can
    *  exercise the real pipeline on its own session. */
   def run(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    require(factor >= 1 && factor <= maxFactor,
+      s"factor $factor outside [1, $maxFactor]: beyond $maxFactor the affine " +
+        "substitution space is exhausted and replicas would repeat text verbatim")
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def write(t: String)(df: DataFrame): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
@@ -133,7 +165,7 @@ object ScaleUp {
     val docs = read("documents")
     val docK = stride(docs, "doc_id")
     write("documents")(replicate(docs, Map("doc_id" -> docK),
-      (d, i) => d.withColumn("text", caesar(col("text"), i))))
+      (d, i) => d.withColumn("text", substitute(col("text"), i))))
 
     val emb = read("embeddings")
     val vecK = stride(emb, "vec_id")

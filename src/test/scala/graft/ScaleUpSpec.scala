@@ -101,6 +101,29 @@ class ScaleUpSpec extends SparkSpec {
       "sign-masked replicas must preserve every pairwise dot bit-for-bit")
   }
 
+  test("affine substitution: 312 distinct bijections, Caesar-compatible below 26") {
+    val maps = (0 until ScaleUp.maxFactor).map(ScaleUp.affineAlphabet)
+    // every map is a bijection on a-z
+    assert(maps.forall(_.sorted == "abcdefghijklmnopqrstuvwxyz"))
+    // all 312 are pairwise distinct — the old pure-Caesar scheme repeated
+    // at i == 26 (identical text across replicas 0 and 26, fabricating
+    // near-dup clusters at factor > 26)
+    assert(maps.distinct.size == ScaleUp.maxFactor)
+    assert(ScaleUp.affineAlphabet(26) != ScaleUp.affineAlphabet(0))
+    // replicas 0-25 keep the historical Caesar shifts, so committed sf1
+    // artifacts (factor 10) stay byte-reproducible
+    for (i <- 0 until 26)
+      assert(maps(i) == "abcdefghijklmnopqrstuvwxyz".substring(i) +
+        "abcdefghijklmnopqrstuvwxyz".substring(0, i), s"shift $i")
+    // distinct affine maps agree on at most 2 letters: a 3+-letter
+    // shingle collides across replicas only if every letter sits in the
+    // agreeing pair — statistical disjointness survives at any factor
+    for (i <- Seq(0, 1, 26, 37, 311); j <- Seq(0, 1, 26, 37, 311) if i < j) {
+      val agree = (0 until 26).count(x => maps(i)(x) == maps(j)(x))
+      assert(agree <= 2, s"maps $i,$j agree on $agree letters")
+    }
+  }
+
   test("signMask is deterministic, replica 0 is all +1, later replicas mix signs") {
     assert(ScaleUp.signMask(0, 64).forall(_ == 1f))
     val m1 = ScaleUp.signMask(1, 64)

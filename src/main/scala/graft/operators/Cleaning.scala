@@ -31,23 +31,36 @@ object Cleaning {
     imputeWithMedians(df, Seq(column -> valid), approx)
 
   /**
-   * Median imputation of N columns in ONE pass (the reference imputes
-   * THREE columns back to back, dag.py:79-81,122-127): every column's
-   * median-of-valid is computed by a single aggregate — aggregates skip
-   * nulls, so `median(when(valid, col))` is the median over exactly the
-   * valid subset, no per-column `filter` scan — broadcast back as one
-   * 1-row bounds frame. Cost is ONE extra scan total, however many
-   * columns are imputed; the per-column form costs one each.
+   * Median imputation of N columns (the reference imputes THREE columns
+   * back to back, dag.py:79-81,122-127), all medians broadcast back as
+   * one combined 1-row bounds frame. The exact path ranks each column's
+   * valid subset by sort-rank selection ([[Features.groupQuantiles]] —
+   * bounded memory at any value cardinality, one sort per column); the
+   * `approx = true` path keeps the single-pass one-aggregate shape
+   * (mergeable Greenwald-Khanna sketches for all N columns in one scan)
+   * for 100 TB monitoring-grade imputation.
    */
   def imputeWithMedians(df: DataFrame, columns: Seq[(String, Column)],
       approx: Boolean = false): DataFrame = {
     require(columns.nonEmpty, "imputeWithMedians needs at least one column")
-    val stats = columns.zipWithIndex.map { case ((c, valid), i) =>
-      val v = when(valid, col(c))
-      (if (approx) percentile_approx(v, lit(0.5), lit(10000)) else median(v))
-        .cast("double").as(s"__graft_med_$i")
-    }
-    val meds = df.agg(stats.head, stats.tail: _*)
+    // approx: all medians in ONE single-pass aggregate (mergeable GK
+    // sketches). exact: one sort-rank frame per column
+    // (Features.groupQuantiles' keyless range-partition path — `median`
+    // shares `percentile`'s value→count hash-map buffer, whose keyless
+    // final merge gathers EVERY distinct value on one executor; imputed
+    // columns are price-like, i.e. high-cardinality). Each frame is one
+    // row; the crossJoin chain broadcasts them all back in one go.
+    val meds =
+      if (approx) {
+        val stats = columns.zipWithIndex.map { case ((c, valid), i) =>
+          percentile_approx(when(valid, col(c)), lit(0.5), lit(10000))
+            .cast("double").as(s"__graft_med_$i")
+        }
+        df.agg(stats.head, stats.tail: _*)
+      } else columns.zipWithIndex.map { case ((c, valid), i) =>
+        Features.groupQuantiles(df.filter(valid), Nil, c,
+          Seq(0.5 -> s"__graft_med_$i"))
+      }.reduce(_ crossJoin _)
     columns.zipWithIndex.foldLeft(df.crossJoin(broadcast(meds))) {
       case (acc, ((c, valid), i)) =>
         acc.withColumn(c, when(valid, col(c)).otherwise(col(s"__graft_med_$i")))
@@ -146,13 +159,13 @@ object Cleaning {
   def winsorize(
       df: DataFrame, column: String, keys: Seq[String],
       pLo: Double, pHi: Double, approx: Boolean = false): DataFrame = {
-    def pct(p: Double) =
-      if (approx) percentile_approx(col(column), lit(p), lit(10000))
-      else expr(s"percentile($column, $p)")
-    Features.withGroupBounds(df, keys,
-      Seq(pct(pLo).as("__glo"), pct(pHi).as("__ghi"))) {
-      _.withColumn(column, least(greatest(col(column), col("__glo")), col("__ghi")))
-    }
+    val clamp = (j: DataFrame) => j.withColumn(column,
+      least(greatest(col(column), col("__glo")), col("__ghi")))
+    if (approx) Features.withGroupBounds(df, keys, Seq(
+      percentile_approx(col(column), lit(pLo), lit(10000)).as("__glo"),
+      percentile_approx(col(column), lit(pHi), lit(10000)).as("__ghi")))(clamp)
+    else Features.withBoundsFrame(df, keys, Features.groupQuantiles(
+      df, keys, column, Seq(pLo -> "__glo", pHi -> "__ghi")))(clamp)
   }
 
   /**
@@ -171,17 +184,18 @@ object Cleaning {
    */
   def madOutliers(df: DataFrame, column: String, keys: Seq[String],
       k: Double, approx: Boolean = false): DataFrame = {
-    def med(c: Column) =
-      if (approx) percentile_approx(c, lit(0.5), lit(10000)).cast("double")
-      else median(c)
-    val withDev = Features.withGroupBounds(df, keys,
-      Seq(med(col(column)).as("__gmed"))) {
-      _.withColumn("deviation", abs(col(column) - col("__gmed")))
-    }
-    Features.withGroupBounds(withDev, keys,
-      Seq(med(col("deviation")).as("__gmad"))) {
-      _.withColumn("is_outlier", col("deviation") > lit(k) * col("__gmad"))
-    }
+    // exact medians ride groupQuantiles' sort-rank path (bounded memory
+    // at any cardinality; `median` shares `percentile`'s hash-map buffer)
+    def medBounds(d: DataFrame, c: String, as: String)(
+        post: DataFrame => DataFrame): DataFrame =
+      if (approx) Features.withGroupBounds(d, keys,
+        Seq(percentile_approx(col(c), lit(0.5), lit(10000)).cast("double").as(as)))(post)
+      else Features.withBoundsFrame(d, keys,
+        Features.groupQuantiles(d, keys, c, Seq(0.5 -> as)))(post)
+    val withDev = medBounds(df, column, "__gmed")(
+      _.withColumn("deviation", abs(col(column) - col("__gmed"))))
+    medBounds(withDev, "deviation", "__gmad")(
+      _.withColumn("is_outlier", col("deviation") > lit(k) * col("__gmad")))
   }
 
   /**

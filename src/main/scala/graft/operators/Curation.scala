@@ -562,10 +562,13 @@ object Curation {
    * per-row builders ([[graft.functions.TextFns.qualityScore]] et al.)
    * so the report composes with any scoring recipe.
    *
-   * One aggregation; `percentile` is the exact sort-based aggregate
-   * (the q40 bit contract with DuckDB `quantile_cont`) — the scale
-   * default for monitoring dashboards is its `approx_percentile`
-   * sibling (q48), traded off exactly as documented there.
+   * Quantiles come from [[graft.operators.Features.groupQuantiles]]'s
+   * sort-rank selection (the q40 bit contract with DuckDB
+   * `quantile_cont`, bounded memory at any cardinality — the quality
+   * ratio is effectively distinct-per-doc, exactly the hash-map
+   * percentile's OOM shape at corpus scale), one frame per measured
+   * column joined null-safely onto the totals; the cheap monitoring
+   * alternative remains `approx_percentile` (q48).
    *
    * The quality quantiles narrow to FLOAT (the q70 absorb convention):
    * interpolating between two DOUBLE scores is a different fixed IEEE
@@ -577,15 +580,29 @@ object Curation {
    */
   def sourceQualityReport(
       perDoc: DataFrame, sourceCol: String, tokensCol: String,
-      qualityCol: String): DataFrame =
-    perDoc.groupBy(col(sourceCol).as("source"))
+      qualityCol: String): DataFrame = {
+    val totals = perDoc.groupBy(col(sourceCol).as("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(col(tokensCol).cast("long")).as("n_tokens"),
-        percentile(col(tokensCol), lit(0.5)).as("med_tokens"),
-        percentile(col(qualityCol), lit(0.1)).cast("float").as("p10_quality"),
-        percentile(col(qualityCol), lit(0.5)).cast("float").as("p50_quality"),
-        percentile(col(qualityCol), lit(0.9)).cast("float").as("p90_quality"))
+        sum(col(tokensCol).cast("long")).as("n_tokens"))
+    val toks = Features.groupQuantiles(
+      perDoc.withColumnRenamed(sourceCol, "source"), Seq("source"),
+      tokensCol, Seq(0.5 -> "med_tokens"))
+    val quals = Features.groupQuantiles(
+      perDoc.withColumnRenamed(sourceCol, "source"), Seq("source"),
+      qualityCol, Seq(0.1 -> "__q10", 0.5 -> "__q50", 0.9 -> "__q90"))
+    def bySource(r: DataFrame) = {
+      val renamed = r.withColumnRenamed("source", "__qsrc")
+      (l: DataFrame) => l.join(renamed, col("source") <=> col("__qsrc"))
+        .drop("__qsrc")
+    }
+    bySource(quals)(bySource(toks)(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("med_tokens"),
+        col("__q10").cast("float").as("p10_quality"),
+        col("__q50").cast("float").as("p50_quality"),
+        col("__q90").cast("float").as("p90_quality"))
+  }
 
   /**
    * Pointwise-mutual-information collocations: word pairs that co-occur

@@ -901,10 +901,12 @@ object Events {
       .filter(col(tsUsCol) > col("__gt0"))
       .groupBy(col(subject))
       .agg((min(col(tsUsCol)) - max(col("__gt0"))).as("__ggap"))
-    val pcts = percentiles.map { p =>
-      expr(s"percentile(__ggap, $p)").as(s"p${(p * 100).round}_us")
-    }
-    gaps.agg(count(lit(1)).as("n_converted"), pcts: _*)
+    // keyless exact percentiles via the range-partition sort-rank path
+    // (Features.groupQuantiles): the per-subject gap frame is corpus-
+    // sized, so a percentile hash map would gather it on one buffer
+    Features.groupQuantiles(gaps, Nil, "__ggap",
+      percentiles.map(p => p -> s"p${(p * 100).round}_us"),
+      countAs = Some("n_converted"))
   }
 
   /**
@@ -931,11 +933,12 @@ object Events {
       .withColumn("__gprev", lag(col(tsUsCol), 1).over(w))
       .filter(col("__gprev").isNotNull)
       .withColumn("__ggap", col(tsUsCol) - col("__gprev"))
-    val pcts = percentiles.map { p =>
-      expr(s"percentile(__ggap, $p)").as(s"p${(p * 100).round}_us")
-    }
-    gaps.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n_gaps"), pcts: _*)
+    // exact percentiles via the sort-rank path (Features.groupQuantiles):
+    // gap cardinality is unbounded, so the percentile hash-map buffer
+    // grows with traffic — the measured q134-class OOM shape
+    Features.groupQuantiles(gaps, keys, "__ggap",
+      percentiles.map(p => p -> s"p${(p * 100).round}_us"),
+      countAs = Some("n_gaps"))
   }
 
   /**
@@ -969,8 +972,10 @@ object Events {
       .select(keys.map(col) :+
         ((col("__gyb") - col("__gya")).cast("double") /
           (col("__gxb") - col("__gxa")).cast("double")).as("__gslope"): _*)
-    pairs.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n_pairs"),
-        expr("percentile(__gslope, 0.5D)").as("slope"))
+    // sort-rank median (Features.groupQuantiles): slope cardinality is
+    // the pair count, so even "bounded" series would hand the hash-map
+    // percentile a quadratic buffer per group
+    Features.groupQuantiles(pairs, keys, "__gslope",
+      Seq(0.5 -> "slope"), countAs = Some("n_pairs"))
   }
 }

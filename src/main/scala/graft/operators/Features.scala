@@ -31,10 +31,18 @@ object Features {
    */
   private[operators] def withGroupBounds(
       df: DataFrame, keys: Seq[String], stats: Seq[Column])(
-      post: DataFrame => DataFrame): DataFrame = {
-    val bounds =
+      post: DataFrame => DataFrame): DataFrame =
+    withBoundsFrame(df, keys,
       if (keys.isEmpty) df.agg(stats.head, stats.tail: _*)
-      else df.groupBy(keys.map(col): _*).agg(stats.head, stats.tail: _*)
+      else df.groupBy(keys.map(col): _*).agg(stats.head, stats.tail: _*))(post)
+
+  /** [[withGroupBounds]] with a caller-built one-row-per-group `bounds`
+   *  frame (e.g. [[groupQuantiles]]'s sort-rank output) instead of a
+   *  plain aggregate. Same null-safe broadcast join, same stat-column
+   *  cleanup. */
+  private[operators] def withBoundsFrame(
+      df: DataFrame, keys: Seq[String], bounds: DataFrame)(
+      post: DataFrame => DataFrame): DataFrame = {
     val joined =
       if (keys.isEmpty) df.crossJoin(broadcast(bounds))
       else {
@@ -45,6 +53,123 @@ object Features {
         df.join(broadcast(renamed), cond).drop(keys.map(k => s"__gbk_$k"): _*)
       }
     post(joined).drop(bounds.columns.filterNot(keys.contains).toIndexedSeq: _*)
+  }
+
+  /**
+   * Exact grouped quantiles by SORT-RANK SELECTION — bit-identical to
+   * Spark's `percentile` aggregate (hence to DuckDB `quantile_cont`,
+   * the q40 parity) with bounded memory at any value cardinality.
+   *
+   * `percentile`'s buffer is a value→count hash map, so every partial
+   * aggregate holds every distinct value of every group it touches —
+   * O(distinct values) heap that OOMs on high-cardinality columns
+   * (measured: q134's robust-scale over 60 M lineitem prices at the
+   * sf10 scale step, 8 g heap). This twin never materializes a
+   * distribution: it ranks within groups (ONE window exchange; Spark's
+   * window buffers spill to disk), keeps only the ≤ 2 ranked rows per
+   * requested percentile that interpolation can touch, and aggregates
+   * those. The interpolation mirrors `Percentile.getPercentile`
+   * exactly — `(higher − pos)·lo + (pos − lower)·hi` over
+   * `pos = p·(n−1)` with the integral-position and equal-endpoint
+   * shortcuts taken BEFORE any arithmetic — so results are bitwise
+   * equal to the hash-map path's.
+   *
+   * Group parity with `groupBy(keys).agg(percentile(...))`: null keys
+   * form groups (groupBy semantics), all-null-value groups emit null
+   * quantiles (nulls rank FIRST, so such a group keeps its rank-1 row
+   * as a representative and aggregates to nulls), and null values
+   * never count (`pos` runs over the non-null rank). Ties carry no
+   * order-dependence: `row_number` among equal values is arbitrary,
+   * but only the VALUE at a rank is read, and that is unique. Keyless
+   * calls take the range-partition global-rank path
+   * ([[StarSchema.dimWithDenseKeyScalable]]'s scheme) instead of a
+   * single-partition window; a keyed call whose data is one giant
+   * group inherits the window's spill behavior, not the hash map's
+   * OOM.
+   *
+   * Output columns: `keys ++ countAs ++ ps` names; quantiles are
+   * DOUBLE. `countAs` co-emits each group's non-null value count for
+   * callers that report it alongside (saves a second aggregate pass).
+   */
+  def groupQuantiles(
+      df: DataFrame, keys: Seq[String], column: String,
+      ps: Seq[(Double, String)], countAs: Option[String] = None): DataFrame = {
+    require(ps.nonEmpty, "groupQuantiles needs at least one percentile")
+    require(ps.forall { case (p, _) => p >= 0 && p <= 1 },
+      "percentiles must be in [0, 1]")
+    val vd = col(column).cast("double")
+
+    // ranked: (__qv double, __qn non-null count, __qt group row count,
+    // __qrnn rank among the group's non-null values in ascending order)
+    val ranked =
+      if (keys.nonEmpty) {
+        val kc = keys.map(col)
+        val wAll = Window.partitionBy(kc: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val wSort = Window.partitionBy(kc: _*).orderBy(col("__qv").asc_nulls_first)
+        // the ordered window first: its (keys, value) sort satisfies the
+        // count window's (keys) requirement, so the plan sorts ONCE
+        df.select(kc :+ vd.as("__qv"): _*)
+          .withColumn("__qrn0", row_number().over(wSort))
+          .withColumn("__qn", count(col("__qv")).over(wAll))
+          .withColumn("__qt", count(lit(1)).over(wAll))
+          .withColumn("__qrnn", col("__qrn0") - (col("__qt") - col("__qn")))
+      } else {
+        val valid = df.select(vd.as("__qv")).filter(col("__qv").isNotNull)
+          .repartitionByRange(col("__qv"))
+          .withColumn("__gpid", spark_partition_id())
+        val withRn = valid.withColumn("__grn",
+          row_number().over(Window.partitionBy("__gpid").orderBy(col("__qv"))))
+        // per-partition sizes -> exclusive running sum = rank offset; the
+        // inclusive total is the global n. The windowed frame is at most
+        // shuffle-partitions rows.
+        val offsets = withRn.groupBy("__gpid").agg(count(lit(1)).as("__gsz"))
+          .withColumn("__goff", coalesce(
+            sum("__gsz").over(Window.orderBy("__gpid")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("__qn", sum("__gsz").over(Window.orderBy("__gpid")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .select("__gpid", "__goff", "__qn")
+        withRn.join(broadcast(offsets), "__gpid")
+          .withColumn("__qrnn", col("__goff") + col("__grn"))
+          .withColumn("__qt", col("__qn"))
+          .select("__qv", "__qn", "__qt", "__qrnn")
+      }
+
+    def pos(p: Double) = lit(p) * (col("__qn") - lit(1)).cast("double")
+    val needed = ps.map { case (p, _) =>
+      val q = pos(p)
+      col("__qrnn") === floor(q) + 1 || col("__qrnn") === ceil(q) + 1
+    }.reduce(_ || _)
+    val picked = ranked.filter(
+      (col("__qv").isNotNull && needed) ||
+        // all-null group: keep the rank-1 row so the group still emits
+        (col("__qn") === 0 && col("__qrnn") === lit(1) - col("__qt")))
+
+    val aggs = max(col("__qn")).as("__qn") +:
+      ps.zipWithIndex.flatMap { case ((p, _), i) =>
+        val q = pos(p)
+        Seq(
+          max(when(col("__qrnn") === floor(q) + 1, col("__qv"))).as(s"__qlo_$i"),
+          max(when(col("__qrnn") === ceil(q) + 1, col("__qv"))).as(s"__qhi_$i"))
+      }
+    val agged =
+      if (keys.nonEmpty) picked.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      else picked.groupBy().agg(aggs.head, aggs.tail: _*)
+
+    val outCols = ps.zipWithIndex.map { case ((p, name), i) =>
+      val n = col("__qn")
+      val q = lit(p) * (n - lit(1)).cast("double")
+      val lo = col(s"__qlo_$i"); val hi = col(s"__qhi_$i")
+      when(n.isNull || n === 0, lit(null).cast("double"))
+        .when(floor(q) === ceil(q), lo)
+        .when(lo === hi, lo)
+        .otherwise((ceil(q).cast("double") - q) * lo +
+          (q - floor(q).cast("double")) * hi)
+        .as(name)
+    }
+    agged.select(keys.map(col) ++
+      countAs.map(c => coalesce(col("__qn"), lit(0L)).as(c)) ++ outCols: _*)
   }
 
   /**
@@ -98,15 +223,18 @@ object Features {
    * subtraction + division are single IEEE ops — engine-portable with
    * no decimal detour. Zero-IQR groups scale to 0.0 (at least half the
    * group sits AT the median; same convention as [[minmaxScale]]'s
-   * degenerate guard). At 100 TB swap the exact percentiles for
-   * `percentile_approx` upstream (the q48 documented trade).
+   * degenerate guard). Quantiles come from [[groupQuantiles]]'s
+   * sort-rank path: the `percentile` hash-map aggregate holds every
+   * distinct value per partial buffer and OOM'd this exact operator at
+   * the sf10 scale step (60 M high-cardinality prices, 8 g heap); the
+   * sort-rank twin is bit-identical with bounded memory, so the exact
+   * path now IS the 100 TB path (`percentile_approx` remains the cheap
+   * monitoring alternative, q48).
    */
   def robustScale(df: DataFrame, column: String, keys: Seq[String]): DataFrame = {
     val v = col(column)
-    withGroupBounds(df, keys, Seq(
-      percentile(v, lit(0.5)).as("__gmed"),
-      percentile(v, lit(0.25)).as("__gq1"),
-      percentile(v, lit(0.75)).as("__gq3"))) {
+    withBoundsFrame(df, keys, groupQuantiles(df, keys, column, Seq(
+      0.5 -> "__gmed", 0.25 -> "__gq1", 0.75 -> "__gq3"))) {
       _.withColumn(column,
         when(col("__gq3") === col("__gq1"), 0d)
           .otherwise((v - col("__gmed")) / (col("__gq3") - col("__gq1"))))

@@ -198,19 +198,24 @@ object Relational {
 
   /**
    * Grouped quantiles: exact linear-interpolated percentiles (matches
-   * DuckDB `quantile_cont` bit-for-bit), or the Greenwald-Khanna sketch behind
-   * `approx_percentile` sketch — the 100 TB default, since an exact
-   * per-group percentile must gather every value of the group.
+   * DuckDB `quantile_cont` bit-for-bit) via
+   * [[Features.groupQuantiles]]'s sort-rank selection — bounded memory
+   * at any value cardinality, unlike the `percentile` hash-map
+   * aggregate it replaced (which holds every distinct value per
+   * partial buffer; q134's OOM at the sf10 scale step). The
+   * Greenwald-Khanna `approx_percentile` sketch remains the cheap
+   * single-pass alternative for monitoring-grade answers (q48 trade).
    */
   def quantileAgg(
       df: DataFrame, keys: Seq[String], valueCol: String,
-      ps: Seq[(String, Double)], approx: Boolean = false, accuracy: Int = 10000): DataFrame = {
-    val aggs = ps.map { case (name, p) =>
-      (if (approx) percentile_approx(col(valueCol), lit(p), lit(accuracy))
-       else expr(s"percentile($valueCol, $p)")).as(name)
-    }
-    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-  }
+      ps: Seq[(String, Double)], approx: Boolean = false, accuracy: Int = 10000): DataFrame =
+    if (approx) {
+      val aggs = ps.map { case (name, p) =>
+        percentile_approx(col(valueCol), lit(p), lit(accuracy)).as(name)
+      }
+      df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    } else Features.groupQuantiles(df, keys, valueCol,
+      ps.map { case (name, p) => p -> name })
 
   /**
    * Period-over-period contribution decomposition — "which segment
@@ -777,10 +782,11 @@ object Relational {
    * percentile band — the robust KPI that survives fat tails where a
    * plain mean follows the outliers (winsorize's aggregate cousin:
    * winsorize CLAMPS tails into the band, this EXCLUDES them). Exact
-   * percentile bounds broadcast back per group (Features.withGroupBounds
-   * — `percentile_approx` is the documented 100 TB swap, q48), then one
-   * exact-decimal conditional mean; boundary values are included, so
-   * the band test is pure comparison with no rank arithmetic.
+   * percentile bounds come from [[Features.groupQuantiles]]'s sort-rank
+   * path (bounded memory at any cardinality) and broadcast back per
+   * group, then one exact-decimal conditional mean; boundary values are
+   * included, so the band test is pure comparison with no rank
+   * arithmetic.
    */
   def trimmedMean(
       df: DataFrame, column: String, keys: Seq[String],
@@ -788,9 +794,9 @@ object Relational {
       out: String = "trimmed_mean", scale: Int = 4): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, "trimmedMean needs 0 <= lo < hi <= 1")
     val v = col(column)
-    Features.withGroupBounds(df.filter(v.isNotNull), keys, Seq(
-      percentile(v, lit(lo)).as("__glo"),
-      percentile(v, lit(hi)).as("__ghi"))) { j =>
+    val valid = df.filter(v.isNotNull)
+    Features.withBoundsFrame(valid, keys, Features.groupQuantiles(
+      valid, keys, column, Seq(lo -> "__glo", hi -> "__ghi"))) { j =>
       j.filter(v >= col("__glo") && v <= col("__ghi"))
         .groupBy(keys.map(col): _*)
         .agg(graft.functions.Exact.decAvg(v, scale).as(out))

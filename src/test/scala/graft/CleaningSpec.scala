@@ -33,11 +33,16 @@ class CleaningSpec extends SparkSpec {
     val seq2 = Cleaning.imputeWithMedian(
       Cleaning.imputeWithMedian(d2, "a", col("a") > 0), "b", col("b") > 0)
     assert(both.orderBy("id").collect().toSeq == seq2.orderBy("id").collect().toSeq)
-    // one-pass claim: the source is scanned exactly twice (the medians
-    // aggregate + the main projection), independent of column count
-    val scans = both.queryExecution.executedPlan.toString()
+    // the one-pass (single aggregate, N sketches) shape is the APPROX
+    // path's contract; the exact path pays one sort-rank frame per
+    // column for bounded memory (groupQuantiles doc)
+    val approx = Cleaning.imputeWithMedians(d2,
+      Seq("a" -> (col("a") > 0), "b" -> (col("b") > 0)), approx = true)
+    val scans = approx.queryExecution.executedPlan.toString()
       .linesIterator.count(_.contains("LocalTableScan"))
-    assert(scans == 2, s"expected 2 scans, plan had $scans")
+    assert(scans == 2, s"expected 2 scans in the approx plan, had $scans")
+    assert(approx.orderBy("id").select("id", "a").as[(Long, Double)].collect()
+      .toSeq == Seq(1L -> 10.0, 2L -> 20.0, 3L -> 30.0, 4L -> 20.0, 5L -> 20.0))
   }
 
   test("fillSentinel fills nulls by default and custom-invalid when given") {

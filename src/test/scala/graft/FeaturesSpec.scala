@@ -7,6 +7,64 @@ import graft.operators.Features
 class FeaturesSpec extends SparkSpec {
   import spark.implicits._
 
+  private val qps = Seq(0.0 -> "p0", 0.1 -> "p10", 0.25 -> "p25",
+    0.5 -> "p50", 0.9 -> "p90", 1.0 -> "p100")
+
+  /** Bitwise row compare of groupQuantiles vs the percentile aggregate. */
+  private def assertQuantileParity(
+      df: org.apache.spark.sql.DataFrame, keys: Seq[String]): Unit = {
+    val got = Features.groupQuantiles(df, keys, "v", qps, countAs = Some("n"))
+    val aggs = count(col("v")).as("n") +:
+      qps.map { case (p, nm) => percentile(col("v"), lit(p)).as(nm) }
+    val want =
+      if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val key = (r: org.apache.spark.sql.Row) =>
+      keys.map(k => String.valueOf(r.getAs[Any](k))).mkString("")
+    val bits = (r: org.apache.spark.sql.Row) => (qps.map(_._2)).map { c =>
+      if (r.isNullAt(r.fieldIndex(c))) "null"
+      else java.lang.Double.doubleToLongBits(r.getAs[Double](c)).toString
+    } :+ r.getAs[Long]("n").toString
+    val g = got.collect().map(r => key(r) -> bits(r)).toMap
+    val w = want.collect().map(r => key(r) -> bits(r)).toMap
+    assert(g.keySet == w.keySet, s"group sets differ: ${g.keySet} vs ${w.keySet}")
+    for ((k, wb) <- w) assert(g(k) == wb, s"group '$k': got ${g(k)} want $wb")
+  }
+
+  test("groupQuantiles: bitwise parity with percentile across ties/nulls/null keys/singletons") {
+    val rows: Seq[(String, Option[Double])] = Seq(
+      "a" -> Some(1.0), "a" -> Some(2.5), "a" -> Some(2.5), "a" -> Some(-3.25),
+      "a" -> None,
+      "b" -> Some(0.1), "b" -> Some(0.2), "b" -> Some(0.3), "b" -> Some(0.4),
+      "b" -> Some(0.7),
+      "c" -> Some(42.0),
+      (null: String) -> Some(5.0), (null: String) -> Some(7.0),
+      "d" -> None, "d" -> None)
+    assertQuantileParity(rows.toDF("k", "v").repartition(5), Seq("k"))
+  }
+
+  test("groupQuantiles: bitwise parity on a dense pseudo-random frame, keyed and keyless") {
+    // deterministic high-cardinality doubles incl. duplicates runs
+    val df = spark.range(2000).select(
+      (col("id") % 7).cast("string").as("k"),
+      when(col("id") % 97 === 0, lit(null).cast("double"))
+        .when(col("id") % 13 === 0, lit(2.5))
+        .otherwise(sin(col("id").cast("double")) * 1e3).as("v"))
+      .repartition(11)
+    assertQuantileParity(df, Seq("k"))
+    assertQuantileParity(df, Nil)
+  }
+
+  test("groupQuantiles: keyless empty and all-null inputs emit one null row like the aggregate") {
+    val empty = Seq.empty[Double].toDF("v")
+    val got = Features.groupQuantiles(empty, Nil, "v", Seq(0.5 -> "p50"),
+      countAs = Some("n")).collect()
+    assert(got.length == 1 && got.head.getLong(0) == 0L && got.head.isNullAt(1))
+    val allNull = Seq[Option[Double]](None, None).toDF("v")
+    val got2 = Features.groupQuantiles(allNull, Nil, "v", Seq(0.5 -> "p50")).collect()
+    assert(got2.length == 1 && got2.head.isNullAt(0))
+  }
+
   test("zscore standardizes per group; zero-variance groups map to 0") {
     val df = Seq(
       ("a", 1.0), ("a", 2.0), ("a", 3.0),

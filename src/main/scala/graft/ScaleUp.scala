@@ -151,7 +151,17 @@ object ScaleUp {
 
     write("customer")(replicate(read("customer"), Map("c_custkey" -> custK)))
     write("supplier")(replicate(read("supplier"), Map("s_suppkey" -> suppK)))
-    write("part")(replicate(read("part"), Map("p_partkey" -> partK)))
+    // p_name is a tiny-vocabulary entity phrase (64 distinct over 20k
+    // parts at sf0.1): verbatim replication would deepen every
+    // (p_name, p_brand) linkage block by the factor, and blocked
+    // record-linkage pair volume by factor² — measured as q98/q192
+    // execution-memory aborts at sf10. Real corpus growth adds NEW
+    // entity names (TPC-H name space is combinatorial), so replica i's
+    // names go through the same affine substitution as document text;
+    // true categoricals (p_brand / p_type / p_container / flags) stay
+    // fixed exactly like region/nation.
+    write("part")(replicate(read("part"), Map("p_partkey" -> partK),
+      (d, i) => d.withColumn("p_name", substitute(col("p_name"), i))))
     write("orders")(replicate(read("orders"),
       Map("o_orderkey" -> ordK, "o_custkey" -> custK)))
     write("lineitem")(replicate(read("lineitem"),

@@ -101,6 +101,24 @@ class ScaleUpSpec extends SparkSpec {
       "sign-masked replicas must preserve every pairwise dot bit-for-bit")
   }
 
+  test("entity decorrelation: linkage block depth stays source-shaped, never deepens") {
+    // verbatim p_name replication would multiply every (p_name, p_brand)
+    // block by the factor (pair volume by factor²); substitution keeps
+    // per-block depth constant and multiplies the NUMBER of blocks
+    assert(out("part").select("p_name").distinct().count() ==
+      factor * src("part").select("p_name").distinct().count())
+    val depth = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy("p_name", "p_brand").count()
+        .groupBy("count").agg(count(lit(1)).as("n_blocks"))
+    val joined = depth(src("part")).as("s")
+      .join(depth(out("part")).as("o"), "count")
+      .select(col("count"), col("s.n_blocks").as("sn"), col("o.n_blocks").as("on"))
+      .collect()
+    assert(joined.nonEmpty)
+    assert(joined.forall(r => r.getAs[Long]("on") == factor * r.getAs[Long]("sn")),
+      "every block-depth bucket must hold factor-times the blocks, same depths")
+  }
+
   test("affine substitution: 312 distinct bijections, Caesar-compatible below 26") {
     val maps = (0 until ScaleUp.maxFactor).map(ScaleUp.affineAlphabet)
     // every map is a bijection on a-z

@@ -53,7 +53,7 @@ object Bench {
       System.err.println(f"[bench] WARNING: starting under load " +
         f"$preLoad%.2f — artifact flagged contaminated")
 
-    val spark = Sessions.local(cpus)
+    val spark = Sessions.local(cpus, Some(sfDir))
     spark.sparkContext.setLogLevel("WARN")
 
     def materialize(name: String, dir: String): Double = {

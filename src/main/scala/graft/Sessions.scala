@@ -10,22 +10,55 @@ import org.apache.spark.sql.SparkSession
  * benchmarks, and a new required conf lands everywhere at once.
  */
 object Sessions {
-  def local(cpus: String): SparkSession =
+
+  /**
+   * AQE initial-partition ceiling sized by the INPUT, not a constant.
+   *
+   * The sf10 scale step measured 32-partition sorts of pair-heavy stages
+   * spilling into 20-30x wall ratios plus two execution-memory aborts —
+   * the ceiling must grow with data so per-task state stays bounded. But
+   * a fixed wide ceiling taxes every small-scale shuffle: at sf0.1 a
+   * blanket 8x-cores start cost +105 s across the 244-query surface
+   * (bench/BENCH_LOCAL_r08b vs r08), concentrated on iterative plans
+   * that pay the per-shuffle block overhead once per iteration
+   * (q209 pagerank +11.7 s over 5 iterations).
+   *
+   * Sizing rule: one initial partition per ~8 MB of on-disk input.
+   * Pair-generating stages (shingle/band explodes) amplify input ~10x,
+   * so 8 MB on disk ~ 64 MB post-expansion — Spark's advisory partition
+   * size. Bounded below by `cpus` (never fewer initial partitions than
+   * cores) and above by 16x cores (a single box cannot usefully run
+   * wider; a real cluster would scale the bound by executor count).
+   * At sf0.1 (~15 MB) this is exactly `cpus` — the pre-widening plan —
+   * and at sf10 (~1.5 GB) it is ~192, inside the envelope that fixed
+   * the aborts. `SPARK_GRAFT_INIT_PARTITIONS` overrides for A/B work.
+   */
+  def initialPartitions(cpus: Int, inputBytes: Long): Int = {
+    val byData = (inputBytes / (8L << 20)).toInt
+    math.min(math.max(cpus, byData), cpus * 16)
+  }
+
+  /** Total on-disk bytes under a data directory (0 for none/missing). */
+  def dirBytes(dir: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      else f.length()
+    val f = new java.io.File(dir)
+    if (f.exists()) walk(f) else 0L
+  }
+
+  def local(cpus: String, dataDir: Option[String] = None): SparkSession = {
+    val n = cpus.toIntOption.getOrElse(32)
+    val init = sys.env.get("SPARK_GRAFT_INIT_PARTITIONS").flatMap(_.toIntOption)
+      .getOrElse(initialPartitions(n, dataDir.map(dirBytes).getOrElse(0L)))
     graft.sources.Tables.configure(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // AQE picks the real post-shuffle parallelism between `cpus` and
-      // this ceiling: starting 8x wider keeps per-task state bounded as
-      // the input grows (the sf10 step measured 32-partition sorts of
-      // pair-heavy stages spilling into 20-30x wall ratios and two
-      // execution-memory aborts), while small stages coalesce back to
-      // ~`cpus`-sized partitions, so sf0.01-sf0.1 plans are unchanged
-      // in effect. A real cluster sizes this by executor count; the
-      // ratio, not the constant, is what scales.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        ((cpus.toIntOption.getOrElse(32)) * 8).toString)
+        init.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+  }
 }

@@ -15,7 +15,7 @@ object Time {
     val reps = if (args.length > 1) args(1).toInt else 3
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Sessions.local(cpus)
+    val spark = Sessions.local(cpus, Some(sfDir))
     spark.sparkContext.setLogLevel("WARN")
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()

@@ -1705,15 +1705,15 @@ object SparkEntry {
 
   /** #166 the rank family in one window: rank / dense_rank / cume_dist
    *  of price within return flag — all value-deterministic under ties
-   *  (no tie-break needed), cume_dist an exact two-integer division. */
-  private def q166RankFamily(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-    t(s, dir).lineitem.select(col("l_orderkey"), col("l_linenumber"),
-      col("l_returnflag"), col("l_extendedprice"),
-      rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"),
-      cume_dist().over(w).as("cd"))
-  }
+   *  (no tie-break needed), cume_dist an exact two-integer division.
+   *  [[Relational.rankFamily]] distributes the rank over value-range
+   *  cells above the size threshold (3 return flags never bound the
+   *  parallelism). */
+  private def q166RankFamily(s: SparkSession, dir: String): DataFrame =
+    Relational.rankFamily(
+      t(s, dir).lineitem.select("l_orderkey", "l_linenumber",
+        "l_returnflag", "l_extendedprice"),
+      "l_extendedprice", Seq("l_returnflag"))
 
   /** #167 k-NN majority-vote labels for the q32 query set — the
    *  label-propagation primitive over the exact neighbor order;

@@ -245,11 +245,15 @@ object Dedup {
    *
    * Scale shape: the rank window partitions by `blockKey` (no global
    * ordering funnel — the classic single-sort SNM does not distribute;
-   * blocked multi-pass SNM is the standard parallel form), the pair
-   * join is block-keyed with an exact rank-distance filter, and the
-   * scorer runs codegen on ≤ window·|block| pairs. The (sortKey, id)
-   * ordering is total, so ranks — and therefore the pair set — are
-   * partition-layout independent.
+   * blocked multi-pass SNM is the standard parallel form), and the
+   * pair join is an EQUI-join on (block, rank): the left side explodes
+   * each record into its `window` successor ranks, so the join
+   * intermediate is exactly the ≤ window·n candidate set — never the
+   * per-block n² a block-keyed join with a rank-distance FILTER would
+   * materialize (the filter runs after the match; only join KEYS bound
+   * the intermediate). The scorer runs codegen on those ≤ window·n
+   * pairs. The (sortKey, id) ordering is total, so ranks — and
+   * therefore the pair set — are partition-layout independent.
    */
   def sortedNeighborhoodPairs(
       df: DataFrame, idCol: String, textCol: String, sortKey: Column,
@@ -262,11 +266,12 @@ object Dedup {
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("__gblk")).orderBy(col("__gsk"), col("__gid"))))
     val a = ranked.select(col("__gblk"), col("__gid").as("id_a"),
-      col("__gtxt").as("__gta"), col("__grnk").as("__gra"))
+      col("__gtxt").as("__gta"),
+      explode(array((1 to window).map(d => col("__grnk") + d): _*))
+        .as("__grb"))
     val b = ranked.select(col("__gblk"), col("__gid").as("id_b"),
       col("__gtxt").as("__gtb"), col("__grnk").as("__grb"))
-    a.join(b, "__gblk")
-      .filter((col("__grb") - col("__gra")).between(1, window))
+    a.join(b, Seq("__gblk", "__grb"))
       .withColumn(simName, score(col("__gta"), col("__gtb")))
       .filter(col(simName) >= minScore)
       .select(col("id_a"), col("id_b"), col(simName))

@@ -80,12 +80,11 @@ object Features {
    * as a representative and aggregates to nulls), and null values
    * never count (`pos` runs over the non-null rank). Ties carry no
    * order-dependence: `row_number` among equal values is arbitrary,
-   * but only the VALUE at a rank is read, and that is unique. Keyless
-   * calls take the range-partition global-rank path
-   * ([[StarSchema.dimWithDenseKeyScalable]]'s scheme) instead of a
-   * single-partition window; a keyed call whose data is one giant
-   * group inherits the window's spill behavior, not the hash map's
-   * OOM.
+   * but only the VALUE at a rank is read, and that is unique. The rank
+   * itself is [[RangeRank.ranked]]'s: one per-key window below the size
+   * threshold, the bucketed distributed rank above it — so neither a
+   * keyless call nor a low-cardinality-key call funnels a large sort
+   * into one task.
    *
    * Output columns: `keys ++ countAs ++ ps` names; quantiles are
    * DOUBLE. `countAs` co-emits each group's non-null value count for
@@ -100,41 +99,18 @@ object Features {
     val vd = col(column).cast("double")
 
     // ranked: (__qv double, __qn non-null count, __qt group row count,
-    // __qrnn rank among the group's non-null values in ascending order)
-    val ranked =
-      if (keys.nonEmpty) {
-        val kc = keys.map(col)
-        val wAll = Window.partitionBy(kc: _*)
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        val wSort = Window.partitionBy(kc: _*).orderBy(col("__qv").asc_nulls_first)
-        // the ordered window first: its (keys, value) sort satisfies the
-        // count window's (keys) requirement, so the plan sorts ONCE
-        df.select(kc :+ vd.as("__qv"): _*)
-          .withColumn("__qrn0", row_number().over(wSort))
-          .withColumn("__qn", count(col("__qv")).over(wAll))
-          .withColumn("__qt", count(lit(1)).over(wAll))
-          .withColumn("__qrnn", col("__qrn0") - (col("__qt") - col("__qn")))
-      } else {
-        val valid = df.select(vd.as("__qv")).filter(col("__qv").isNotNull)
-          .repartitionByRange(col("__qv"))
-          .withColumn("__gpid", spark_partition_id())
-        val withRn = valid.withColumn("__grn",
-          row_number().over(Window.partitionBy("__gpid").orderBy(col("__qv"))))
-        // per-partition sizes -> exclusive running sum = rank offset; the
-        // inclusive total is the global n. The windowed frame is at most
-        // shuffle-partitions rows.
-        val offsets = withRn.groupBy("__gpid").agg(count(lit(1)).as("__gsz"))
-          .withColumn("__goff", coalesce(
-            sum("__gsz").over(Window.orderBy("__gpid")
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .withColumn("__qn", sum("__gsz").over(Window.orderBy("__gpid")
-            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-          .select("__gpid", "__goff", "__qn")
-        withRn.join(broadcast(offsets), "__gpid")
-          .withColumn("__qrnn", col("__goff") + col("__grn"))
-          .withColumn("__qt", col("__qn"))
-          .select("__qv", "__qn", "__qt", "__qrnn")
-      }
+    // __qrnn rank among the group's non-null values in ascending order).
+    // RangeRank picks the plan: one per-key window below its size
+    // threshold, the bucketed distributed rank above it (keyed AND
+    // keyless — the old keyless-only range-partition path generalized).
+    // Nulls rank first, so the non-null rank is the row number minus
+    // the group's null count.
+    val ranked = RangeRank.ranked(
+      df.select(keys.map(col) :+ vd.as("__qv"): _*),
+      keys, "__qv", rnAs = "__qrn0", ntAs = "__qt",
+      extras = RangeRank.Extras(keyTotals = Seq(
+        (when(col("__qv").isNotNull, 1L).otherwise(0L), "__qn"))))
+      .withColumn("__qrnn", col("__qrn0") - (col("__qt") - col("__qn")))
 
     def pos(p: Double) = lit(p) * (col("__qn") - lit(1)).cast("double")
     val needed = ps.map { case (p, _) =>
@@ -250,16 +226,30 @@ object Features {
    * tie-break), so equal inputs ALWAYS map to equal outputs and the
    * result is layout-independent by construction; nulls order FIRST
    * on both engines by explicit spec. Singleton groups map to 0.0.
-   * One window shuffle per group set.
+   * One window shuffle per group set below [[RangeRank.useBucketed]]'s
+   * threshold; above it the rank distributes over (key, value-range)
+   * cells — a low-cardinality key never funnels a 100 TB sort into
+   * |keys| tasks — and percent_rank is recomposed from the peer-group
+   * minimum rank by `PercentRank`'s own (rank−1)/(n−1) IEEE form.
    */
   def percentRankScale(
       df: DataFrame, column: String, keys: Seq[String],
       out: String = "pct_rank"): DataFrame = {
     require(keys.nonEmpty,
       "percentRankScale needs partition keys: an unkeyed rank window is a global single-partition funnel")
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(column).asc_nulls_first)
-    df.withColumn(out, percent_rank().over(w))
+    if (!RangeRank.useBucketed(df)) {
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col(column).asc_nulls_first)
+      df.withColumn(out, percent_rank().over(w))
+    } else {
+      val r = RangeRank.ranked(df, keys, column,
+        extras = RangeRank.Extras(peerMinAs = Some("__gpmin")))
+      r.withColumn(out,
+        when(col("__gnt") > 1,
+          (col("__gpmin") - 1).cast("double") / (col("__gnt") - 1).cast("double"))
+          .otherwise(lit(0.0d)))
+        .drop("__grn", "__gnt", "__gpmin")
+    }
   }
 
   /**
@@ -269,7 +259,9 @@ object Features {
    * [[percentRankScale]], ntile is ROW-position based: ties can land in
    * different buckets, so the ordering must be total (`tieBreak`) or
    * bucket assignment is partition-layout dependent. One window shuffle
-   * per group set.
+   * per group set below [[RangeRank.useBucketed]]'s threshold; above it
+   * the bucket is [[RangeRank.ntileOf]]'s closed form over the
+   * distributed global rank — no per-key sort funnel.
    */
   def ntileBuckets(
       df: DataFrame, column: String, keys: Seq[String], n: Int,
@@ -279,9 +271,16 @@ object Features {
       "ntileBuckets needs partition keys: an unkeyed rank window is a global single-partition funnel")
     require(tieBreak.nonEmpty,
       "ntileBuckets needs tie-break columns: ntile is row-position based and a non-total ordering is layout-dependent")
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy((column +: tieBreak).map(col): _*)
-    df.withColumn(out, ntile(n).over(w))
+    if (!RangeRank.useBucketed(df)) {
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy((column +: tieBreak).map(col): _*)
+      df.withColumn(out, ntile(n).over(w))
+    } else {
+      RangeRank.ranked(df, keys, column, tieBreak)
+        .withColumn(out,
+          RangeRank.ntileOf(col("__grn"), col("__gnt"), n).cast("int"))
+        .drop("__grn", "__gnt")
+    }
   }
 
   /**
@@ -306,9 +305,18 @@ object Features {
     require(n > 0, "decileLift needs a positive bucket count")
     require(tieBreak.nonEmpty,
       "decileLift needs tie-break columns: ntile is row-position based")
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(scoreCol).desc +: tieBreak.map(col(_).asc): _*)
-    val bucketed = df.withColumn("__gb", ntile(n).over(w))
+    val bucketed0 =
+      if (!RangeRank.useBucketed(df)) {
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(scoreCol).desc +: tieBreak.map(col(_).asc): _*)
+        df.withColumn("__gb", ntile(n).over(w))
+      } else {
+        RangeRank.ranked(df, keys, scoreCol, tieBreak, desc = true)
+          .withColumn("__gb",
+            RangeRank.ntileOf(col("__grn"), col("__gnt"), n).cast("int"))
+          .drop("__grn", "__gnt")
+      }
+    val bucketed = bucketed0
       .withColumn("__gp", when(positive, 1L).otherwise(0L))
     val cells = bucketed.groupBy((keys.map(col) :+ col("__gb")): _*)
       .agg(count(lit(1)).as("n_rows"), sum(col("__gp")).as("n_pos"))

@@ -303,17 +303,24 @@ object Relational {
    * make it total (CLAUDE.md window rule) or tied values land in
    * engine-dependent buckets.
    *
-   * One hash shuffle on the group keys. With empty `keys` the window is
-   * global and single-partition — fine for bounded inputs only; at
-   * scale, bin globally against [[quantiles]]-derived boundaries
-   * instead (broadcast bounds, per-row comparison, no total sort).
+   * One hash shuffle on the group keys below
+   * [[graft.operators.RangeRank.useBucketed]]'s threshold; above it the
+   * bin is [[graft.operators.RangeRank.ntileOf]]'s closed form over the
+   * distributed global rank — neither a low-cardinality-key funnel nor
+   * the single-partition global window survives at scale.
    */
   def quantileBins(
       df: DataFrame, column: String, keys: Seq[String], n: Int,
       tieBreak: Seq[String], out: String = "bin"): DataFrame = {
-    val base = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
-    val w = base.orderBy((column +: tieBreak).map(col): _*)
-    df.withColumn(out, ntile(n).over(w).cast("long"))
+    if (!RangeRank.useBucketed(df)) {
+      val base = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
+      val w = base.orderBy((column +: tieBreak).map(col): _*)
+      df.withColumn(out, ntile(n).over(w).cast("long"))
+    } else {
+      RangeRank.ranked(df, keys, column, tieBreak)
+        .withColumn(out, RangeRank.ntileOf(col("__grn"), col("__gnt"), n))
+        .drop("__grn", "__gnt")
+    }
   }
 
   /**
@@ -822,10 +829,18 @@ object Relational {
     require(keys.nonEmpty,
       "gini needs group keys: an unkeyed rank window is a global single-partition funnel")
     val v = col(column)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(v)
     val xd = v.cast(s"decimal(18,$scale)")
-    df.filter(v.isNotNull)
-      .withColumn("__gix", row_number().over(w).cast("decimal(13,0)") * xd)
+    val valid = df.filter(v.isNotNull)
+    val rankedDf =
+      if (!RangeRank.useBucketed(valid)) {
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(v)
+        valid.withColumn("__grnk", row_number().over(w).cast("long"))
+      } else {
+        RangeRank.ranked(valid, keys, column, rnAs = "__grnk")
+          .drop("__gnt")
+      }
+    rankedDf
+      .withColumn("__gix", col("__grnk").cast("decimal(13,0)") * xd)
       .withColumn("__gxd", xd)
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__gix")).as("__gs1"), sum(col("__gxd")).as("__gs0"),
@@ -836,6 +851,41 @@ object Relational {
             (col("__gn") + 1).cast("double") * col("__gs0").cast("double")) /
             (col("__gn").cast("double") * col("__gs0").cast("double")))
           .as(out)): _*)
+  }
+
+  /**
+   * The SQL rank family in one pass: `rank`, `dense_rank` and
+   * `cume_dist` of `column` within `keys` — all value-deterministic
+   * under ties (peers share outputs), so no tie-break is needed and the
+   * result is layout-independent. One per-key window below
+   * [[graft.operators.RangeRank.useBucketed]]'s threshold; above it the
+   * three recompose from [[graft.operators.RangeRank.ranked]]'s
+   * distributed peer-group min/max row number and per-cell distinct
+   * counts, matching Spark's own forms bit-for-bit (`rank` = first peer
+   * position, `cume_dist` = last peer position / n as one double
+   * division, `dense_rank` = distinct values at or below). Output
+   * types match the window functions' (int ranks, double cume_dist).
+   */
+  def rankFamily(
+      df: DataFrame, column: String, keys: Seq[String],
+      rankAs: String = "rnk", denseAs: String = "drnk",
+      cumeAs: String = "cd"): DataFrame = {
+    require(keys.nonEmpty,
+      "rankFamily needs partition keys: an unkeyed rank window is a global single-partition funnel")
+    if (!RangeRank.useBucketed(df)) {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(col(column))
+      df.select(col("*"), rank().over(w).as(rankAs),
+        dense_rank().over(w).as(denseAs), cume_dist().over(w).as(cumeAs))
+    } else {
+      RangeRank.ranked(df, keys, column,
+        extras = RangeRank.Extras(peerMinAs = Some("__gpmin"),
+          peerMaxAs = Some("__gpmax"), denseAs = Some("__gpdn")))
+        .withColumn(rankAs, col("__gpmin").cast("int"))
+        .withColumn(denseAs, col("__gpdn").cast("int"))
+        .withColumn(cumeAs,
+          col("__gpmax").cast("double") / col("__gnt").cast("double"))
+        .drop("__grn", "__gnt", "__gpmin", "__gpmax", "__gpdn")
+    }
   }
 
   /**
@@ -1035,7 +1085,12 @@ object Relational {
    * the value so equal values accumulate atomically — the threshold
    * test `2·cum ≥ total` is exact integer arithmetic, and the output is
    * the untouched input value. One window + one groupBy, both
-   * partitioned by the group keys.
+   * partitioned by the group keys, below
+   * [[graft.operators.RangeRank.useBucketed]]'s threshold; above it
+   * the cumulative weight distributes over (key, value-range) cells
+   * (the peer-inclusive RANGE sum is order-independent within a cell,
+   * and the cell offsets add exactly — decimal addition is
+   * associative), so a low-cardinality key never funnels the sort.
    */
   def weightedMedian(
       df: DataFrame, valueCol: String, weightCol: String, keys: Seq[String],
@@ -1045,12 +1100,20 @@ object Relational {
     val v = col(valueCol)
     val wgt = col(weightCol).cast(s"decimal(18,$scale)")
     val clean = df.filter(v.isNotNull && col(weightCol).isNotNull)
-    val cumW = Window.partitionBy(keys.map(col): _*).orderBy(v)
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val totW = Window.partitionBy(keys.map(col): _*)
-    clean
-      .withColumn("__gc", sum(wgt).over(cumW))
-      .withColumn("__gt", sum(wgt).over(totW))
+    val cumulated =
+      if (!RangeRank.useBucketed(clean)) {
+        val cumW = Window.partitionBy(keys.map(col): _*).orderBy(v)
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        val totW = Window.partitionBy(keys.map(col): _*)
+        clean
+          .withColumn("__gc", sum(wgt).over(cumW))
+          .withColumn("__gt", sum(wgt).over(totW))
+      } else {
+        RangeRank.ranked(clean, keys, valueCol,
+          extras = RangeRank.Extras(
+            rangeSums = Seq(wgt -> "__gc"), keyTotals = Seq(wgt -> "__gt")))
+      }
+    cumulated
       .filter(col("__gc") * 2 >= col("__gt"))
       .groupBy(keys.map(col): _*).agg(min(v).as(out))
   }

@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cleaning, Features, RangeRank, Relational}
+
+/**
+ * The RangeRank contract: the bucketed distributed-rank path must
+ * reproduce the single-window path BIT-FOR-BIT for every consumer —
+ * same rows, same schema, same double bits — on tie-heavy, null-heavy,
+ * null-keyed, and singleton-group data. The bucketed path is forced by
+ * dropping the size threshold to 0 via `graft.rank.rangeBytes`; the
+ * window path is the default at test scale.
+ */
+class RangeRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Run `body` with the bucketed path forced on, restoring the conf. */
+  private def forcedBucketed[T](body: => T): T = {
+    spark.conf.set("graft.rank.rangeBytes", "0")
+    try body finally spark.conf.unset("graft.rank.rangeBytes")
+  }
+
+  /** Canonical multiset of rows with double bits made exact. */
+  private def canon(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted
+    df.select(cols.map(col): _*).collect().map { r =>
+      cols.indices.map { i =>
+        r.get(i) match {
+          case null => "null"
+          case d: java.lang.Double =>
+            java.lang.Double.doubleToLongBits(d).toString
+          case x => String.valueOf(x)
+        }
+      }.mkString("|")
+    }.sorted.toSeq
+  }
+
+  private def assertSame(window: => DataFrame, bucketed: => DataFrame): Unit = {
+    val w = window
+    val b = forcedBucketed(bucketed)
+    assert(w.schema.map(f => (f.name, f.dataType)).sortBy(_._1) ==
+      b.schema.map(f => (f.name, f.dataType)).sortBy(_._1),
+      "schemas differ between paths")
+    val (cw, cb) = (canon(w), canon(b))
+    assert(cw.size == cb.size, s"row counts differ: ${cw.size} vs ${cb.size}")
+    cw.zip(cb).zipWithIndex.foreach { case ((x, y), i) =>
+      assert(x == y, s"row $i differs:\n  window   $x\n  bucketed $y")
+    }
+  }
+
+  // tie-heavy, null-valued, null-keyed, singleton-grouped fixture
+  private lazy val messy: DataFrame = Seq[(String, Option[Double], Long)](
+    ("a", Some(1.0), 1), ("a", Some(2.5), 2), ("a", Some(2.5), 3),
+    ("a", Some(2.5), 4), ("a", Some(-3.25), 5), ("a", None, 6),
+    ("b", Some(0.2), 7), ("b", Some(0.2), 8), ("b", Some(0.1), 9),
+    ("b", Some(0.4), 10), ("b", Some(0.7), 11),
+    ("c", Some(42.0), 12),
+    (null, Some(5.0), 13), (null, Some(5.0), 14), (null, Some(7.0), 15),
+    ("d", None, 16), ("d", None, 17)).toDF("k", "v", "id")
+    .withColumn("wgt", (col("id") % 3 + 1).cast("double"))
+    .repartition(5)
+
+  // dense pseudo-random frame: duplicates, a heavy mode, nulls, 7 keys
+  private lazy val dense: DataFrame = spark.range(3000).select(
+    (col("id") % 7).cast("string").as("k"),
+    when(col("id") % 97 === 0, lit(null).cast("double"))
+      .when(col("id") % 13 === 0, lit(2.5))
+      .otherwise(round(sin(col("id").cast("double")) * 50, 1)).as("v"),
+    col("id"),
+    (col("id") % 5 + 1).cast("double").as("wgt"))
+    .repartition(11)
+
+  test("ranked: bucketed == window on rank/count/peer/dense/range-sums extras") {
+    val extras = RangeRank.Extras(
+      rangeSums = Seq(col("wgt").cast("decimal(18,4)") -> "cumw"),
+      keyTotals = Seq(col("wgt").cast("decimal(18,4)") -> "totw"),
+      peerMinAs = Some("pmin"), peerMaxAs = Some("pmax"),
+      denseAs = Some("dns"))
+    // __grn itself is tie-arbitrary; compare only the tie-invariant
+    // outputs (the consumer contract)
+    def run(df: DataFrame) = RangeRank
+      .ranked(df, Seq("k"), "v", extras = extras)
+      .select(col("k"), col("v"), col("id"), col("__gnt"), col("pmin"),
+        col("pmax"), col("dns"),
+        // decimal widths differ between paths by design; value-compare
+        col("cumw").cast("decimal(38,4)").as("cumw"),
+        col("totw").cast("decimal(38,4)").as("totw"))
+    assertSame(run(dense), run(dense))
+    assertSame(run(messy), run(messy))
+  }
+
+  test("ranked: keyless and desc orders agree across paths") {
+    def run(df: DataFrame) = RangeRank
+      .ranked(df, Nil, "v", tieBreak = Seq("id"), desc = true)
+    // total order (tieBreak) makes __grn itself comparable
+    assertSame(run(dense), run(dense))
+    assertSame(run(messy), run(messy))
+  }
+
+  test("ntileOf matches ntile() for every bucket count and group size") {
+    val n = 7
+    val df = spark.range(1, 60).select(col("id").as("sz"))
+      .collect().map(_.getLong(0)).toSeq
+    df.foreach { sz =>
+      val rows = spark.range(1, sz + 1).select(col("id").as("rn"), lit(sz).as("nt"))
+      val got = rows.select(col("rn"),
+        RangeRank.ntileOf(col("rn"), col("nt"), n).as("b")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = spark.range(1, sz + 1)
+        .select(col("id"), ntile(n).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("id"))).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+      assert(got == want, s"ntile mismatch at group size $sz")
+    }
+  }
+
+  test("percentRankScale: bucketed == window (ties share ranks, singletons 0.0)") {
+    def run(df: DataFrame) = Features.percentRankScale(df, "v", Seq("k"))
+    assertSame(run(messy), run(messy))
+    assertSame(run(dense), run(dense))
+  }
+
+  test("ntileBuckets and quantileBins: bucketed == window, keyed and keyless") {
+    def runN(df: DataFrame) = Features.ntileBuckets(df, "v", Seq("k"), 4, Seq("id"))
+    def runQ(df: DataFrame) = Relational.quantileBins(df, "v", Seq("k"), 10, Seq("id"))
+    def runQ0(df: DataFrame) = Relational.quantileBins(df, "v", Nil, 10, Seq("id"))
+    assertSame(runN(dense), runN(dense))
+    assertSame(runQ(dense), runQ(dense))
+    assertSame(runQ0(dense), runQ0(dense))
+    assertSame(runN(messy), runN(messy))
+  }
+
+  test("decileLift: bucketed == window on the global desc ranking") {
+    def run(df: DataFrame) = Features.decileLift(
+      df.filter(col("v").isNotNull), "v",
+      positive = col("id") % 3 === 0, keys = Nil, n = 10, tieBreak = Seq("id"))
+    assertSame(run(dense), run(dense))
+  }
+
+  test("gini, weightedMedian, rankFamily: bucketed == window") {
+    def runG(df: DataFrame) = Relational.gini(df, "v", Seq("k"))
+    def runW(df: DataFrame) = Relational.weightedMedian(df, "v", "wgt", Seq("k"))
+    def runR(df: DataFrame) = Relational.rankFamily(df, "v", Seq("k"))
+    assertSame(runG(dense), runG(dense))
+    assertSame(runW(dense), runW(dense))
+    assertSame(runR(dense), runR(dense))
+    assertSame(runR(messy), runR(messy))
+  }
+
+  test("groupQuantiles rides RangeRank: parity with percentile under the forced bucketed path") {
+    val qps = Seq(0.0 -> "p0", 0.25 -> "p25", 0.5 -> "p50", 0.9 -> "p90", 1.0 -> "p100")
+    def canonQ(df: DataFrame) = canon(df)
+    val wantAggs = count(col("v")).as("n") +: qps.map { case (p, nm) =>
+      percentile(col("v"), lit(p)).as(nm) }
+    val want = canonQ(dense.groupBy("k").agg(wantAggs.head, wantAggs.tail: _*))
+    val got = forcedBucketed(canonQ(
+      Features.groupQuantiles(dense, Seq("k"), "v", qps, countAs = Some("n"))))
+    assert(got == want)
+    // and through a composed consumer: winsorize (bounds frame + clamp)
+    def runWz(df: DataFrame) = Cleaning.winsorize(df, "v", Seq("k"), 0.05, 0.95)
+    assertSame(runWz(dense), runWz(dense))
+  }
+
+  test("the forced bucketed path really is bucketed (plan contains the cell column)") {
+    val plan = forcedBucketed(
+      RangeRank.ranked(dense, Seq("k"), "v").queryExecution.optimizedPlan.toString)
+    assert(plan.contains("__gbkt"), s"expected the bucketed plan, got:\n$plan")
+  }
+}

@@ -992,11 +992,21 @@ object Curation {
       docs: DataFrame, id: String, classCol: String, textCol: String): DataFrame = {
     def absorb(c: Column) =
       c.cast("float").cast("double").cast("string").cast("decimal(28,18)")
-    val toks = docs.select(col(id), col(classCol).as("__gtrue"),
-      explode(split(col(textCol), " ")).as("__gtok"))
-    val counts = toks.groupBy(col("__gtrue").as("__gcls"), col("__gtok"))
-      .agg(count(lit(1)).as("__gc"))
+    // ONE corpus pass: the (doc, token) occurrence counts feed BOTH the
+    // training counts and the scoring join (the raw exploded frame fed
+    // two branches = the tokenizer ran twice), and the per-occurrence
+    // score sum collapses to an exact count×term decimal product —
+    // decimal(28,18) × decimal(9,0) types as decimal(38,18), no
+    // precision cap, so Σ_occurrences d ≡ k·d bit-for-bit (argmax
+    // unchanged; the 1e9 per-(doc,token) count bound is structural: a
+    // document's length bounds any token's occurrences).
+    val docTok = docs.select(col(id), col(classCol).as("__gtrue"),
+        explode(split(col(textCol), " ")).as("__gtok"))
+      .groupBy(col(id), col("__gtrue"), col("__gtok"))
+      .agg(count(lit(1)).as("__gk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = docTok.groupBy(col("__gtrue").as("__gcls"), col("__gtok"))
+      .agg(sum(col("__gk")).as("__gc"))
     val classTotals = counts.groupBy(col("__gcls")).agg(sum(col("__gc")).as("__gT"))
     val vocab = counts.select(col("__gtok")).distinct().agg(count(lit(1)).as("__gV"))
     val docsPerClass = docs.groupBy(col(classCol).as("__gcls"))
@@ -1019,13 +1029,14 @@ object Curation {
     val fallback = classes.select(col("__gcls"),
       absorb(log(lit(1L).cast("double") /
         (col("__gT") + col("__gV")).cast("double"))).as("__gmiss"))
-    val scored = toks.select(col(id), col("__gtok"))
+    val scored = docTok.select(col(id), col("__gtok"), col("__gk"))
       .crossJoin(broadcast(fallback))
       // seenTerms is vocabulary-sized: no broadcast hint (see Scaladoc)
       // — AQE picks broadcast only while the frame actually fits
       .join(seenTerms, Seq("__gcls", "__gtok"), "left")
       .select(col(id), col("__gcls"),
-        coalesce(col("__gseen"), col("__gmiss")).as("__gterm"))
+        (coalesce(col("__gseen"), col("__gmiss")) *
+          col("__gk").cast("decimal(9,0)")).as("__gterm"))
       .groupBy(col(id), col("__gcls"))
       .agg(sum(col("__gterm")).as("__gsum"))
     val priors = classes.select(col("__gcls"),

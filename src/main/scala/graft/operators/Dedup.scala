@@ -343,16 +343,38 @@ object Dedup {
     // contract: caller owns the lifetime via clearCache)
     if (cacheSets)
       ordered = ordered.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // positional filter (PPJoin proper): carry each prefix token's
+    // 1-based position in the record's rare-first order. For a pair's
+    // FIRST shared prefix token at positions (pa, pb), every OTHER
+    // shared token sits after pa in A and after pb in B — shared tokens
+    // are a common subsequence of both orders (one GLOBAL (df, token)
+    // order), so a shared token globally before the first match would
+    // be inside both prefixes and itself be an earlier match. Hence
+    // |A∩B| ≤ 1 + min(n_a−pa, n_b−pb), and Jaccard ≥ num/den needs
+    // |A∩B|·(num+den) ≥ (n_a+n_b)·num — an exact-integer prune that
+    // keeps template-heavy corpora (tiny shared vocabularies, deep
+    // shared-shingle buckets) from flooding the verify join. The
+    // min(pa)/min(pb) aggregate IS the first match (match positions are
+    // monotone in the global order), and doubles as the candidate dedup
+    // the plain form spent a distinct() on.
     val prefixes = ordered.select(col("__gid"), col("__gn"),
-      explode(slice(col("__gsorted"), lit(1), col("__gpfx"))).as("__gt"))
+      posexplode(slice(col("__gsorted"), lit(1), col("__gpfx"))))
+      .select(col("__gid"), col("__gn"), col("col").as("__gt"),
+        (col("pos") + 1).as("__gp"))
     val cands = prefixes.select(col("__gt"), col("__gid").as("id_a"),
-        col("__gn").as("__gna"))
+        col("__gn").as("__gna"), col("__gp").as("__gpa"))
       .join(prefixes.select(col("__gt"), col("__gid").as("id_b"),
-        col("__gn").as("__gnb")), "__gt")
+        col("__gn").as("__gnb"), col("__gp").as("__gpb")), "__gt")
       .filter(col("id_a") < col("id_b") &&
         least(col("__gna"), col("__gnb")) * den >=
           greatest(col("__gna"), col("__gnb")) * num)
-      .select("id_a", "id_b").distinct()
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("__gpa")).as("__gpa"), min(col("__gpb")).as("__gpb"),
+        max(col("__gna")).as("__gna"), max(col("__gnb")).as("__gnb"))
+      .filter((lit(1) + least(col("__gna") - col("__gpa"),
+        col("__gnb") - col("__gpb"))) * (num + den) >=
+        (col("__gna") + col("__gnb")) * num)
+      .select("id_a", "id_b")
     val sets = ordered.select(col("__gid"), col("__gsorted"))
     cands
       .join(sets.withColumnRenamed("__gsorted", "__gta"),
@@ -825,8 +847,15 @@ object Dedup {
       pairs: DataFrame, scoreCol: String, thresholds: Seq[Double],
       idA: String = "id_a", idB: String = "id_b"): DataFrame = {
     require(thresholds.nonEmpty, "thresholdSweep needs thresholds")
-    val fanned = pairs
-      .select(col(idA), col(idB), col(scoreCol).as("__gs"),
+    // the n_pairs and n_docs aggregates are two plan branches over the
+    // SAME pair frame — persist it or the (possibly whole-SSJoin) pair
+    // generation runs twice (q151's edge-list precedent; caller-owned
+    // lifetime via Caches.releaseAll)
+    val kept = pairs
+      .select(col(idA), col(idB), col(scoreCol).as("__gs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fanned = kept
+      .select(col(idA), col(idB), col("__gs"),
         explode(array(thresholds.map(lit): _*)).as("threshold"))
       .filter(col("__gs") >= col("threshold"))
     val nPairs = fanned.groupBy(col("threshold"))

@@ -72,7 +72,7 @@ class CacheHygieneSpec extends SparkSpec {
       // the returned plan reads more than once
       "q146_degree_stats" -> 1,
       "q151_triangles" -> 2, // pair graph read three ways
-      "q187_threshold_sweep" -> 1,
+      "q187_threshold_sweep" -> 2, // ordered-token frame + swept pair frame
       "q213_js_divergence" -> 1,
       "q215_macro_f1" -> 1,
       "q216_assoc_rules" -> 1,

@@ -945,19 +945,61 @@ object Curation {
    * division of exact multiples. No regex, so excerpt metacharacters
    * can't misfire.
    *
-   * Scale: the excerpt side broadcasts (benchmark ≪ corpus, the q99
-   * asymmetry); the containment join prunes to hits before any
-   * per-hit arithmetic runs.
+   * Scale: two paths behind one semantics. A FIXED benchmark (the real
+   * decontamination shape, excerpts ≪ corpus) broadcasts and the
+   * containment scan is linear in the corpus. But excerpts need not
+   * stay small relative to per-document text (this round's scale step
+   * measured an excerpt list growing WITH the corpus: broadcast-NLJ
+   * cost is docs × excerpts × |text| — quadratic in scale factor,
+   * 227× at a 100× step). Above `anchorCutover` excerpts, candidates
+   * come from an ANCHOR-GRAM equi-join instead: every document
+   * position's leading `A`-char gram (A = the shortest excerpt,
+   * capped at 24 — probed as one bounded agg-to-literal scalar)
+   * xxhash64-joined against each excerpt's leading gram. A verbatim
+   * hit at position p forces an anchor match at p, so candidates are
+   * a superset and the `instr > 0` filter — the exact predicate the
+   * NLJ used as its join condition — discards anchor/hash
+   * coincidences. Everything shuffles by hash key; both sides stay
+   * linear. Outputs are identical by construction (same final
+   * predicate, same span arithmetic).
    */
   def excerptSpans(
       corpus: DataFrame, id: String, text: Column,
-      excerpts: DataFrame, excerptCol: String): DataFrame = {
+      excerpts: DataFrame, excerptCol: String,
+      anchorCutover: Int = 512): DataFrame = {
     val ex = col(excerptCol)
-    corpus.join(broadcast(excerpts), instr(text, ex) > 0)
+    def spans(pairs: DataFrame): DataFrame = pairs
+      .filter(instr(text, ex) > 0)
       .select(col(id), ex.as("excerpt"),
         instr(text, ex).cast("long").as("first_pos"),
         ((length(text) - length(call_function("replace", text, ex, lit(""))))
           .cast("double") / length(ex).cast("double")).cast("long").as("n_occ"))
+    // one bounded probe: excerpt count + shortest excerpt (the
+    // medians/centroids agg-to-literal convention)
+    val probe = excerpts.agg(count(lit(1)), min(length(ex))).head()
+    val nEx = probe.getLong(0)
+    if (nEx == 0) return spans(corpus.crossJoin(broadcast(excerpts)))
+    val minLen = probe.getInt(1)
+    if (nEx <= anchorCutover || minLen < 4)
+      return spans(corpus.crossJoin(broadcast(excerpts)))
+    val a = math.min(minLen, 24)
+    val exKeyed = excerpts.select(ex,
+      xxhash64(substring(ex, 1, a)).as("__gak"))
+    // per-doc DISTINCT anchor hashes (array_distinct before the explode
+    // keeps repeated-phrase docs from fanning out), then the hash-keyed
+    // candidate join; (doc, excerpt) dedup because one excerpt can
+    // anchor-match several positions. Assumes the excerpt list is
+    // distinct (every caller distincts it; dup excerpts would dedupe
+    // here where the NLJ path would emit dup rows).
+    val grams = corpus.select(col(id).as("__gaid"), text.as("__gatxt"))
+      .select(col("__gaid"), explode(array_distinct(
+        transform(
+          sequence(lit(1), greatest(length(col("__gatxt")) - (a - 1), lit(0))),
+          p => xxhash64(col("__gatxt").substr(p, lit(a)))))).as("__gak"))
+    val candIds = grams.join(exKeyed.select(col("__gak"), ex), "__gak")
+      .select(col("__gaid"), ex).distinct()
+    spans(corpus.join(candIds,
+      col(id) === col("__gaid")).drop("__gaid"))
   }
 
   /**

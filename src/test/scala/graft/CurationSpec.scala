@@ -441,6 +441,39 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L -> ((4L, 2L))))
   }
 
+  test("excerptSpans anchor path == NLJ path on generated corpora") {
+    // excerpts long enough for the anchor gram (>= 4 chars); includes a
+    // doc matching two excerpts, an excerpt matching several docs,
+    // repeated (templated) occurrences, anchor-prefix decoys (shared
+    // 24-char prefix, diverging tail — anchor matches, instr must
+    // reject), and metacharacters
+    val pad = "x" * 30
+    val e1 = s"SHARED-PREFIX-$pad-TAIL-ONE"
+    val decoy = s"SHARED-PREFIX-$pad-TAIL-TWO"
+    val corpus = Seq(
+      (1L, s"start $e1 middle $e1 end"),
+      (2L, s"only the decoy prefix: SHARED-PREFIX-$pad-TAIL-XX here"),
+      (3L, s"has NEEDLE(x) and also $e1"),
+      (4L, "nothing relevant at all"),
+      (5L, "short"),
+    ).toDF("doc_id", "text")
+    val ex = Seq(e1, decoy, "NEEDLE(x)").toSeq.map(Tuple1(_)).toDF("excerpt")
+    val nlj = Curation.excerptSpans(corpus, "doc_id", col("text"), ex, "excerpt")
+      .orderBy("doc_id", "excerpt").collect().toSeq
+    val anchor = Curation.excerptSpans(corpus, "doc_id", col("text"), ex, "excerpt",
+        anchorCutover = 0)
+      .orderBy("doc_id", "excerpt").collect().toSeq
+    assert(anchor == nlj, s"anchor path diverged:\n$anchor\nvs\n$nlj")
+    assert(nlj.map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, e1), (3L, e1), (3L, "NEEDLE(x)")))
+    assert(nlj.find(r => r.getLong(0) == 1L).get.getLong(3) == 2L) // templated twice
+    // short excerpts (< 4 chars) keep the NLJ path even when forced
+    val shortEx = Seq(Tuple1("abc")).toDF("excerpt")
+    val s2 = Curation.excerptSpans(corpus, "doc_id", col("text"), shortEx, "excerpt",
+      anchorCutover = 0).collect()
+    assert(s2.isEmpty || s2.nonEmpty) // path selection must not throw
+  }
+
   test("naiveBayesSource attributes clearly separable sources correctly") {
     val docs = Seq(
       (1L, "A", "x x x"), (2L, "A", "x y x"),

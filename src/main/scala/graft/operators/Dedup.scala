@@ -296,13 +296,21 @@ object Dedup {
    * the final verify compares den·|∩| ≥ num·(|A|+|B|−|∩|). The output
    * `jaccard` double is one exact-int division — engine-portable.
    *
-   * Scale shape: the (token, df) vocabulary aggregates once and joins
-   * token-keyed (broadcastable at real vocab sizes; Zipf-head skew is
-   * the documented AQE skew-join shape, q118); per-record ordering is
-   * an `array_sort` of (df, token) structs — NO global rank window;
-   * candidates explode only ≤ prefix tokens per record and join
-   * token-keyed; verification re-joins the two bounded token arrays by
-   * id. Everything shuffles by hash key; nothing is all-pairs.
+   * Scale shape: the (token, df) vocabulary aggregates once and gets a
+   * RARITY RANK — an injective long id in (df, token) order, built by
+   * [[RangeRank.ranked]] so the keyless rank stays distributed past the
+   * size threshold — and every downstream stage runs on LONG ids
+   * instead of token strings: per-record ordering is one `sort_array`
+   * of the id array (id order ≡ (df, token) order), candidates explode
+   * only ≤ prefix ids per record and join long-keyed, and verification
+   * intersects two bounded LONG arrays per candidate — the pair-carried
+   * array intermediate between the two verify joins (the measured
+   * sf10 spill driver at ~1.3 KB/pair of shingle strings) shrinks ~3×
+   * and compares longs, not UTF8. |A∩B| is preserved exactly because
+   * the rank map is injective. Everything shuffles by hash key;
+   * nothing is all-pairs. Null tokens never pair (an inner vocab join
+   * drops them — the old struct-sort collected them into the arrays,
+   * where no equal-token match could arise either).
    */
   def setSimilarityJoin(
       df: DataFrame, idCol: String, tokensCol: Column,
@@ -310,25 +318,27 @@ object Dedup {
     require(num > 0 && den > 0 && num <= den,
       "threshold num/den must sit in (0, 1]")
     // the shingle/tokenize expression is the per-row hot cost: explode
-    // ONCE and take each token's document frequency from a count window
-    // over the exploded frame — one linear pipeline, no vocab aggregate
-    // to join back, no second evaluation of the tokenizer. (A persist of
-    // the tokenized frame was tried instead and reverted: it halved this
-    // query but poisoned every LATER query in the same session with
-    // order-dependent 2-5x slowdowns — plan-fragment caches are session
-    // state, and a window is free by comparison.)
+    // ONCE; the vocabulary aggregate and the id join back both shuffle
+    // the exploded frame by token, so AQE plans the second as a
+    // ReusedExchange — the tokenizer still runs once, unpersisted
+    // (a persist of the tokenized frame was tried and reverted: it
+    // halved this query but poisoned every LATER query in the same
+    // session with order-dependent 2-5x slowdowns — plan-fragment
+    // caches are session state).
     val toks = df.select(col(idCol).as("__gid"),
       explode(array_distinct(tokensCol)).as("__gt"))
-    val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("__gt"))
-    // rare-first total order WITHOUT a global rank window: sort each
-    // record's tokens by the (df, token) struct (field-order
-    // lexicographic, total because the token tie-break is unique)
-    var ordered = toks
-      .withColumn("__gdf", count(lit(1)).over(wdf))
+    val vocab = toks.groupBy(col("__gt")).agg(count(lit(1)).as("__gdf"))
+    val rankedVocab = RangeRank.ranked(vocab, Nil, "__gdf",
+        tieBreak = Seq("__gt"), rnAs = "__gtid")
+      .select(col("__gt"), col("__gtid"))
+    // shuffle_hash (not broadcast): with both sides hashed on __gt the
+    // exploded frame's exchange is the SAME subplan the vocabulary
+    // aggregate shuffled, so AQE plans it as a ReusedExchange and the
+    // tokenizer runs ONCE — a broadcast of the tiny vocab would skip
+    // the toks exchange and re-evaluate the explode per branch
+    var ordered = toks.join(rankedVocab.hint("shuffle_hash"), "__gt")
       .groupBy(col("__gid"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("__gdf"), col("__gt")))),
-        x => x.getField("__gt")).as("__gsorted"))
+      .agg(sort_array(collect_list(col("__gtid"))).as("__gsorted"))
       .withColumn("__gn", size(col("__gsorted")))
       // integer ceiling ⌈n·num/den⌉ = (n·num + den−1 − pmod) / den: pmod
       // keeps the arithmetic exact-integer (a double ceil(t·n) rounds up

@@ -42,13 +42,17 @@ object Bench {
     val tLock = System.nanoTime()
     lockCh.lock() // held until JVM exit; blocks behind a concurrent bench
     val lockWaitSec = (System.nanoTime() - tLock) / 1e9
+    // threshold 2.0: round-8's clean pairs all started below load ~1,
+    // while the one 19%-inflated artifact started at 3.75 — "just under
+    // 4" demonstrably still contaminates, so the bar sits where clean
+    // runs actually live. The 1-min EWMA decays slowly; allow 3 min.
     var preLoad = load1
     var settles = 0
-    while (preLoad > 4.0 && settles < 12) { // up to 2 min for load decay
-      System.err.println(f"[bench] preflight load $preLoad%.2f > 4, waiting...")
+    while (preLoad > 2.0 && settles < 18) { // up to 3 min for load decay
+      System.err.println(f"[bench] preflight load $preLoad%.2f > 2, waiting...")
       Thread.sleep(10000L); settles += 1; preLoad = load1
     }
-    val contaminated = preLoad > 4.0
+    val contaminated = preLoad > 2.0
     if (contaminated)
       System.err.println(f"[bench] WARNING: starting under load " +
         f"$preLoad%.2f — artifact flagged contaminated")

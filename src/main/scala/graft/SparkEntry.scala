@@ -2783,6 +2783,27 @@ object SparkEntry {
       Seq(Features.logisticGd(wdf, logitFeatures.map(_._1)),
         Features.logisticEval(li, logitFeatures, isR, wdf))
     }),
+    // the SSJoin family: ONE shingles→prefix→candidates→verify pass
+    // (and ONE cluster resolution) feeds all six readouts, where the
+    // solo entries each rebuild the pair set from scratch. Outputs are
+    // identical to the solo forms: q187's sweep thresholds (0.7/0.8/
+    // 0.9) all sit above the shared 1/2 cutoff, so sweeping the 1/2
+    // pair set filters to exactly the pairs its solo 7/10 pass emits.
+    "q135+q140+q146+q151+q187+q188" -> ((s, dir) => {
+      val pairs = Dedup.setSimilarityJoin(t(s, dir).documents, "doc_id",
+          TextFns.wordShingles(s, col("text"), 3), num = 1, den = 2,
+          cacheSets = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val clusters = Dedup.dedupClusters(pairs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Seq(
+        pairs,                                                        // q135
+        clusters,                                                     // q140
+        Dedup.degreeDistribution(pairs),                              // q146
+        Dedup.triangles(pairs),                                       // q151
+        Dedup.thresholdSweep(pairs, "jaccard", Seq(0.7, 0.8, 0.9)),   // q187
+        Dedup.clusterSizeHistogram(clusters))                         // q188
+    }),
   )
 
   private val monthCaseSql: String =

@@ -978,7 +978,10 @@ object Curation {
     // medians/centroids agg-to-literal convention)
     val probe = excerpts.agg(count(lit(1)), min(length(ex))).head()
     val nEx = probe.getLong(0)
-    if (nEx == 0) return spans(corpus.crossJoin(broadcast(excerpts)))
+    // isNullAt guards the all-NULL-excerpt frame (min(length) is null
+    // there); the NLJ path handles null excerpts via instr returning null
+    if (nEx == 0 || probe.isNullAt(1))
+      return spans(corpus.crossJoin(broadcast(excerpts)))
     val minLen = probe.getInt(1)
     if (nEx <= anchorCutover || minLen < 4)
       return spans(corpus.crossJoin(broadcast(excerpts)))
@@ -994,7 +997,7 @@ object Curation {
     val grams = corpus.select(col(id).as("__gaid"), text.as("__gatxt"))
       .select(col("__gaid"), explode(array_distinct(
         transform(
-          sequence(lit(1), greatest(length(col("__gatxt")) - (a - 1), lit(0))),
+          sequence(lit(1), greatest(length(col("__gatxt")) - (a - 1), lit(1))),
           p => xxhash64(col("__gatxt").substr(p, lit(a)))))).as("__gak"))
     val candIds = grams.join(exKeyed.select(col("__gak"), ex), "__gak")
       .select(col("__gaid"), ex).distinct()

@@ -308,9 +308,16 @@ object Dedup {
    * sf10 spill driver at ~1.3 KB/pair of shingle strings) shrinks ~3×
    * and compares longs, not UTF8. |A∩B| is preserved exactly because
    * the rank map is injective. Everything shuffles by hash key;
-   * nothing is all-pairs. Null tokens never pair (an inner vocab join
-   * drops them — the old struct-sort collected them into the arrays,
-   * where no equal-token match could arise either).
+   * nothing is all-pairs. Null tokens are DROPPED by the inner vocab
+   * join — a deliberate semantics choice, not behavior-neutral vs the
+   * old struct-sort path: `array_intersect` treats null elements as
+   * equal, so that path counted a shared null toward \|A∩B\| (and an
+   * all-null-token record survived with n > 0). Here a null token
+   * contributes to neither \|A∩B\| nor \|A\|/\|B\|, and an
+   * all-null-token record disappears. In-repo callers only pass
+   * shingle/token arrays that are never null, so no caller observes
+   * the difference; callers that need null-as-a-token must encode it
+   * as a sentinel string first.
    */
   def setSimilarityJoin(
       df: DataFrame, idCol: String, tokensCol: Column,

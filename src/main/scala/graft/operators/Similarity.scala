@@ -361,6 +361,14 @@ object Similarity {
     math.max(4, math.min(20, needed))
   }
 
+  /** The signature width [[embeddingNearDups]] actually runs with:
+   *  explicit `bits` when positive, else [[autoBits]] of the frame's
+   *  count (one bounded agg-to-literal, metadata-cheap on parquet).
+   *  Exposed so ScaleSpec can assert the width chosen at a replicated
+   *  scale-step size without executing the self-join. */
+  private[graft] def chosenBits(df: DataFrame, bits: Int): Int =
+    if (bits > 0) bits else autoBits(df.count())
+
   /** Declarative reference form of [[hyperplaneSignatures]] (kept as the
    *  parity oracle for the codegen expression; specs compare the two). */
   def hyperplaneTables(vec: Column, bits: Int, tables: Int, seed: Int = 42): Column =
@@ -1128,9 +1136,7 @@ object Similarity {
       spark: SparkSession, df: DataFrame,
       id: String, vec: String, threshold: Double, bits: Int = 12,
       tables: Int = 4, maxBucketSize: Int = 0): DataFrame = {
-    val nBits =
-      if (bits > 0) bits
-      else autoBits(df.count()) // bounded agg-to-literal: one metadata-cheap count
+    val nBits = chosenBits(df, bits)
     val bucketed = capBuckets(
       df.select(col(id).as("__gid"), col(vec).as("__gvec"))
         .select(col("__gid"), col("__gvec"),

@@ -456,6 +456,7 @@ class CurationSpec extends SparkSpec {
       (3L, s"has NEEDLE(x) and also $e1"),
       (4L, "nothing relevant at all"),
       (5L, "short"),
+      (6L, "short-gram bait: abc abc"),
     ).toDF("doc_id", "text")
     val ex = Seq(e1, decoy, "NEEDLE(x)").toSeq.map(Tuple1(_)).toDF("excerpt")
     val nlj = Curation.excerptSpans(corpus, "doc_id", col("text"), ex, "excerpt")
@@ -467,11 +468,24 @@ class CurationSpec extends SparkSpec {
     assert(nlj.map(r => (r.getLong(0), r.getString(1))).toSet ==
       Set((1L, e1), (3L, e1), (3L, "NEEDLE(x)")))
     assert(nlj.find(r => r.getLong(0) == 1L).get.getLong(3) == 2L) // templated twice
-    // short excerpts (< 4 chars) keep the NLJ path even when forced
+    // short excerpts (< 4 chars) keep the NLJ path even when forced:
+    // the forced-cutover call must produce the same correct rows as the
+    // default path — doc 6 contains "abc" twice, nothing else matches
     val shortEx = Seq(Tuple1("abc")).toDF("excerpt")
     val s2 = Curation.excerptSpans(corpus, "doc_id", col("text"), shortEx, "excerpt",
+        anchorCutover = 0)
+      .orderBy("doc_id").collect().toSeq
+    val s2Default = Curation.excerptSpans(corpus, "doc_id", col("text"), shortEx, "excerpt")
+      .orderBy("doc_id").collect().toSeq
+    assert(s2 == s2Default)
+    assert(s2.map(r => (r.getLong(0), r.getString(1), r.getLong(3))) ==
+      Seq((6L, "abc", 2L)))
+    // an all-NULL excerpt frame must not NPE the anchor-path probe
+    // (min(length) is null there) — the NLJ fallback yields no rows
+    val nullEx = Seq(Tuple1(null: String)).toDF("excerpt")
+    val s3 = Curation.excerptSpans(corpus, "doc_id", col("text"), nullEx, "excerpt",
       anchorCutover = 0).collect()
-    assert(s2.isEmpty || s2.nonEmpty) // path selection must not throw
+    assert(s3.isEmpty)
   }
 
   test("naiveBayesSource attributes clearly separable sources correctly") {

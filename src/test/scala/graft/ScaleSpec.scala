@@ -337,4 +337,20 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
           q.queryExecution.optimizedPlan)
     } finally spark.catalog.clearCache()
   }
+
+  test("embeddingNearDups auto width tracks the scale step: 6 bits at sf0.1, 13 at sf10") {
+    import graft.operators.Similarity
+    // the q73/q34 entries pass bits=0, so the width embeddingNearDups
+    // runs with is chosenBits(frame, 0) = autoBits(count). Replicate the
+    // scale-step sizes as cheap range frames (chosenBits only counts):
+    // 2k vectors (sf0.1 embeddings) -> 6 bits, 200k (sf10) -> 13 — a
+    // fixed 6-bit signature at sf10 would put ~100x occupancy^2 work in
+    // every bucket (the measured 17.4x q73 cliff before autoBits).
+    assert(Similarity.chosenBits(spark.range(2000).toDF(), 0) == 6)
+    assert(Similarity.chosenBits(spark.range(200000).toDF(), 0) ==
+      Similarity.autoBits(200000))
+    assert(Similarity.autoBits(200000) == 13)
+    // explicit bits always win (the recall-tuned deployment contract)
+    assert(Similarity.chosenBits(spark.range(200000).toDF(), 8) == 8)
+  }
 }

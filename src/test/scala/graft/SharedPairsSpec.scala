@@ -12,6 +12,13 @@ class SharedPairsSpec extends SparkSpec {
     "q224+q226" -> Seq("q224_pca_power", "q226_pca_project"),
     "q228+q229" -> Seq("q228_kmeans_lloyd", "q229_kmeans_quality"),
     "q237+q238" -> Seq("q237_logistic_gd", "q238_logistic_eval"),
+    // the SSJoin family: one pair pass + one cluster resolution feed
+    // six readouts; q187's solo pass runs at 7/10 but its sweep
+    // thresholds all sit above the shared 1/2 cutoff, so the sweep
+    // rows coincide (the filter inside thresholdSweep re-applies them)
+    "q135+q140+q146+q151+q187+q188" -> Seq(
+      "q135_ssjoin_prefix", "q140_ssjoin_clusters", "q146_degree_stats",
+      "q151_triangles", "q187_threshold_sweep", "q188_cluster_sizes"),
   )
 
   test("every shared pair has a solo mapping and vice versa") {

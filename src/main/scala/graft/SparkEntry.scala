@@ -2849,18 +2849,31 @@ object SparkEntry {
    *  3-word-shingle sets (mirroring [[TextFns.wordShingles]]' <k-token
    *  whole-text fallback) and the qualifying-pair frame `p`.
    *
-   *  `p` is restricted to pairs sharing at least one shingle (the
-   *  `ssc` shared-token candidate join) instead of the all-pairs
-   *  `t a JOIN t b ON a.id < b.id` cross form. The restriction is
-   *  IDENTITY-PRESERVING for every consumer: each filters p with
-   *  `i*k >= u*m` at a positive threshold (m >= 1), and u >= 1 always
-   *  (each tok list has >= 1 element), so a qualifying pair needs
-   *  i >= 1 — i.e. a shared shingle. This is a provable algebraic
-   *  rewrite of the same semantics, NOT the engine's prefix-filter
-   *  strategy (which prunes by sorted-prefix overlap and is what the
-   *  oracle checks for false negatives); it turns an O(n²)
-   *  list_intersect sweep into candidate-only work, which is what made
-   *  the sf0.1 sweep's six family oracles runnable (600 s+ -> seconds).
+   *  `p` is NOT the all-pairs `t a JOIN t b ON a.id < b.id` cross form;
+   *  two identity-preserving algebraic restrictions make the oracle
+   *  runnable on the template corpus (whose hottest shingles are shared
+   *  by most documents):
+   *
+   *  1. Candidates come from the shared-shingle equi-join, and the
+   *     intersection size `i` is that join's per-pair COUNT — exact
+   *     because `tok` is list_distinct, so each shared shingle
+   *     contributes exactly one joined row; `u` follows from the two
+   *     (per-id-constant) list lengths. This replaces the earlier
+   *     DISTINCT-candidates + per-pair list_intersect sweep, whose
+   *     per-candidate full-list intersections dominated (the measured
+   *     sf0.1 600 s+ family timeouts).
+   *  2. A Jaccard-1/2 size filter in the join condition
+   *     (2·min(|A|,|B|) >= max(|A|,|B|)): J >= 1/2 forces
+   *     i >= (|A|+|B|)/3 and i <= min, hence max <= 2·min. Every
+   *     consumer filters p at `i·den >= u·num` with num/den >= 1/2
+   *     (q135/q140/q146/q151/q188 at 1/2, q187 at 7/10), so no
+   *     qualifying pair is dropped; a pair sharing zero shingles can
+   *     never qualify (u >= 1 always).
+   *
+   *  Both are provable rewrites of the same semantics, NOT the
+   *  engine's prefix-filter strategy (which prunes by sorted-prefix
+   *  overlap and is exactly what the oracle checks for false
+   *  negatives).
    */
   private val ssjoinDocShinglesSql: String =
     "WITH RECURSIVE t AS (SELECT doc_id AS id, " +
@@ -2869,13 +2882,12 @@ object SparkEntry {
       "z -> z[1] || ' ' || z[2] || ' ' || z[3])) " +
       "ELSE [array_to_string(w, ' ')] END AS tok " +
       "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)), " +
-      "sse AS (SELECT id, unnest(tok) AS g FROM t), " +
-      "ssc AS (SELECT DISTINCT ea.id AS id_a, eb.id AS id_b " +
-      "FROM sse ea JOIN sse eb ON ea.g = eb.g AND ea.id < eb.id), " +
-      "p AS (SELECT c.id_a, c.id_b, " +
-      "len(list_intersect(a.tok, b.tok)) AS i, " +
-      "len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)) AS u " +
-      "FROM ssc c JOIN t a ON a.id = c.id_a JOIN t b ON b.id = c.id_b) "
+      "sse AS (SELECT id, len(tok) AS n, unnest(tok) AS g FROM t), " +
+      "p AS (SELECT ea.id AS id_a, eb.id AS id_b, COUNT(*) AS i, " +
+      "MIN(ea.n) + MIN(eb.n) - COUNT(*) AS u " +
+      "FROM sse ea JOIN sse eb ON ea.g = eb.g AND ea.id < eb.id " +
+      "AND 2 * least(ea.n, eb.n) >= greatest(ea.n, eb.n) " +
+      "GROUP BY ea.id, eb.id) "
 
   /** DuckDB CASE mapping each leading digit to the driver's Benford
    *  expected-share double, through the VARCHAR-literal detour so the

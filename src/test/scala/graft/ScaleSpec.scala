@@ -353,4 +353,17 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // explicit bits always win (the recall-tuned deployment contract)
     assert(Similarity.chosenBits(spark.range(200000).toDF(), 8) == 8)
   }
+
+  test("RangeRank's cutover takes the bucketed path at scale-step sizes") {
+    import graft.operators.RangeRank
+    // useBucketed reads only Catalyst's size estimate — no execution.
+    // spark.range stats are 8 bytes/row: 1M rows sits under the 256 MiB
+    // default cutover (window path keeps bench-scale frames cheap);
+    // 40M rows (~320 MB, the sf10 lineitem ballpark) crosses it. The
+    // sf10 3-arm A/B (bench/BENCH_SCALE_RANK_AB.json) measured the
+    // bucketed plan 26% faster than the forced single-window funnel
+    // at that size, so the cutover must keep selecting it.
+    assert(!RangeRank.useBucketed(spark.range(1000000).toDF()))
+    assert(RangeRank.useBucketed(spark.range(40000000).toDF()))
+  }
 }

@@ -227,10 +227,24 @@ object Features {
    * result is layout-independent by construction; nulls order FIRST
    * on both engines by explicit spec. Singleton groups map to 0.0.
    * One window shuffle per group set below [[RangeRank.useBucketed]]'s
-   * threshold; above it the rank distributes over (key, value-range)
-   * cells — a low-cardinality key never funnels a 100 TB sort into
-   * |keys| tasks — and percent_rank is recomposed from the peer-group
-   * minimum rank by `PercentRank`'s own (rank−1)/(n−1) IEEE form.
+   * threshold.
+   *
+   * Above the threshold the rank NEVER touches the fact rows: because
+   * ties share a rank, percent_rank is a pure function of
+   * (keys, value), so the frame aggregates to distinct (keys, value)
+   * counts first (map-side combinable — the aucExact rule: windows run
+   * over the value-aggregated frame, never the fact) and the shared
+   * minimum rank is recomposed from the value-order cumulative count,
+   * rankMin(v) = Σ_{v' ≤ v} cnt − cnt(v) + 1. The fact side then pays
+   * ONE hash join back on (keys, value) — null-safe on the value, so
+   * null inputs keep their nulls-first rank — instead of a global
+   * sort (measured at the sf10 step: 594 k distinct (flag, price) vs
+   * 60 M rows, a 101× smaller rank problem). When the aggregated
+   * frame is itself above the threshold (web-scale value cardinality),
+   * its cumulative count distributes through [[RangeRank.ranked]]'s
+   * range-bucketed cells — a low-cardinality key never funnels a
+   * 100 TB sort into \|keys\| tasks. Both branches emit
+   * `PercentRank`'s own (rank−1)/(n−1) IEEE form on exact longs.
    */
   def percentRankScale(
       df: DataFrame, column: String, keys: Seq[String],
@@ -242,13 +256,27 @@ object Features {
         .orderBy(col(column).asc_nulls_first)
       df.withColumn(out, percent_rank().over(w))
     } else {
-      val r = RangeRank.ranked(df, keys, column,
-        extras = RangeRank.Extras(peerMinAs = Some("__gpmin")))
-      r.withColumn(out,
-        when(col("__gnt") > 1,
-          (col("__gpmin") - 1).cast("double") / (col("__gnt") - 1).cast("double"))
-          .otherwise(lit(0.0d)))
-        .drop("__grn", "__gnt", "__gpmin")
+      val agg = df.groupBy((keys :+ column).map(col): _*)
+        .agg(count(lit(1)).cast("long").as("__gvc"))
+      // ranked picks its own plan for the aggregated frame: a plain
+      // per-key window while it stays small, range-bucketed cells once
+      // the value cardinality itself is web-scale — same Extras either
+      // way (peer-inclusive range sum + key total)
+      val ranked = RangeRank.ranked(agg, keys, column,
+        extras = RangeRank.Extras(
+          rangeSums = Seq(col("__gvc") -> "__gcum"),
+          keyTotals = Seq(col("__gvc") -> "__gtot")))
+      val lookup = ranked.select(
+        keys.map(k => col(k).as(s"__gk_$k")) ++ Seq(col(column).as("__gval"),
+          (col("__gcum") - col("__gvc") + lit(1L)).as("__gpmin"),
+          col("__gtot")): _*)
+      df.join(lookup,
+          keys.map(k => df(k) <=> col(s"__gk_$k"))
+            .reduce(_ && _) && df(column) <=> col("__gval"))
+        .select(df.columns.map(df(_)) :+
+          when(col("__gtot") > 1,
+            (col("__gpmin") - 1).cast("double") / (col("__gtot") - 1).cast("double"))
+            .otherwise(lit(0.0d)).as(out): _*)
     }
   }
 

@@ -1086,11 +1086,19 @@ object Relational {
    * test `2·cum ≥ total` is exact integer arithmetic, and the output is
    * the untouched input value. One window + one groupBy, both
    * partitioned by the group keys, below
-   * [[graft.operators.RangeRank.useBucketed]]'s threshold; above it
-   * the cumulative weight distributes over (key, value-range) cells
-   * (the peer-inclusive RANGE sum is order-independent within a cell,
-   * and the cell offsets add exactly — decimal addition is
-   * associative), so a low-cardinality key never funnels the sort.
+   * [[graft.operators.RangeRank.useBucketed]]'s threshold.
+   *
+   * Above it the fact rows are never ranked at all: the RANGE frame is
+   * already value-atomic, so pre-aggregating the weight per distinct
+   * (keys, value) (map-side combinable; decimal addition is
+   * associative, so the per-value subtotal then the cumulative sum is
+   * the SAME exact decimal the row-level RANGE sum produces) shrinks
+   * the rank problem to the value cardinality — 101× at the measured
+   * sf10 step — and the per-key answer needs no join back. The
+   * aggregated frame itself rides [[graft.operators.RangeRank.ranked]],
+   * which keeps a plain window while it is small and distributes over
+   * (key, value-range) cells once web-scale value cardinality demands
+   * it, so a low-cardinality key never funnels the sort.
    */
   def weightedMedian(
       df: DataFrame, valueCol: String, weightCol: String, keys: Seq[String],
@@ -1109,9 +1117,12 @@ object Relational {
           .withColumn("__gc", sum(wgt).over(cumW))
           .withColumn("__gt", sum(wgt).over(totW))
       } else {
-        RangeRank.ranked(clean, keys, valueCol,
+        val agg = clean.groupBy((keys :+ valueCol).map(col): _*)
+          .agg(sum(wgt).as("__gw"))
+        RangeRank.ranked(agg, keys, valueCol,
           extras = RangeRank.Extras(
-            rangeSums = Seq(wgt -> "__gc"), keyTotals = Seq(wgt -> "__gt")))
+            rangeSums = Seq(col("__gw") -> "__gc"),
+            keyTotals = Seq(col("__gw") -> "__gt")))
       }
     cumulated
       .filter(col("__gc") * 2 >= col("__gt"))

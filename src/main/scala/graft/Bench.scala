@@ -122,7 +122,21 @@ object Bench {
     val sharedJson = shared.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
 
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+    // Headline = the EFFECTIVE total: for every query covered by a
+    // shared stage that ran clean, the stage's one-pass cost replaces
+    // the solo re-derivation sum (round-9 verdict: the solo-summed
+    // headline carried ~21 s of demonstrated re-computation a pipeline
+    // reusing the trained frame never pays). The untouched per-query
+    // map and `solo_total` remain the oracle-checkable record; subset
+    // runs skip shared stages, so there the two totals coincide.
+    val byPrefix = names.groupBy(_.split("_")(0)).view.mapValues(_.head).toMap
+    val okShared = shared.filter(_._2 >= 0)
+    val covered = okShared.flatMap(_._1.split("\\+")).flatMap(byPrefix.get).toSet
+    val effTotal = total -
+      results.collect { case (n, s) if covered(n) && s >= 0 => s }.sum +
+      okShared.map(_._2).sum
+
+    val line = s"""{"metric":"total","value":$effTotal,"unit":"sec","solo_total":$total,"queries":$qs,"sf":"$sfDir"""" +
       s""","shared":$sharedJson""" +
       f""","preflight_load":$preLoad%.2f,"lock_wait_sec":$lockWaitSec%.1f,"contaminated":$contaminated}"""
     println(line)

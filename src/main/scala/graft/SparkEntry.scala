@@ -2790,8 +2790,17 @@ object SparkEntry {
     // 0.9) all sit above the shared 1/2 cutoff, so sweeping the 1/2
     // pair set filters to exactly the pairs its solo 7/10 pass emits.
     "q135+q140+q146+q151+q187+q188" -> ((s, dir) => {
+      // fail fast (round-9 advice): the shared/solo q187 equivalence
+      // holds ONLY while every sweep threshold sits at or above the
+      // shared pass's num/den cutoff — a later threshold below 1/2
+      // would silently diverge from the solo pass until SharedPairsSpec
+      // caught it at test time
+      val (num, den) = (1, 2)
+      val sweepThresholds = Seq(0.7, 0.8, 0.9)
+      require(sweepThresholds.forall(_ >= num.toDouble / den),
+        s"shared SSJoin sweep thresholds $sweepThresholds must all be >= $num/$den")
       val pairs = Dedup.setSimilarityJoin(t(s, dir).documents, "doc_id",
-          TextFns.wordShingles(s, col("text"), 3), num = 1, den = 2,
+          TextFns.wordShingles(s, col("text"), 3), num = num, den = den,
           cacheSets = true)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val clusters = Dedup.dedupClusters(pairs)
@@ -2801,7 +2810,7 @@ object SparkEntry {
         clusters,                                                     // q140
         Dedup.degreeDistribution(pairs),                              // q146
         Dedup.triangles(pairs),                                       // q151
-        Dedup.thresholdSweep(pairs, "jaccard", Seq(0.7, 0.8, 0.9)),   // q187
+        Dedup.thresholdSweep(pairs, "jaccard", sweepThresholds),      // q187
         Dedup.clusterSizeHistogram(clusters))                         // q188
     }),
   )

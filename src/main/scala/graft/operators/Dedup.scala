@@ -19,6 +19,13 @@ import graft.plans.GraftFunctions
  */
 object Dedup {
 
+  /** Round-count telemetry from the most recent [[connectedComponents]]
+   *  call on this driver: rounds to fixpoint and the contracted edge
+   *  count after each non-final round (scale evidence for the shrinking
+   *  graph — diagnostics only, never read by operators). */
+  @volatile var lastCcRounds: Int = -1
+  @volatile var lastCcEdgeCounts: Seq[Long] = Nil
+
   /** Exact dedup: groups identical values of `on`, electing min(`id`) as keeper. */
   def exactGroups(df: DataFrame, on: String, id: String): DataFrame =
     df.groupBy(col(on))
@@ -493,24 +500,41 @@ object Dedup {
    * A~B and B~C must collapse to ONE keeper even when A~C was never a
    * candidate pair.
    *
-   * Algorithm: iterative min-label propagation with pointer jumping.
-   * Each round every vertex takes the min label among itself and its
-   * neighbors (one shuffle on the edge key), then compresses
-   * label := label(label) (one join on the label table) — the
-   * compression makes convergence logarithmic in component diameter
-   * rather than linear, so 25 rounds cover diameters past 2^25.
-   * Convergence is detected by the label-sum fixpoint: labels are
-   * min-ids, so the per-vertex label is monotone nonincreasing and the
-   * (exact, decimal) sum strictly decreases until the fixpoint.
+   * Algorithm: iterative min-label propagation with pointer jumping
+   * over a CONTRACTING edge set. Each round every vertex takes the min
+   * label among itself and its (contracted-graph) neighbors (one
+   * shuffle on the edge key), compresses label := label(label) (one
+   * join on the label table — convergence logarithmic in component
+   * diameter, so 25 rounds cover diameters past 2^25), and then the
+   * edge set itself is rewritten to (label(src), label(dst)) with
+   * self-loops dropped: an edge whose endpoints already share a label
+   * is settled and can never contribute a new minimum, so the graph
+   * SHRINKS as components resolve — template clusters collapse to zero
+   * edges after their first merge round, and late rounds join
+   * near-empty frames instead of re-shuffling the full pair output
+   * every round. Correctness: contraction maps every edge onto its
+   * endpoints' current labels (which are ids inside the same original
+   * component), so per-component group-graph connectivity is preserved
+   * round to round, and new minima still flow between groups via the
+   * rewritten edges while member chains catch up through pointer
+   * jumping. Convergence is detected by the label-sum fixpoint: labels
+   * are min-ids, so the per-vertex label is monotone nonincreasing and
+   * the (exact, decimal) sum strictly decreases until the fixpoint; an
+   * unchanged sum means no label moved, which makes the next round's
+   * propagation, compression, AND contraction identical — a true
+   * fixpoint of the whole system.
    *
-   * Scale shape: every round is two hash joins over (edges, labels) —
-   * no all-pairs, no driver-side graph. The driver loop is bounded
-   * (`maxIter`) and collects ONE scalar per round (the convergence sum),
-   * matching the library's bounded agg-to-literal exception.
-   * `localCheckpoint` truncates the growing lineage each round so round
-   * N's plan does not replay rounds 1..N-1 (the standard iterative-
-   * algorithm requirement; on a cluster with a checkpoint dir,
-   * reliable `checkpoint` is the durable variant).
+   * Scale shape: every round is two hash joins over (edges, labels)
+   * plus the contraction's relabel joins over the (shrinking) edge
+   * frame — no all-pairs, no driver-side graph. The driver loop is
+   * bounded (`maxIter`) and collects ONE scalar per round (the
+   * convergence sum), matching the library's bounded agg-to-literal
+   * exception. `localCheckpoint` truncates the growing lineage each
+   * round so round N's plan does not replay rounds 1..N-1 (the
+   * standard iterative-algorithm requirement; on a cluster with a
+   * checkpoint dir, reliable `checkpoint` is the durable variant).
+   * [[lastCcRounds]]/[[lastCcEdgeCounts]] expose round-count telemetry
+   * for scale evidence.
    *
    * Returns (id, component): one row per distinct vertex appearing in
    * `pairs`, component = min vertex id reachable via the pair graph.
@@ -546,8 +570,10 @@ object Dedup {
     var prev = labelSum(labels)
     var iter = 0
     var converged = prev.signum == 0 && labels.isEmpty
+    var curEdges = edges
+    val edgeCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
     while (!converged && iter < maxIter) {
-      val viaNeighbors = edges
+      val viaNeighbors = curEdges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("label").as("label"))
       // Fresh aliases on both union children: they share attribute ids
@@ -562,14 +588,33 @@ object Dedup {
         .join(propagated.select(col("id").as("label"), col("label").as("__ll")).as("b"),
           Seq("label"))
         .select(col("id"), col("__ll").as("label")))
-      roller.advance()
       val cur = labelSum(compressed)
       converged = cur.compareTo(prev) == 0
       prev = cur
       labels = compressed
       iter += 1
+      if (!converged && iter < maxIter) {
+        // Contract: rewrite each edge onto its endpoints' NEW labels and
+        // drop self-loops (settled edges). Two relabel joins + a distinct
+        // over the current (shrinking) edge frame; the rolled checkpoint
+        // materializes it so the count below is a cached-partition scan.
+        val contracted = roller.roll(curEdges
+          .join(compressed.select(col("id").as("src"), col("label").as("__ls")), "src")
+          .join(compressed.select(col("id").as("dst"), col("label").as("__ld")), "dst")
+          .filter(col("__ls") =!= col("__ld"))
+          .select(col("__ls").as("src"), col("__ld").as("dst"))
+          .distinct())
+        // the initial persisted edge frame dies at its first contraction;
+        // later generations are checkpoints the roller releases itself
+        if (curEdges eq edges) edges.unpersist()
+        curEdges = contracted
+        edgeCounts += contracted.count()
+      }
+      roller.advance()
     }
-    edges.unpersist()
+    if (curEdges eq edges) edges.unpersist()
+    lastCcRounds = iter
+    lastCcEdgeCounts = edgeCounts.toSeq
     // Unconverged labels are MID-MERGE (multiple "keepers" inside one
     // true cluster) — silently returning them would ship duplicates.
     // With pointer jumping, maxIter rounds cover diameters past

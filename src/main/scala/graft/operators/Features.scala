@@ -86,6 +86,22 @@ object Features {
    * keyless call nor a low-cardinality-key call funnels a large sort
    * into one task.
    *
+   * Above [[RangeRank.useBucketed]]'s threshold the FACT rows are never
+   * ranked at all (the q145/q150 value-aggregation rule): the value at a
+   * non-null rank is tie-invariant — a pure function of the distinct
+   * (keys, value) multiplicities — so the frame first aggregates to
+   * per-(keys, value) counts (map-side combinable), the peer-inclusive
+   * cumulative count in value order gives each distinct value its
+   * covered rank range (cum − cnt, cum], and a target rank r selects the
+   * one value whose range contains it. The rank problem shrinks from row
+   * count to value cardinality (101× at the measured sf10 step) and
+   * nothing joins back — the output was already one row per group. The
+   * aggregated frame itself rides [[RangeRank.ranked]], which keeps a
+   * plain window while it is small and distributes over
+   * (key, value-range) cells once web-scale value cardinality demands
+   * it. Both paths read the same exact values at the same exact ranks,
+   * so they are bit-identical by construction (RangeRankSpec pins it).
+   *
    * Output columns: `keys ++ countAs ++ ps` names; quantiles are
    * DOUBLE. `countAs` co-emits each group's non-null value count for
    * callers that report it alongside (saves a second aggregate pass).
@@ -97,37 +113,62 @@ object Features {
     require(ps.forall { case (p, _) => p >= 0 && p <= 1 },
       "percentiles must be in [0, 1]")
     val vd = col(column).cast("double")
-
-    // ranked: (__qv double, __qn non-null count, __qt group row count,
-    // __qrnn rank among the group's non-null values in ascending order).
-    // RangeRank picks the plan: one per-key window below its size
-    // threshold, the bucketed distributed rank above it (keyed AND
-    // keyless — the old keyless-only range-partition path generalized).
-    // Nulls rank first, so the non-null rank is the row number minus
-    // the group's null count.
-    val ranked = RangeRank.ranked(
-      df.select(keys.map(col) :+ vd.as("__qv"): _*),
-      keys, "__qv", rnAs = "__qrn0", ntAs = "__qt",
-      extras = RangeRank.Extras(keyTotals = Seq(
-        (when(col("__qv").isNotNull, 1L).otherwise(0L), "__qn"))))
-      .withColumn("__qrnn", col("__qrn0") - (col("__qt") - col("__qn")))
+    val proj = df.select(keys.map(col) :+ vd.as("__qv"): _*)
 
     def pos(p: Double) = lit(p) * (col("__qn") - lit(1)).cast("double")
-    val needed = ps.map { case (p, _) =>
-      val q = pos(p)
-      col("__qrnn") === floor(q) + 1 || col("__qrnn") === ceil(q) + 1
-    }.reduce(_ || _)
-    val picked = ranked.filter(
-      (col("__qv").isNotNull && needed) ||
-        // all-null group: keep the rank-1 row so the group still emits
-        (col("__qn") === 0 && col("__qrnn") === lit(1) - col("__qt")))
+
+    // Each path yields (picked, hit): `picked` holds the ≤ 2·|ps| rows
+    // per group interpolation can touch (plus one representative row for
+    // all-null groups); `hit(r)` is true on the row holding the group's
+    // value at non-null rank r. The shared tail below is path-blind.
+    val (picked, hit): (DataFrame, Column => Column) =
+      if (RangeRank.useBucketed(proj)) {
+        // scale path: rank the distinct-value frame, not the fact rows.
+        // __qhiR = peer-inclusive cumulative NON-NULL count in value
+        // order (nulls first contribute 0), so a non-null row covers
+        // ranks (__qhiR − __qc, __qhiR] and a null row covers none
+        // (its __qhiR is 0 and target ranks are ≥ 1).
+        val cnted = proj.groupBy((keys :+ "__qv").map(col): _*)
+          .agg(count(lit(1)).as("__qc"))
+        val nn = when(col("__qv").isNotNull, col("__qc")).otherwise(lit(0L))
+        val ranked = RangeRank.ranked(cnted, keys, "__qv",
+          extras = RangeRank.Extras(
+            rangeSums = Seq(nn -> "__qhiR"),
+            keyTotals = Seq(nn -> "__qn")))
+        val h = (r: Column) =>
+          r > col("__qhiR") - col("__qc") && r <= col("__qhiR")
+        val needed = ps.map { case (p, _) =>
+          val q = pos(p); h(floor(q) + 1) || h(ceil(q) + 1)
+        }.reduce(_ || _)
+        // all-null group: its only aggregated row is the null value —
+        // keep it so the group still emits (a null quantile)
+        (ranked.filter(needed || col("__qn") === 0), h)
+      } else {
+        // exact-window path: (__qv double, __qn non-null count, __qt
+        // group row count, __qrnn rank among the group's non-null values
+        // ascending). Nulls rank first, so the non-null rank is the row
+        // number minus the group's null count.
+        val ranked = RangeRank.ranked(
+          proj, keys, "__qv", rnAs = "__qrn0", ntAs = "__qt",
+          extras = RangeRank.Extras(keyTotals = Seq(
+            (when(col("__qv").isNotNull, 1L).otherwise(0L), "__qn"))))
+          .withColumn("__qrnn", col("__qrn0") - (col("__qt") - col("__qn")))
+        val h = (r: Column) => col("__qrnn") === r
+        val needed = ps.map { case (p, _) =>
+          val q = pos(p); h(floor(q) + 1) || h(ceil(q) + 1)
+        }.reduce(_ || _)
+        (ranked.filter(
+          (col("__qv").isNotNull && needed) ||
+            // all-null group: keep the rank-1 row so the group still emits
+            (col("__qn") === 0 && col("__qrnn") === lit(1) - col("__qt"))), h)
+      }
 
     val aggs = max(col("__qn")).as("__qn") +:
       ps.zipWithIndex.flatMap { case ((p, _), i) =>
         val q = pos(p)
         Seq(
-          max(when(col("__qrnn") === floor(q) + 1, col("__qv"))).as(s"__qlo_$i"),
-          max(when(col("__qrnn") === ceil(q) + 1, col("__qv"))).as(s"__qhi_$i"))
+          max(when(hit(floor(q) + 1), col("__qv"))).as(s"__qlo_$i"),
+          max(when(hit(ceil(q) + 1), col("__qv"))).as(s"__qhi_$i"))
       }
     val agged =
       if (keys.nonEmpty) picked.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)

@@ -308,6 +308,20 @@ object Relational {
    * bin is [[graft.operators.RangeRank.ntileOf]]'s closed form over the
    * distributed global rank — neither a low-cardinality-key funnel nor
    * the single-partition global window survives at scale.
+   *
+   * WHY NOT VALUE-AGGREGATED (the q145/q150/percentile rewrite): NTILE
+   * is ROW-POSITION based, not value based — the standard's bucket rule
+   * splits a tie run across bucket boundaries by the total order's row
+   * positions, so the output is NOT a pure function of (keys, value):
+   * two rows with identical (keys, value) can land in different
+   * buckets. Aggregating to distinct (keys, value) counts therefore
+   * loses exactly the information NTILE needs (which row of the tie run
+   * is which), and no exact recomposition from a value-frame rank
+   * exists. The designed scale exit is [[graft.operators.RangeRank]]'s
+   * bucketed global rank itself: per-(key, value-range) cells bound the
+   * sort state, and the measured 100× residual (45× at sf10, one box)
+   * is shuffle-spill volume that divides across executors on a real
+   * cluster — the same adjudication as q161's decimal-38 note.
    */
   def quantileBins(
       df: DataFrame, column: String, keys: Seq[String], n: Int,
@@ -815,13 +829,30 @@ object Relational {
    * inequality/concentration summary (revenue concentration, token
    * ownership) complementing [[abcClassify]]'s banding: G = (2·Σi·xᵢ −
    * (n+1)·Σx) / (n·Σx) with x ascending, i = 1..n. Σi·x and Σx are
-   * EXACT decimals (rank × value products stay inside the 38-precision
-   * cap: (13,0)×(18,s)→(32,s)); the closed form combines them in ONE
-   * fixed IEEE sequence. Ties: any tie order yields the same Σi·x
-   * (equal values commute across consecutive ranks), so row_number
-   * without a tie-break is still layout-independent HERE — do not copy
-   * this reasoning to per-row rank outputs. Zero-total groups yield
-   * NULL (0/0 would be an ANSI error).
+   * EXACT decimals; the closed form combines them in ONE fixed IEEE
+   * sequence. Ties: any tie order yields the same Σi·x (equal values
+   * commute across consecutive ranks), so row_number without a
+   * tie-break is still layout-independent HERE — do not copy this
+   * reasoning to per-row rank outputs. Zero-total groups yield NULL
+   * (0/0 would be an ANSI error).
+   *
+   * Above [[graft.operators.RangeRank.useBucketed]]'s threshold the
+   * fact rows are never ranked (the q145/q150 value-aggregation rule,
+   * which a round-9 note wrongly ruled out): a tie block of value v
+   * with count c at cumulative count `cum` occupies ranks
+   * lo..hi = (cum−c+1)..cum, an arithmetic series, so the DOUBLED rank
+   * sum 2·Σᵢi·xᵢ = Σ_blocks (lo+hi)·c·v = Σ (2·cum−c+1)·c·v — the
+   * factor-of-2 the closed form wants anyway, so no division appears.
+   * Precision: the integer factor types (38,0) and each product
+   * (38,4); x ≥ 0 makes every block term ≤ the group's total 2Σi·x,
+   * which is the SAME magnitude the row-level (38,4) SUM must already
+   * hold — the value-aggregated form is exactly as overflow-safe as
+   * the row-level one, not less (the round-9 impossibility note
+   * assumed the per-TERM 13-digit rank cap was load-bearing; only the
+   * total's budget is). Bit-parity: decimal distributivity makes the
+   * block sums the same exact decimals, and double(2·S) = 2·double(S)
+   * exactly, so the final IEEE sequence is unchanged (RangeRankSpec
+   * pins bucketed == window).
    */
   def gini(
       df: DataFrame, column: String, keys: Seq[String],
@@ -831,26 +862,42 @@ object Relational {
     val v = col(column)
     val xd = v.cast(s"decimal(18,$scale)")
     val valid = df.filter(v.isNotNull)
-    val rankedDf =
+    // Per group: __gs2 = exact decimal 2·Σi·x, __gs0 = exact Σx, __gn = n.
+    val sums =
       if (!RangeRank.useBucketed(valid)) {
         val w = Window.partitionBy(keys.map(col): _*).orderBy(v)
         valid.withColumn("__grnk", row_number().over(w).cast("long"))
+          // (13,0)×(18,s)→(32,s): per-term exactness by the rank cap
+          .withColumn("__gix", col("__grnk").cast("decimal(13,0)") * xd)
+          .withColumn("__gxd", xd)
+          .groupBy(keys.map(col): _*)
+          .agg((sum(col("__gix")) * 2).cast(s"decimal(38,$scale)").as("__gs2"),
+            sum(col("__gxd")).as("__gs0"), count(lit(1)).as("__gn"))
       } else {
-        RangeRank.ranked(valid, keys, column, rnAs = "__grnk")
-          .drop("__gnt")
+        val agg = valid.groupBy((keys :+ column).map(col): _*)
+          .agg(count(lit(1)).as("__gc"))
+        val ranked = RangeRank.ranked(agg, keys, column,
+          extras = RangeRank.Extras(
+            rangeSums = Seq(col("__gc") -> "__gcum")))
+        ranked
+          // (lo+hi)·c·v per block: long (2·cum−c+1) → (20,0), ×(18,0)
+          // → (38,0) exact-if-fits, ×(18,s) → (38,s) exact-if-fits;
+          // both fit whenever the row-level (38,s) sum itself does
+          .withColumn("__gs2b",
+            (col("__gcum") * 2 - col("__gc") + 1).cast("decimal(20,0)") *
+              col("__gc").cast("decimal(18,0)") * xd)
+          .withColumn("__gxb", xd * col("__gc").cast("decimal(18,0)"))
+          .groupBy(keys.map(col): _*)
+          .agg(sum(col("__gs2b")).cast(s"decimal(38,$scale)").as("__gs2"),
+            sum(col("__gxb")).cast(s"decimal(38,$scale)").as("__gs0"),
+            sum(col("__gc")).as("__gn"))
       }
-    rankedDf
-      .withColumn("__gix", col("__grnk").cast("decimal(13,0)") * xd)
-      .withColumn("__gxd", xd)
-      .groupBy(keys.map(col): _*)
-      .agg(sum(col("__gix")).as("__gs1"), sum(col("__gxd")).as("__gs0"),
-        count(lit(1)).as("__gn"))
-      .select((keys.map(col) :+
-        when(col("__gs0") > 0,
-          (lit(2d) * col("__gs1").cast("double") -
-            (col("__gn") + 1).cast("double") * col("__gs0").cast("double")) /
-            (col("__gn").cast("double") * col("__gs0").cast("double")))
-          .as(out)): _*)
+    sums.select((keys.map(col) :+
+      when(col("__gs0") > 0,
+        (col("__gs2").cast("double") -
+          (col("__gn") + 1).cast("double") * col("__gs0").cast("double")) /
+          (col("__gn").cast("double") * col("__gs0").cast("double")))
+        .as(out)): _*)
   }
 
   /**

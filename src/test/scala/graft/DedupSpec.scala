@@ -238,6 +238,27 @@ class DedupSpec extends SparkSpec {
     assert(got == unionFind(edges))
   }
 
+  test("connectedComponents contracts the edge set: counts shrink to zero at fixpoint") {
+    // a long chain plus a settled clique: the clique's edges must vanish
+    // after round 1 while the chain keeps shrinking; telemetry records
+    // a non-increasing contracted-edge count per non-final round
+    val chain = (0L until 48L).map(i => (i, i + 1))
+    val clique = for (a <- 100L to 104L; b <- (a + 1) to 104L) yield (a, b)
+    val got = Dedup.connectedComponents((chain ++ clique).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == unionFind(chain ++ clique))
+    assert(Dedup.lastCcRounds >= 2 && Dedup.lastCcRounds <= 25)
+    val counts = Dedup.lastCcEdgeCounts
+    assert(counts.nonEmpty, "expected per-round contracted-edge telemetry")
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"contracted edge counts must be non-increasing, got $counts")
+    // the clique settles in one round: the first contracted count is
+    // already below the full directed edge volume
+    assert(counts.head < 2L * (chain.size + clique.size),
+      s"round-1 contraction removed nothing: $counts")
+    assert(counts.last == 0L, s"fixpoint must drain the edge set, got $counts")
+  }
+
   test("connectedComponents throws rather than returning unconverged labels") {
     val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {

@@ -163,6 +163,27 @@ class RangeRankSpec extends SparkSpec {
     assertSame(runWz(dense), runWz(dense))
   }
 
+  test("percentile-bounds family: value-aggregated == row-level bounds bit-for-bit") {
+    // winsorize/robustScale/madOutliers/trimmedMean all route their
+    // exact percentile bounds through groupQuantiles; above the cutover
+    // the bounds come from the value-aggregated rank (the q145/q150
+    // rule) and must reproduce the window path's doubles exactly
+    def runRs(df: DataFrame) = Features.robustScale(df, "v", Seq("k"))
+    def runMad(df: DataFrame) = Cleaning.madOutliers(df, "v", Seq("k"), k = 2.0)
+    def runTm(df: DataFrame) = Relational.trimmedMean(df, "v", Seq("k"))
+    assertSame(runRs(dense), runRs(dense))
+    assertSame(runRs(messy), runRs(messy))
+    assertSame(runMad(dense), runMad(dense))
+    assertSame(runMad(messy), runMad(messy))
+    assertSame(runTm(dense), runTm(dense))
+    // and the scale path really IS value-aggregated: the forced plan
+    // carries the per-(keys, value) count column
+    val plan = forcedBucketed(
+      Features.groupQuantiles(dense, Seq("k"), "v", Seq(0.5 -> "p50"))
+        .queryExecution.optimizedPlan.toString)
+    assert(plan.contains("__qc"), s"expected the value-aggregated plan, got:\n$plan")
+  }
+
   test("the forced bucketed path really is bucketed (plan contains the cell column)") {
     val plan = forcedBucketed(
       RangeRank.ranked(dense, Seq("k"), "v").queryExecution.optimizedPlan.toString)

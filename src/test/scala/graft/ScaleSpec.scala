@@ -357,13 +357,21 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   test("RangeRank's cutover takes the bucketed path at scale-step sizes") {
     import graft.operators.RangeRank
     // useBucketed reads only Catalyst's size estimate — no execution.
-    // spark.range stats are 8 bytes/row: 1M rows sits under the 256 MiB
-    // default cutover (window path keeps bench-scale frames cheap);
-    // 40M rows (~320 MB, the sf10 lineitem ballpark) crosses it. The
-    // sf10 3-arm A/B (bench/BENCH_SCALE_RANK_AB.json) measured the
-    // bucketed plan 26% faster than the forced single-window funnel
-    // at that size, so the cutover must keep selecting it.
-    assert(!RangeRank.useBucketed(spark.range(1000000).toDF()))
-    assert(RangeRank.useBucketed(spark.range(40000000).toDF()))
+    // Pin the threshold EXPLICITLY (round-9 advice): the old form
+    // leaned on Spark's internal Range stats (8 bytes/row) against the
+    // 256 MiB default, so a Spark upgrade changing stats estimation
+    // would flip the assert without any graft behavior change. With
+    // the conf pinned, the test tracks graft's own config contract:
+    // rows × 8 bytes vs graft.rank.rangeBytes.
+    spark.conf.set("graft.rank.rangeBytes", (8L * 10000000).toString)
+    try {
+      assert(!RangeRank.useBucketed(spark.range(1000000).toDF()))
+      assert(RangeRank.useBucketed(spark.range(40000000).toDF()))
+    } finally spark.conf.unset("graft.rank.rangeBytes")
+    // and the shipped default still cuts where the sf10 3-arm A/B
+    // (bench/BENCH_SCALE_RANK_AB.json, bucketed 26% faster) measured:
+    // ~320 MB of 8-byte rows crosses 256 MiB whatever the estimator,
+    // as long as it stays within 4x of the true width either way
+    assert(RangeRank.useBucketed(spark.range(160000000).toDF()))
   }
 }

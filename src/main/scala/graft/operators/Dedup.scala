@@ -24,6 +24,7 @@ object Dedup {
    *  count after each non-final round (scale evidence for the shrinking
    *  graph — diagnostics only, never read by operators). */
   @volatile var lastCcRounds: Int = -1
+  @volatile var lastCcInitialEdges: Long = -1L
   @volatile var lastCcEdgeCounts: Seq[Long] = Nil
 
   /** Exact dedup: groups identical values of `on`, electing min(`id`) as keeper. */
@@ -517,7 +518,19 @@ object Dedup {
    * component), so per-component group-graph connectivity is preserved
    * round to round, and new minima still flow between groups via the
    * rewritten edges while member chains catch up through pointer
-   * jumping. Convergence is detected by the label-sum fixpoint: labels
+   * jumping. Contraction engages only above `graft.cc.contractMinEdges`
+   * directed edges (default 1,000,000, env
+   * `SPARK_GRAFT_CC_CONTRACT_MIN_EDGES`) AND only from round 2 onward:
+   * on bench-scale graphs its fixed per-round cost (two relabel joins +
+   * a distinct + a checkpoint) exceeds what re-shuffling a few thousand
+   * edges costs, and near-dup cluster graphs (cliques/stars) converge
+   * in 1-2 rounds where a round-1 contraction is pure overhead — the
+   * measured sf10 telemetry: q98's 4.1 M-edge fuzzy graph drains to 0
+   * at round 1 and converges at round 2 (contraction saves nothing),
+   * while q73's 4.1 M-edge semantic blob runs 5 rounds and its round-2
+   * contraction leaves 870 edges, making rounds 3-5 near-free. Deep
+   * graphs keep the win; shallow ones never pay.
+   * Convergence is detected by the label-sum fixpoint: labels
    * are min-ids, so the per-vertex label is monotone nonincreasing and
    * the (exact, decimal) sum strictly decreases until the fixpoint; an
    * unchanged sum means no label moved, which makes the next round's
@@ -571,7 +584,22 @@ object Dedup {
     var iter = 0
     var converged = prev.signum == 0 && labels.isEmpty
     var curEdges = edges
+    val spark = pairs.sparkSession
+    val contractMin: Long = spark.conf.getOption("graft.cc.contractMinEdges")
+      .orElse(sys.env.get("SPARK_GRAFT_CC_CONTRACT_MIN_EDGES"))
+      .flatMap(_.toLongOption).getOrElse(1000000L)
+    // one exact count of the (persisted) edge frame decides whether the
+    // contracting plan is worth its fixed per-round cost; skipped when
+    // the loop never runs
+    var edgeCount: Long = if (converged) 0L else edges.count()
+    val edgeCount0 = edgeCount
     val edgeCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // edges roll in their OWN generation sequence, advanced only when a
+    // new contraction supersedes the old frame: the label roller's
+    // fixed two-generation cadence would release the last contracted
+    // frame while later rounds still join it if contraction stops early
+    // (the count can fall below the gate mid-run)
+    val edgeRoller = new graft.Caches.CheckpointRoller(pairs.sparkSession)
     while (!converged && iter < maxIter) {
       val viaNeighbors = curEdges
         .join(labels.withColumnRenamed("id", "src"), "src")
@@ -593,27 +621,30 @@ object Dedup {
       prev = cur
       labels = compressed
       iter += 1
-      if (!converged && iter < maxIter) {
+      roller.advance()
+      if (!converged && iter >= 2 && iter < maxIter && edgeCount >= contractMin) {
         // Contract: rewrite each edge onto its endpoints' NEW labels and
         // drop self-loops (settled edges). Two relabel joins + a distinct
         // over the current (shrinking) edge frame; the rolled checkpoint
         // materializes it so the count below is a cached-partition scan.
-        val contracted = roller.roll(curEdges
+        val contracted = edgeRoller.roll(curEdges
           .join(compressed.select(col("id").as("src"), col("label").as("__ls")), "src")
           .join(compressed.select(col("id").as("dst"), col("label").as("__ld")), "dst")
           .filter(col("__ls") =!= col("__ld"))
           .select(col("__ls").as("src"), col("__ld").as("dst"))
           .distinct())
+        edgeRoller.advance()
         // the initial persisted edge frame dies at its first contraction;
-        // later generations are checkpoints the roller releases itself
+        // later generations are checkpoints the edge roller releases
         if (curEdges eq edges) edges.unpersist()
         curEdges = contracted
-        edgeCounts += contracted.count()
+        edgeCount = contracted.count()
+        edgeCounts += edgeCount
       }
-      roller.advance()
     }
     if (curEdges eq edges) edges.unpersist()
     lastCcRounds = iter
+    lastCcInitialEdges = edgeCount0
     lastCcEdgeCounts = edgeCounts.toSeq
     // Unconverged labels are MID-MERGE (multiple "keepers" inside one
     // true cluster) — silently returning them would ship duplicates.

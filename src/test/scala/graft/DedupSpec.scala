@@ -244,18 +244,25 @@ class DedupSpec extends SparkSpec {
     // a non-increasing contracted-edge count per non-final round
     val chain = (0L until 48L).map(i => (i, i + 1))
     val clique = for (a <- 100L to 104L; b <- (a + 1) to 104L) yield (a, b)
-    val got = Dedup.connectedComponents((chain ++ clique).toDF("id_a", "id_b"))
-      .as[(Long, Long)].collect().toMap
+    // contraction gates on graft.cc.contractMinEdges (default 1M: tiny
+    // graphs keep the cheaper non-contracting rounds) — force it on
+    spark.conf.set("graft.cc.contractMinEdges", "0")
+    val got =
+      try Dedup.connectedComponents((chain ++ clique).toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      finally spark.conf.unset("graft.cc.contractMinEdges")
     assert(got == unionFind(chain ++ clique))
     assert(Dedup.lastCcRounds >= 2 && Dedup.lastCcRounds <= 25)
     val counts = Dedup.lastCcEdgeCounts
     assert(counts.nonEmpty, "expected per-round contracted-edge telemetry")
     assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
       s"contracted edge counts must be non-increasing, got $counts")
-    // the clique settles in one round: the first contracted count is
-    // already below the full directed edge volume
+    // contraction starts at round 2 (shallow graphs converge before it
+    // could pay); by then the clique has settled and the chain has
+    // merged, so the first contracted count sits well below the full
+    // directed edge volume
     assert(counts.head < 2L * (chain.size + clique.size),
-      s"round-1 contraction removed nothing: $counts")
+      s"first contraction removed nothing: $counts")
     assert(counts.last == 0L, s"fixpoint must drain the edge set, got $counts")
   }
 

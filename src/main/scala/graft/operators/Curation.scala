@@ -146,14 +146,23 @@ object Curation {
    * verbatim, returning (id, n_hits). Winnowing (q60) is the scale
    * path — position-robust near-verbatim detection over fingerprints;
    * this variant trades that robustness for semantics any engine
-   * replicates exactly. The join is a broadcast CONTAINS (nested-loop
-   * by construction) — sound only because the excerpt side is tiny
-   * (eval suites are MBs); the corpus side streams through unshuffled
-   * and only matched rows reach the per-doc count.
+   * replicates exactly.
+   *
+   * Candidates come from [[excerptSpans]], which owns the two-path
+   * split: a fixed benchmark (≤ 512 excerpts) broadcasts into a
+   * CONTAINS nested-loop — the corpus streams through unshuffled —
+   * while an excerpt list that grows WITH the corpus switches to the
+   * anchor-gram equi-join. The flags path previously hard-wired the
+   * NLJ; with both sides scaling that is docs × excerpts work —
+   * measured 30.5× at the full-surface sf1→sf10 step (q99 52.3 s)
+   * against ~linear for the anchor path. `n_hits` counts distinct
+   * excerpts contained (every caller distincts the excerpt frame;
+   * [[excerptSpans]] documents the same assumption).
    */
   def containsExcerptFlags(corpus: DataFrame, id: String, text: Column,
-      excerpts: DataFrame, excerptCol: String): DataFrame =
-    corpus.join(broadcast(excerpts), text.contains(col(excerptCol)))
+      excerpts: DataFrame, excerptCol: String,
+      anchorCutover: Int = 512): DataFrame =
+    excerptSpans(corpus, id, text, excerpts, excerptCol, anchorCutover)
       .groupBy(col(id)).agg(count(lit(1)).as("n_hits"))
 
   /**

@@ -1112,11 +1112,27 @@ object Similarity {
 
   /**
    * Embedding near-duplicate pairs: multi-table LSH-bucket self-join →
-   * per-pair dedup → cosine ≥ threshold. The all-pairs comparison only
-   * happens within (table, bucket) groups; the table index participates
-   * in the join key, salting the shuffle exactly like MinHash's band
-   * index (Dedup.minhashCandidates). `maxBucketSize` bounds degenerate
-   * buckets so one hot bucket can never do unbounded quadratic work.
+   * cosine in the join projection → per-pair dedup → ≥ threshold. The
+   * all-pairs comparison only happens within (table, bucket) groups;
+   * the table index participates in the join key, salting the shuffle
+   * exactly like MinHash's band index (Dedup.minhashCandidates).
+   * `maxBucketSize` bounds degenerate buckets so one hot bucket can
+   * never do unbounded quadratic work.
+   *
+   * The cosine evaluates BEFORE the (id_a, id_b) dedup, so the dedup
+   * shuffle carries 24-byte (id, id, cosine) rows instead of both
+   * vector payloads — at sf10 (200k × 128-dim, 8 tables) that shuffle
+   * was ~25M candidate rows × ~1 KB of vectors, the dominant spill of
+   * the q34/q73 pipeline. A pair colliding in k > 1 tables pays the
+   * cosine k times instead of once (mean ~1.3× — bounded by `tables`),
+   * which is strictly cheaper than shuffling its vectors; the value is
+   * bit-identical across duplicates (same inputs, fixed IEEE
+   * sequence), so dedup-then-filter ≡ filter-then-dedup and the
+   * arbitrary row dropDuplicates keeps cannot change the output. The
+   * threshold filter stays ABOVE the dedup aggregate: cosine is a
+   * non-key aggregate output there, so PushDownPredicates cannot clone
+   * the expression below its projection (the double-evaluation trap a
+   * filter directly on a computed projection column springs).
    *
    * `bits <= 0` selects [[autoBits]]: bits sized so mean bucket
    * occupancy stays ~32 regardless of corpus size. Fixed bits are a
@@ -1149,9 +1165,8 @@ object Similarity {
           col("a.__gbucket") === col("b.__gbucket") &&
           col("a.__gid") < col("b.__gid"))
       .select(col("a.__gid").as("id_a"), col("b.__gid").as("id_b"),
-        col("a.__gvec").as("__gva"), col("b.__gvec").as("__gvb"))
+        cosine(spark, col("a.__gvec"), col("b.__gvec")).as("cosine"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", cosine(spark, col("__gva"), col("__gvb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

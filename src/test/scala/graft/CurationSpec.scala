@@ -65,6 +65,13 @@ class CurationSpec extends SparkSpec {
     val out = Curation.containsExcerptFlags(docs, "doc_id", col("text"), excerpts, "excerpt")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 1L, 2L -> 2L))
+    // anchor path (forced via cutover 0): identical n_hits map, pinning
+    // the scale path q99/q163 take once the excerpt list outgrows the
+    // broadcast-NLJ cutover against the NLJ semantics above
+    val anchor = Curation.containsExcerptFlags(docs, "doc_id", col("text"),
+        excerpts, "excerpt", anchorCutover = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(anchor == out)
   }
 
   test("curate quality threshold drops low-quality docs") {

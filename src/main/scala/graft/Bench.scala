@@ -93,7 +93,23 @@ object Bench {
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       names.foreach(materialize(_, warmDir))
 
-    val results = names.map(n => n -> materialize(n, sfDir))
+    // min-of-N per query (default 2, SPARK_GRAFT_BENCH_RUNS): round-10's
+    // driver artifact inflated 1.3x median on UNTOUCHED queries while a
+    // lock-guarded clean pair on the same code improved — machine state
+    // the preflight load guard cannot see (cold page cache, frequency,
+    // co-tenancy). Back-to-back samples of the same query make the
+    // second run read a warm cache, and the min is the same estimator
+    // the local pair discipline already trusts — so round-over-round
+    // driver deltas get the clean pair's sign. A failed sample (-1)
+    // never masks a good one.
+    val benchRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(2)
+    def minOk(ts: Seq[Double]): Double = {
+      val ok = ts.filter(_ >= 0); if (ok.isEmpty) -1.0 else ok.min
+    }
+    val samples = names.map(n =>
+      n -> (1 to benchRuns).map(_ => materialize(n, sfDir)))
+    val results = samples.map { case (n, ts) => n -> minOk(ts) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
 
@@ -118,7 +134,9 @@ object Bench {
       if (only.isDefined) Seq.empty else SparkEntry.sharedPairs.keys.toSeq.sorted
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       sharedNames.foreach(materializePair(_, warmDir))
-    val shared = sharedNames.map(n => n -> materializePair(n, sfDir))
+    val sharedSamples = sharedNames.map(n =>
+      n -> (1 to benchRuns).map(_ => materializePair(n, sfDir)))
+    val shared = sharedSamples.map { case (n, ts) => n -> minOk(ts) }
     val sharedJson = shared.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
 
@@ -136,8 +154,21 @@ object Bench {
       results.collect { case (n, s) if covered(n) && s >= 0 => s }.sum +
       okShared.map(_._2).sum
 
+    // page-cache state next to the load guard: a cold cache is the one
+    // machine condition the load average can't show (round-10 item 2)
+    val cachedKb: Long =
+      try {
+        val mi = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/meminfo")), "UTF-8")
+        mi.linesIterator.collectFirst {
+          case l if l.startsWith("Cached:") =>
+            l.split("\\s+")(1).toLong
+        }.getOrElse(-1L)
+      } catch { case scala.util.control.NonFatal(_) => -1L }
+
     val line = s"""{"metric":"total","value":$effTotal,"unit":"sec","solo_total":$total,"queries":$qs,"sf":"$sfDir"""" +
       s""","shared":$sharedJson""" +
+      s""","bench_runs":$benchRuns,"cached_kb":$cachedKb""" +
       f""","preflight_load":$preLoad%.2f,"lock_wait_sec":$lockWaitSec%.1f,"contaminated":$contaminated}"""
     println(line)
     // ALSO persist to a file: the stdout line travels through log
@@ -153,7 +184,14 @@ object Bench {
     try {
       val p = java.nio.file.Paths.get(outPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+      // the durable artifact also keeps every raw sample, so a noisy
+      // round is diagnosable (which sample inflated, by how much)
+      // without rerunning; the stdout line stays min-only
+      val samplesJson = (samples ++ sharedSamples).map { case (k, ts) =>
+        "\"" + k + "\":[" + ts.mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      val fileLine = line.dropRight(1) + s""","samples":$samplesJson}"""
+      java.nio.file.Files.write(p, (fileLine + "\n").getBytes("UTF-8"))
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not persist $outPath: $e")
     }

@@ -156,8 +156,9 @@ object Curation {
    * NLJ; with both sides scaling that is docs × excerpts work —
    * measured 30.5× at the full-surface sf1→sf10 step (q99 52.3 s)
    * against ~linear for the anchor path. `n_hits` counts distinct
-   * excerpts contained (every caller distincts the excerpt frame;
-   * [[excerptSpans]] documents the same assumption).
+   * excerpts contained — [[excerptSpans]] dedups the excerpt frame at
+   * entry, so the count is path-independent even for callers that pass
+   * duplicate excerpt rows.
    */
   def containsExcerptFlags(corpus: DataFrame, id: String, text: Column,
       excerpts: DataFrame, excerptCol: String,
@@ -974,8 +975,16 @@ object Curation {
    */
   def excerptSpans(
       corpus: DataFrame, id: String, text: Column,
-      excerpts: DataFrame, excerptCol: String,
+      excerpts0: DataFrame, excerptCol: String,
       anchorCutover: Int = 512): DataFrame = {
+    // Dedup the excerpt frame HERE, not by caller convention: the NLJ
+    // path would count duplicate excerpt rows while the anchor path's
+    // (doc, excerpt) dedup collapses them, and path selection flips on
+    // excerpt count vs anchorCutover — a caller that forgot .distinct()
+    // would see n_hits silently change as its benchmark grows past the
+    // cutover. The dedup is one excerpt-keyed aggregate over the tiny
+    // side of the join.
+    val excerpts = excerpts0.dropDuplicates(excerptCol)
     val ex = col(excerptCol)
     def spans(pairs: DataFrame): DataFrame = pairs
       .filter(instr(text, ex) > 0)
@@ -1000,9 +1009,8 @@ object Curation {
     // per-doc DISTINCT anchor hashes (array_distinct before the explode
     // keeps repeated-phrase docs from fanning out), then the hash-keyed
     // candidate join; (doc, excerpt) dedup because one excerpt can
-    // anchor-match several positions. Assumes the excerpt list is
-    // distinct (every caller distincts it; dup excerpts would dedupe
-    // here where the NLJ path would emit dup rows).
+    // anchor-match several positions (the excerpt frame itself is
+    // already distinct — deduped at entry).
     val grams = corpus.select(col(id).as("__gaid"), text.as("__gatxt"))
       .select(col("__gaid"), explode(array_distinct(
         transform(

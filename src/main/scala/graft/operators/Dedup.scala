@@ -26,6 +26,8 @@ object Dedup {
   @volatile var lastCcRounds: Int = -1
   @volatile var lastCcInitialEdges: Long = -1L
   @volatile var lastCcEdgeCounts: Seq[Long] = Nil
+  @volatile var lastCcFrozenCounts: Seq[Long] = Nil
+  @volatile var lastCcResolveRounds: Int = 0
 
   /** Exact dedup: groups identical values of `on`, electing min(`id`) as keeper. */
   def exactGroups(df: DataFrame, on: String, id: String): DataFrame =
@@ -537,6 +539,19 @@ object Dedup {
    * propagation, compression, AND contraction identical — a true
    * fixpoint of the whole system.
    *
+   * SETTLED EXIT (the round-10 finding that contraction alone cannot
+   * shrink the per-round label joins): at every contraction event the
+   * active frame is cut to the contracted graph's endpoints — a vertex
+   * with no surviving edge can never receive a smaller label through
+   * propagation, so it exits carrying its label-at-exit into a frozen
+   * buffer and the remaining rounds' propagate/pointer-jump joins run
+   * over the (typically tiny) contracted vertex set instead of all
+   * |V| rows. Frozen mappings are resolved transitively at the end:
+   * one O(log events) pointer-jump pass over the reunited frame (proof
+   * of termination at the component min in the body). Telemetry:
+   * [[lastCcFrozenCounts]] (rows frozen per event) and
+   * [[lastCcResolveRounds]] (end-resolution jump rounds).
+   *
    * Scale shape: every round is two hash joins over (edges, labels)
    * plus the contraction's relabel joins over the (shrinking) edge
    * frame — no all-pairs, no driver-side graph. The driver loop is
@@ -600,6 +615,25 @@ object Dedup {
     // frame while later rounds still join it if contraction stops early
     // (the count can fall below the gate mid-run)
     val edgeRoller = new graft.Caches.CheckpointRoller(pairs.sparkSession)
+    // Settled exit (round-10 verdict item 1): the per-round cost was the
+    // FULL label frame — propagate + pointer-jump over every vertex even
+    // after contraction had shrunk the edges to near-nothing (the q62
+    // A/B: contraction to 50k edges saved only 9%, because the label
+    // joins, not the edge rewrite, dominate). A vertex absent from the
+    // contracted edge frame can never receive a smaller label again
+    // (contraction preserves per-component group-graph connectivity, so
+    // a label group with no crossing edges IS a finished component —
+    // see the resolution proof below), so it exits the active frame
+    // carrying its label-at-exit, and the loop's joins run over the
+    // contracted graph's vertex set only. Each frozen part is
+    // checkpointed individually (its parent generation is released a
+    // round later, and an unpersisted localCheckpoint cannot recompute);
+    // the end resolution pointer-jumps frozen chains onto the active
+    // frame's final labels — O(log events) full-frame joins ONCE instead
+    // of every round.
+    val frozenParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val frozenCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val frozenRoller = new graft.Caches.CheckpointRoller(pairs.sparkSession)
     while (!converged && iter < maxIter) {
       val viaNeighbors = curEdges
         .join(labels.withColumnRenamed("id", "src"), "src")
@@ -611,11 +645,17 @@ object Dedup {
         .union(viaNeighbors)
         .groupBy("id").agg(min("label").as("label"))
       // Pointer jump: every label value is itself a vertex id (a min of
-      // vertex ids), so label(label) exists and is <= label.
+      // vertex ids), so label(label) <= label wherever label is IN the
+      // frame. Once settled vertices have exited (below), a label can
+      // point at a frozen id that is no longer a frame row — a LEFT
+      // join keeps that row with its label unjumped (the accelerator
+      // degrades, never the labels: edge propagation alone still
+      // carries the component min, which is provably active while any
+      // of its component is).
       val compressed = roller.roll(propagated.as("a")
         .join(propagated.select(col("id").as("label"), col("label").as("__ll")).as("b"),
-          Seq("label"))
-        .select(col("id"), col("__ll").as("label")))
+          Seq("label"), "left")
+        .select(col("id"), coalesce(col("__ll"), col("label")).as("label")))
       val cur = labelSum(compressed)
       converged = cur.compareTo(prev) == 0
       prev = cur
@@ -640,12 +680,31 @@ object Dedup {
         curEdges = contracted
         edgeCount = contracted.count()
         edgeCounts += edgeCount
+        // Settled exit: the active vertex set is exactly the contracted
+        // frame's endpoints. Everything else leaves with (id, label) —
+        // its label is either final (its whole component settled) or an
+        // id the active frame keeps evolving; the end resolution joins
+        // it forward. activeIds is small post-shrink, so both splits
+        // broadcast against the label frame.
+        val activeIds = contracted.select(col("src").as("id"))
+          .union(contracted.select(col("dst").as("id"))).distinct()
+        val frz = frozenRoller.roll(
+          labels.join(activeIds, Seq("id"), "left_anti"))
+        frozenParts += frz
+        frozenCounts += frz.count()
+        labels = roller.roll(labels.join(activeIds, Seq("id"), "left_semi"))
+        roller.advance()
+        // the label sum is now over a SHRUNK frame: rebaseline so the
+        // next round's fixpoint compare is frame-consistent (a shrink
+        // can only postpone convergence by one compare, never fake it)
+        prev = labelSum(labels)
       }
     }
     if (curEdges eq edges) edges.unpersist()
     lastCcRounds = iter
     lastCcInitialEdges = edgeCount0
     lastCcEdgeCounts = edgeCounts.toSeq
+    lastCcFrozenCounts = frozenCounts.toSeq
     // Unconverged labels are MID-MERGE (multiple "keepers" inside one
     // true cluster) — silently returning them would ship duplicates.
     // With pointer jumping, maxIter rounds cover diameters past
@@ -654,7 +713,51 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not reach a fixpoint in $maxIter rounds; " +
           "raise maxIter (each round doubles the covered component diameter)")
-    labels.select(col("id"), col("label").as("component"))
+    lastCcResolveRounds = 0
+    if (frozenParts.isEmpty) labels.select(col("id"), col("label").as("component"))
+    else {
+      // Transitive resolution of the frozen exits. Why it terminates at
+      // the right label: every frozen mapping points strictly downward
+      // (label <= id, labels are mins of original vertex ids), and a
+      // chain can only end at (a) an ACTIVE id, whose loop-final label
+      // is the component min — the min m of any component with active
+      // members is itself active, because if m's label group had no
+      // crossing edges the group-graph connectivity invariant makes
+      // that group the WHOLE component — or (b) a self-rooted frozen id
+      // m, which is exactly case (a)'s complement: its component
+      // settled wholesale with every member one hop from m. Each freeze
+      // event adds at most one hop, so pointer jumping needs
+      // O(log events) rounds over the reunited frame — paid once,
+      // instead of every propagation round touching all |V| rows.
+      var all = roller.roll(labels.unionByName(
+        frozenParts.reduce(_ unionByName _)))
+      roller.advance()
+      // the frozen part checkpoints are dead now (the union checkpoint
+      // holds their rows); two advances walk them through the roller's
+      // cur -> prev -> released lifecycle
+      frozenRoller.advance(); frozenRoller.advance()
+      var p = labelSum(all)
+      var done = false
+      var rIter = 0
+      while (!done && rIter < maxIter) {
+        val jumped = roller.roll(all.as("a")
+          .join(all.select(col("id").as("label"), col("label").as("__ll")).as("b"),
+            Seq("label"), "left")
+          .select(col("id"), coalesce(col("__ll"), col("label")).as("label")))
+        val cur2 = labelSum(jumped)
+        done = cur2.compareTo(p) == 0
+        p = cur2
+        all = jumped
+        rIter += 1
+        roller.advance()
+      }
+      lastCcResolveRounds = rIter
+      if (!done)
+        throw new IllegalStateException(
+          s"connectedComponents frozen-chain resolution did not reach a " +
+            s"fixpoint in $maxIter pointer-jump rounds")
+      all.select(col("id"), col("label").as("component"))
+    }
   }
 
   /**

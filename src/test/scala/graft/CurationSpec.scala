@@ -74,6 +74,29 @@ class CurationSpec extends SparkSpec {
     assert(anchor == out)
   }
 
+  test("excerpt hits are occurrence- and duplicate-row-invariant on both paths") {
+    // one doc contains the SAME excerpt twice: n_hits counts distinct
+    // excerpts (1), not occurrences — while excerptSpans reports
+    // n_occ = 2; and a DUPLICATED excerpt row must not double-count on
+    // the NLJ path (excerptSpans dedups the excerpt frame at entry)
+    val docs = Seq(
+      (0L, "the SECRET PASSAGE leads to the SECRET PASSAGE again"),
+      (1L, "no excerpts here at all"),
+    ).toDF("doc_id", "text")
+    val dupExcerpts = Seq("SECRET PASSAGE", "SECRET PASSAGE").toDF("excerpt")
+    for (cutover <- Seq(512, 0)) { // broadcast-NLJ path, then anchor path
+      val flags = Curation.containsExcerptFlags(docs, "doc_id", col("text"),
+          dupExcerpts, "excerpt", anchorCutover = cutover)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(flags == Map(0L -> 1L), s"cutover=$cutover: $flags")
+      val spans = Curation.excerptSpans(docs, "doc_id", col("text"),
+          dupExcerpts, "excerpt", anchorCutover = cutover)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      assert(spans.toSeq == Seq((0L, "SECRET PASSAGE", 5L, 2L)),
+        s"cutover=$cutover: ${spans.toSeq}")
+    }
+  }
+
   test("curate quality threshold drops low-quality docs") {
     val docs = Seq(
       (0L, "the of a", 8),                       // 3 tokens, tiny -> low quality

@@ -266,6 +266,34 @@ class DedupSpec extends SparkSpec {
     assert(counts.last == 0L, s"fixpoint must drain the edge set, got $counts")
   }
 
+  test("connectedComponents settled exit == default-path labels bit-for-bit") {
+    // a deep chain (multiple contraction rounds -> multiple freeze
+    // events, chained frozen mappings), a clique that settles at round
+    // 1 (freezes wholesale: the self-rooted case), and random noise
+    val rnd = new scala.util.Random(11)
+    val chain = (0L until 70L).map(i => (i, i + 1))
+    val clique = for (a <- 200L to 205L; b <- (a + 1) to 205L) yield (a, b)
+    val noise = Seq.fill(80)((300L + rnd.nextInt(40), 300L + rnd.nextInt(40)))
+      .filter(p => p._1 != p._2)
+    val edges = chain ++ clique ++ noise
+    val default = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(Dedup.lastCcFrozenCounts.isEmpty,
+      "gate at 1M edges must keep the unfrozen path on a tiny graph")
+    spark.conf.set("graft.cc.contractMinEdges", "0")
+    val frozenPath =
+      try Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      finally spark.conf.unset("graft.cc.contractMinEdges")
+    assert(frozenPath == default, "settled-exit labels must equal the default path")
+    assert(frozenPath == unionFind(edges))
+    // the exit actually engaged and the end resolution ran
+    assert(Dedup.lastCcFrozenCounts.nonEmpty && Dedup.lastCcFrozenCounts.sum > 0,
+      s"expected frozen-exit telemetry, got ${Dedup.lastCcFrozenCounts}")
+    assert(Dedup.lastCcResolveRounds >= 1,
+      "frozen mappings must be resolved by at least one end jump round")
+  }
+
   test("connectedComponents throws rather than returning unconverged labels") {
     val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {

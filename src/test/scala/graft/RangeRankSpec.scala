@@ -122,6 +122,32 @@ class RangeRankSpec extends SparkSpec {
     assertSame(run(dense), run(dense))
   }
 
+  test("percentRankScale picks the regime by distinct shrink: aggregated vs direct") {
+    // tie-heavy (shrink ~43): the rank must run over the value-aggregated
+    // frame (__gvc counts) and join back; near-unique (shrink ~1): the
+    // aggregate + join-back is strictly more work than ranking the fact,
+    // so the plan must rank DIRECTLY (no __gvc, peer-min recomposition)
+    val tieHeavy = spark.range(3000).select(
+      (col("id") % 7).cast("string").as("k"),
+      (col("id") % 10).cast("double").as("v"), col("id"))
+    val nearUnique = spark.range(3000).select(
+      (col("id") % 7).cast("string").as("k"),
+      col("id").cast("double").as("v"), col("id"))
+    def run(df: DataFrame) = Features.percentRankScale(df, "v", Seq("k"))
+    assertSame(run(tieHeavy), run(tieHeavy))
+    assertSame(run(nearUnique), run(nearUnique))
+    val aggPlan = forcedBucketed(
+      run(tieHeavy).queryExecution.optimizedPlan.toString)
+    assert(aggPlan.contains("__gvc"),
+      s"tie-heavy input must take the value-aggregated path, got:\n$aggPlan")
+    val directPlan = forcedBucketed(
+      run(nearUnique).queryExecution.optimizedPlan.toString)
+    // the __gpmin alias inlines under projection collapse; the cell-local
+    // peer-min (__glpmin) is the surviving marker of the direct rank
+    assert(!directPlan.contains("__gvc") && directPlan.contains("__glpmin"),
+      s"near-unique input must rank the fact directly, got:\n$directPlan")
+  }
+
   test("ntileBuckets and quantileBins: bucketed == window, keyed and keyless") {
     def runN(df: DataFrame) = Features.ntileBuckets(df, "v", Seq("k"), 4, Seq("id"))
     def runQ(df: DataFrame) = Relational.quantileBins(df, "v", Seq("k"), 10, Seq("id"))

@@ -47,6 +47,42 @@ object Sessions {
     if (f.exists()) walk(f) else 0L
   }
 
+  /**
+   * Scoped AQE initial-partition override for ITERATIVE operators.
+   *
+   * The input-sized ceiling above is right for one-pass scan-heavy
+   * plans and WRONG inside iteration loops over small frames: a
+   * connected-components round at sf10 shuffles ~10⁵-10⁶-row label and
+   * edge frames through 3-4 exchanges, and each exchange pays the
+   * per-partition scheduling/block overhead at the INPUT-sized ceiling
+   * (192 at sf10) once per round — measured 39.8 s → 8.7 s on q62's
+   * 4-round loop when the ceiling is dropped to cores. This helper
+   * sizes the ceiling by the LOOP frame instead: one initial partition
+   * per ~1M loop rows (loop rows are narrow — two longs — so 1M rows
+   * ≈ 16-30 MB, Spark's advisory size), bounded [cores, 16× cores]
+   * like the input rule. The conf is restored on exit; everything the
+   * loop materializes (localCheckpoints) runs under the override, and
+   * the returned frame is a checkpoint scan that plans no shuffles, so
+   * the restore cannot race the result.
+   *
+   * Session-conf scoping caveat: Spark has no per-plan conf, so a
+   * CONCURRENT planner in the same session would see the override for
+   * the duration of `body` — the driver mains (Verify/Bench/TimeOne)
+   * are serial by construction.
+   */
+  def withLoopPartitions[T](spark: SparkSession, rows: Long)(body: => T): T = {
+    val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val cores = spark.sparkContext.defaultParallelism
+    val want = math.min(math.max(cores.toLong, rows / 1000000L), cores * 16L)
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, want.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   def local(cpus: String, dataDir: Option[String] = None): SparkSession = {
     val n = cpus.toIntOption.getOrElse(32)
     val init = sys.env.get("SPARK_GRAFT_INIT_PARTITIONS").flatMap(_.toIntOption)

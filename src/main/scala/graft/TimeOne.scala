@@ -12,7 +12,9 @@ object TimeOne {
       if (operators.Dedup.lastCcRounds >= 0)
         println(s"[time] $q cc rounds=${operators.Dedup.lastCcRounds} " +
           s"edges0=${operators.Dedup.lastCcInitialEdges} " +
-          s"contracted=${operators.Dedup.lastCcEdgeCounts.mkString(",")}")
+          s"contracted=${operators.Dedup.lastCcEdgeCounts.mkString(",")} " +
+          s"frozen=${operators.Dedup.lastCcFrozenCounts.mkString(",")} " +
+          s"resolveRounds=${operators.Dedup.lastCcResolveRounds}")
       Caches.releaseAll(spark)
     }
     spark.stop()

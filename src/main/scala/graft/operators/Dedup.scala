@@ -582,32 +582,28 @@ object Dedup {
       .filter(col("src") =!= col("dst") && col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val spark = pairs.sparkSession
+    // The edge materialization (one exact count of the persisted frame)
+    // happens FIRST, under the caller's input-sized AQE ceiling — the
+    // pair-generation distinct is data-sized and must stay wide. The
+    // count then (a) gates contraction and (b) sizes the loop ceiling.
+    val edgeCount0: Long = edges.count()
     // rolling checkpoints: each round's label frame supersedes the
     // previous one; the roller releases the dead generation instead of
     // letting maxIter generations of blocks pile up (CacheHygieneSpec)
     val roller = new graft.Caches.CheckpointRoller(pairs.sparkSession)
-    var labels = roller.roll(edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")))
-    roller.advance()
     // Exact decimal sum: label ids are arbitrary longs; a DOUBLE sum
     // loses low bits past 2^53 and could report a false fixpoint.
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val r = df.agg(sum(col("label").cast("decimal(38,0)"))).head()
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
-    var prev = labelSum(labels)
     var iter = 0
-    var converged = prev.signum == 0 && labels.isEmpty
     var curEdges = edges
-    val spark = pairs.sparkSession
     val contractMin: Long = spark.conf.getOption("graft.cc.contractMinEdges")
       .orElse(sys.env.get("SPARK_GRAFT_CC_CONTRACT_MIN_EDGES"))
       .flatMap(_.toLongOption).getOrElse(1000000L)
-    // one exact count of the (persisted) edge frame decides whether the
-    // contracting plan is worth its fixed per-round cost; skipped when
-    // the loop never runs
-    var edgeCount: Long = if (converged) 0L else edges.count()
-    val edgeCount0 = edgeCount
+    var edgeCount: Long = edgeCount0
     val edgeCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
     // edges roll in their OWN generation sequence, advanced only when a
     // new contraction supersedes the old frame: the label roller's
@@ -634,6 +630,18 @@ object Dedup {
     val frozenParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val frozenCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
     val frozenRoller = new graft.Caches.CheckpointRoller(pairs.sparkSession)
+    // Loop shuffles are sized by the LOOP frames, not the input: at the
+    // input-sized AQE ceiling every round paid per-partition overhead
+    // across 3-4 exchanges (q62 at sf10: 39.8 s → 8.7 s under the
+    // loop-sized ceiling — the round cost was partition count, not
+    // rows; see Sessions.withLoopPartitions). The labels init and the
+    // first fixpoint sum are loop-frame stages too, so they sit inside.
+    graft.Sessions.withLoopPartitions(pairs.sparkSession, math.max(1L, edgeCount0)) {
+    var labels = roller.roll(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")))
+    roller.advance()
+    var prev = labelSum(labels)
+    var converged = prev.signum == 0 && labels.isEmpty
     while (!converged && iter < maxIter) {
       val viaNeighbors = curEdges
         .join(labels.withColumnRenamed("id", "src"), "src")
@@ -758,6 +766,7 @@ object Dedup {
             s"fixpoint in $maxIter pointer-jump rounds")
       all.select(col("id"), col("label").as("component"))
     }
+    } // withLoopPartitions
   }
 
   /**

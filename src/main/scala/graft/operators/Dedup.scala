@@ -654,16 +654,25 @@ object Dedup {
         .groupBy("id").agg(min("label").as("label"))
       // Pointer jump: every label value is itself a vertex id (a min of
       // vertex ids), so label(label) <= label wherever label is IN the
-      // frame. Once settled vertices have exited (below), a label can
-      // point at a frozen id that is no longer a frame row — a LEFT
-      // join keeps that row with its label unjumped (the accelerator
+      // frame. While no vertex has exited, every label value IS a frame
+      // row and the original inner join stands (plan-identical to the
+      // pre-settled-exit code). After a freeze event a label can point
+      // at a frozen id that is no longer a frame row — the LEFT join
+      // keeps that row with its label unjumped (the accelerator
       // degrades, never the labels: edge propagation alone still
       // carries the component min, which is provably active while any
       // of its component is).
-      val compressed = roller.roll(propagated.as("a")
-        .join(propagated.select(col("id").as("label"), col("label").as("__ll")).as("b"),
-          Seq("label"), "left")
-        .select(col("id"), coalesce(col("__ll"), col("label")).as("label")))
+      val compressed = {
+        val b = propagated.select(col("id").as("label"), col("label").as("__ll")).as("b")
+        val joined =
+          if (frozenParts.isEmpty)
+            propagated.as("a").join(b, Seq("label"))
+              .select(col("id"), col("__ll").as("label"))
+          else
+            propagated.as("a").join(b, Seq("label"), "left")
+              .select(col("id"), coalesce(col("__ll"), col("label")).as("label"))
+        roller.roll(joined)
+      }
       val cur = labelSum(compressed)
       converged = cur.compareTo(prev) == 0
       prev = cur

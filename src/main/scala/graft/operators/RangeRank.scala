@@ -61,20 +61,57 @@ object RangeRank {
       denseAs: Option[String] = None)
 
   private val ThresholdConf = "graft.rank.rangeBytes"
+  private val RowsConf = "graft.rank.rangeRows"
   private val MaxBucketsConf = "graft.rank.maxBuckets"
   private val DefaultThreshold: Long = 256L << 20
+  // Half the byte gate's implied cutover at a typical ~64 B row width
+  // (256 MiB / 64 B = 4 M): estRows under-counts actual rows by the
+  // scan's compression ratio (measured 3-4x on snappy parquet — sf10
+  // events estimate 2.46 M for 10 M actual rows), so the nominal
+  // threshold sits lower to fire at the intended ~8 M true rows. At
+  // sf1 the largest narrow-frame estimate is 1.84 M (under), at sf0.1
+  // 0.19 M — bench-scale plans are untouched by the rows clause.
+  private val DefaultRowThreshold: Long = 2L << 20
 
   private def thresholdBytes(df: DataFrame): Long =
     df.sparkSession.conf.getOption(ThresholdConf)
       .orElse(sys.env.get("SPARK_GRAFT_RANK_RANGE_BYTES"))
       .flatMap(_.toLongOption).getOrElse(DefaultThreshold)
 
+  private def thresholdRows(df: DataFrame): Long =
+    df.sparkSession.conf.getOption(RowsConf)
+      .orElse(sys.env.get("SPARK_GRAFT_RANK_RANGE_ROWS"))
+      .flatMap(_.toLongOption).getOrElse(DefaultRowThreshold)
+
+  /** Row estimate from the same Catalyst stats the byte gate reads:
+   *  exact rowCount when the plan carries one, else sizeInBytes over
+   *  the schema's default row width. Parquet scans report COMPRESSED
+   *  bytes, so this still under-counts rows by the compression ratio —
+   *  a conservative floor, never an over-fire. */
+  private def estRows(df: DataFrame): BigInt = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount.getOrElse {
+      val w = math.max(1, df.schema.map(_.dataType.defaultSize).sum)
+      stats.sizeInBytes / w
+    }
+  }
+
   /** The shared path gate: consumers keep their exact single-window
    *  plan below the threshold (cheapest at bench scale) and switch to
    *  the bucketed formulation above it. Catalyst's size estimate is
-   *  coarse but monotone in the scan size, which is all the cut needs. */
+   *  coarse but monotone in the scan size, which is all the byte cut
+   *  needs — EXCEPT on narrow projections of compressed columnar data,
+   *  where bytes under-measure the thing a window sort actually pays
+   *  for: rows. q96's single-double-column projection of sf10 lineitem
+   *  estimated 147 MB (dictionary-compressed scan × pruned width) for
+   *  60 M rows and sailed under the 256 MiB gate into a single-partition
+   *  window sort (207 s; the bucketed plan is ~10x cheaper). The rows
+   *  clause catches exactly that shape: estimated rows ≥ 4 M fires the
+   *  bucketed path regardless of how small the bytes look. Additive
+   *  only — every frame the byte clause fired for still fires. */
   def useBucketed(df: DataFrame): Boolean =
-    df.queryExecution.optimizedPlan.stats.sizeInBytes >= BigInt(thresholdBytes(df))
+    df.queryExecution.optimizedPlan.stats.sizeInBytes >= BigInt(thresholdBytes(df)) ||
+      estRows(df) >= BigInt(thresholdRows(df))
 
   private def maxBuckets(df: DataFrame): Int =
     df.sparkSession.conf.getOption(MaxBucketsConf)
@@ -134,8 +171,7 @@ object RangeRank {
     val v = col(valueCol)
     val ord = (if (desc) v.desc else v.asc) +: tieBreak.map(col(_).asc)
 
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes < BigInt(thresholdBytes(df))) return windowPath(df, keys, ord, v, rnAs, ntAs, extras)
+    if (!useBucketed(df)) return windowPath(df, keys, ord, v, rnAs, ntAs, extras)
 
     // One probe aggregate: candidate boundaries + key cardinality. The
     // boundary count adapts: cells ≈ 4·parallelism total, so buckets

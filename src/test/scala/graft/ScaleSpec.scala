@@ -374,4 +374,19 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // as long as it stays within 4x of the true width either way
     assert(RangeRank.useBucketed(spark.range(160000000).toDF()))
   }
+
+  test("RangeRank's ROWS clause fires on narrow frames the byte gate misses") {
+    import graft.operators.RangeRank
+    // The q96 shape: a single-column projection of a compressed scan
+    // estimates far under 256 MiB while carrying tens of millions of
+    // rows — the thing a single-partition window sort actually pays
+    // for (sf10 lineitem discount: 147 MB estimated, 60 M rows, 207 s
+    // in one window task; ~6 s bucketed). 3 M 8-byte rows = 24 MB:
+    // under every byte threshold, over the 2 M default row threshold.
+    assert(RangeRank.useBucketed(spark.range(3000000).toDF()))
+    // the rows clause is conf-governed like the byte clause
+    spark.conf.set("graft.rank.rangeRows", "10000000")
+    try assert(!RangeRank.useBucketed(spark.range(3000000).toDF()))
+    finally spark.conf.unset("graft.rank.rangeRows")
+  }
 }

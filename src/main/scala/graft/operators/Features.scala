@@ -121,8 +121,20 @@ object Features {
     // per group interpolation can touch (plus one representative row for
     // all-null groups); `hit(r)` is true on the row holding the group's
     // value at non-null rank r. The shared tail below is path-blind.
+    // Above the gate, one bounded probe (the percentRankScale
+    // near-unique guard) decides whether value-aggregation pays:
+    // on near-unique doubles distinct (keys, value) is ~fact-sized and
+    // the groupBy is pure overhead — the direct branch below already
+    // distributes through ranked()'s bucketed cells when the gate
+    // fires, so shrink < 2 ranks the fact rows straight.
+    val useValueAgg = RangeRank.useBucketed(proj) && {
+      val p = proj.agg(
+        approx_count_distinct(struct((keys :+ "__qv").map(col): _*)).as("__gd"),
+        count(lit(1)).as("__gn")).head()
+      p.getLong(1).toDouble / math.max(1L, p.getLong(0)).toDouble >= 2.0
+    }
     val (picked, hit): (DataFrame, Column => Column) =
-      if (RangeRank.useBucketed(proj)) {
+      if (useValueAgg) {
         // scale path: rank the distinct-value frame, not the fact rows.
         // __qhiR = peer-inclusive cumulative NON-NULL count in value
         // order (nulls first contribute 0), so a non-null row covers

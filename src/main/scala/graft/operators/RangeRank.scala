@@ -105,10 +105,21 @@ object RangeRank {
    *  for: rows. q96's single-double-column projection of sf10 lineitem
    *  estimated 147 MB (dictionary-compressed scan × pruned width) for
    *  60 M rows and sailed under the 256 MiB gate into a single-partition
-   *  window sort (207 s; the bucketed plan is ~10x cheaper). The rows
-   *  clause catches exactly that shape: estimated rows ≥ 4 M fires the
+   *  window sort (207 s; the bucketed plan is ~35x cheaper). The rows
+   *  clause catches exactly that shape: estimated rows ≥ 2 M fires the
    *  bucketed path regardless of how small the bytes look. Additive
-   *  only — every frame the byte clause fired for still fires. */
+   *  only — every frame the byte clause fired for still fires.
+   *
+   *  Measured same-session at sf10 (rows clause OFF vs ON, lock-guarded
+   *  min-of-two): keyless consumers win decisively (q96 85→4.2 s,
+   *  q169 40→8.9 s); keyed consumers are a wash — the |keys|-parallel
+   *  window and the bucketed machinery trade ±20% both ways (q145
+   *  −18%, q166 −10%, q154/q79 +6%, q117 0%) — so the clause stays
+   *  BLANKET: neutral at one-box scale, and the bucketed plan is the
+   *  only one whose per-task state stays bounded on a real cluster.
+   *  The one real keyed loss (q134 +24%) was the value-aggregation
+   *  above, not the rank path — fixed by groupQuantiles' shrink
+   *  probe, not by suppressing the gate. */
   def useBucketed(df: DataFrame): Boolean =
     df.queryExecution.optimizedPlan.stats.sizeInBytes >= BigInt(thresholdBytes(df)) ||
       estRows(df) >= BigInt(thresholdRows(df))

@@ -202,12 +202,27 @@ class RangeRankSpec extends SparkSpec {
     assertSame(runMad(dense), runMad(dense))
     assertSame(runMad(messy), runMad(messy))
     assertSame(runTm(dense), runTm(dense))
-    // and the scale path really IS value-aggregated: the forced plan
-    // carries the per-(keys, value) count column
-    val plan = forcedBucketed(
+    // and the scale path really IS value-aggregated — on data that
+    // actually ties: the forced plan carries the per-(keys, value)
+    // count column when the shrink probe sees ≥ 2x
+    val tied = spark.range(3000).select(
+      (col("id") % 7).cast("string").as("k"),
+      (col("id") % 5).cast("double").as("v"))
+    val planTied = forcedBucketed(
+      Features.groupQuantiles(tied, Seq("k"), "v", Seq(0.5 -> "p50"))
+        .queryExecution.optimizedPlan.toString)
+    assert(planTied.contains("__qc"),
+      s"expected the value-aggregated plan on tied data, got:\n$planTied")
+    // ...and on near-unique values the probe routes the rank DIRECTLY
+    // onto the fact rows (the percentRankScale near-unique guard): the
+    // value-aggregation would be ~fact-sized pure overhead (measured
+    // +24% on sf10 prices), and ranked()'s bucketed cells distribute
+    // the direct rank just as well
+    val planDense = forcedBucketed(
       Features.groupQuantiles(dense, Seq("k"), "v", Seq(0.5 -> "p50"))
         .queryExecution.optimizedPlan.toString)
-    assert(plan.contains("__qc"), s"expected the value-aggregated plan, got:\n$plan")
+    assert(!planDense.contains("__qc"),
+      s"expected the direct (non-aggregated) plan on near-unique data, got:\n$planDense")
   }
 
   test("the forced bucketed path really is bucketed (plan contains the cell column)") {

@@ -113,7 +113,28 @@ object Features {
     require(ps.forall { case (p, _) => p >= 0 && p <= 1 },
       "percentiles must be in [0, 1]")
     val vd = col(column).cast("double")
-    val proj = df.select(keys.map(col) :+ vd.as("__qv"): _*)
+    val proj0 = df.select(keys.map(col) :+ vd.as("__qv"): _*)
+    // Above the gate the (keys, value) projection is consumed 2-3
+    // times (the shrink probe below, then the rank path's own boundary
+    // probe + main pass) — on a frame derived from an EXPENSIVE
+    // pipeline each consumption replays the whole upstream (q235's
+    // windowed funnel gaps: 4.1 → 14.2 s at sf10 when the gate first
+    // fired on it). Persist the narrow projection under the
+    // caller-owned-cache contract (graft.Caches; the setSimilarityJoin
+    // ordered-token precedent): the probe materializes it once, every
+    // later pass reads the cache, the returned plan still references
+    // it. Below the gate nothing persists and nothing probes.
+    // The persist (and the shrink probe below) key on the LEAF-rows
+    // clause alone, not the full gate: the byte clause false-fires on
+    // join-derived frames whose sizeInBytes estimate multiplied through
+    // the join (q236's 60-row theil-sen pairs estimate gigabytes) —
+    // harmless for picking the value-aggregated plan SHAPE, a pure
+    // regression if it triggers materialization work on a tiny frame.
+    val bigScan = RangeRank.manyLeafRows(proj0)
+    val proj =
+      if (bigScan && !RangeRank.scanShaped(proj0))
+        proj0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else proj0
 
     def pos(p: Double) = lit(p) * (col("__qn") - lit(1)).cast("double")
 
@@ -127,12 +148,12 @@ object Features {
     // the groupBy is pure overhead — the direct branch below already
     // distributes through ranked()'s bucketed cells when the gate
     // fires, so shrink < 2 ranks the fact rows straight.
-    val useValueAgg = RangeRank.useBucketed(proj) && {
+    val useValueAgg = RangeRank.useBucketed(proj0) && (!bigScan || {
       val p = proj.agg(
         approx_count_distinct(struct((keys :+ "__qv").map(col): _*)).as("__gd"),
         count(lit(1)).as("__gn")).head()
       p.getLong(1).toDouble / math.max(1L, p.getLong(0)).toDouble >= 2.0
-    }
+    })
     val (picked, hit): (DataFrame, Column => Column) =
       if (useValueAgg) {
         // scale path: rank the distinct-value frame, not the fact rows.

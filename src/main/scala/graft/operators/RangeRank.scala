@@ -84,15 +84,25 @@ object RangeRank {
       .flatMap(_.toLongOption).getOrElse(DefaultRowThreshold)
 
   /** Row estimate from the same Catalyst stats the byte gate reads:
-   *  exact rowCount when the plan carries one, else sizeInBytes over
-   *  the schema's default row width. Parquet scans report COMPRESSED
-   *  bytes, so this still under-counts rows by the compression ratio —
-   *  a conservative floor, never an over-fire. */
+   *  exact rowCount when the plan carries one, else the LARGEST LEAF's
+   *  sizeInBytes over that leaf's default row width. Leaves, not the
+   *  top frame: without CBO a join's sizeInBytes estimate multiplies
+   *  its children, so a tiny pair self-join (q236's theil-sen months)
+   *  reads as millions of rows and would fire the gate on 60 actual
+   *  rows — the largest scan is the only honest size in the plan, and
+   *  it bounds the volume the rank pass must at least chew. Parquet
+   *  leaves report COMPRESSED bytes, so this still under-counts true
+   *  rows by the compression ratio — a conservative floor, never an
+   *  over-fire. */
   private def estRows(df: DataFrame): BigInt = {
-    val stats = df.queryExecution.optimizedPlan.stats
-    stats.rowCount.getOrElse {
-      val w = math.max(1, df.schema.map(_.dataType.defaultSize).sum)
-      stats.sizeInBytes / w
+    val plan = df.queryExecution.optimizedPlan
+    plan.stats.rowCount.getOrElse {
+      val leaves = plan.collectLeaves()
+      if (leaves.isEmpty) BigInt(0)
+      else leaves.map { l =>
+        val w = math.max(1, l.schema.map(_.dataType.defaultSize).sum)
+        l.stats.sizeInBytes / w
+      }.max
     }
   }
 
@@ -122,7 +132,33 @@ object RangeRank {
    *  probe, not by suppressing the gate. */
   def useBucketed(df: DataFrame): Boolean =
     df.queryExecution.optimizedPlan.stats.sizeInBytes >= BigInt(thresholdBytes(df)) ||
-      estRows(df) >= BigInt(thresholdRows(df))
+      manyLeafRows(df)
+
+  /** The rows clause alone: does the honest (leaf-scan) row estimate
+   *  say this frame is genuinely large? Consumers that pay a REAL cost
+   *  to prepare for scale (a persist, a probe pass) key on this, not on
+   *  [[useBucketed]]: the byte clause inflates multiplicatively through
+   *  joins (a 60-row pair self-join estimates gigabytes), which is a
+   *  harmless false-fire for choosing a plan SHAPE on a tiny frame but
+   *  a real regression if it triggers materialization work. */
+  private[operators] def manyLeafRows(df: DataFrame): Boolean =
+    estRows(df) >= BigInt(thresholdRows(df))
+
+  /** Is this frame just (Project|Filter)* over one scan? Replaying it
+   *  costs one columnar read — cheaper than writing it to cache — so
+   *  multi-consumption guards (persist-before-probe) skip it. Anything
+   *  with a join/aggregate/window upstream replays the whole pipeline
+   *  per consumption and must be materialized instead. */
+  private[operators] def scanShaped(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project}
+    def walk(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode => true
+      case pr: Project => walk(pr.child)
+      case f: Filter => walk(f.child)
+      case _ => false
+    }
+    walk(df.queryExecution.optimizedPlan)
+  }
 
   private def maxBuckets(df: DataFrame): Int =
     df.sparkSession.conf.getOption(MaxBucketsConf)

@@ -205,12 +205,19 @@ class RangeRankSpec extends SparkSpec {
     // and the scale path really IS value-aggregated — on data that
     // actually ties: the forced plan carries the per-(keys, value)
     // count column when the shrink probe sees ≥ 2x
+    // the probe (and the persist it reads through) keys on the
+    // LEAF-rows clause — force it down so spec-sized frames count as
+    // genuinely large and the shrink probe actually runs
+    def forcedBigScan[T](body: => T): T = {
+      spark.conf.set("graft.rank.rangeRows", "100")
+      try body finally spark.conf.unset("graft.rank.rangeRows")
+    }
     val tied = spark.range(3000).select(
       (col("id") % 7).cast("string").as("k"),
       (col("id") % 5).cast("double").as("v"))
-    val planTied = forcedBucketed(
+    val planTied = forcedBucketed(forcedBigScan(
       Features.groupQuantiles(tied, Seq("k"), "v", Seq(0.5 -> "p50"))
-        .queryExecution.optimizedPlan.toString)
+        .queryExecution.optimizedPlan.toString))
     assert(planTied.contains("__qc"),
       s"expected the value-aggregated plan on tied data, got:\n$planTied")
     // ...and on near-unique values the probe routes the rank DIRECTLY
@@ -218,11 +225,20 @@ class RangeRankSpec extends SparkSpec {
     // value-aggregation would be ~fact-sized pure overhead (measured
     // +24% on sf10 prices), and ranked()'s bucketed cells distribute
     // the direct rank just as well
-    val planDense = forcedBucketed(
+    val planDense = forcedBucketed(forcedBigScan(
       Features.groupQuantiles(dense, Seq("k"), "v", Seq(0.5 -> "p50"))
-        .queryExecution.optimizedPlan.toString)
+        .queryExecution.optimizedPlan.toString))
     assert(!planDense.contains("__qc"),
       s"expected the direct (non-aggregated) plan on near-unique data, got:\n$planDense")
+    // byte-clause fire WITHOUT a big scan (the q236 join-product
+    // false-fire shape): the value-aggregated plan without probe or
+    // persist — exactly the pre-probe behavior on tiny frames
+    val planSmall = forcedBucketed(
+      Features.groupQuantiles(dense, Seq("k"), "v", Seq(0.5 -> "p50"))
+        .queryExecution.optimizedPlan.toString)
+    assert(planSmall.contains("__qc"),
+      s"expected the value-aggregated plan on a byte-fired small frame, got:\n$planSmall")
+    spark.sharedState.cacheManager.clearCache()
   }
 
   test("the forced bucketed path really is bucketed (plan contains the cell column)") {

@@ -104,11 +104,27 @@ object Bench {
     // never masks a good one.
     val benchRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(2)
+    // per-query rep override ("q135=3,q140_ssjoin=3"): spill-heavy
+    // families (the SSJoin six at sf10) demonstrably do NOT reach their
+    // warm floor at two reps — q140's committed min-of-two sat 63%
+    // above its measured third-rep floor — so scale artifacts for them
+    // compare page-cache warmth, not code, unless those specific
+    // queries sample deeper. Keys match by prefix; shared-pair groups
+    // ("q135+q140+...") match via any member prefix.
+    val runsFor: Map[String, Int] = sys.env.get("SPARK_GRAFT_BENCH_RUNS_FOR")
+      .map(_.split(",").toSeq.flatMap(_.split("=") match {
+        case Array(k, n) if k.trim.nonEmpty =>
+          n.trim.toIntOption.filter(_ >= 1).map(k.trim -> _)
+        case _ => None
+      }).toMap).getOrElse(Map.empty)
+    def runsOf(name: String): Int = runsFor.collectFirst {
+      case (k, n) if name.split("\\+").exists(_.startsWith(k)) => n
+    }.getOrElse(benchRuns)
     def minOk(ts: Seq[Double]): Double = {
       val ok = ts.filter(_ >= 0); if (ok.isEmpty) -1.0 else ok.min
     }
     val samples = names.map(n =>
-      n -> (1 to benchRuns).map(_ => materialize(n, sfDir)))
+      n -> (1 to runsOf(n)).map(_ => materialize(n, sfDir)))
     val results = samples.map { case (n, ts) => n -> minOk(ts) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -116,8 +132,9 @@ object Bench {
     // shared-stage pairs (SparkEntry.sharedPairs): train once, time
     // BOTH consumers as one unit. The solo entries above stay the
     // oracle-checkable record; this column is the pair cost a pipeline
-    // that reuses the trained frame actually pays. Skipped on subset
-    // triage runs. releaseAll only AFTER both frames materialize — the
+    // that reuses the trained frame actually pays. On subset runs a
+    // group participates only when every member is subsetted in.
+    // releaseAll only AFTER both frames materialize — the
     // second plan scans the first's checkpointed training state.
     def materializePair(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -130,12 +147,18 @@ object Bench {
         -1.0
       } finally { Caches.releaseAll(spark); System.gc() }
     }
-    val sharedNames =
-      if (only.isDefined) Seq.empty else SparkEntry.sharedPairs.keys.toSeq.sorted
+    // subset runs keep a shared group only when EVERY member is in the
+    // subset (the scale sweep needs the same shared-folding the full
+    // sf0.1 artifact has; a partially-covered group would fold costs
+    // for queries the artifact doesn't record)
+    val sharedNames = SparkEntry.sharedPairs.keys.toSeq.sorted.filter { g =>
+      only.forall(o => g.split("\\+").forall(p =>
+        o.exists(n => n == p || n.startsWith(p + "_"))))
+    }
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       sharedNames.foreach(materializePair(_, warmDir))
     val sharedSamples = sharedNames.map(n =>
-      n -> (1 to benchRuns).map(_ => materializePair(n, sfDir)))
+      n -> (1 to runsOf(n)).map(_ => materializePair(n, sfDir)))
     val shared = sharedSamples.map { case (n, ts) => n -> minOk(ts) }
     val sharedJson = shared.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -146,7 +169,7 @@ object Bench {
     // headline carried ~21 s of demonstrated re-computation a pipeline
     // reusing the trained frame never pays). The untouched per-query
     // map and `solo_total` remain the oracle-checkable record; subset
-    // runs skip shared stages, so there the two totals coincide.
+    // runs fold only fully-subsetted groups, else the totals coincide.
     val byPrefix = names.groupBy(_.split("_")(0)).view.mapValues(_.head).toMap
     val okShared = shared.filter(_._2 >= 0)
     val covered = okShared.flatMap(_._1.split("\\+")).flatMap(byPrefix.get).toSet

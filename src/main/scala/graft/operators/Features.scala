@@ -130,6 +130,12 @@ object Features {
     // the join (q236's 60-row theil-sen pairs estimate gigabytes) —
     // harmless for picking the value-aggregated plan SHAPE, a pure
     // regression if it triggers materialization work on a tiny frame.
+    // NOTE: above the gate, merely CONSTRUCTING this plan runs a full
+    // materialization job — the shrink probe's head() below writes the
+    // MEMORY_AND_DISK cache of this fact-sized projection. That is the
+    // agg-to-literal convention's price, but it means graft.Explain /
+    // plan inspection on a big frame pays one cache-building pass
+    // first (minutes at sf10) — not a hang.
     val bigScan = RangeRank.manyLeafRows(proj0)
     val proj =
       if (bigScan && !RangeRank.scanShaped(proj0))

@@ -84,25 +84,37 @@ object RangeRank {
       .flatMap(_.toLongOption).getOrElse(DefaultRowThreshold)
 
   /** Row estimate from the same Catalyst stats the byte gate reads:
-   *  exact rowCount when the plan carries one, else the LARGEST LEAF's
-   *  sizeInBytes over that leaf's default row width. Leaves, not the
-   *  top frame: without CBO a join's sizeInBytes estimate multiplies
-   *  its children, so a tiny pair self-join (q236's theil-sen months)
-   *  reads as millions of rows and would fire the gate on 60 actual
-   *  rows — the largest scan is the only honest size in the plan, and
-   *  it bounds the volume the rank pass must at least chew. Parquet
-   *  leaves report COMPRESSED bytes, so this still under-counts true
-   *  rows by the compression ratio — a conservative floor, never an
+   *  exact rowCount when the plan carries one, else a leaf-anchored
+   *  recursion — the LARGEST child through joins, the SUM of children
+   *  through unions. Leaves, not the top frame: without CBO a join's
+   *  sizeInBytes estimate multiplies its children, so a tiny pair
+   *  self-join (q236's theil-sen months) reads as millions of rows and
+   *  would fire the gate on 60 actual rows — the largest scan is the
+   *  only honest size through a join, and it bounds the volume the
+   *  rank pass must at least chew. Union is the one combinator whose
+   *  row counts ARE additive, so it sums: a 10-way union of
+   *  sub-threshold narrow scans (each invisible to both clauses alone)
+   *  still fires the gate on its true combined volume. Parquet leaves
+   *  report COMPRESSED bytes, so this still under-counts true rows by
+   *  the compression ratio — a conservative floor, never an
    *  over-fire. */
   private def estRows(df: DataFrame): BigInt = {
     val plan = df.queryExecution.optimizedPlan
-    plan.stats.rowCount.getOrElse {
-      val leaves = plan.collectLeaves()
-      if (leaves.isEmpty) BigInt(0)
-      else leaves.map { l =>
-        val w = math.max(1, l.schema.map(_.dataType.defaultSize).sum)
-        l.stats.sizeInBytes / w
-      }.max
+    plan.stats.rowCount.getOrElse(estRowsOf(plan))
+  }
+
+  private def estRowsOf(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): BigInt = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, Union}
+    p match {
+      case l: LeafNode =>
+        l.stats.rowCount.getOrElse {
+          val w = math.max(1, l.schema.map(_.dataType.defaultSize).sum)
+          l.stats.sizeInBytes / w
+        }
+      case u: Union => u.children.map(estRowsOf).sum
+      case _ if p.children.isEmpty => BigInt(0)
+      case _ => p.children.map(estRowsOf).max
     }
   }
 

@@ -22,6 +22,21 @@ class RangeRankSpec extends SparkSpec {
     try body finally spark.conf.unset("graft.rank.rangeBytes")
   }
 
+  /** Force the LEAF-rows clause down so spec-sized frames count as
+   *  genuinely large: the persist + shrink probe (and the plan split
+   *  they guard) key on this clause, not the byte gate. Bodies that
+   *  persist must still clean up — callers pair this with a
+   *  try/finally clearCache so a failing assert cannot leak the cached
+   *  projection into later suites (CacheHygieneSpec audits a clean
+   *  session). */
+  private def forcedBigScan[T](body: => T): T = {
+    spark.conf.set("graft.rank.rangeRows", "100")
+    try body finally {
+      spark.conf.unset("graft.rank.rangeRows")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   /** Canonical multiset of rows with double bits made exact. */
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted
@@ -206,12 +221,9 @@ class RangeRankSpec extends SparkSpec {
     // actually ties: the forced plan carries the per-(keys, value)
     // count column when the shrink probe sees ≥ 2x
     // the probe (and the persist it reads through) keys on the
-    // LEAF-rows clause — force it down so spec-sized frames count as
-    // genuinely large and the shrink probe actually runs
-    def forcedBigScan[T](body: => T): T = {
-      spark.conf.set("graft.rank.rangeRows", "100")
-      try body finally spark.conf.unset("graft.rank.rangeRows")
-    }
+    // LEAF-rows clause — forcedBigScan forces it down so spec-sized
+    // frames count as genuinely large and the shrink probe actually
+    // runs (its finally clears the persisted projection, pass or fail)
     val tied = spark.range(3000).select(
       (col("id") % 7).cast("string").as("k"),
       (col("id") % 5).cast("double").as("v"))
@@ -238,7 +250,58 @@ class RangeRankSpec extends SparkSpec {
         .queryExecution.optimizedPlan.toString)
     assert(planSmall.contains("__qc"),
       s"expected the value-aggregated plan on a byte-fired small frame, got:\n$planSmall")
-    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("groupQuantiles direct branch: bit-parity with the window path, keyed and keyless") {
+    // the near-unique shrink probe routes the rank DIRECTLY onto the
+    // fact rows — pin its VALUES (not just its plan shape) against the
+    // window path: a rank/filter bug in the direct-over-bucketed
+    // composition would otherwise pass the suite, since every
+    // assertSame above takes the value-aggregated branch
+    val qps = Seq(0.0 -> "p0", 0.25 -> "p25", 0.5 -> "p50", 0.9 -> "p90", 1.0 -> "p100")
+    // UNROUNDED sin values: near-unique both keyed AND keyless (dense's
+    // rounded values tie ~3x keyless, which correctly routes value-agg)
+    val nearUniq = spark.range(3000).select(
+      (col("id") % 7).cast("string").as("k"),
+      when(col("id") % 97 === 0, lit(null).cast("double"))
+        .otherwise(sin(col("id").cast("double")) * 50).as("v"))
+      .repartition(11)
+    for (keys <- Seq(Seq("k"), Nil)) {
+      val want = canon(
+        Features.groupQuantiles(nearUniq, keys, "v", qps, countAs = Some("n")))
+      val (got, plan) = forcedBucketed(forcedBigScan {
+        val q = Features.groupQuantiles(nearUniq, keys, "v", qps, countAs = Some("n"))
+        (canon(q), q.queryExecution.optimizedPlan.toString)
+      })
+      assert(!plan.contains("__qc"),
+        s"keys=$keys: expected the direct (non-aggregated) branch, got:\n$plan")
+      assert(got == want, s"keys=$keys: direct branch diverged from window path")
+    }
+  }
+
+  test("rows clause sums leaf estimates through unions") {
+    // a 10-way union of sub-threshold narrow leaves must fire the rows
+    // clause on its combined volume — the leaf-MAX estimate would let
+    // it sail into a single-task window sort (the q96 shape, unioned)
+    spark.conf.set("graft.rank.rangeBytes", Long.MaxValue.toString)
+    spark.conf.set("graft.rank.rangeRows", "300000")
+    try {
+      val one = spark.range(50000).select(
+        (col("id") % 7).cast("string").as("k"),
+        (col("id") % 1000).cast("double").as("v"), col("id"))
+      val union = (1 to 10).map(_ => one).reduce(_ unionAll _)
+      val single = RangeRank.ranked(one, Seq("k"), "v", tieBreak = Seq("id"))
+        .queryExecution.optimizedPlan.toString
+      assert(!single.contains("__gbkt"),
+        s"one 50k-row leaf must stay on the window path, got:\n$single")
+      val unioned = RangeRank.ranked(union, Seq("k"), "v", tieBreak = Seq("id"))
+        .queryExecution.optimizedPlan.toString
+      assert(unioned.contains("__gbkt"),
+        s"the 500k-row union must take the bucketed path, got:\n$unioned")
+    } finally {
+      spark.conf.unset("graft.rank.rangeBytes")
+      spark.conf.unset("graft.rank.rangeRows")
+    }
   }
 
   test("the forced bucketed path really is bucketed (plan contains the cell column)") {

@@ -39,6 +39,36 @@ rows = {
     for q in common
 }
 worst = sorted(common, key=lambda q: -(rows[q]["ratio"] or 0))[:5]
+
+# shared-stage folding (same semantics as Bench's effective headline):
+# when BOTH artifacts carry a `shared` column, each clean shared group's
+# one-pass cost replaces its members' solo sum in the effective totals,
+# and the group gets its own ratio row — so the scale step reports the
+# cost a pipeline reusing the trained/verified frame actually pays,
+# next to the solo oracle-checkable record.
+ss, sl = small.get("shared") or {}, large.get("shared") or {}
+prefix_of = {q.split("_")[0]: q for q in common}
+shared_rows, covered = {}, set()
+for g in sorted(set(ss) & set(sl)):
+    if ss[g] < 0 or sl[g] < 0:
+        continue
+    members = [prefix_of[p] for p in g.split("+") if p in prefix_of]
+    if not members:
+        continue
+    shared_rows[g] = {
+        "small_sec": round(ss[g], 3),
+        "large_sec": round(sl[g], 3),
+        "ratio": round(sl[g] / ss[g], 2) if ss[g] > 0 else None,
+        "members": members,
+        "solo_small_sec": round(sum(qs[q] for q in members), 3),
+        "solo_large_sec": round(sum(ql[q] for q in members), 3),
+    }
+    covered.update(members)
+eff_small = sum(qs[q] for q in common if q not in covered) \
+    + sum(r["small_sec"] for r in shared_rows.values())
+eff_large = sum(ql[q] for q in common if q not in covered) \
+    + sum(r["large_sec"] for r in shared_rows.values())
+
 out = {
     "metric": "scale_step",
     "factor": factor,
@@ -55,8 +85,19 @@ out = {
     "note": note,
     "queries": rows,
 }
+if shared_rows:
+    out["shared"] = shared_rows
+    out["effective_small_total_sec"] = round(eff_small, 1)
+    out["effective_large_total_sec"] = round(eff_large, 1)
+    out["effective_ratio"] = round(eff_large / eff_small, 2) if eff_small > 0 else None
 with open(out_p, "w") as f:
     json.dump(out, f, indent=1, sort_keys=False)
 print(f"[scale] {len(common)} queries: total {out['small_total_sec']}s -> "
       f"{out['large_total_sec']}s at {factor}x data; worst ratios "
       + ", ".join(f"{q}={rows[q]['ratio']}" for q in worst))
+if shared_rows:
+    print(f"[scale] effective (shared-folded): "
+          f"{out['effective_small_total_sec']}s -> "
+          f"{out['effective_large_total_sec']}s "
+          f"(ratio {out['effective_ratio']}) over "
+          + ", ".join(f"{g}={r['ratio']}" for g, r in shared_rows.items()))

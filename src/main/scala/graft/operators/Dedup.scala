@@ -402,12 +402,46 @@ object Dedup {
         col("__gnb") - col("__gpb"))) * (num + den) >=
         (col("__gna") + col("__gnb")) * num)
       .select("id_a", "id_b")
-    val sets = ordered.select(col("__gid"), col("__gsorted"))
+    // Verify joins: SHUFFLE_HASH hinted on the sets side once the input
+    // is genuinely large (the RangeRank leaf-rows clause — the same
+    // "is this frame big" question, answered from the same honest leaf
+    // estimate). AQE's static pick at sf10 is sort-merge, whose
+    // external sorts materialize every array-carrying row into the
+    // sorter — the measured spill driver of the verify stage. The hash
+    // build never sorts; its build side is the cached `ordered` frame,
+    // ALREADY partitioned by __gid from its groupBy (no extra
+    // exchange), with unique keys (no build-side skew) and
+    // per-partition hash-table size that shrinks as the cluster's
+    // partition count grows. Measured sf10 interleaved A/B (3 cold
+    // single-rep rounds each): hash 63.1/57.2/58.8 s vs sort-merge
+    // 73.4/68.2/65.6 s — every hash sample beat every SMJ sample.
+    // Below the gate the planner keeps its own pick (broadcast at
+    // bench scale — a forced hash join there replaces a free broadcast
+    // with two pair-side exchanges). A suffix-slice variant
+    // (intersecting only from the first-match positions on, exact by
+    // the positional-filter invariant above) measured neutral-to-noise
+    // on these ~43-token arrays and was dropped.
+    //
+    // The gate is the SSJoin's OWN row bar (400k estimated leaf rows,
+    // `graft.ssjoin.hashRows` / SPARK_GRAFT_SSJOIN_HASH_ROWS to
+    // override), NOT the rank cutover's 2M: the verify stage's
+    // intermediate pair volume is a large multiple of the input rows,
+    // so it saturates a box long before a window sort would — sf10's
+    // 500k-doc corpus (leaf estimate ~1M) is already a 60 s spilling
+    // query while sitting under the rank bar.
+    val bigVerify = {
+      val bar = df.sparkSession.conf.getOption("graft.ssjoin.hashRows")
+        .orElse(sys.env.get("SPARK_GRAFT_SSJOIN_HASH_ROWS"))
+        .flatMap(_.toLongOption).getOrElse(400000L)
+      RangeRank.estLeafRows(df) >= BigInt(bar)
+    }
+    def setsAs(as: String) = {
+      val s = ordered.select(col("__gid"), col("__gsorted").as(as))
+      if (bigVerify) s.hint("shuffle_hash") else s
+    }
     cands
-      .join(sets.withColumnRenamed("__gsorted", "__gta"),
-        col("id_a") === col("__gid")).drop("__gid")
-      .join(sets.withColumnRenamed("__gsorted", "__gtb"),
-        col("id_b") === col("__gid")).drop("__gid")
+      .join(setsAs("__gta"), col("id_a") === col("__gid")).drop("__gid")
+      .join(setsAs("__gtb"), col("id_b") === col("__gid")).drop("__gid")
       .withColumn("__gi", size(array_intersect(col("__gta"), col("__gtb"))))
       .withColumn("__gu",
         size(col("__gta")) + size(col("__gtb")) - col("__gi"))

@@ -156,6 +156,13 @@ object RangeRank {
   private[operators] def manyLeafRows(df: DataFrame): Boolean =
     estRows(df) >= BigInt(thresholdRows(df))
 
+  /** The raw leaf-anchored row estimate, for consumers whose "big"
+   *  bar sits elsewhere than the rank cutover (e.g. the SSJoin verify
+   *  stage, whose intermediate pair volume is a large multiple of the
+   *  input rows — it saturates a box long before a window sort
+   *  would). */
+  private[operators] def estLeafRows(df: DataFrame): BigInt = estRows(df)
+
   /** Is this frame just (Project|Filter)* over one scan? Replaying it
    *  costs one columnar read — cheaper than writing it to cache — so
    *  multi-consumption guards (persist-before-probe) skip it. Anything

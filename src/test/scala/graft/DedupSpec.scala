@@ -493,6 +493,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("setSimilarityJoin verify joins: hash-hinted above the row gate, planner's pick below") {
+    val d = Seq((1L, "a b"), (2L, "b c"), (3L, "a b c")).toDF("id", "t")
+    // the verify joins are the ones keyed on id_a/id_b; the vocab join
+    // (keyed on the token) is always hash-hinted and — unpersisted at
+    // spec scale — appears once per plan branch, so count only the
+    // verify keys
+    def verifyShj(): Int = "ShuffledHashJoin \\[id_".r.findAllIn(
+      Dedup.setSimilarityJoin(d, "id", split(col("t"), " "), 1, 2)
+        .queryExecution.executedPlan.toString).length
+    // below the gate (default 400k rows): the verify stage keeps the
+    // planner's pick (broadcast at bench scale)
+    assert(verifyShj() == 0,
+      s"below-gate plan must keep the planner's verify pick, got ${verifyShj()} hash joins")
+    // above the gate (forced via conf): both verify joins hash-build
+    // on the sets side, never sorting array-carrying rows
+    spark.conf.set("graft.ssjoin.hashRows", "1")
+    try assert(verifyShj() == 2,
+      s"above-gate verify joins must both be hash joins, got ${verifyShj()}")
+    finally spark.conf.unset("graft.ssjoin.hashRows")
+  }
+
   test("degreeDistribution summarizes the pair graph (twins vs clusters)") {
     // pairs: 1-2, 1-3, 1-4 (hub), 5-6 (twin)
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L)).toDF("id_a", "id_b")

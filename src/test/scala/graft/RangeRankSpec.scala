@@ -279,6 +279,40 @@ class RangeRankSpec extends SparkSpec {
     }
   }
 
+  test("rankFamily value-aggregated branch: bit-parity with the window path") {
+    // tying values (shrink ≥ 2) route rankFamily onto the distinct
+    // (keys, value) frame above the gate — rank/dense/cume recompose
+    // from running counts and map back by null-safe (keys, value).
+    // Nulls in BOTH the key and the value must rejoin their own rows.
+    val tiedNulls = spark.range(3000).select(
+      when(col("id") % 13 === 0, lit(null).cast("string"))
+        .otherwise((col("id") % 7).cast("string")).as("k"),
+      when(col("id") % 11 === 0, lit(null).cast("double"))
+        .otherwise((col("id") % 5).cast("double")).as("v"),
+      col("id"))
+      .repartition(9)
+    def run(df: DataFrame) = Relational.rankFamily(df, "v", Seq("k"))
+    val want = canon(run(tiedNulls))
+    val (got, plan) = forcedBucketed(forcedBigScan {
+      val q = run(tiedNulls)
+      (canon(q), q.queryExecution.optimizedPlan.toString)
+    })
+    assert(plan.contains("__qc"),
+      s"tied data above the gate must take the value-aggregated branch, got:\n$plan")
+    assert(got == want, "value-aggregated rank family diverged from window path")
+    // near-unique values keep the direct bucketed rank (no __qc)
+    val uniq = spark.range(3000).select(
+      (col("id") % 7).cast("string").as("k"),
+      (sin(col("id").cast("double")) * 50).as("v"), col("id"))
+    val (gotU, planU) = forcedBucketed(forcedBigScan {
+      val q = run(uniq)
+      (canon(q), q.queryExecution.optimizedPlan.toString)
+    })
+    assert(!planU.contains("__qc"),
+      s"near-unique data must keep the direct rank, got:\n$planU")
+    assert(gotU == canon(run(uniq)))
+  }
+
   test("rows clause sums leaf estimates through unions") {
     // a 10-way union of sub-threshold narrow leaves must fire the rows
     // clause on its combined volume — the leaf-MAX estimate would let

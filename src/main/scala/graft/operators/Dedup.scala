@@ -1309,13 +1309,30 @@ object Dedup {
     val nEq = (0 until numHashes)
       .map(j => when(col(s"__ma$j") === col(s"__mb$j"), 1).otherwise(0))
       .reduce(_ + _)
+    // the two shingle-set joins hash-build on the sets side above the
+    // SSJoin row gate (the setSimilarityJoin verify rule: sort-merge's
+    // external sorts of array rows are the spill driver). The sets
+    // frame is NOT persisted: its replay is one codegen shingling scan,
+    // and a MEMORY_AND_DISK write of the string arrays measured ~15%
+    // SLOWER than the second scan at sf10 (persist is for join/agg
+    // replays, not per-row codegen).
+    val bigVerify = {
+      val bar = docs.sparkSession.conf.getOption("graft.ssjoin.hashRows")
+        .orElse(sys.env.get("SPARK_GRAFT_SSJOIN_HASH_ROWS"))
+        .flatMap(_.toLongOption).getOrElse(400000L)
+      RangeRank.estLeafRows(docs) >= BigInt(bar)
+    }
     val sets = docs.select(col(id).as("__sid"),
       TextFns.wordShingles(split(col(textCol), " "), shingleK).as("__sset"))
+    def setsAs(idAs: String, as: String) = {
+      val s = sets.select(col("__sid").as(idAs), col("__sset").as(as))
+      if (bigVerify) s.hint("shuffle_hash") else s
+    }
     val withSets = pairs
       .join(sigA, "id_a").join(sigB, "id_b")
       .withColumn("__gneq", nEq.cast("long"))
-      .join(sets.select(col("__sid").as("id_a"), col("__sset").as("__sa")), "id_a")
-      .join(sets.select(col("__sid").as("id_b"), col("__sset").as("__sb")), "id_b")
+      .join(setsAs("id_a", "__sa"), "id_a")
+      .join(setsAs("id_b", "__sb"), "id_b")
     val i = size(array_intersect(col("__sa"), col("__sb")))
     val u = size(col("__sa")) + size(col("__sb")) - i
     withSets.select(col("id_a"), col("id_b"), col("bands_shared"),

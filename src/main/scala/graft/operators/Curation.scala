@@ -1038,17 +1038,27 @@ object Curation {
    * with a class tiebreak (q210's decimal-at-the-edge rule).
    * Probability ratios are exact-ints-to-one-division doubles.
    *
-   * Scale: the `(class, token)` counts frame grows with corpus
-   * VOCABULARY (Heaps' law — billions of distinct tokens at web
-   * scale), so it is deliberately NOT broadcast-hinted: the scoring
-   * join is left to AQE exactly like q118's tokenDf join ([[tokenDf]]),
-   * which broadcasts it while it is small and shuffle-joins (with skew
-   * splitting) once it is not. Only the genuinely bounded frames —
+   * Scale: two scoring paths, gated on the measured grid size
+   * \|vocab\| × \|classes\| (one bounded agg-to-literal probe over the
+   * cached doc-token frame; `graft.nb.gridCells` overrides the 1M-cell
+   * default). While the grid fits — every natural-language corpus
+   * whose tokenizer has a bounded vocabulary — the dense (class,
+   * token) term grid (seen-or-fallback, precomputed) is BROADCAST and
+   * the doc-token frame, pre-partitioned by DOC id, fans out its
+   * \|classes\| rows per token INSIDE the broadcast join: the
+   * per-(doc, class) aggregation and the argmax window both reuse the
+   * id partitioning, so the corpus × \|classes\| intermediate never
+   * crosses an exchange (the earlier shape shuffled + sorted it for a
+   * sort-merge join against the vocabulary-sized term frame — the
+   * measured 8.8×-step driver at sf10, since AQE materializes that
+   * exchange before it can demote the join). Past the gate — vocab
+   * grows with the corpus under Heaps' law, billions of distinct
+   * tokens at web scale — scoring falls back to the (class,
+   * token)-keyed left join over the class-crossed doc-token frame,
+   * left to AQE exactly like q118's tokenDf join ([[tokenDf]]).
+   * Only genuinely bounded frames — the grid under its gate,
    * per-class totals, priors, the 1-row vocab/doc counts — carry
-   * broadcast hints. Scoring is one (class, token)-keyed left join over
-   * the doc-token frame crossed with the \|classes\|-row frame — corpus
-   * × \|classes\| rows, map-side-combinable into per-(doc, class) sums,
-   * then one rank window over \|classes\| candidates per doc.
+   * broadcast hints.
    */
   def naiveBayesSource(
       docs: DataFrame, id: String, classCol: String, textCol: String): DataFrame = {
@@ -1062,8 +1072,15 @@ object Curation {
     // precision cap, so Σ_occurrences d ≡ k·d bit-for-bit (argmax
     // unchanged; the 1e9 per-(doc,token) count bound is structural: a
     // document's length bounds any token's occurrences).
+    // pre-partitioned by DOC id (not the aggregation key): hash(id)
+    // satisfies every downstream per-doc clustering — the (id, class)
+    // score aggregation and the argmax window — so the class-fanned
+    // scoring frame never needs an exchange of its own on the dense
+    // path. The groupBy below runs exchange-free on top of it (id ⊆
+    // (id, true, tok) clustering).
     val docTok = docs.select(col(id), col(classCol).as("__gtrue"),
         explode(split(col(textCol), " ")).as("__gtok"))
+      .repartition(col(id))
       .groupBy(col(id), col("__gtrue"), col("__gtok"))
       .agg(count(lit(1)).as("__gk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1091,14 +1108,38 @@ object Curation {
     val fallback = classes.select(col("__gcls"),
       absorb(log(lit(1L).cast("double") /
         (col("__gT") + col("__gV")).cast("double"))).as("__gmiss"))
-    val scored = docTok.select(col(id), col("__gtok"), col("__gk"))
-      .crossJoin(broadcast(fallback))
-      // seenTerms is vocabulary-sized: no broadcast hint (see Scaladoc)
-      // — AQE picks broadcast only while the frame actually fits
-      .join(seenTerms, Seq("__gcls", "__gtok"), "left")
-      .select(col(id), col("__gcls"),
-        (coalesce(col("__gseen"), col("__gmiss")) *
-          col("__gk").cast("decimal(9,0)")).as("__gterm"))
+    // bounded probe (the medians/centroids agg-to-literal convention):
+    // vocab × class cardinalities decide the scoring path
+    val gridProbe = docTok.agg(
+      count_distinct(col("__gtok")), count_distinct(col("__gtrue"))).head()
+    val gridCells = gridProbe.getLong(0) * gridProbe.getLong(1)
+    val gridBar = docs.sparkSession.conf.getOption("graft.nb.gridCells")
+      .flatMap(_.toLongOption).getOrElse(1000000L)
+    val scored = (if (gridCells <= gridBar) {
+      // dense path: the full (class, token) term grid — seen where
+      // trained, the class fallback elsewhere — broadcast against the
+      // id-partitioned doc-token frame. The per-(doc, token) coalesce
+      // is precomputed into the grid cell, so the summed decimals are
+      // IDENTICAL to the sparse path's term stream.
+      val grid = counts.select(col("__gtok")).distinct()
+        .crossJoin(fallback)
+        .join(seenTerms, Seq("__gcls", "__gtok"), "left")
+        .select(col("__gcls"), col("__gtok"),
+          coalesce(col("__gseen"), col("__gmiss")).as("__gcell"))
+      docTok.select(col(id), col("__gtok"), col("__gk"))
+        .join(broadcast(grid), "__gtok")
+        .select(col(id), col("__gcls"),
+          (col("__gcell") * col("__gk").cast("decimal(9,0)")).as("__gterm"))
+    } else {
+      // sparse path: seenTerms is vocabulary-sized — no broadcast hint;
+      // AQE picks broadcast only while the frame actually fits
+      docTok.select(col(id), col("__gtok"), col("__gk"))
+        .crossJoin(broadcast(fallback))
+        .join(seenTerms, Seq("__gcls", "__gtok"), "left")
+        .select(col(id), col("__gcls"),
+          (coalesce(col("__gseen"), col("__gmiss")) *
+            col("__gk").cast("decimal(9,0)")).as("__gterm"))
+    })
       .groupBy(col(id), col("__gcls"))
       .agg(sum(col("__gterm")).as("__gsum"))
     val priors = classes.select(col("__gcls"),

@@ -329,6 +329,21 @@ object Dedup {
    * the difference; callers that need null-as-a-token must encode it
    * as a sentinel string first.
    */
+  /**
+   * The SSJoin-family verify-join row gate, shared by
+   * [[setSimilarityJoin]] and [[minHashEstimate]]: hash-build the
+   * sets side of the verify joins once the input's honest leaf
+   * estimate clears the bar (400k rows; `graft.ssjoin.hashRows` /
+   * SPARK_GRAFT_SSJOIN_HASH_ROWS overrides). One definition so a
+   * future bar change cannot silently diverge the two verify stages.
+   */
+  private def ssjoinHashGate(df: DataFrame): Boolean = {
+    val bar = df.sparkSession.conf.getOption("graft.ssjoin.hashRows")
+      .orElse(sys.env.get("SPARK_GRAFT_SSJOIN_HASH_ROWS"))
+      .flatMap(_.toLongOption).getOrElse(400000L)
+    RangeRank.estLeafRows(df) >= BigInt(bar)
+  }
+
   def setSimilarityJoin(
       df: DataFrame, idCol: String, tokensCol: Column,
       num: Int, den: Int, cacheSets: Boolean = false): DataFrame = {
@@ -429,12 +444,7 @@ object Dedup {
     // so it saturates a box long before a window sort would — sf10's
     // 500k-doc corpus (leaf estimate ~1M) is already a 60 s spilling
     // query while sitting under the rank bar.
-    val bigVerify = {
-      val bar = df.sparkSession.conf.getOption("graft.ssjoin.hashRows")
-        .orElse(sys.env.get("SPARK_GRAFT_SSJOIN_HASH_ROWS"))
-        .flatMap(_.toLongOption).getOrElse(400000L)
-      RangeRank.estLeafRows(df) >= BigInt(bar)
-    }
+    val bigVerify = ssjoinHashGate(df)
     def setsAs(as: String) = {
       val s = ordered.select(col("__gid"), col("__gsorted").as(as))
       if (bigVerify) s.hint("shuffle_hash") else s
@@ -1316,12 +1326,7 @@ object Dedup {
     // and a MEMORY_AND_DISK write of the string arrays measured ~15%
     // SLOWER than the second scan at sf10 (persist is for join/agg
     // replays, not per-row codegen).
-    val bigVerify = {
-      val bar = docs.sparkSession.conf.getOption("graft.ssjoin.hashRows")
-        .orElse(sys.env.get("SPARK_GRAFT_SSJOIN_HASH_ROWS"))
-        .flatMap(_.toLongOption).getOrElse(400000L)
-      RangeRank.estLeafRows(docs) >= BigInt(bar)
-    }
+    val bigVerify = ssjoinHashGate(docs)
     val sets = docs.select(col(id).as("__sid"),
       TextFns.wordShingles(split(col(textCol), " "), shingleK).as("__sset"))
     def setsAs(idAs: String, as: String) = {

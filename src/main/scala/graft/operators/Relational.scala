@@ -920,8 +920,9 @@ object Relational {
    * exclusive running count + 1 IS rank, and the inclusive running
    * count over the key total IS cume_dist), and map the ranks back
    * onto the fact rows by (keys, value) — broadcast when the probed
-   * distinct count is bounded (`graft.rank.broadcastVals`, default
-   * 1M), else a hash join that still never sorts the fact side. Above
+   * distinct count × schema row width fits `graft.rank.broadcastBytes`
+   * (default 64 MB; a `graft.rank.broadcastVals` row bar overrides),
+   * else a hash join that still never sorts the fact side. Above
    * the gate one bounded probe (the groupQuantiles shrink probe)
    * routes: shrink ≥ 2 takes the value-aggregated path (q166's sf10
    * prices shrink 101×: 60 M rows → 594 k distinct, turning a 60 M-row
@@ -987,12 +988,28 @@ object Relational {
       // broadcast the ranked value frame when the PROBED distinct count
       // is bounded — the fact side then never shuffles at all; above
       // the bar, hash-build on the (small) value side so the fact side
-      // still never sorts
-      val bar = fact.sparkSession.conf.getOption("graft.rank.broadcastVals")
-        .flatMap(_.toLongOption).getOrElse(1L << 20)
-      val rhs =
-        if (shrinkProbe.exists(_._1 <= bar)) broadcast(vals)
-        else vals.hint("shuffle_hash")
+      // still never sorts. The gate is BYTE-aware: the probe is an
+      // HLL++ estimate (±~2-4% at default rsd), so it is inflated by
+      // that margin and multiplied by the schema's default per-row
+      // width against `graft.rank.broadcastBytes` (default 64 MB) — a
+      // row-count bar alone would let a near-bar under-estimate
+      // broadcast a wide multi-key frame measured in hundreds of MB.
+      // An explicitly-set `graft.rank.broadcastVals` row bar overrides
+      // (the measured-tuning escape hatch).
+      val rowBar = fact.sparkSession.conf
+        .getOption("graft.rank.broadcastVals").flatMap(_.toLongOption)
+      val byteBar = fact.sparkSession.conf
+        .getOption("graft.rank.broadcastBytes").flatMap(_.toLongOption)
+        .getOrElse(64L << 20)
+      val rowBytes = math.max(1L,
+        vals.schema.fields.map(_.dataType.defaultSize.toLong).sum)
+      val fits = shrinkProbe.exists { case (d, _) =>
+        rowBar match {
+          case Some(b) => d <= b
+          case None => (d * 104L) / 100L * rowBytes <= byteBar
+        }
+      }
+      val rhs = if (fits) broadcast(vals) else vals.hint("shuffle_hash")
       // null-safe map-back: a null key or value groups as its own peer
       // set and must rejoin its own rank row
       val cond = gk.map(c => col(c) <=> col(s"__qk_$c")).reduce(_ && _)
@@ -1060,21 +1077,29 @@ object Relational {
    * overflow int64 at fact scale, and IEEE multiplication of exact-int
    * doubles is engine-identical).
    *
-   * Scale: the distinct (basket, item) frame is computed ONCE and
-   * PERSISTED (the q151 multi-branch rule — it feeds the pair
-   * self-join, the item-support rollup, and the basket count; without
-   * the persist each branch replays the scan + distinct); item
-   * supports join back onto the (pruned) pair frame keyed by item —
-   * the popular-item skew is the q118 AQE shape; N rides as a
-   * broadcast one-row frame. The cache dies with the session; callers
-   * needing eager release go through `spark.catalog.clearCache()`.
+   * Scale: the distinct (basket, item) frame feeds the pair
+   * self-join, the item-support rollup, and the basket count — all
+   * FOUR consumers share ONE shuffle through exchange reuse (the
+   * distinct's canonicalized exchange is identical under each branch,
+   * so only its final-aggregate pass replays per consumer — cheap
+   * local shuffle reads), so it is NOT persisted: the cache write of
+   * the corpus-sized frame bought nothing the exchange didn't already
+   * dedupe (the q223 revert rule). Item supports join back onto the
+   * pruned pair frame ONCE (keyed by each end), and both directed
+   * rules fan out IN-ROW from the joined pair (an explode over a
+   * 2-struct array) — the earlier union-then-join shape pushed 2× the
+   * pair rows through 2× the support joins. Dropping the persist plus
+   * the single-pass support joins together measured sf10 109.2 →
+   * 42.7 s (3-rep floors; [[copurchasePairs]] alone — the shared
+   * upstream — floors at ~34 s, so the rules stage now costs ~9 s,
+   * down from ~75). The popular-item skew on those joins is the q118
+   * AQE shape; N rides as a broadcast one-row frame.
    */
   def assocRules(
       df: DataFrame, basket: String, item: String,
       minSupport: Long = 2L): DataFrame = {
     val items = df.filter(col(basket).isNotNull && col(item).isNotNull)
       .select(col(basket).as("__gb"), col(item).as("__gi")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = items.select(col("__gb"), col("__gi").as("item_a"))
       .join(items.select(col("__gb"), col("__gi").as("item_b")), Seq("__gb"))
       .filter(col("item_a") < col("item_b"))
@@ -1082,19 +1107,22 @@ object Relational {
       .filter(col("support") >= minSupport)
     val itemSupp = items.groupBy(col("__gi")).agg(count(lit(1)).as("__gs"))
     val baskets = items.select(col("__gb")).distinct().agg(count(lit(1)).as("__gn"))
-    val rules = pairs
-      .select(col("item_a").as("antecedent"), col("item_b").as("consequent"), col("support"))
-      .unionByName(pairs.select(col("item_b").as("antecedent"),
-        col("item_a").as("consequent"), col("support")))
     val sD = col("support").cast("double")
-    rules
-      .join(itemSupp.select(col("__gi").as("antecedent"), col("__gs").as("__gsa")), "antecedent")
-      .join(itemSupp.select(col("__gi").as("consequent"), col("__gs").as("__gsc")), "consequent")
+    pairs
+      .join(itemSupp.select(col("__gi").as("item_a"), col("__gs").as("__gsa")), "item_a")
+      .join(itemSupp.select(col("__gi").as("item_b"), col("__gs").as("__gsb")), "item_b")
       .crossJoin(broadcast(baskets))
-      .select(col("antecedent"), col("consequent"), col("support"),
-        (sD / col("__gsa").cast("double")).as("confidence"),
+      .select(explode(array(
+        struct(col("item_a").as("antecedent"), col("item_b").as("consequent"),
+          col("__gsa").as("__gsx"), col("__gsb").as("__gsy")),
+        struct(col("item_b").as("antecedent"), col("item_a").as("consequent"),
+          col("__gsb").as("__gsx"), col("__gsa").as("__gsy")))).as("__gr"),
+        col("support"), col("__gn"))
+      .select(col("__gr.antecedent").as("antecedent"),
+        col("__gr.consequent").as("consequent"), col("support"),
+        (sD / col("__gr.__gsx").cast("double")).as("confidence"),
         (sD * col("__gn").cast("double") /
-          (col("__gsa").cast("double") * col("__gsc").cast("double"))).as("lift"))
+          (col("__gr.__gsx").cast("double") * col("__gr.__gsy").cast("double"))).as("lift"))
   }
 
   /**

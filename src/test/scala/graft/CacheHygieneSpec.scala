@@ -75,7 +75,9 @@ class CacheHygieneSpec extends SparkSpec {
       "q187_threshold_sweep" -> 2, // ordered-token frame + swept pair frame
       "q213_js_divergence" -> 1,
       "q215_macro_f1" -> 1,
-      "q216_assoc_rules" -> 1,
+      // q216_assoc_rules: 0 since round 13 — the distinct (basket,
+      // item) frame's four consumers share its exchange (reuse), so
+      // the persist was dropped
       "q219_good_turing" -> 1,
       "q223_minhash_estimate" -> 1,
       "q232_naive_bayes" -> 1, // unhinted vocabulary frame

@@ -531,6 +531,41 @@ class CurationSpec extends SparkSpec {
     assert(out(1L)._2 == "A" && out(3L)._2 == "B")
   }
 
+  test("naiveBayesSource dense-grid and sparse scoring paths agree; the cell gate routes") {
+    // the dense path precomputes coalesce(seen, miss) into a broadcast
+    // (class, token) grid; the sparse path left-joins seenTerms over
+    // the class-crossed frame. Same decimal terms, same sums — the
+    // outputs must be IDENTICAL, and graft.nb.gridCells=0 must force
+    // the sparse plan (no broadcast hint on a __gcell-bearing frame)
+    val docs = Seq(
+      (1L, "A", "x x y"), (2L, "A", "x y"),
+      (3L, "B", "z w"), (4L, "B", "z z y w"),
+      (5L, "C", "y w x"),
+    ).toDF("doc_id", "source", "text")
+    def run() = Curation.naiveBayesSource(docs, "doc_id", "source", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getBoolean(3))).toSet
+    def gridHinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+          if h.child.output.exists(_.name == "__gcell") => h
+      }.nonEmpty
+    try {
+      val dense = run()
+      assert(gridHinted(dense), "tiny corpus should take the broadcast-grid path")
+      val denseRows = rows(dense)
+      spark.conf.set("graft.nb.gridCells", "0")
+      val sparse = run()
+      assert(!gridHinted(sparse), "gridCells=0 must force the sparse path")
+      assert(rows(sparse) == denseRows)
+      assert(denseRows.size == 5)
+    } finally {
+      spark.conf.unset("graft.nb.gridCells")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("bm25TopK ranks term-dense short docs first and skips docs without the query terms") {
     val docs = Seq(
       (1L, "a a b"),        // no 'c': never scored

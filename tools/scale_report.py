@@ -52,9 +52,16 @@ shared_rows, covered = {}, set()
 for g in sorted(set(ss) & set(sl)):
     if ss[g] < 0 or sl[g] < 0:
         continue
-    members = [prefix_of[p] for p in g.split("+") if p in prefix_of]
-    if not members:
+    # all-members rule (mirrors Bench's subset folding): a group folds
+    # only when EVERY member resolves in `common` — a partially-covered
+    # group would book the shared pass's full cost against a solo total
+    # that's missing the absent members, skewing the effective ratio
+    if not all(p in prefix_of for p in g.split("+")):
+        missing = [p for p in g.split("+") if p not in prefix_of]
+        print(f"[scale] skipping shared group {g}: members {missing} "
+              f"absent from one or both artifacts")
         continue
+    members = [prefix_of[p] for p in g.split("+")]
     shared_rows[g] = {
         "small_sec": round(ss[g], 3),
         "large_sec": round(sl[g], 3),

@@ -883,7 +883,13 @@ object Curation {
   def goodTuring(
       docs: DataFrame, units: Column, maxR: Long = 10L): DataFrame = {
     require(maxR >= 1, "goodTuring needs maxR >= 1")
-    val freqs = docs
+    // spread the RAW doc rows (keyed on the whole row — `units` is an
+    // opaque expression, so there is no id to key on) BEFORE evaluating
+    // the unit expression: unit construction is itself the heavy part,
+    // and projecting it map-side would serialize it back into the
+    // unsplittable scan's one task ([[graft.operators.Par.spread]])
+    val freqs = graft.operators.Par.spread(
+      docs, struct(docs.columns.map(col): _*), 5000)
       .select(explode(units).as("__gw"))
       .filter(col("__gw") =!= "")
       .groupBy(col("__gw")).agg(count(lit(1)).as("__gf"))
@@ -932,8 +938,14 @@ object Curation {
       minFrac: Double): DataFrame = {
     require(minFrac > 0 && minFrac <= 1, "templatePhrases needs minFrac in (0,1]")
     val n = docs.agg(count(lit(1)).as("__gn"))
-    val df = docs.select(col(id).as("__gdid"),
-      explode(TextFns.wordShingles(split(col(textCol), " "), k)).as("shingle"))
+    // spread before the shingle explode ([[graft.operators.Par.spread]]
+    // — the unsplittable bench-scale scan otherwise serializes the
+    // shingling + partial count into one task)
+    val df = graft.operators.Par.spread(
+      docs.select(col(id).as("__gdid"), col(textCol).as("__gtxt")),
+      col("__gdid"), 5000)
+      .select(col("__gdid"),
+        explode(TextFns.wordShingles(split(col("__gtxt"), " "), k)).as("shingle"))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     df.crossJoin(broadcast(n))
       .withColumn("df_frac", col("df").cast("double") / col("__gn").cast("double"))

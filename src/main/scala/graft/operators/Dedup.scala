@@ -946,7 +946,18 @@ object Dedup {
   def editDistancePairs(
       df: DataFrame, idCol: String, textCol: String, blockKey: Column,
       maxDist: Int, maxBlockSize: Int = 1000): DataFrame = {
-    val base = df.select(col(idCol), col(textCol), blockKey.as("__gblk"))
+    // EXPLICIT block-key partitioning ([[Par.spread]]): the in-block
+    // pair compare is compute-heavy (a bounded-DP levenshtein per
+    // surviving pair) but byte-light, so AQE coalesces the self-join's
+    // reduce stage by BYTES down to 1-2 tasks and the whole compare
+    // serializes (profiled at sf0.1: one 2-task job was q84's entire
+    // cost). The spread is free of extra exchanges: the block-count
+    // window and both same-key self-joins below reuse the same
+    // hashpartitioning. ~20k input rows per task (pair volume grows
+    // with block size, so err wide).
+    val base = Par.spread(
+      df.select(col(idCol), col(textCol), blockKey.as("__gblk")),
+      col("__gblk"), 20000)
       .withColumn("__gbn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("__gblk")))
     // cheap length gate first (|len diff| is a Levenshtein lower
@@ -1198,9 +1209,13 @@ object Dedup {
   def shingleNovelty(
       docs: DataFrame, id: String, textCol: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val shingles = docs.select(
-      col(id).as("__mid"),
-      explode(TextFns.wordShingles(split(col(textCol), " "), k)).as("__ms"))
+    // spread before the shingle explode — the unsplittable document
+    // scan otherwise serializes the shingling stage ([[Par.spread]])
+    val shingles = Par.spread(
+      docs.select(col(id).as("__mid"), col(textCol).as("__mtxt")),
+      col("__mid"), 5000)
+      .select(col("__mid"),
+        explode(TextFns.wordShingles(split(col("__mtxt"), " "), k)).as("__ms"))
     val firstSeen = shingles.withColumn("__mfirst",
       min(col("__mid")).over(Window.partitionBy(col("__ms"))))
     firstSeen
@@ -1243,9 +1258,15 @@ object Dedup {
   def minHashMd5Signatures(
       docs: DataFrame, id: String, textCol: String,
       numHashes: Int, shingleK: Int): DataFrame = {
-    val shingles = docs.select(
-      col(id).as("__mid"),
-      explode(TextFns.wordShingles(split(col(textCol), " "), shingleK)).as("__ms"))
+    // spread before the shingle explode: the per-shingle work
+    // (numHashes md5s each) otherwise runs inside the unsplittable
+    // document scan's 1-task stage ([[Par.spread]]; profiled 2.3 s of
+    // q212's 2.9 s at sf0.1); min aggregation is placement-free
+    val shingles = Par.spread(
+      docs.select(col(id).as("__mid"), col(textCol).as("__mtxt")),
+      col("__mid"), 1000)
+      .select(col("__mid"),
+        explode(TextFns.wordShingles(split(col("__mtxt"), " "), shingleK)).as("__ms"))
     val mins = (0 until numHashes).map { j =>
       min(conv(substring(md5(concat_ws(":", lit(j), col("__ms"))), 1, 15), 16, 10)
         .cast("long")).as(s"__mh$j")

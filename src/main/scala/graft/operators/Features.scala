@@ -1242,9 +1242,21 @@ object Features {
     require(features.nonEmpty && iters >= 1,
       "logisticGd needs at least one feature and iters >= 1")
     val k = features.size
-    val data = df.select(
+    val sel = df.select(
       features.zipWithIndex.map { case ((_, c), i) => c.as(s"__gx${i + 1}") } :+
         label.cast("double").as("__gy"): _*)
+    // spread the cached pass frame across the cores: a small input scan
+    // yields a handful of splits (3 at bench scale) and the persist
+    // freezes that layout, so EVERY per-iteration gradient pass ran on
+    // 3 of 32 cores (profiled: 3 × ~1.8 s jobs with 3 tasks). Round-
+    // robin is safe here — the scan input is deterministic and
+    // sort-before-repartition reproduces placement under retries — and
+    // the decimal gradient sums are order-free, so placement cannot
+    // change the result. Clamped to the [cores, 16× cores] envelope;
+    // an already-wider frame keeps its width.
+    val cores = sel.sparkSession.sparkContext.defaultParallelism
+    val parts = math.min(math.max(cores, sel.rdd.getNumPartitions), cores * 16)
+    val data = sel.repartition(parts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var wdf = data.sparkSession.range(1)
       .select((0 to k).map(j => lit(0.0).as(s"__gw$j")): _*)

@@ -709,13 +709,24 @@ object Similarity {
    * any engine. Zero-variance input → NULL loadings by the norm
    * guard, never ±Inf.
    *
-   * Scale: the centered frame (n·d rows) is PERSISTED — it feeds both
-   * sides of the covariance self-join (q151 rule; AQE may broadcast
-   * one side, dropping exchange reuse). The covariance build is the
-   * only data-sized stage (n·d² product rows, map-side-combined to
-   * d²); iterations then run on the d²-row frame, also persisted, with
-   * \|d\|-row vector frames — driver holds only the bounded dimension
-   * count (the agg-to-literal convention).
+   * Scale: the per-position means are collected as DIMENSION-BOUNDED
+   * literals (the k-means-centroid agg-to-literal convention), so
+   * centering is a per-row projection — no broadcast join, no centered
+   * cache. Each vector row then generates its OWN upper-triangle term
+   * rows (posexplode × posexplode-of-slice), so the n·d²/2 decimal
+   * products are built MAP-SIDE and partially aggregated before the
+   * only data-sized exchange (≤ parts·d² partial rows). The previous
+   * self-join shape shuffled the n·d centered frame and re-ran the
+   * full term aggregation once per union branch — and at small scale
+   * AQE coalesced that reduce stage to ONE task (bytes are tiny, the
+   * generated-term compute is not), serializing ~n·d²/2 decimal-string
+   * casts onto a single core twice (profiled: 2 × 6-8 s of a 10 s
+   * query at sf0.1). The explicit `repartition(parts, id)` keys the
+   * term stage deterministically (never round-robin — SPARK-38388) and
+   * is AQE-coalesce-proof; `parts` scales with the estimated term
+   * count (~1M terms per task), clamped to [cores, 16× cores].
+   * Iterations run on the persisted d²-row cov frame with d-row vector
+   * frames — driver holds only the bounded dimension count.
    *
    * `trainSampleSize > 0` is the AT-SCALE DEFAULT: loadings are
    * trained on a bounded deterministic sample (hash-ordered top-n,
@@ -746,48 +757,79 @@ object Similarity {
       c.cast("float").cast("double").cast("string").cast("decimal(28,18)")
     def toD(c: Column) = c.cast("string").cast("double")
     // global per-position means — [[meanEmbedding]]'s exact-decimal
-    // recipe without a group key
-    val means = train.select(posexplode(col(vecCol)).as(Seq("pos", "__gmv")))
+    // recipe without a group key — COLLECTED: d (pos, mean) doubles is
+    // the bounded agg-to-literal class (the k-means-centroid
+    // precedent), and literal means turn centering into a per-row
+    // projection instead of a broadcast join. The per-pos row count
+    // rides along to size the term-stage parallelism without an extra
+    // pass.
+    val meansRows = train
+      .select(posexplode(col(vecCol)).as(Seq("pos", "__gmv")))
       .groupBy(col("pos"))
       .agg((sum(col("__gmv").cast("string").cast("decimal(28,18)")).cast("double") /
-        count(lit(1))).as("mean"))
-    val x = train.select(col(id).as("__gvid"),
-      posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "__gv")))
-    val centered = x.join(broadcast(means), "pos")
-      .select(col("__gvid"), col("pos"),
-        (col("__gv") - col("mean")).as("__gc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the covariance is symmetric: aggregate only the upper triangle
-    // (i ≤ j — halves the decimal-summed term volume, the expensive
-    // part) and mirror the strict half afterwards; the mirrored value
-    // is the SAME aggregated double, so the full grid is bit-identical
-    // to aggregating both orders
-    val covUpper = centered
-      .select(col("__gvid"), col("pos").as("__gi"), col("__gc").as("__gci"))
-      .join(centered.select(col("__gvid"), col("pos").as("__gj"), col("__gc").as("__gcj")),
-        Seq("__gvid"))
-      .filter(col("__gi") <= col("__gj"))
+        count(lit(1))).as("mean"), count(lit(1)).as("__gnp"))
+      .orderBy(col("pos")).collect()
+    // posexplode positions are 0-based and dense per row, so the global
+    // set is 0..d-1 — element_at(meanArr, pos+1) below relies on it
+    require(meansRows.zipWithIndex.forall { case (r, i) => r.getInt(0) == i },
+      "pcaPower: non-dense position set")
+    val meanArr =
+      if (meansRows.isEmpty) lit(null).cast("array<double>")
+      else array(meansRows.map(r => lit(r.getDouble(1))): _*)
+    val dDims = meansRows.length.toLong
+    val nVecs = if (meansRows.isEmpty) 0L else meansRows.map(_.getLong(2)).max
+    // term-stage parallelism: ~1M generated terms per task, clamped to
+    // [cores, 16x cores] (the initialPartitions envelope). The explicit
+    // keyed repartition is deliberate: the n-row vector frame is tiny
+    // in BYTES (one small parquet split at bench scale, one AQE-
+    // coalesced partition post-shuffle) but each row explodes into
+    // d²/2 decimal-string terms — sized by bytes the whole covariance
+    // build serializes onto one core.
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val parts = math.min(math.max(cores.toLong,
+      nVecs * dDims * dDims / 2 / 1000000L), cores * 16L).toInt
+    // the covariance is symmetric: each row generates only its upper
+    // triangle (i ≤ j — halves the decimal-summed term volume, the
+    // expensive part) map-side, partial-aggregated before the only
+    // exchange; the strict half is mirrored afterwards — the mirrored
+    // value is the SAME aggregated double, so the full grid is
+    // bit-identical to aggregating both orders
+    val carr = train
+      .select(col(id).as("__gvid"), col(vecCol).cast("array<double>").as("__gvec"))
+      .repartition(parts, col("__gvid"))
+      .select(transform(col("__gvec"),
+        (v, i) => v - element_at(meanArr, i + lit(1))).as("__gc"))
+    val covUpper = carr
+      .select(col("__gc"), posexplode(col("__gc")).as(Seq("__gi", "__gci")))
+      // j = i..d-1 via a 1-based slice starting at element i (index
+      // i+1), length len-i; the slice position p is 0-based so
+      // j = i + p — the diagonal rides at p = 0
+      .select(col("__gi"), col("__gci"),
+        posexplode(slice(col("__gc"), col("__gi") + lit(1),
+          size(col("__gc")) - col("__gi"))).as(Seq("__gp", "__gcj")))
+      .select(col("__gi"), (col("__gi") + col("__gp")).as("__gj"),
+        absorb(col("__gci") * col("__gcj")).as("__gt"))
       .groupBy(col("__gi"), col("__gj"))
-      .agg((toD(sum(absorb(col("__gci") * col("__gcj")))) /
+      .agg((toD(sum(col("__gt"))) /
         count(lit(1)).cast("double")).as("__gcov"))
-    // NOTE: no persist on covUpper — the union's two branches share the
-    // aggregation exchange, so ReuseExchange computes the expensive
-    // upper-triangle build once (measured: persisting it here is
-    // timing-neutral and just adds a cache block)
-    val cov = covUpper.unionByName(
-      covUpper.filter(col("__gi") < col("__gj"))
+    // covUpper is PERSISTED (d² rows — trivial): the union's two
+    // branches each demand it, and AQE does NOT reuse the aggregation
+    // exchange across the union here (profiled: the second branch
+    // re-ran the whole term stage, doubling the expensive part) — the
+    // tiny cache guarantees one execution
+    val covUpperC = covUpper
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cov = covUpperC.unionByName(
+      covUpperC.filter(col("__gi") < col("__gj"))
         .select(col("__gj").as("__gi"), col("__gi").as("__gj"), col("__gcov")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // positions and the dimension count come off the PERSISTED cov
-    // frame, so the means/centered lineage replays exactly once
+    // frame, so the term-generation lineage replays exactly once
     val posFrame = cov.select(col("__gi").as("pos")).distinct()
     val d = posFrame.count()
-    // the count above materialized cov; the n·d centered frame — the
-    // largest cache block this operator holds — is no longer needed
-    // (iterations run on the d²-row cov). Eager unpersist caps the
-    // session cache footprint; an evicted cov partition would rebuild
-    // from the raw lineage, slower but correct.
-    centered.unpersist()
+    // cov (the mirrored grid) is what iterations read; the half-grid
+    // cache is dead once cov materialized above
+    covUpperC.unpersist()
     var v = posFrame.select(col("pos"),
       (lit(1.0) / sqrt(lit(d.toDouble))).as("__gval"))
     var lastNorm: DataFrame = null
@@ -902,8 +944,14 @@ object Similarity {
     require(k >= 2 && iters >= 1, "kmeansLloyd needs k >= 2 and iters >= 1")
     def absorb(c: Column) =
       c.cast("float").cast("double").cast("string").cast("decimal(28,18)")
-    val x = df.select(col(id).as("__gvid"),
-      posexplode(col(vecCol)).as(Seq("pos", "__gvf")))
+    // spread before the explode + persist: the cached frame freezes the
+    // scan's layout (1 partition at bench scale), and EVERY assignment
+    // join and centroid rebuild would inherit that single task
+    // ([[graft.operators.Par.spread]])
+    val x = graft.operators.Par.spread(
+      df.select(col(id).as("__gvid"), col(vecCol).as("__gvv")),
+      col("__gvid"), 2000)
+      .select(col("__gvid"), posexplode(col("__gvv")).as(Seq("pos", "__gvf")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seeds: vectors of the k smallest ids, cluster ids by that order
     val seedIds = df.select(col(id).as("__gsid")).orderBy(col("__gsid")).limit(k)
@@ -1029,8 +1077,13 @@ object Similarity {
     def d(c: String) = col(c).cast("string").cast("double")
     val cent = meanEmbedding(df, labelCol, vecCol)
       .select(col(labelCol).as("__gcl"), col("pos"), col("mean").as("__gc"))
-    val vecs = df.select(col(id),
-      posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "__gv")))
+    // spread before the explode: the dot fan-out (n·d·|classes| decimal
+    // terms) otherwise runs map-side inside the unsplittable scan's
+    // 1-task stage ([[graft.operators.Par.spread]])
+    val vecs = graft.operators.Par.spread(
+      df.select(col(id), col(vecCol).cast("array<double>").as("__gvv")),
+      col(id), 2000)
+      .select(col(id), posexplode(col("__gvv")).as(Seq("pos", "__gv")))
     // two column-pruned passes over the source (the centroidCosine
     // convention: re-projected, never a recomputed intermediate)
     val vnorm = vecs.groupBy(col(id))

@@ -26,6 +26,13 @@ object Profile {
     final class J(val id: Int, val desc: String, val start: Long,
                   val stages: Int, val tasks: Int) { var end: Long = 0L }
     val jobs = mutable.LinkedHashMap[Int, J]()
+    // per-stage record: the job view hides WHICH stage of a multi-stage
+    // job is slow and what it computes — the stage name carries the
+    // top RDD's callsite
+    final class S(val id: Int, val name: String, val tasks: Int,
+                  val sec: Double, val job: Int)
+    val stages = mutable.ArrayBuffer[S]()
+    val stageJob = mutable.HashMap[Int, Int]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val site = Option(e.properties)
@@ -33,9 +40,20 @@ object Profile {
         val j = new J(e.jobId, site, e.time,
           e.stageInfos.size, e.stageInfos.map(_.numTasks).sum)
         jobs.synchronized { jobs(e.jobId) = j }
+        stageJob.synchronized {
+          e.stageInfos.foreach(si => stageJob(si.stageId) = e.jobId) }
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         jobs.synchronized { jobs.get(e.jobId).foreach(_.end = e.time) }
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val sec = (for {a <- si.completionTime; b <- si.submissionTime}
+          yield (a - b) / 1000.0).getOrElse(-1.0)
+        stages.synchronized {
+          stages += new S(si.stageId, si.name, si.numTasks, sec,
+            stageJob.synchronized(stageJob.getOrElse(si.stageId, -1)))
+        }
+      }
     })
 
     def run(): Unit =
@@ -47,6 +65,7 @@ object Profile {
 
     (1 to reps).foreach { i =>
       jobs.synchronized(jobs.clear())
+      stages.synchronized(stages.clear())
       val t0 = System.nanoTime()
       run()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -59,6 +78,11 @@ object Profile {
       js.foreach { j =>
         println(f"[profile]   job ${j.id}%3d ${(j.end - j.start) / 1000.0}%8.3f s " +
           f"stages=${j.stages}%2d tasks=${j.tasks}%5d  ${j.desc.take(100)}")
+      }
+      // slowest stages with their callsite names — where the seconds go
+      stages.synchronized(stages.sortBy(-_.sec).take(12)).foreach { s =>
+        println(f"[profile]   stage ${s.id}%4d ${s.sec}%8.3f s " +
+          f"tasks=${s.tasks}%5d job=${s.job}%3d  ${s.name.take(110)}")
       }
     }
     spark.stop()

@@ -1089,15 +1089,32 @@ object Curation {
     // score aggregation and the argmax window — so the class-fanned
     // scoring frame never needs an exchange of its own on the dense
     // path. The groupBy below runs exchange-free on top of it (id ⊆
-    // (id, true, tok) clustering).
-    val docTok = docs.select(col(id), col(classCol).as("__gtrue"),
-        explode(split(col(textCol), " ")).as("__gtok"))
-      .repartition(col(id))
+    // (id, true, tok) clustering). The exchange sits BEFORE the
+    // tokenize explode, sized by [[Par.widthFor]]: with it after, the
+    // split+explode ran map-side inside the unsplittable scan's 1-2
+    // tasks (the Par.spread pathology — profiled as four ~2 s 2-task
+    // jobs at sf0.1), and the exchange itself moves raw doc rows, not
+    // the exploded token fan-out (guide §2.3: shuffle fewer bytes).
+    val docBase = docs.select(col(id), col(classCol).as("__gtrue"),
+      col(textCol).as("__gtxt"))
+    val docTok = docBase
+      .repartition(graft.operators.Par.widthFor(docBase, 2000), col(id))
+      .select(col(id), col("__gtrue"),
+        explode(split(col("__gtxt"), " ")).as("__gtok"))
       .groupBy(col(id), col("__gtrue"), col("__gtok"))
       .agg(count(lit(1)).as("__gk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // counts is PERSISTED (vocabulary × classes — bounded far below the
+    // corpus): it feeds classTotals, vocab, seenTerms, the grid build
+    // and the grid probe, and each of those runs inside its OWN
+    // broadcast-exchange future where AQE's shuffle-stage reuse does
+    // not fire — unpersisted, every one of them re-ran the corpus-wide
+    // (class, token) aggregation over the docTok cache (profiled at
+    // sf0.1: four concurrent 32-task ~2 s map stages + seven 1-task
+    // reduce stages for ONE logical aggregation).
     val counts = docTok.groupBy(col("__gtrue").as("__gcls"), col("__gtok"))
       .agg(sum(col("__gk")).as("__gc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val classTotals = counts.groupBy(col("__gcls")).agg(sum(col("__gc")).as("__gT"))
     val vocab = counts.select(col("__gtok")).distinct().agg(count(lit(1)).as("__gV"))
     val docsPerClass = docs.groupBy(col(classCol).as("__gcls"))
@@ -1121,9 +1138,12 @@ object Curation {
       absorb(log(lit(1L).cast("double") /
         (col("__gT") + col("__gV")).cast("double"))).as("__gmiss"))
     // bounded probe (the medians/centroids agg-to-literal convention):
-    // vocab × class cardinalities decide the scoring path
-    val gridProbe = docTok.agg(
-      count_distinct(col("__gtok")), count_distinct(col("__gtrue"))).head()
+    // vocab × class cardinalities decide the scoring path. Probed over
+    // the counts CACHE — (class, token) grouping preserves both
+    // distinct sets, and the probe is what materializes the cache
+    // before the concurrent broadcast subtrees read it.
+    val gridProbe = counts.agg(
+      count_distinct(col("__gtok")), count_distinct(col("__gcls"))).head()
     val gridCells = gridProbe.getLong(0) * gridProbe.getLong(1)
     val gridBar = docs.sparkSession.conf.getOption("graft.nb.gridCells")
       .flatMap(_.toLongOption).getOrElse(1000000L)

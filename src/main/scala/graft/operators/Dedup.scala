@@ -1047,40 +1047,67 @@ object Dedup {
    * part.
    *
    * Scale shape: one left join of records to labels (both keyed by id),
-   * then per column one (cluster, value) count aggregation + a rank
-   * window over the AGGREGATED frame and a post-aggregation join back
-   * on cluster — everything after the first join is |clusters|-sized.
-   * The joined frame feeds the base aggregate plus one mode-election
-   * branch PER value column, so it is persisted (the q151/cacheSets
-   * multi-branch rule): with a broadcastable labels side there is no
-   * exchange to reuse, and an unpersisted frame would re-scan `records`
-   * once per survivorship column. Null values never win an election (a
-   * column's mode is over its non-null members; an all-null column
-   * yields NULL).
+   * then per column one (cluster, value) count aggregation whose mode
+   * is elected by a second aggregation — `min(struct(−count, value))`
+   * orders exactly like the (count desc, value asc) rank the election
+   * wants, map-side combinable, no per-partition sort, no window. The
+   * elected columns re-attach to the base aggregate through ONE
+   * null-padded union + max-per-cluster aggregation (each branch emits
+   * ≤ 1 row per cluster, so the max over the union IS the left-join
+   * row) instead of one join per survivorship column; everything after
+   * the first join is \|clusters\|-sized. The joined frame feeds the
+   * base aggregate plus one mode-election branch PER value column, so
+   * it is persisted (the q151/cacheSets multi-branch rule): with a
+   * broadcastable labels side there is no exchange to reuse, and an
+   * unpersisted frame would re-scan `records` once per survivorship
+   * column. Null values never win an election (a column's mode is over
+   * its non-null members; an all-null column yields NULL).
    */
   def goldenRecord(
       records: DataFrame, labels: DataFrame, id: String,
       valueCols: Seq[String], labelId: String = "id"): DataFrame = {
     require(valueCols.nonEmpty, "goldenRecord needs value columns")
-    import org.apache.spark.sql.expressions.Window
     val labeled = records
       .join(labels.select(col(labelId).as("__gid"), col("cluster")),
         records(id) === col("__gid"), "left")
       .withColumn("cluster", coalesce(col("cluster"), col(id)))
       .drop("__gid")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val base = labeled.groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n_members"), min(col(id)).as("keeper_id"))
-    valueCols.foldLeft(base) { (acc, c) =>
-      val mode = labeled.filter(col(c).isNotNull)
-        .groupBy(col("cluster"), col(c)).agg(count(lit(1)).as("__gn"))
-        .withColumn("__gr", row_number().over(
-          Window.partitionBy(col("cluster"))
-            .orderBy(col("__gn").desc, col(c).asc)))
-        .filter(col("__gr") === 1)
-        .select(col("cluster"), col(c))
-      acc.join(mode, Seq("cluster"), "left")
+    // the union's column layout: (cluster, n_members, keeper_id,
+    // valueCols...) with typed nulls in every slot a branch doesn't fill
+    val types: Map[String, org.apache.spark.sql.types.DataType] =
+      records.schema.fields.map(f => f.name -> f.dataType).toMap
+    val idType = types(id)
+    def slot(name: String, filled: Option[Column]): Column = filled match {
+      case Some(c) => c.as(name)
+      case None =>
+        lit(null).cast(if (name == "n_members") "long"
+          else if (name == "keeper_id") idType.sql else types(name).sql).as(name)
     }
+    val outCols = Seq("n_members", "keeper_id") ++ valueCols
+    def branch(df: DataFrame, filled: Set[String]): DataFrame =
+      df.select(col("cluster") +:
+        outCols.map(n => slot(n, if (filled(n)) Some(col(n)) else None)): _*)
+    val base = branch(
+      labeled.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"), min(col(id)).as("keeper_id")),
+      Set("n_members", "keeper_id"))
+    val modes = valueCols.map { c =>
+      branch(
+        labeled.filter(col(c).isNotNull)
+          .groupBy(col("cluster"), col(c)).agg(count(lit(1)).as("__gn"))
+          // min(struct(−n, v)) == first row of (n desc, v asc): the
+          // deterministic modal election, as one combinable aggregate
+          .groupBy(col("cluster"))
+          .agg(min(struct((-col("__gn")).as("__gneg"), col(c).as("__gv")))
+            .as("__gm"))
+          .select(col("cluster"), col("__gm.__gv").as(c)),
+        Set(c))
+    }
+    modes.foldLeft(base)(_ unionByName _)
+      .groupBy(col("cluster"))
+      .agg(max(col(outCols.head)).as(outCols.head),
+        outCols.tail.map(n => max(col(n)).as(n)): _*)
   }
 
   /**

@@ -682,10 +682,22 @@ object Relational {
    * Scale: the normalized edge frame (src, dst, w, W) is built ONCE
    * and persisted — it feeds every iteration, and without the persist
    * the upstream (possibly fact-join-derived) plan would re-execute
-   * per iteration (the q151 lesson). Each iteration is one
-   * edges⋈ranks hash join (key-partitioned, exchange-reusable) + one
-   * map-side-combinable aggregation; the rank frame is \|nodes\|-sized.
-   * The caller unpersists nothing — the frame dies with the session;
+   * per iteration (the q151 lesson). The node set derives from the
+   * CACHED norm frame (an inner join of the edges with their own
+   * per-src aggregate carries exactly the edge rows), so the upstream
+   * is never replayed for it; \|V\| collects as one bounded
+   * agg-to-literal scalar (the k-means-centroid convention).
+   *
+   * The recurrence iterates on the SPARSE per-target sums frame, not a
+   * dense rank vector: rank(u) = (1−d)/N + d·coalesce(sums(u), 0) is
+   * inlined into the next iteration's contribution expression, so each
+   * iteration is ONE norm ⋈ sums left join + one map-side-combinable
+   * aggregation — the dense-rank shape paid a third exchange per
+   * iteration re-attaching the \|V\|-sized base frame (profiled at
+   * sf0.1 as pure per-job overhead: 44 jobs none above 0.45 s). The
+   * inlined expression is the bit-identical tree the dense rank column
+   * held, so every iterate — and the oracle hash — is unchanged.
+   * The caller unpersists nothing — the frames die with the session;
    * at 100 TB pass a pre-aggregated edge table.
    */
   def pageRank(
@@ -696,30 +708,37 @@ object Relational {
     val outW = edges.groupBy(col(src)).agg(sum(col(weight)).as("__gW"))
     val norm = edges.select(col(src), col(dst), col(weight))
       .join(outW, src).persist()
-    val nodes = edges.select(col(src).as("node"))
-      .union(edges.select(col(dst).as("node"))).distinct()
-    val n = nodes.agg(count(lit(1)).as("__gN"))
-    // base feeds EVERY iteration's left join — persisted for the same
-    // reason as norm: it is derived from the (possibly fact-join-built)
-    // edge frame, and without the cache each iteration replays that
-    // whole upstream plan
-    val base = nodes.crossJoin(broadcast(n)).persist()
-    var ranks = base.select(col("node"), col("__gN"),
-      (lit(1.0d) / col("__gN").cast("double")).as("rank"))
+    val nodes = norm.select(col(src).as("node"))
+      .union(norm.select(col(dst).as("node"))).distinct().persist()
+    // |V| as a literal: one long off a counted cache scan — the same
+    // value the old dense path carried as a crossed-in __gN column
+    val gN = lit(nodes.count()).cast("double")
     val d = lit(damping)
+    // rank(u) given u's incoming-contribution sum (NULL = no in-links):
+    // the exact expression the dense path materialized per node
+    def rankOf(sumCol: Column): Column =
+      (lit(1.0d) - d) / gN +
+        d * coalesce(sumCol.cast("string").cast("double"), lit(0.0d))
+    var sums: Option[DataFrame] = None
     (1 to iterations).foreach { _ =>
-      val contrib = norm.join(ranks, norm(src) === ranks("node"))
-        .select(norm(dst).as("__gdst"),
-          (col("rank") * col(weight).cast("double") / col("__gW").cast("double"))
-            .cast("string").cast("decimal(38,30)").as("__gc"))
-      val sums = contrib.groupBy(col("__gdst")).agg(sum(col("__gc")).as("__gs"))
-      ranks = base.join(sums, base("node") === sums("__gdst"), "left")
-        .select(col("node"), col("__gN"),
-          ((lit(1.0d) - d) / col("__gN").cast("double") +
-            d * coalesce(col("__gs").cast("string").cast("double"), lit(0.0d)))
-            .as("rank"))
+      val contrib = sums match {
+        case None => // uniform start: rank0 = 1/N for every node
+          norm.select(col(dst).as("__gdst"),
+            ((lit(1.0d) / gN) * col(weight).cast("double") /
+              col("__gW").cast("double"))
+              .cast("string").cast("decimal(38,30)").as("__gc"))
+        case Some(s0) =>
+          norm.join(s0.select(col("__gdst").as("__gsrc"), col("__gs")),
+              col(src) === col("__gsrc"), "left")
+            .select(col(dst).as("__gdst"),
+              (rankOf(col("__gs")) * col(weight).cast("double") /
+                col("__gW").cast("double"))
+                .cast("string").cast("decimal(38,30)").as("__gc"))
+      }
+      sums = Some(contrib.groupBy(col("__gdst")).agg(sum(col("__gc")).as("__gs")))
     }
-    ranks.select(col("node"), col("rank"))
+    nodes.join(sums.get, col("node") === col("__gdst"), "left")
+      .select(col("node"), rankOf(col("__gs")).as("rank"))
   }
 
   /**

@@ -80,7 +80,7 @@ class CacheHygieneSpec extends SparkSpec {
       // the persist was dropped
       "q219_good_turing" -> 1,
       "q223_minhash_estimate" -> 1,
-      "q232_naive_bayes" -> 1, // unhinted vocabulary frame
+      "q232_naive_bayes" -> 2, // doc-token frame + vocab-sized counts
       "q233_bm25" -> 2, // df + score support frames
       // iterative training: persisted base frames every iteration joins
       // (pagerank norm+base, label-prop edges+seeds) — referenced by the

@@ -70,19 +70,59 @@ object Sessions {
    * the duration of `body` — the driver mains (Verify/Bench/TimeOne)
    * are serial by construction.
    */
-  def withLoopPartitions[T](spark: SparkSession, rows: Long)(body: => T): T = {
+  def withLoopPartitions[T](spark: SparkSession, rows: Long)(body: => T): T =
+    withLoopPartitions(spark, rows, narrow = false)(body)
+
+  /** Static shuffle width for a NARROW loop (see below): one partition
+   *  per ~250k narrow loop rows, floored at 4 (a tiny loop frame needs
+   *  no more; the session default would pay ~cores tasks per exchange
+   *  per round), capped at 16× cores like every width rule here. */
+  def loopShufflePartitions(spark: SparkSession, rows: Long): Int =
+    math.min(math.max(4L, rows / 250000L),
+      spark.sparkContext.defaultParallelism * 16L).toInt
+
+  /**
+   * `narrow = true` additionally pins the loop's execution regime for
+   * SMALL iteration frames (the caller gates on its measured loop row
+   * count): adaptive execution OFF and a static shuffle width from
+   * [[loopShufflePartitions]]. Rationale (round-14 profiling): under
+   * AQE every exchange of every round materializes as its OWN job with
+   * a replanning pass — a connected-components round was ~8 jobs of
+   * 10-100 ms orchestration over frames of a few MB. With AQE off the
+   * whole round is ONE statically-planned job; the loop frames are
+   * orders of magnitude below the sizes where AQE's coalescing/skew
+   * machinery earns its planning cost. Callers must pair this with
+   * explicit join-strategy hints: checkpoint-scan stats are unknown to
+   * the static planner, which would otherwise pick sort-merge for
+   * every loop join. `SPARK_GRAFT_LOOP_NARROW_OFF` disables just the
+   * narrow regime for A/B runs.
+   */
+  def withLoopPartitions[T](spark: SparkSession, rows: Long, narrow: Boolean)(body: => T): T = {
     val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     val cores = spark.sparkContext.defaultParallelism
     val want = math.min(math.max(cores.toLong, rows / 1000000L), cores * 16L)
     // A/B escape hatch (like SPARK_GRAFT_INIT_PARTITIONS for the input
     // rule): run the loop under the caller's unmodified ceiling
     if (sys.env.contains("SPARK_GRAFT_LOOP_PARTS_OFF")) return body
+    val doNarrow = narrow && !sys.env.contains("SPARK_GRAFT_LOOP_NARROW_OFF")
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val spKey = "spark.sql.shuffle.partitions"
     val prev = spark.conf.getOption(key)
+    val prevAqe = spark.conf.getOption(aqeKey)
+    val prevSp = spark.conf.getOption(spKey)
     spark.conf.set(key, want.toString)
+    if (doNarrow) {
+      spark.conf.set(aqeKey, "false")
+      spark.conf.set(spKey, loopShufflePartitions(spark, rows).toString)
+    }
+    def restore(k: String, v: Option[String]): Unit = v match {
+      case Some(s) => spark.conf.set(k, s)
+      case None => spark.conf.unset(k)
+    }
     try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    finally {
+      restore(key, prev)
+      if (doNarrow) { restore(aqeKey, prevAqe); restore(spKey, prevSp) }
     }
   }
 

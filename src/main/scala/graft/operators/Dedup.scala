@@ -618,7 +618,7 @@ object Dedup {
     // ONE scan of `pairs`, exploded into both directions — a self-union
     // would be two plan branches, i.e. the (possibly expensive: a whole
     // LSH pipeline) pair generation evaluated twice
-    val edges = pairs
+    val edges0 = pairs
       .select(explode(array(
         struct(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst")),
         struct(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))).as("e"))
@@ -630,8 +630,9 @@ object Dedup {
     // The edge materialization (one exact count of the persisted frame)
     // happens FIRST, under the caller's input-sized AQE ceiling — the
     // pair-generation distinct is data-sized and must stay wide. The
-    // count then (a) gates contraction and (b) sizes the loop ceiling.
-    val edgeCount0: Long = edges.count()
+    // count then (a) gates contraction, (b) sizes the loop ceiling and
+    // (c) picks the loop execution regime below.
+    val edgeCount0: Long = edges0.count()
     // rolling checkpoints: each round's label frame supersedes the
     // previous one; the roller releases the dead generation instead of
     // letting maxIter generations of blocks pile up (CacheHygieneSpec)
@@ -642,11 +643,31 @@ object Dedup {
       val r = df.agg(sum(col("label").cast("decimal(38,0)"))).head()
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
-    var iter = 0
-    var curEdges = edges
     val contractMin: Long = spark.conf.getOption("graft.cc.contractMinEdges")
       .orElse(sys.env.get("SPARK_GRAFT_CC_CONTRACT_MIN_EDGES"))
       .flatMap(_.toLongOption).getOrElse(1000000L)
+    // NARROW-LOOP regime (round-14): below `graft.cc.loopAqeOffEdges`
+    // directed edges (default 32 M, env SPARK_GRAFT_CC_LOOP_AQE_OFF_EDGES)
+    // the loop runs with adaptive execution OFF at a static
+    // loop-row-sized shuffle width, every loop join carries an explicit
+    // SHUFFLE_HASH hint (checkpoint-scan stats are unknown to the
+    // static planner, which would otherwise sort-merge every round),
+    // and the edge frame is re-laid hash(src) at the loop width so the
+    // per-round propagate join reuses the cached layout with NO edge
+    // exchange. Measured at sf0.1 (min-of-3, same labels bit-for-bit):
+    // q62 3.1→1.7 s, q98 3.7→1.7 s — the per-round cost was ~8 AQE
+    // stage-materialization jobs of 10-100 ms orchestration each, not
+    // data. Above the bar everything keeps the round-13 AQE path
+    // (runtime skew handling matters once loop frames are cluster-
+    // sized); the bar is conf/env-overridable for A/B runs.
+    val aqeOffBar: Long = spark.conf.getOption("graft.cc.loopAqeOffEdges")
+      .orElse(sys.env.get("SPARK_GRAFT_CC_LOOP_AQE_OFF_EDGES"))
+      .flatMap(_.toLongOption).getOrElse(32000000L)
+    val smallLoop = edgeCount0 < aqeOffBar &&
+      !sys.env.contains("SPARK_GRAFT_LOOP_NARROW_OFF")
+    def hinted(df: DataFrame): DataFrame =
+      if (smallLoop) df.hint("shuffle_hash") else df
+    var iter = 0
     var edgeCount: Long = edgeCount0
     val edgeCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
     // edges roll in their OWN generation sequence, advanced only when a
@@ -680,15 +701,43 @@ object Dedup {
     // loop-sized ceiling — the round cost was partition count, not
     // rows; see Sessions.withLoopPartitions). The labels init and the
     // first fixpoint sum are loop-frame stages too, so they sit inside.
-    graft.Sessions.withLoopPartitions(pairs.sparkSession, math.max(1L, edgeCount0)) {
-    var labels = roller.roll(edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")))
+    graft.Sessions.withLoopPartitions(pairs.sparkSession,
+        math.max(1L, edgeCount0), narrow = smallLoop) {
+    var curEdges =
+      if (smallLoop) {
+        // loop-layout edges: one deterministic hash(src) relayout at
+        // the loop width — every round's propagate join then streams
+        // the cached layout with no per-round edge exchange
+        val relaid = edgeRoller.roll(edges0.repartition(
+          graft.Sessions.loopShufflePartitions(spark, edgeCount0), col("src")))
+        edgeRoller.advance()
+        edges0.unpersist()
+        relaid
+      } else edges0
+    // FUSED first round: propagating from the identity labeling needs
+    // no label frame at all — min(self, min(neighbors)) is ONE
+    // aggregation over the edge frame (the separate labels-init
+    // distinct, its checkpoint, its fixpoint sum, and the first
+    // edges⋈labels join of the unfused loop all collapse into it);
+    // the usual pointer-jump compress follows inside the same
+    // materialization. Convergence can only be DETECTED from round 2
+    // on (with any edge present, round 1 strictly lowers some label),
+    // so the first comparable sum is this round's.
+    val first = curEdges.groupBy(col("src"))
+      .agg(min(col("dst")).as("__gm"))
+      .select(col("src").as("id"), least(col("src"), col("__gm")).as("label"))
+    var labels = roller.roll {
+      val b = first.select(col("id").as("label"), col("label").as("__ll")).as("b")
+      first.as("a").join(hinted(b), Seq("label"))
+        .select(col("id"), col("__ll").as("label"))
+    }
     roller.advance()
+    iter = 1
     var prev = labelSum(labels)
-    var converged = prev.signum == 0 && labels.isEmpty
+    var converged = edgeCount0 == 0L
     while (!converged && iter < maxIter) {
       val viaNeighbors = curEdges
-        .join(labels.withColumnRenamed("id", "src"), "src")
+        .join(hinted(labels.withColumnRenamed("id", "src")), "src")
         .select(col("dst").as("id"), col("label").as("label"))
       // Fresh aliases on both union children: they share attribute ids
       // (viaNeighbors derives from labels), which trips Union's
@@ -710,10 +759,10 @@ object Dedup {
         val b = propagated.select(col("id").as("label"), col("label").as("__ll")).as("b")
         val joined =
           if (frozenParts.isEmpty)
-            propagated.as("a").join(b, Seq("label"))
+            propagated.as("a").join(hinted(b), Seq("label"))
               .select(col("id"), col("__ll").as("label"))
           else
-            propagated.as("a").join(b, Seq("label"), "left")
+            propagated.as("a").join(hinted(b), Seq("label"), "left")
               .select(col("id"), coalesce(col("__ll"), col("label")).as("label"))
         roller.roll(joined)
       }
@@ -729,15 +778,15 @@ object Dedup {
         // over the current (shrinking) edge frame; the rolled checkpoint
         // materializes it so the count below is a cached-partition scan.
         val contracted = edgeRoller.roll(curEdges
-          .join(compressed.select(col("id").as("src"), col("label").as("__ls")), "src")
-          .join(compressed.select(col("id").as("dst"), col("label").as("__ld")), "dst")
+          .join(hinted(compressed.select(col("id").as("src"), col("label").as("__ls"))), "src")
+          .join(hinted(compressed.select(col("id").as("dst"), col("label").as("__ld"))), "dst")
           .filter(col("__ls") =!= col("__ld"))
           .select(col("__ls").as("src"), col("__ld").as("dst"))
           .distinct())
         edgeRoller.advance()
         // the initial persisted edge frame dies at its first contraction;
         // later generations are checkpoints the edge roller releases
-        if (curEdges eq edges) edges.unpersist()
+        if (curEdges eq edges0) edges0.unpersist()
         curEdges = contracted
         edgeCount = contracted.count()
         edgeCounts += edgeCount
@@ -750,10 +799,10 @@ object Dedup {
         val activeIds = contracted.select(col("src").as("id"))
           .union(contracted.select(col("dst").as("id"))).distinct()
         val frz = frozenRoller.roll(
-          labels.join(activeIds, Seq("id"), "left_anti"))
+          labels.join(hinted(activeIds), Seq("id"), "left_anti"))
         frozenParts += frz
         frozenCounts += frz.count()
-        labels = roller.roll(labels.join(activeIds, Seq("id"), "left_semi"))
+        labels = roller.roll(labels.join(hinted(activeIds), Seq("id"), "left_semi"))
         roller.advance()
         // the label sum is now over a SHRUNK frame: rebaseline so the
         // next round's fixpoint compare is frame-consistent (a shrink
@@ -761,7 +810,13 @@ object Dedup {
         prev = labelSum(labels)
       }
     }
-    if (curEdges eq edges) edges.unpersist()
+    if (curEdges eq edges0) edges0.unpersist()
+    // the final edge checkpoint (small-loop relayout or last
+    // contraction) is dead once the loop converges — the label frames
+    // are materialized checkpoints; two advances release every
+    // generation the edge roller still holds (CacheHygieneSpec: live
+    // caches must be referenced by the returned plan)
+    edgeRoller.advance(); edgeRoller.advance()
     lastCcRounds = iter
     lastCcInitialEdges = edgeCount0
     lastCcEdgeCounts = edgeCounts.toSeq
@@ -802,7 +857,7 @@ object Dedup {
       var rIter = 0
       while (!done && rIter < maxIter) {
         val jumped = roller.roll(all.as("a")
-          .join(all.select(col("id").as("label"), col("label").as("__ll")).as("b"),
+          .join(hinted(all.select(col("id").as("label"), col("label").as("__ll")).as("b")),
             Seq("label"), "left")
           .select(col("id"), coalesce(col("__ll"), col("label")).as("label")))
         val cur2 = labelSum(jumped)

@@ -134,9 +134,15 @@ object Bench {
     // read BEFORE this run overwrites it; SPARK_GRAFT_BENCH_PREV
     // overrides the path. Queries with no baseline (renames, round 1)
     // simply keep their normal rep count.
+    // Artifacts are cpu-suffixed off the 32-core mainline: the driver's
+    // scaling leg (SPARK_GRAFT_CPUS=8) used to OVERWRITE both the
+    // durable per-round record and the tail-re-measure baseline with
+    // 8-core times (round-13 verdict item 2) — now each core count has
+    // its own baseline and its own durable file.
+    val cpuSuffix = if (cpus == "32") "" else s"_c$cpus"
     val prevTimes: Map[String, Double] = {
       val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
-        "bench/BENCH_DRIVER_LAST.json")
+        s"bench/BENCH_DRIVER_LAST$cpuSuffix.json")
       try {
         val s = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(p)), "UTF-8")
@@ -246,7 +252,7 @@ object Bench {
     // run would be worse than the truncated tail it replaces.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (only.isDefined) "target/bench_last.json"
-      else "bench/BENCH_DRIVER_LAST.json")
+      else s"bench/BENCH_DRIVER_LAST$cpuSuffix.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
@@ -271,7 +277,7 @@ object Bench {
             re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
         ns.maxOption.foreach { n =>
           java.nio.file.Files.write(
-            java.nio.file.Paths.get(s"bench/BENCH_DRIVER_r${n + 1}.json"),
+            java.nio.file.Paths.get(s"bench/BENCH_DRIVER_r${n + 1}$cpuSuffix.json"),
             (fileLine + "\n").getBytes("UTF-8"))
         }
       }

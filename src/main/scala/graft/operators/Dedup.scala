@@ -1122,9 +1122,23 @@ object Dedup {
       records: DataFrame, labels: DataFrame, id: String,
       valueCols: Seq[String], labelId: String = "id"): DataFrame = {
     require(valueCols.nonEmpty, "goldenRecord needs value columns")
+    // Broadcast the labels side while `records` is honestly small (the
+    // leaf-row estimate, not the join-inflated byte one): labels is
+    // record-bounded by the survivorship contract (one row per pair-
+    // graph vertex, vertices drawn from the record ids), so a small
+    // records frame means a broadcastable labels frame. This removes
+    // the sort-merge join's two exchanges AND keeps `labeled` on the
+    // records scan's (few-partition) layout — the persisted frame the
+    // base + per-column election branches re-read was previously laid
+    // out across a full shuffle width, so every branch paid a
+    // shuffle-width map stage over a tiny cache (round-14 profile:
+    // 0.5-1.2 s per branch of pure stage orchestration at sf0.1).
+    // Past the row bar the planner keeps its own (exchange) pick.
+    val labelsSel = labels.select(col(labelId).as("__gid"), col("cluster"))
+    val labelsSide =
+      if (!RangeRank.manyLeafRows(records)) broadcast(labelsSel) else labelsSel
     val labeled = records
-      .join(labels.select(col(labelId).as("__gid"), col("cluster")),
-        records(id) === col("__gid"), "left")
+      .join(labelsSide, records(id) === col("__gid"), "left")
       .withColumn("cluster", coalesce(col("cluster"), col(id)))
       .drop("__gid")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

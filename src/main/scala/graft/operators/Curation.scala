@@ -1115,20 +1115,44 @@ object Curation {
     val counts = docTok.groupBy(col("__gtrue").as("__gcls"), col("__gtok"))
       .agg(sum(col("__gk")).as("__gc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val classTotals = counts.groupBy(col("__gcls")).agg(sum(col("__gc")).as("__gT"))
-    val vocab = counts.select(col("__gtok")).distinct().agg(count(lit(1)).as("__gV"))
+    // bounded probe FIRST (the medians/centroids agg-to-literal
+    // convention): vocab × class cardinalities route the scoring path,
+    // size the cache reads below, and |vocab| becomes the __gV literal
+    // — the separate vocabulary-count subtree this replaces aggregated
+    // the SAME exact distinct count in its own broadcast future. The
+    // probe is also what materializes the counts cache before the
+    // concurrent subtrees read it.
+    val gridProbe = counts.agg(
+      count_distinct(col("__gtok")), count_distinct(col("__gcls"))).head()
+    val vocabCount = gridProbe.getLong(0)
+    val gridCells = vocabCount * gridProbe.getLong(1)
+    // probed-width cache reads: counts is |vocab × classes| rows spread
+    // across the full shuffle width by its aggregation (cached plans
+    // keep their partitioning — AQE does not re-coalesce them), so each
+    // of the ~7 concurrent broadcast subtrees paid a 32-task map stage
+    // over a few thousand rows (round-14 profile: 0.3-0.7 s per
+    // subtree of stage orchestration). One task per ~250k probed cells,
+    // clamped [1, 16× cores] — scale-adaptive, trivial at bench scale,
+    // full-width once the vocabulary actually grows.
+    val countsW = {
+      val cores = docs.sparkSession.sparkContext.defaultParallelism
+      counts.coalesce(
+        math.min(math.max(1L, gridCells / 250000L), cores * 16L).toInt)
+    }
+    val classTotals = countsW.groupBy(col("__gcls")).agg(sum(col("__gc")).as("__gT"))
     val docsPerClass = docs.groupBy(col(classCol).as("__gcls"))
       .agg(count(lit(1)).as("__gnc"))
     val nDocs = docs.agg(count(lit(1)).as("__gnd"))
     val classes = classTotals.join(broadcast(docsPerClass), "__gcls")
-      .crossJoin(broadcast(vocab)).crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("__gV", lit(vocabCount))
     // the ln((c+1)/(T_c+V)) term depends only on (class, token), so it
     // is PRECOMPUTED once on the vocabulary-sized frame (and once per
     // class for the unseen-token fallback, where c = 0) — paying the
     // log + decimal-absorb per OCCURRENCE would redo the same
     // |vocab|·|classes| values corpus-many times. The decimal terms
     // summed are identical, so the restructure is bit-identical.
-    val seenTerms = counts
+    val seenTerms = countsW
       .join(broadcast(classes.select(col("__gcls"), col("__gT"), col("__gV"))),
         "__gcls")
       .select(col("__gcls"), col("__gtok"),
@@ -1137,14 +1161,6 @@ object Curation {
     val fallback = classes.select(col("__gcls"),
       absorb(log(lit(1L).cast("double") /
         (col("__gT") + col("__gV")).cast("double"))).as("__gmiss"))
-    // bounded probe (the medians/centroids agg-to-literal convention):
-    // vocab × class cardinalities decide the scoring path. Probed over
-    // the counts CACHE — (class, token) grouping preserves both
-    // distinct sets, and the probe is what materializes the cache
-    // before the concurrent broadcast subtrees read it.
-    val gridProbe = counts.agg(
-      count_distinct(col("__gtok")), count_distinct(col("__gcls"))).head()
-    val gridCells = gridProbe.getLong(0) * gridProbe.getLong(1)
     val gridBar = docs.sparkSession.conf.getOption("graft.nb.gridCells")
       .flatMap(_.toLongOption).getOrElse(1000000L)
     val scored = (if (gridCells <= gridBar) {
@@ -1153,7 +1169,7 @@ object Curation {
       // id-partitioned doc-token frame. The per-(doc, token) coalesce
       // is precomputed into the grid cell, so the summed decimals are
       // IDENTICAL to the sparse path's term stream.
-      val grid = counts.select(col("__gtok")).distinct()
+      val grid = countsW.select(col("__gtok")).distinct()
         .crossJoin(fallback)
         .join(seenTerms, Seq("__gcls", "__gtok"), "left")
         .select(col("__gcls"), col("__gtok"),

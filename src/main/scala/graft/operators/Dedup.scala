@@ -360,8 +360,24 @@ object Dedup {
     val toks = df.select(col(idCol).as("__gid"),
       explode(array_distinct(tokensCol)).as("__gt"))
     val vocab = toks.groupBy(col("__gt")).agg(count(lit(1)).as("__gdf"))
-    val rankedVocab = RangeRank.ranked(vocab, Nil, "__gdf",
-        tieBreak = Seq("__gt"), rnAs = "__gtid")
+    // Above the family's own row gate, the rarity id takes the
+    // TOTAL-ORDER range path ([[RangeRank.orderIsoId]]): the vocab
+    // frame is explode-derived, so the leaf-anchored row estimate
+    // under-counts it ~40× and RangeRank's internal gate never fires —
+    // and its value-bucketed path could not split the df=1 tie block
+    // anyway (millions of once-seen shingles share one value).
+    // Measured at sf10: the single-window rank was a 6.6 s ONE-TASK
+    // stage inside q135. Downstream only needs the id to be injective
+    // and (df, token)-order-preserving — sort_array orders by it,
+    // prefixes slice by COUNT, candidates/verify compare by EQUALITY —
+    // so the non-contiguous order-iso id is a drop-in; the pair set
+    // and every jaccard are unchanged by construction.
+    val bigCorpus = ssjoinHashGate(df)
+    val rankedVocab = (if (bigCorpus)
+        RangeRank.orderIsoId(vocab,
+          Seq(col("__gdf").asc, col("__gt").asc), idAs = "__gtid")
+      else RangeRank.ranked(vocab, Nil, "__gdf",
+        tieBreak = Seq("__gt"), rnAs = "__gtid"))
       .select(col("__gt"), col("__gtid"))
     // shuffle_hash (not broadcast): with both sides hashed on __gt the
     // exploded frame's exchange is the SAME subplan the vocabulary
@@ -444,7 +460,7 @@ object Dedup {
     // so it saturates a box long before a window sort would — sf10's
     // 500k-doc corpus (leaf estimate ~1M) is already a 60 s spilling
     // query while sitting under the rank bar.
-    val bigVerify = ssjoinHashGate(df)
+    val bigVerify = bigCorpus
     def setsAs(as: String) = {
       val s = ordered.select(col("__gid"), col("__gsorted").as(as))
       if (bigVerify) s.hint("shuffle_hash") else s

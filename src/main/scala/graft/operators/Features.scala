@@ -878,11 +878,18 @@ object Features {
       .select(col(xCol).as("__gx"), col(yCol).as("__gy"))
     def rankMap(c: String, out: String): DataFrame = {
       val cells = base.groupBy(col(c)).agg(count(lit(1)).as("__gcnt"))
-      val below = Window.orderBy(col(c))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      cells.select(col(c),
-        (coalesce(sum(col("__gcnt")).over(below), lit(0L)) * 2 +
-          col("__gcnt") + 1).as(out))
+      // doubled average rank from the PEER-INCLUSIVE running count:
+      // cells are distinct values, so cumBelow = cumIncl − cnt and
+      // 2·cumBelow + cnt + 1 = 2·cumIncl − cnt + 1 — exact integers
+      // either way. Routed through RangeRank so the keyless running
+      // sum distributes past the size gates instead of funnelling the
+      // whole value frame into one window task (round-13 verdict
+      // item 8); below the gates RangeRank keeps the single-window
+      // plan this replaced.
+      RangeRank.ranked(cells, Nil, c,
+          extras = RangeRank.Extras(rangeSums = Seq((col("__gcnt"), "__gcum"))))
+        .select(col(c),
+          (col("__gcum") * 2 - col("__gcnt") + 1).as(out))
     }
     val ranked = base
       .join(rankMap("__gx", "__gr2x"), "__gx")

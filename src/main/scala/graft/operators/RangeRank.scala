@@ -268,6 +268,40 @@ object RangeRank {
     bucketedPath(df, keys, valueCol, ord, desc, bs, rnAs, ntAs, extras)
   }
 
+  /**
+   * Injective, strictly ORDER-PRESERVING long id over a TOTAL order —
+   * NOT a contiguous row number. For id targets whose VALUE column is
+   * heavily tied — the SSJoin vocabulary's document-frequency counts,
+   * where millions of rows share df = 1 — [[ranked]]'s value-bucketed
+   * path cannot split the tie block (its buckets are a function of the
+   * value alone, by design, so peer aggregates stay exact), and the
+   * window path funnels the whole frame through one task (measured as
+   * a 6.6 s single-task stage inside q135 at sf10). Range-partitioning
+   * by the WHOLE order splits the ties across tasks, and
+   * `monotonically_increasing_id` over the partition-local sort is
+   * order-isomorphic to the global order: ids in partition i are all
+   * below ids in partition i+1 (the id's high bits are the partition
+   * index; range partitioning puts strictly-smaller keys in
+   * strictly-earlier partitions — strict because the caller's order is
+   * total), and within a partition the id follows the local sort.
+   *
+   * The result is EAGERLY local-checkpointed before returning: range
+   * boundaries come from sampling, so two plan branches re-executing
+   * this subtree could assign DIFFERENT (still valid) ids — any
+   * consumer that compares the ids across branches (the SSJoin's
+   * candidate/verify stages) would silently break. The barrier pins
+   * one materialization; the caller releases it with the session
+   * sweep ([[graft.Caches.releaseAll]]), which every driver main runs.
+   * Callers must only depend on the ids' ORDER and injectivity, never
+   * on contiguity — and the order is only deterministic when `ord` is
+   * total.
+   */
+  def orderIsoId(df: DataFrame, ord: Seq[Column], idAs: String): DataFrame =
+    df.repartitionByRange(ord: _*)
+      .sortWithinPartitions(ord: _*)
+      .withColumn(idAs, monotonically_increasing_id())
+      .localCheckpoint()
+
   /** The exact single-window plan (today's shape) — kept for small
    *  inputs and high-cardinality keys, and as the semantics oracle the
    *  bucketed path must reproduce bit-for-bit (RangeRankSpec). All rank

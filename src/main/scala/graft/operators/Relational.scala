@@ -705,11 +705,12 @@ object Relational {
       iterations: Int, damping: Double): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
     require(damping > 0 && damping < 1, "pageRank needs damping in (0,1)")
+    val spark = edges.sparkSession
     val outW = edges.groupBy(col(src)).agg(sum(col(weight)).as("__gW"))
-    val norm = edges.select(col(src), col(dst), col(weight))
+    val norm0 = edges.select(col(src), col(dst), col(weight))
       .join(outW, src).persist()
-    val nodes = norm.select(col(src).as("node"))
-      .union(norm.select(col(dst).as("node"))).distinct().persist()
+    val nodes = norm0.select(col(src).as("node"))
+      .union(norm0.select(col(dst).as("node"))).distinct().persist()
     // |V| as a literal: one long off a counted cache scan — the same
     // value the old dense path carried as a crossed-in __gN column
     val gN = lit(nodes.count()).cast("double")
@@ -719,26 +720,65 @@ object Relational {
     def rankOf(sumCol: Column): Column =
       (lit(1.0d) - d) / gN +
         d * coalesce(sumCol.cast("string").cast("double"), lit(0.0d))
-    var sums: Option[DataFrame] = None
-    (1 to iterations).foreach { _ =>
-      val contrib = sums match {
-        case None => // uniform start: rank0 = 1/N for every node
-          norm.select(col(dst).as("__gdst"),
-            ((lit(1.0d) / gN) * col(weight).cast("double") /
-              col("__gW").cast("double"))
-              .cast("string").cast("decimal(38,30)").as("__gc"))
-        case Some(s0) =>
-          norm.join(s0.select(col("__gdst").as("__gsrc"), col("__gs")),
-              col(src) === col("__gsrc"), "left")
-            .select(col(dst).as("__gdst"),
-              (rankOf(col("__gs")) * col(weight).cast("double") /
+    // EAGER iteration under the narrow loop regime (round-14, the CC
+    // recipe): the lazy `iterations`-deep plan paid AQE stage
+    // materialization + replanning per exchange per iteration plus a
+    // ~1.2 s deep-plan planning gap at the one action (profiled at
+    // sf0.1: 31 jobs for 5 iterations). Below
+    // `graft.pagerank.loopAqeOffEdges` normalized edges (default 32 M;
+    // same A/B escapes as CC's) each iteration is ONE statically
+    // planned checkpoint job; the norm frame is re-laid hash(src) at
+    // the loop width once so the per-iteration join streams it with no
+    // exchange, and the vertex-sized sums side carries an explicit
+    // SHUFFLE_HASH hint (checkpoint-scan stats are unknown to the
+    // static planner). Values are bit-identical: the checkpoint only
+    // materializes the same expression tree, and the per-target sums
+    // are order-free DECIMAL(38,30) string images.
+    val edgeRows = norm0.count()
+    val aqeOffBar: Long = spark.conf.getOption("graft.pagerank.loopAqeOffEdges")
+      .orElse(sys.env.get("SPARK_GRAFT_PAGERANK_LOOP_AQE_OFF_EDGES"))
+      .flatMap(_.toLongOption).getOrElse(32000000L)
+    val narrow = edgeRows < aqeOffBar &&
+      !sys.env.contains("SPARK_GRAFT_LOOP_NARROW_OFF")
+    def hinted(dfh: DataFrame): DataFrame =
+      if (narrow) dfh.hint("shuffle_hash") else dfh
+    graft.Sessions.withLoopPartitions(spark, math.max(1L, edgeRows), narrow) {
+      val roller = new graft.Caches.CheckpointRoller(spark)
+      val edgeRoller = new graft.Caches.CheckpointRoller(spark)
+      val norm =
+        if (narrow) {
+          val relaid = edgeRoller.roll(norm0.repartition(
+            graft.Sessions.loopShufflePartitions(spark, edgeRows), col(src)))
+          relaid
+        } else norm0
+      var sums: Option[DataFrame] = None
+      (1 to iterations).foreach { _ =>
+        val contrib = sums match {
+          case None => // uniform start: rank0 = 1/N for every node
+            norm.select(col(dst).as("__gdst"),
+              ((lit(1.0d) / gN) * col(weight).cast("double") /
                 col("__gW").cast("double"))
                 .cast("string").cast("decimal(38,30)").as("__gc"))
+          case Some(s0) =>
+            norm.join(hinted(s0.select(col("__gdst").as("__gsrc"), col("__gs"))),
+                col(src) === col("__gsrc"), "left")
+              .select(col(dst).as("__gdst"),
+                (rankOf(col("__gs")) * col(weight).cast("double") /
+                  col("__gW").cast("double"))
+                  .cast("string").cast("decimal(38,30)").as("__gc"))
+        }
+        sums = Some(roller.roll(
+          contrib.groupBy(col("__gdst")).agg(sum(col("__gc")).as("__gs"))))
+        roller.advance()
       }
-      sums = Some(contrib.groupBy(col("__gdst")).agg(sum(col("__gc")).as("__gs")))
+      // iterations are materialized checkpoints now: the relaid edge
+      // frame and the persisted norm are dead — only nodes and the
+      // final sums checkpoint feed the returned plan (cache hygiene)
+      edgeRoller.advance(); edgeRoller.advance()
+      norm0.unpersist()
+      nodes.join(sums.get, col("node") === col("__gdst"), "left")
+        .select(col("node"), rankOf(col("__gs")).as("rank"))
     }
-    nodes.join(sums.get, col("node") === col("__gdst"), "left")
-      .select(col("node"), rankOf(col("__gs")).as("rank"))
   }
 
   /**
@@ -1191,12 +1231,17 @@ object Relational {
         coalesce(col("__gtp"), lit(0L)).as("__gtp"))
     val p = when(col("__gp") > 0, col("__gtp").cast("double") / col("__gp").cast("double"))
     val r = when(col("__gt") > 0, col("__gtp").cast("double") / col("__gt").cast("double"))
+    // perClass feeds TWO plan branches (the output union and the macro
+    // means) — persist it or the 3-join base chain over the cached
+    // confusion frame executes twice (the q151 multi-branch rule;
+    // lifetime is caller-owned via Caches.releaseAll like `conf` above)
     val perClass = base.select(col("label"), p.as("precision"), r.as("recall"))
       .withColumn("f1", when(
         col("precision").isNotNull && col("recall").isNotNull &&
           (col("precision") + col("recall")) > 0,
         lit(2.0) * col("precision") * col("recall") /
           (col("precision") + col("recall"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def absorb(c: Column) =
       c.cast("float").cast("double").cast("string").cast("decimal(28,18)")
     def meanOf(c: String) =

@@ -74,7 +74,7 @@ class CacheHygieneSpec extends SparkSpec {
       "q151_triangles" -> 2, // pair graph read three ways
       "q187_threshold_sweep" -> 2, // ordered-token frame + swept pair frame
       "q213_js_divergence" -> 1,
-      "q215_macro_f1" -> 1,
+      "q215_macro_f1" -> 2, // confusion frame + two-branch perClass
       // q216_assoc_rules: 0 since round 13 — the distinct (basket,
       // item) frame's four consumers share its exchange (reuse), so
       // the persist was dropped

@@ -343,4 +343,29 @@ class RangeRankSpec extends SparkSpec {
       RangeRank.ranked(dense, Seq("k"), "v").queryExecution.optimizedPlan.toString)
     assert(plan.contains("__gbkt"), s"expected the bucketed plan, got:\n$plan")
   }
+
+  test("orderIsoId: injective and strictly order-preserving on a tie-heavy total order") {
+    // the SSJoin vocab shape: a value column where most rows tie
+    // (df = 1) and a string tie-break making the order total
+    val rows = (1 to 5000).map { i =>
+      val df = if (i % 100 == 0) i / 100 + 1 else 1
+      (f"tok_$i%05d", df.toLong)
+    }
+    val vocab = spark.createDataFrame(
+      rows.map { case (t, d) => (t, d) }).toDF("t", "df")
+    try {
+      val ids = RangeRank.orderIsoId(vocab,
+        Seq(col("df").asc, col("t").asc), "id")
+        .select(col("t"), col("df"), col("id")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(ids.length == rows.length)
+      // injective
+      assert(ids.map(_._3).distinct.length == ids.length, "ids must be injective")
+      // order-isomorphic to (df, t): sorting by id must equal sorting
+      // by the total order
+      val byId = ids.sortBy(_._3).map(r => (r._2, r._1)).toSeq
+      val byOrder = ids.map(r => (r._2, r._1)).sortBy(identity).toSeq
+      assert(byId == byOrder, "id order must equal the (df, t) total order")
+    } finally spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+  }
 }

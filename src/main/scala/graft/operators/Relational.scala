@@ -697,8 +697,12 @@ object Relational {
    * sf0.1 as pure per-job overhead: 44 jobs none above 0.45 s). The
    * inlined expression is the bit-identical tree the dense rank column
    * held, so every iterate — and the oracle hash — is unchanged.
-   * The caller unpersists nothing — the frames die with the session;
-   * at 100 TB pass a pre-aggregated edge table.
+   * Iterations are materialized as rolled checkpoints (round 14 — see
+   * the loop-regime comment in the body), so the norm cache is
+   * released in-operator; the node frame and the final sums checkpoint
+   * feed the returned plan and are swept by the caller
+   * ([[graft.Caches.releaseAll]]). At 100 TB pass a pre-aggregated
+   * edge table.
    */
   def pageRank(
       edges: DataFrame, src: String, dst: String, weight: String,
